@@ -1,13 +1,330 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.operators.TimeSeries
+import graft.sources.Tables
+import graft.core.CandleDuration
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY §2 (or an
+  * LLM-pipeline extension) against the driver testdata; `oracleSql`
+  * holds the DuckDB-equivalent SQL. Column names and row order are
+  * aligned on both sides; float aggregates are rounded to absorb
+  * summation-order noise.
+  *
+  * The `events` table plays the role of a marketstore bucket:
+  * `event_type` ≅ symbol, `value` ≅ price, `ts` → (Epoch, Nanoseconds).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  // epoch-second bounds used by range queries (UTC; events span Jan 2024)
+  private val T1 = 1704844800L // 2024-01-10
+  private val T2 = 1705708800L // 2024-01-20
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * per-type daily OHLC candles from raw events — the reference's
+    * tickcandler shape (contrib/candler/tickcandler) over all symbols.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Candler.candle(ev, CandleDuration.parse("1D"),
+      openOf = col("value"), closeOf = col("value"),
+      highOf = col("value"), lowOf = col("value"),
+      sums = Seq("value"), avgs = Nil, groupCols = Seq("event_type"))
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("event_type") === "purchase")
+
+  /** Daily OHLC candles of purchase values — shared input for the
+    * re-candle / adjust queries.
+    */
+  private def dailyCandles(s: SparkSession, dir: String): DataFrame =
+    AggRegistry.run(Seq("tickcandler('1D', value, Sum::value)"), purchases(s, dir))
+
+  /** Synthetic corporate-action rate changes, derived deterministically
+    * from the events table (so the DuckDB oracle can rebuild them).
+    */
+  private def rateChanges(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+      .select(col("Epoch"), (lit(1.0) + (col("event_id") % 7).cast("double") / 100.0).as("Rate"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/§2.2 scan + range + projection --------------------------
+    "q_scan_range_project" -> ((s, dir) => {
+      val df = TimeSeries.project(
+        TimeSeries.rangeFilter(ev(s, dir), T1, 0, T2 - 1),
+        Seq("event_type", "value", "event_id"))
+      df.select(
+        col("Epoch").as("epoch"), col("Nanoseconds").cast("long").as("nanoseconds"),
+        col("event_type"), col("value"), col("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.6 FIRST-n / LAST-n row limits -----------------------------
+    "q_limit_first" -> ((s, dir) => {
+      TimeSeries.limit(ev(s, dir).select(col("Epoch"), col("Nanoseconds"), col("event_id"), col("value")),
+          100, fromStart = true, tieBreak = Seq("event_id"))
+        .select(col("Epoch").as("epoch"), col("event_id"), col("value"))
+        .orderBy("epoch", "event_id")
+    }),
+    "q_limit_last" -> ((s, dir) => {
+      TimeSeries.limit(ev(s, dir).select(col("Epoch"), col("Nanoseconds"), col("event_id"), col("value")),
+          100, fromStart = false, tieBreak = Seq("event_id"))
+        .select(col("Epoch").as("epoch"), col("event_id"), col("value"))
+        .orderBy("epoch", "event_id")
+    }),
+
+    // ---- §2.4 basic UDA pipeline (count/min/max/avg) ------------------
+    "q_agg_count" -> ((s, dir) =>
+      AggRegistry.run(Seq("count(value)"), purchases(s, dir))
+        .select(col("Count").as("cnt"))),
+    "q_agg_min_max_avg" -> ((s, dir) => {
+      val p = purchases(s, dir)
+      val mn = AggRegistry.run(Seq("min(value)"), p)
+      val mx = AggRegistry.run(Seq("max(value)"), p)
+      val av = AggRegistry.run(Seq("avg(value)"), p)
+      mn.crossJoin(mx).crossJoin(av)
+        .select(col("Min").as("vmin"), col("Max").as("vmax"),
+          round(col("Avg"), 6).as("vavg"))
+    }),
+
+    // ---- §2.4 gap detection -------------------------------------------
+    "q_gap_threshold" -> ((s, dir) =>
+      GapUda.gaps(ev(s, dir), Some(CandleDuration.parse("1H")), Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          col("GapEnd").as("gap_end"), col("GapLength").as("gap_length"))
+        .orderBy("event_type", "epoch")),
+    "q_gap_zscore" -> ((s, dir) =>
+      GapUda.gaps(purchases(s, dir), None, Nil)
+        .select(col("Epoch").as("epoch"), col("GapEnd").as("gap_end"),
+          col("GapLength").as("gap_length"))
+        .orderBy("epoch")),
+
+    // ---- §2.4/§2.5 candlers + tumbling windows ------------------------
+    "q_tickcandler_1d" -> ((s, dir) =>
+      dailyCandles(s, dir)
+        .select(col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"),
+          round(col("value_SUM"), 6).as("value_sum"))
+        .orderBy("epoch")),
+    "q_candlecandler_1w" -> ((s, dir) => {
+      val daily = dailyCandles(s, dir)
+      AggRegistry.run(Seq("candlecandler('1W', Open, High, Low, Close, Sum::value_SUM)"), daily)
+        .select(col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"),
+          round(col("value_SUM_SUM"), 6).as("value_sum"))
+        .orderBy("epoch")
+    }),
+    "q_candler_monthly" -> ((s, dir) => {
+      val daily = dailyCandles(s, dir)
+      AggRegistry.run(Seq("candlecandler('1M', Open, High, Low, Close)"), daily)
+        .select(col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"))
+        .orderBy("epoch")
+    }),
+    "q_multi_symbol_candles" -> ((s, dir) =>
+      Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"))
+        .orderBy("event_type", "epoch")),
+
+    // ---- §2.3 epoch-keyed union (keep-last) ---------------------------
+    "q_union_keeplast" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("Epoch"), col("Nanoseconds"), col("event_id"), col("value"))
+      val left = e.filter(col("Epoch") < T2)
+      val right = e.filter(col("Epoch") >= T1).withColumn("value", col("value") * 2)
+      TimeSeries.unionKeepLast(left, right, Seq("Epoch", "Nanoseconds", "event_id"))
+        .select(col("Epoch").as("epoch"), col("event_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.3 as-of join (broadcast, shuffle-free) --------------------
+    "q_asof_join" -> ((s, dir) => {
+      val p = purchases(s, dir).select(col("ts_us"), col("event_id"), col("value"))
+      val sg = ev(s, dir).filter(col("event_type") === "signup")
+        .select(col("ts_us"), col("value").as("signup_value"))
+      TimeSeries.asofJoinUnion(p, sg, keys = Nil, "ts_us", "ts_us", Seq("signup_value"))
+        .select(col("event_id"), col("value"), col("signup_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.4 adjust (corporate-action as-of application) -------------
+    "q_adjust" -> ((s, dir) => {
+      val daily = dailyCandles(s, dir)
+        .select(col("Epoch"), col("Close"), col("value_SUM").as("Volume"))
+      AdjustUda(daily, rateChanges(s, dir),
+        priceCols = Seq("Close"), volumeCols = Seq("Volume"))
+        .select(col("Epoch").as("epoch"), col("Close").as("close"),
+          round(col("Volume"), 6).as("volume"))
+        .orderBy("epoch")
+    }),
+
+    // ---- §2.3 joins (Spark superset of the reference) ------------------
+    "q_join_enrich" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+    "q_join_semi_anti" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val semi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("with_items"))
+      val anti = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("without_items"))
+      semi.crossJoin(anti)
+    }),
+
+    // ---- §2.6 top-k ----------------------------------------------------
+    "q_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_range_project" ->
+      s"""SELECT epoch_us(ts)//1000000 AS epoch,
+            (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            event_type, value, event_id
+          FROM events
+          WHERE epoch_us(ts)//1000000 BETWEEN $T1 AND ${T2 - 1}
+          ORDER BY event_id""",
+
+    "q_limit_first" ->
+      """SELECT epoch, event_id, value FROM (
+           SELECT epoch_us(ts)//1000000 AS epoch, epoch_us(ts) AS tsu, event_id, value
+           FROM events ORDER BY tsu, event_id LIMIT 100)
+         ORDER BY epoch, event_id""",
+    "q_limit_last" ->
+      """SELECT epoch, event_id, value FROM (
+           SELECT epoch_us(ts)//1000000 AS epoch, epoch_us(ts) AS tsu, event_id, value
+           FROM events ORDER BY tsu DESC, event_id DESC LIMIT 100)
+         ORDER BY epoch, event_id""",
+
+    "q_agg_count" ->
+      "SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'",
+    "q_agg_min_max_avg" ->
+      """SELECT min(value) AS vmin, max(value) AS vmax, round(avg(value), 6) AS vavg
+         FROM events WHERE event_type = 'purchase'""",
+
+    "q_gap_threshold" ->
+      """WITH g AS (
+           SELECT event_type, epoch_us(ts)//1000000 AS epoch,
+                  lag(epoch_us(ts)//1000000) OVER (
+                    PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events)
+         SELECT event_type, prev AS epoch, epoch AS gap_end, epoch - prev AS gap_length
+         FROM g WHERE prev IS NOT NULL AND epoch - prev > 3600
+         ORDER BY event_type, prev""",
+    "q_gap_zscore" ->
+      """WITH g AS (
+           SELECT epoch_us(ts)//1000000 AS epoch,
+                  lag(epoch_us(ts)//1000000) OVER (ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events WHERE event_type = 'purchase'),
+         d AS (SELECT prev, epoch, epoch - prev AS gap FROM g WHERE prev IS NOT NULL),
+         st AS (SELECT avg(gap) AS m, stddev_pop(gap) AS s FROM d)
+         SELECT prev AS epoch, epoch AS gap_end, gap AS gap_length
+         FROM d, st WHERE s > 0 AND (gap - m) / s > 3
+         ORDER BY prev""",
+
+    "q_tickcandler_1d" ->
+      """SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+            arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+            min(value) AS low, arg_max(value, epoch_us(ts)) AS close,
+            round(sum(value), 6) AS value_sum
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    "q_candlecandler_1w" ->
+      """WITH daily AS (
+           SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+              min(value) AS low, arg_max(value, epoch_us(ts)) AS close,
+              sum(value) AS vsum
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT epoch - ((epoch + 259200) % 604800) AS epoch,
+            arg_min(open, epoch) AS open, max(high) AS high, min(low) AS low,
+            arg_max(close, epoch) AS close, round(sum(vsum), 6) AS value_sum
+         FROM daily GROUP BY 1 ORDER BY 1""",
+    "q_candler_monthly" ->
+      """WITH daily AS (
+           SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+              min(value) AS low, arg_max(value, epoch_us(ts)) AS close
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT epoch(date_trunc('month', to_timestamp(epoch)))::BIGINT AS epoch,
+            arg_min(open, epoch) AS open, max(high) AS high, min(low) AS low,
+            arg_max(close, epoch) AS close
+         FROM daily GROUP BY 1 ORDER BY 1""",
+    "q_multi_symbol_candles" ->
+      """SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+            arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+            min(value) AS low, arg_max(value, epoch_us(ts)) AS close
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_union_keeplast" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, value FROM events),
+          l AS (SELECT * FROM e WHERE tsu//1000000 < $T2),
+          r AS (SELECT tsu, event_id, value*2 AS value FROM e WHERE tsu//1000000 >= $T1)
+          SELECT tsu//1000000 AS epoch, event_id, value FROM r
+          UNION ALL
+          SELECT tsu//1000000, event_id, value FROM l
+          WHERE event_id NOT IN (SELECT event_id FROM r)
+          ORDER BY event_id""",
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.value,
+            (SELECT s.value FROM events s
+             WHERE s.event_type = 'signup' AND epoch_us(s.ts) <= epoch_us(e.ts)
+             ORDER BY epoch_us(s.ts) DESC LIMIT 1) AS signup_value
+         FROM events e WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+
+    "q_adjust" ->
+      """WITH daily AS (
+           SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close, sum(value) AS volume
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ca AS (
+           SELECT epoch_us(ts)//1000000 AS caepoch,
+                  1.0 + (event_id % 7)::DOUBLE / 100.0 AS rate
+           FROM events WHERE event_type = 'error' AND event_id % 97 = 0),
+         f AS (
+           SELECT d.epoch, coalesce(exp(sum(ln(c.rate))), 1.0) AS factor
+           FROM daily d LEFT JOIN ca c ON d.epoch < c.caepoch GROUP BY 1)
+         SELECT d.epoch, round(d.close * f.factor, 4) AS close,
+                round(d.volume / f.factor, 6) AS volume
+         FROM daily d JOIN f ON d.epoch = f.epoch
+         ORDER BY d.epoch""",
+
+    "q_join_enrich" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+            count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_join_semi_anti" ->
+      """SELECT
+           (SELECT count(*) FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS with_items,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS without_items""",
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+  )
 }

@@ -1,0 +1,259 @@
+package graft.functions
+
+import graft.core.{CandleDuration, FunctionCall}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-defined-aggregate surface.
+  *
+  * The reference's UDA contract (uda/datatypes.go:25-42 — New /
+  * GetRequiredArgs / GetOptionalArgs / GetInitArgs / Accum) becomes a
+  * declarative DataFrame→DataFrame transform: every reference aggregate
+  * decomposes into built-in, codegen'd Spark aggregates, so none needs
+  * an imperative accumulator. `Accum` over a ColumnSeries ≅ `apply`
+  * over a DataFrame carrying `Epoch` (long seconds) and optionally
+  * `Nanoseconds` (int).
+  */
+trait Uda {
+  def name: String
+  /** Required column parameters, in positional order. */
+  def requiredArgs: Seq[String]
+  /** Optional named column parameters (fed via `Name::Col`). */
+  def optionalArgs: Seq[String] = Nil
+  /** Quoted init args (e.g. the window: '5Min'). */
+  def initArgs: Seq[String] = Nil
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame
+}
+
+object Uda {
+  val EpochCol = "Epoch"
+  val NanosCol = "Nanoseconds"
+
+  /** Nanosecond-precision event-time ordering key: (Epoch, Nanoseconds).
+    * Spark timestamps are µs — keeping (epoch, nanos) as two longs is
+    * the overflow-safe total order (SURVEY §7.4). Used everywhere
+    * `first/last` semantics appear: min_by/max_by on this struct is
+    * deterministic under shuffle, unlike Spark's first()/last().
+    */
+  def timeKey(df: DataFrame): Column =
+    if (df.columns.contains(NanosCol)) struct(col(EpochCol), col(NanosCol))
+    else struct(col(EpochCol))
+}
+
+/** Row count → single row (reference: uda/count/count.go:46-74). */
+object CountUda extends Uda {
+  val name = "count"
+  val requiredArgs = Seq("Column")
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("Count"))
+}
+
+/** Single-column min (uda/min/min.go:42-62). */
+object MinUda extends Uda {
+  val name = "min"
+  val requiredArgs = Seq("Column")
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+    val c = argMap("Column").head
+    df.agg(min(col(c)).as("Min"))
+  }
+}
+
+/** Single-column max (uda/max/max.go:42-62). */
+object MaxUda extends Uda {
+  val name = "max"
+  val requiredArgs = Seq("Column")
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+    val c = argMap("Column").head
+    df.agg(max(col(c)).as("Max"))
+  }
+}
+
+/** Single-column mean (uda/avg/avg.go:42-60). */
+object AvgUda extends Uda {
+  val name = "avg"
+  val requiredArgs = Seq("Column")
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+    val c = argMap("Column").head
+    df.agg(avg(col(c)).as("Avg"))
+  }
+}
+
+/** Abnormal-gap detector (uda/gap/gap.go:61-186).
+  *
+  * Two modes, as in the reference: with an init arg ('5Sec') a fixed
+  * threshold — emit consecutive-epoch gaps strictly larger than the
+  * window width; with no init arg, gaps whose z-score over the gap
+  * distribution exceeds 3 (gap.go:93-109).
+  *
+  * Scale note: `lag` needs a total order on event time. Within one
+  * bucket that is a single window partition; the engine keeps
+  * per-symbol partitioning upstream so the sort is per-symbol, not
+  * global (see QueryService). For the unpartitioned parity case the
+  * input is one bucket's rows, matching the reference's single-series
+  * Accum.
+  */
+object GapUda extends Uda {
+  val name = "gap"
+  val requiredArgs = Seq("Column")
+  override val initArgs = Seq("Timeframe")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    gaps(df, init.headOption.map(CandleDuration.parse), partitionCols = Nil)
+
+  def gaps(df: DataFrame, threshold: Option[CandleDuration], partitionCols: Seq[String]): DataFrame = {
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(Uda.timeKey(df))
+             else Window.partitionBy(partitionCols.map(col): _*).orderBy(Uda.timeKey(df))
+    val withGap = df
+      .withColumn("PrevEpoch", lag(col(Uda.EpochCol), 1).over(w0))
+      .withColumn("GapLength", col(Uda.EpochCol) - col("PrevEpoch"))
+      .filter(col("PrevEpoch").isNotNull)
+    val flagged = threshold match {
+      case Some(tf) => withGap.filter(col("GapLength") > lit(tf.approxSeconds))
+      case None =>
+        // z-score > 3 over the gap distribution (population stddev)
+        val stats = Seq(avg(col("GapLength")).as("m"), stddev_pop(col("GapLength")).as("s"))
+        val keyed = partitionCols match {
+          case Nil => withGap.crossJoin(broadcast(withGap.agg(stats.head, stats.tail: _*)))
+          case ks  => withGap.join(withGap.groupBy(ks.map(col): _*).agg(stats.head, stats.tail: _*), ks)
+        }
+        keyed.filter(col("s") > 0 && (col("GapLength") - col("m")) / col("s") > 3)
+    }
+    flagged.select(
+      (partitionCols.map(col) ++ Seq(
+        col("PrevEpoch").as("Epoch"),
+        col(Uda.EpochCol).as("GapEnd"),
+        col("GapLength"))): _*)
+  }
+}
+
+/** Shared OHLC candle construction (contrib/candler/candler.go:297-335
+  * AddCandle: open = value at earliest time, close = value at latest,
+  * high/low = extrema; optional Sum::X → X_SUM, Avg::X → X_AVG outputs,
+  * candler.go:178-210).
+  *
+  * One shuffle: groupBy(window-start) with partial aggregation map-side.
+  * min_by/max_by on the (Epoch, Nanoseconds) struct replaces the
+  * reference's earliest/latest bookkeeping and stays deterministic on a
+  * cluster.
+  */
+object Candler {
+  def candle(
+      df: DataFrame,
+      tf: CandleDuration,
+      openOf: Column, closeOf: Column, highOf: Column, lowOf: Column,
+      sums: Seq[String], avgs: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val tkey = Uda.timeKey(df)
+    val aggs =
+      Seq(
+        min_by(openOf, tkey).as("Open"),
+        max(highOf).as("High"),
+        min(lowOf).as("Low"),
+        max_by(closeOf, tkey).as("Close")) ++
+      sums.map(c => sum(col(c)).as(s"${c}_SUM")) ++
+      avgs.map(c => avg(col(c)).as(s"${c}_AVG"))
+    df.groupBy((groupCols.map(col) :+ tf.truncate(col(Uda.EpochCol)).as(Uda.EpochCol)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Tumbling OHLC candles from ticks
+  * (contrib/candler/tickcandler/tickcandler.go:57-105). Required arg
+  * CandlePrice may map several columns — their row-wise average is the
+  * candle price (contrib/candler/candler.go:355-385).
+  */
+object TickCandlerUda extends Uda {
+  val name = "tickcandler"
+  val requiredArgs = Seq("CandlePrice")
+  override val optionalArgs = Seq("Sum", "Avg")
+  override val initArgs = Seq("Timeframe")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+    val tf = CandleDuration.parse(init.head)
+    val priceCols = argMap("CandlePrice")
+    val price =
+      if (priceCols.size == 1) col(priceCols.head)
+      else priceCols.map(col).reduce(_ + _) / lit(priceCols.size)
+    Candler.candle(df, tf,
+      openOf = price, closeOf = price, highOf = price, lowOf = price,
+      sums = argMap.getOrElse("Sum", Nil), avgs = argMap.getOrElse("Avg", Nil),
+      groupCols = Nil)
+  }
+}
+
+/** Re-candling OHLC → coarser OHLC
+  * (contrib/candler/candlecandler/candlecandler.go:60-130): open of
+  * earliest bar, max high, min low, close of latest bar, plus Sum/Avg
+  * passthroughs.
+  */
+object CandleCandlerUda extends Uda {
+  val name = "candlecandler"
+  val requiredArgs = Seq("Open", "High", "Low", "Close")
+  override val optionalArgs = Seq("Sum", "Avg")
+  override val initArgs = Seq("Timeframe")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+    val tf = CandleDuration.parse(init.head)
+    Candler.candle(df, tf,
+      openOf = col(argMap("Open").head),
+      closeOf = col(argMap("Close").head),
+      highOf = col(argMap("High").head),
+      lowOf = col(argMap("Low").head),
+      sums = argMap.getOrElse("Sum", Nil), avgs = argMap.getOrElse("Avg", Nil),
+      groupCols = Nil)
+  }
+}
+
+/** Corporate-action price adjustment (uda/adjust/adjust.go:99-153).
+  *
+  * The reference walks the price series backwards keeping a running
+  * product of rate changes whose effective date is *after* the row.
+  * Declarative form: factor(t) = Π rate over changes with epoch > t.
+  * The CA table is tiny (per-symbol splits/dividends), so we broadcast
+  * it and compute the product with exp(sum(log(rate))) — a broadcast
+  * nested-loop join + one partial-aggregated groupBy; no global sort,
+  * no driver loop, scales with the price table.
+  */
+object AdjustUda {
+  def apply(
+      prices: DataFrame,
+      rateChanges: DataFrame, // columns: Epoch (long), Rate (double)
+      priceCols: Seq[String],
+      volumeCols: Seq[String],
+      keyCols: Seq[String] = Seq(Uda.EpochCol),
+      roundTo: Int = 4): DataFrame = {
+    val ca = broadcast(
+      rateChanges.select(col(Uda.EpochCol).as("caEpoch"), col("Rate").as("caRate")))
+    val factors = prices.select(keyCols.map(col): _*)
+      .join(ca, col(Uda.EpochCol) < col("caEpoch"), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(coalesce(exp(sum(log(col("caRate")))), lit(1.0)).as("AdjFactor"))
+    val joined = prices.join(factors, keyCols)
+    val adjusted = priceCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, round(col(c) * col("AdjFactor"), roundTo))
+    }
+    val withVol = volumeCols.foldLeft(adjusted) { (d, c) =>
+      d.withColumn(c, col(c) / col("AdjFactor"))
+    }
+    withVol.drop("AdjFactor")
+  }
+}
+
+/** Name → UDA registry + chained runner
+  * (sqlparser/registry.go:32-49 NewDefaultAggRunner; Run :51-113 chains
+  * calls — output of agg N is input of agg N+1).
+  */
+object AggRegistry {
+  val all: Map[String, Uda] = Seq(
+    CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda)
+    .map(u => u.name -> u).toMap
+
+  def run(calls: Seq[String], df: DataFrame): DataFrame =
+    calls.foldLeft(df) { (d, callStr) =>
+      val call = FunctionCall.parse(callStr)
+      val uda = all.getOrElse(call.name,
+        throw new IllegalArgumentException(s"unknown aggregate: ${call.name}"))
+      uda(d, call.argMap(uda.requiredArgs), call.initArgs)
+    }
+}

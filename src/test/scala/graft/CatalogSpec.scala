@@ -1,0 +1,124 @@
+package graft
+
+import graft.api.{QueryRequest, QueryService}
+import graft.catalog.BucketCatalog
+import graft.core.TimeBucketKey
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Bucket storage + query service round-trips, re-encoding the
+  * reference's integration semantics: slot overwrite for FIXED
+  * (executor/writer.go WriteCSM), unsorted-write → sorted-read for
+  * VARIABLE (test_ticks_1sec_timeframe.py:432,480), LAST-n limits,
+  * wildcard symbol expansion, timeframe substitution.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-cat").toString
+
+  private val ohlcv = StructType(Seq(
+    StructField("Epoch", LongType), StructField("Open", DoubleType),
+    StructField("Close", DoubleType)))
+
+  test("fixed bucket: write, read back time-ordered, slot overwrite") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, Seq((120L, 2.0, 2.5), (60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    val got = cat.read(tbk).select("Epoch", "Open").orderBy("Epoch").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(60L, 120L))
+    // second write to same epoch overwrites the slot (fixed-record semantics)
+    cat.write(tbk, Seq((60L, 9.0, 9.5)).toDF("Epoch", "Open", "Close"))
+    val after = cat.read(tbk).orderBy("Epoch").collect()
+    assert(after.length == 2)
+    assert(after(0).getAs[Double]("Open") == 9.0)
+  }
+
+  test("variable bucket: unsorted multi-row-per-second write reads back sorted") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("TEST/1Sec/Tick")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("Bid", DoubleType))), isVariable = true)
+    cat.write(tbk, Seq((100L, 900, 3.0), (100L, 100, 1.0), (99L, 500, 0.5), (100L, 500, 2.0))
+      .toDF("Epoch", "Nanoseconds", "Bid"))
+    val got = TimeSeries.limit(cat.read(tbk), 10, fromStart = true).collect()
+    assert(got.map(_.getAs[Double]("Bid")).toSeq == Seq(0.5, 1.0, 2.0, 3.0))
+    // same (Epoch, Nanoseconds) key overwrites; distinct nanos appends
+    cat.write(tbk, Seq((100L, 100, 7.0), (100L, 700, 9.0)).toDF("Epoch", "Nanoseconds", "Bid"))
+    val after = TimeSeries.limit(cat.read(tbk), 10, fromStart = true).collect()
+    assert(after.map(_.getAs[Double]("Bid")).toSeq == Seq(0.5, 7.0, 2.0, 9.0, 3.0))
+  }
+
+  test("catalog: listSymbols, destroy, getInfo") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("AAPL/1Min/OHLCV"), ohlcv, isVariable = false)
+    cat.write(TimeBucketKey.parse("AAPL/1Min/OHLCV"), Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    cat.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"), Seq((60L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    assert(cat.listSymbols("OHLCV") == Seq("AAPL", "MSFT"))
+    val (schema, variable) = cat.getInfo("OHLCV")
+    assert(!variable && schema.fieldNames.contains("Open"))
+    cat.destroy(TimeBucketKey.parse("AAPL/1Min/OHLCV"))
+    assert(cat.listSymbols("OHLCV") == Seq("MSFT"))
+  }
+
+  test("query service: range + projection + LAST limit + wildcard") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, (1 to 10).map(i => (i * 60L, i.toDouble, i + 0.5)).toDF("Epoch", "Open", "Close"))
+    cat.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"),
+      (1 to 3).map(i => (i * 60L, 100.0 + i, 0.0)).toDF("Epoch", "Open", "Close"))
+    val svc = new QueryService(cat)
+    val res = svc.query(QueryRequest(
+      destination = "*/1Min/OHLCV", epochStart = 120L, epochEnd = 540L,
+      columns = Seq("Open"), limit = Some(3), limitFromStart = false))
+    assert(res.keySet == Set("AAPL/1Min/OHLCV", "MSFT/1Min/OHLCV"))
+    val aapl = res("AAPL/1Min/OHLCV").collect()
+    assert(aapl.map(_.getAs[Double]("Open")).toSeq == Seq(7.0, 8.0, 9.0)) // last 3 in range
+    assert(aapl.head.schema.fieldNames.toSeq == Seq("Epoch", "Open"))
+  }
+
+  test("query service: timeframe substitution serves 2Min from 1Min with scaled limit") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, (1 to 8).map(i => (i * 60L, i.toDouble, 0.0)).toDF("Epoch", "Open", "Close"))
+    val svc = new QueryService(cat)
+    // request 2Min (not stored): scanned from 1Min, LIMIT 2 scaled to 4 rows
+    val res = svc.query(QueryRequest(
+      destination = "AAPL/2Min/OHLCV", limit = Some(2), limitFromStart = true,
+      functions = Seq("candlecandler('2Min', Open, Open, Open, Close)")))
+    // LIMIT 2 scaled ×2 → 4 scanned 1Min rows (epochs 60..240), which
+    // straddle 3 2Min windows — limit applies BEFORE the pipeline, as
+    // in the reference (frontend/query.go:322-334).
+    val rows = res("AAPL/2Min/OHLCV").orderBy("Epoch").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("Epoch")).toSeq == Seq(0L, 120L, 240L))
+    assert(rows.last.getAs[Double]("Open") == 4.0)
+  }
+
+  test("union keep-last (ColumnSeriesUnion, columnseries.go:343-396)") {
+    val l = Seq((1L, 10.0), (2L, 20.0)).toDF("Epoch", "V")
+    val r = Seq((2L, 99.0), (3L, 30.0)).toDF("Epoch", "V")
+    val u = TimeSeries.unionKeepLast(l, r, Seq("Epoch")).orderBy("Epoch").collect()
+    assert(u.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("nanosecond-precision range filter (test_range_nanosec.py semantics)") {
+    val df = Seq((10L, 100), (10L, 500), (10L, 900), (11L, 0))
+      .toDF("Epoch", "Nanoseconds").withColumn("v", col("Nanoseconds"))
+    val got = TimeSeries.rangeFilter(df, 10L, 200, 10L, 899).collect()
+    assert(got.map(_.getAs[Int]("Nanoseconds")).toSeq == Seq(500))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.{CandleDuration, FunctionCall, TimeBucketKey}
+import org.apache.spark.sql.functions._
+
+/** Pure-core units: TBK parsing, timeframe algebra, function-call
+  * parsing. Expectations mirror the reference semantics
+  * (utils/timeframe_test.go, sqlparser/registry.go tests).
+  */
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TimeBucketKey parse/expand") {
+    val k = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    assert(k == TimeBucketKey("AAPL", "1Min", "OHLCV"))
+    assert(TimeBucketKey.expand("A,B/1H/TICK").map(_.symbol) == Seq("A", "B"))
+    assertThrows[IllegalArgumentException](TimeBucketKey.parse("AAPL/1Min"))
+  }
+
+  test("CandleDuration parse + divisibility + queryable selection") {
+    assert(CandleDuration.parse("5Min").fixedSeconds.contains(300L))
+    assert(CandleDuration.parse("4H").divisibleBy(CandleDuration.parse("1H")))
+    assert(!CandleDuration.parse("4H").divisibleBy(CandleDuration.parse("3H")))
+    assert(CandleDuration.parse("1D").divisibleBy(CandleDuration.parse("5Min")))
+    assert(CandleDuration.parse("1M").divisibleBy(CandleDuration.parse("1D")))
+    // widest divisor wins: 4H from {1Min, 1H} → 1H (timeframe.go:189-197)
+    val q = CandleDuration.queryable(
+      CandleDuration.parse("4H"),
+      Seq("1Min", "1H", "3H").map(CandleDuration.parse))
+    assert(q.map(_.string).contains("1H"))
+    assert(CandleDuration.scaleLimit(
+      CandleDuration.parse("4H"), CandleDuration.parse("1H"), 10) == 40)
+  }
+
+  test("truncate: fixed, week, month grids") {
+    // 2024-01-10 13:47:05 = 1704894425
+    val df = Seq(1704894425L).toDF("e")
+    def t(tf: String) = df.select(CandleDuration.parse(tf).truncate(col("e"))).head.getLong(0)
+    assert(t("1Min") == 1704894420L)
+    assert(t("5Min") == 1704894300L)
+    assert(t("1H") == 1704891600L) // 2024-01-10 13:00
+    assert(t("1D") == 1704844800L) // 2024-01-10 00:00
+    assert(t("1W") == 1704672000L) // Monday 2024-01-08
+    assert(t("1M") == 1704067200L) // 2024-01-01
+    assert(t("1Y") == 1704067200L)
+  }
+
+  test("ceil is exclusive window end") {
+    val df = Seq(1704894425L).toDF("e")
+    def c(tf: String) = df.select(CandleDuration.parse(tf).ceil(col("e"))).head.getLong(0)
+    assert(c("1D") == 1704844800L + 86400L)
+    assert(c("1M") == 1706745600L) // 2024-02-01
+  }
+
+  test("FunctionCall parse: init args, positional, named (registry.go:116-157)") {
+    val fc = FunctionCall.parse("candlecandler('5Min', Open, High, Low, Close, Sum::Volume)")
+    assert(fc.name == "candlecandler")
+    assert(fc.initArgs == Seq("5Min"))
+    assert(fc.positional == Seq("Open", "High", "Low", "Close"))
+    assert(fc.named == Seq(("Sum", "Volume")))
+    val m = fc.argMap(Seq("Open", "High", "Low", "Close"))
+    assert(m("Open") == Seq("Open") && m("Sum") == Seq("Volume"))
+  }
+
+  test("FunctionCall: last required param absorbs remainder (candler.go:355-385)") {
+    val fc = FunctionCall.parse("tickcandler('1Min', Bid, Ask)")
+    val m = fc.argMap(Seq("CandlePrice"))
+    assert(m("CandlePrice") == Seq("Bid", "Ask"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.CandleDuration
+import graft.functions._
+import org.apache.spark.sql.functions._
+
+/** Aggregate-function goldens re-encoded from the reference's
+  * integration suite (FIXTURES.md §1/§2; tests/integ/tests/
+  * test_basic_aggfunc.py, test_aggcandler.py).
+  */
+class UdaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES §2: TEST_AGG/1Sec/TICK — epochs 2020-01-01 00:00:00..03
+  private val base = 1577836800L
+  private def tick = Seq(
+    (base, 2.0, 20.0), (base + 1, 4.0, 40.0), (base + 2, 6.0, 60.0), (base + 3, 8.0, 80.0))
+    .toDF("Epoch", "Example", "Example2")
+
+  test("count/min/max/avg goldens (test_basic_aggfunc.py:26-50)") {
+    assert(AggRegistry.run(Seq("count(Example)"), tick).head.getLong(0) == 4L)
+    assert(AggRegistry.run(Seq("min(Example)"), tick).head.getDouble(0) == 2.0)
+    assert(AggRegistry.run(Seq("max(Example)"), tick).head.getDouble(0) == 8.0)
+    assert(AggRegistry.run(Seq("avg(Example)"), tick).head.getDouble(0) == 5.0)
+    // limit semantics: limit applied BEFORE the function pipeline
+    // (frontend/query.go:322-334): AVG limit=2 from_start → 3.0, from_end → 7.0
+    import graft.operators.TimeSeries
+    val first2 = TimeSeries.limit(tick, 2, fromStart = true)
+    assert(AggRegistry.run(Seq("avg(Example)"), first2).head.getDouble(0) == 3.0)
+    val last2 = TimeSeries.limit(tick, 2, fromStart = false)
+    assert(AggRegistry.run(Seq("avg(Example)"), last2).head.getDouble(0) == 7.0)
+  }
+
+  test("gap threshold golden (test_basic_aggfunc.py:66+): epochs 0,10,30 gap('5Sec')") {
+    val df = Seq(base, base + 10, base + 30).toDF("Epoch")
+    val gaps = GapUda.gaps(df, Some(CandleDuration.parse("5Sec")), Nil)
+      .orderBy("Epoch").collect()
+    assert(gaps.map(r => (r.getLong(0) - base, r.getLong(1) - base, r.getLong(2))).toSeq ==
+      Seq((0L, 10L, 10L), (10L, 30L, 20L)))
+  }
+
+  test("candlecandler 2H golden (test_aggcandler.py:19-23 / FIXTURES §1)") {
+    // hourly bars starting 2020-01-01 00:00
+    val bars = Seq(
+      (base, 20.0, 40.0, 10.0, 30.0),
+      (base + 3600, 40.0, 80.0, 20.0, 60.0),
+      (base + 7200, 60.0, 120.0, 30.0, 90.0),
+      (base + 10800, 80.0, 160.0, 40.0, 120.0))
+      .toDF("Epoch", "Open", "High", "Low", "Close")
+    val out = AggRegistry.run(Seq("candlecandler('2H', Open, High, Low, Close)"), bars)
+      .orderBy("Epoch").collect()
+    assert(out.length == 2)
+    val first = out(0)
+    assert(first.getAs[Double]("Open") == 20.0)
+    assert(first.getAs[Double]("High") == 80.0)
+    assert(first.getAs[Double]("Low") == 10.0)
+    assert(first.getAs[Double]("Close") == 60.0)
+  }
+
+  test("tickcandler: CandlePrice averages multiple columns; Sum/Avg outputs") {
+    val ticks = Seq(
+      (base, 0, 10.0, 12.0, 5.0),
+      (base + 10, 0, 20.0, 22.0, 7.0),
+      (base + 70, 0, 30.0, 32.0, 9.0))
+      .toDF("Epoch", "Nanoseconds", "Bid", "Ask", "Size")
+    val out = AggRegistry.run(Seq("tickcandler('1Min', Bid, Ask, Sum::Size)"), ticks)
+      .orderBy("Epoch").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("Open") == 11.0)  // (10+12)/2 at earliest tick
+    assert(out(0).getAs[Double]("Close") == 21.0)
+    assert(out(0).getAs[Double]("High") == 21.0)
+    assert(out(0).getAs[Double]("Low") == 11.0)
+    assert(out(0).getAs[Double]("Size_SUM") == 12.0)
+    assert(out(1).getAs[Double]("Open") == 31.0)
+  }
+
+  test("adjust: backward cumulative rate application (uda/adjust/adjust.go:99-153)") {
+    val prices = Seq((100L, 100.0, 10.0), (200L, 110.0, 10.0), (300L, 120.0, 10.0))
+      .toDF("Epoch", "Close", "Volume")
+    // one 2:1 split effective at epoch 250: rows before it halve
+    val ca = Seq((250L, 0.5)).toDF("Epoch", "Rate")
+    val out = AdjustUda(prices, ca, Seq("Close"), Seq("Volume")).orderBy("Epoch").collect()
+    assert(out.map(_.getAs[Double]("Close")).toSeq == Seq(50.0, 55.0, 120.0))
+    assert(out.map(_.getAs[Double]("Volume")).toSeq == Seq(20.0, 20.0, 10.0))
+  }
+
+  test("chained pipeline: tickcandler then count (AggRunner.Run chaining, registry.go:51-113)") {
+    val out = AggRegistry.run(Seq("tickcandler('1Min', Example)", "count(Open)"), tick)
+    assert(out.head.getLong(0) == 1L) // all 4 ticks in one minute
+  }
+}
