@@ -2,6 +2,7 @@ package graft
 
 import graft.functions._
 import graft.operators.TimeSeries
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.core.CandleDuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -53,7 +54,7 @@ object SparkEntry {
     ev(s, dir).filter(col("event_type") === "error" && col("event_id") % 97 === 0)
       .select(col("Epoch"), (lit(1.0) + (col("event_id") % 7).cast("double") / 100.0).as("Rate"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // ---- §2.1/§2.2 scan + range + projection --------------------------
     "q_scan_range_project" -> ((s, dir) => {
       val df = TimeSeries.project(
@@ -194,6 +195,78 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice")))
+  ) ++ opsQueries
+
+  /** LLM-data-pipeline operators (BASELINE.json north star): text
+    * analysis, dedup family, similarity search, multimodal plumbing.
+    */
+  private def opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    // ---- text analysis -------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val d = TextAnalysis.withQuality(
+        TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
+      d.select(col("doc_id"), col("n_tokens"),
+        col("n_regex_tokens").cast("long").as("n_regex_tokens"),
+        col("distinct_ratio"), col("stopword_ratio"),
+        col("mean_token_len"), col("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir))
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- dedup family --------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select(col("content_hash"), col("canonical_id"), col("n_docs"))
+        .orderBy("content_hash")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.4, n = 3)
+        .orderBy("id1", "id2")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
+        .orderBy("id1", "id2")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
+        .orderBy("id1", "id2")),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+        .orderBy("id1", "id2")),
+
+    // ---- similarity search ---------------------------------------------
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // ---- multimodal plumbing -------------------------------------------
+    "q_multimodal_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+      feats.select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("header_sum"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+      Multimodal.sampleFrames(feats, bytesPerFrame = 100)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,5 +399,96 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+  ) ++ opsOracleSql
+
+  // q_dedup_minhash / q_dedup_simhash / q_knn_lsh are intentionally
+  // oracle-free (xxhash64 signatures are engine-specific; LSH is
+  // approximate by design) — driver records a rows-only check; their
+  // semantics are verified against exact Jaccard / brute-force cosine
+  // in OpsSpec.
+  private def opsOracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents)
+         SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_regex_tokens,
+           round(len(list_distinct(ts))::DOUBLE / len(ts), 6) AS distinct_ratio,
+           round(len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts), 6) AS stopword_ratio,
+           round((length(text)::DOUBLE - (len(ts) - 1)) / len(ts), 6) AS mean_token_len,
+           round(least(len(ts) / 100.0, 1.0) * 0.3
+             + (len(list_distinct(ts))::DOUBLE / len(ts)) * 0.4
+             + (1.0 - len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts)) * 0.3, 6) AS quality
+         FROM t ORDER BY doc_id""",
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         s AS (SELECT
+             len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(ts, x -> x IN ('el','la','de','que','y'))) AS s_es,
+             len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS s_de
+           FROM t)
+         SELECT CASE WHEN s_de > greatest(s_en, s_es) THEN 'de'
+                     WHEN s_es > s_en THEN 'es'
+                     WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred,
+                count(*) AS cnt
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS canonical_id,
+            count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4
+         ORDER BY 1, 2""",
+
+    "q_dedup_embedding" ->
+      """SELECT id1, id2, round(s, 6) AS score FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         WHERE s >= 0.45 ORDER BY id1, id2""",
+
+    "q_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    "q_multimodal_features" ->
+      """WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,
+            list_aggregate(list_transform(range(1, least(length(text), 16) + 1),
+              i -> ascii(text[i:i])), 'sum')::BIGINT AS header_sum
+          FROM documents)
+         SELECT doc_id, n_bytes, header_sum,
+            64 + header_sum % 512 AS width, 64 + (header_sum // 2) % 512 AS height
+         FROM f ORDER BY doc_id""",
+
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,
+            list_aggregate(list_transform(range(1, least(length(text), 16) + 1),
+              i -> ascii(text[i:i])), 'sum')::BIGINT AS header_sum
+          FROM documents)
+         SELECT doc_id, unnest(range(0, greatest(n_bytes // 100, 1))) AS frame_idx,
+            header_sum + unnest(range(0, greatest(n_bytes // 100, 1))) AS frame_sig
+         FROM f ORDER BY doc_id, frame_idx"""
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.graft.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (Array[Float]). Two tiers:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is
+  *    broadcast; the corpus streams through a codegen'd cosine loop —
+  *    O(N·Q·d) flops, no shuffle of the corpus, per-query top-k via
+  *    window. This is the correctness baseline and is the right plan
+  *    whenever Q is small (the common "probe a handful of queries"
+  *    case), at any corpus size.
+  *
+  *  - [[lshTopK]]: random-hyperplane LSH. Corpus and queries get
+  *    B band signatures (r hyperplane bits each); candidates = pairs
+  *    sharing any band bucket; exact cosine re-ranks candidates. At
+  *    100 TB the bucket join shuffles only (id, band, bucket) pairs
+  *    and the candidate set, never the full cross product.
+  */
+object Similarity {
+
+  /** Normalize: id, embedding, plus precomputed norm (dot on
+    * normalized vecs == cosine, halves the flops in the scan).
+    */
+  private def withUnitVec(df: DataFrame, id: String, emb: String): DataFrame = {
+    val norm = VectorFunctions.l2Norm(col(emb))
+    df.select(col(id), col(emb))
+      .withColumn("__norm", norm)
+      .filter(col("__norm") > 0)
+      .withColumn("__unit", transform(col(emb), x => (x / col("__norm")).cast("float")))
+  }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: (query_id, id, score) — k rows per query.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    // cosine on the raw vectors with double accumulation (bit-stable
+    // across engines); a unit-normalize + dot variant saves 2/3 of the
+    // flops when the corpus is rescanned per query batch — see lshTopK.
+    val c = corpus.select(col(id), col(emb).as("__cv"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(id), col("score"))
+  }
+
+  /** Deterministic random hyperplanes: bands × rows × dim, seeded. */
+  def hyperplanes(bands: Int, rowsPerBand: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands, rowsPerBand, dim)((rnd.nextGaussian()).toFloat)
+  }
+
+  /** Band signature column: for one band, the bit pattern of
+    * sign(v · plane_j) packed into an int.
+    */
+  private def bandSig(emb: Column, band: Array[Array[Float]]): Column =
+    band.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(v => lit(v)): _*)
+      when(VectorFunctions.dotF(emb, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
+    * scores candidates sharing ≥1 band bucket with the query.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, rowsPerBand: Int = 8, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands, rowsPerBand, dim, seed)
+    def signatures(df: DataFrame, idAs: String): DataFrame = {
+      val u = withUnitVec(df, id, emb)
+      val sigs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
+      u.select(col(id).as(idAs), col("__unit").as(s"__unit_$idAs"), explode(sigs).as("sig"))
+        .select(col(idAs), col(s"__unit_$idAs"), col("sig.band"), col("sig.bucket"))
+    }
+    val cs = signatures(corpus, "cand_id")
+    val qs = signatures(queries, "query_id")
+    val candidates = cs.join(qs, Seq("band", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        col("__unit_query_id"), col("__unit_cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val scored = candidates
+      .withColumn("score", VectorFunctions.dotF(col("__unit_cand_id"), col("__unit_query_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold.
+    * Exact all-pairs (id1 < id2) — correctness baseline; the LSH path
+    * above is the scale path for the same semantics.
+    */
+  def cosineDedupPairs(
+      df: DataFrame, threshold: Double,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val a = df.select(col(id).as("id1"), col(emb).as("__u1"))
+    val b = df.select(col(id).as("id2"), col(emb).as("__u2"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("score", VectorFunctions.cosineSim(col("__u1"), col("__u2")))
+      .filter(col("score") >= threshold)
+      .select(col("id1"), col("id2"), col("score"))
+  }
+}

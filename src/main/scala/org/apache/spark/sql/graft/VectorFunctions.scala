@@ -1,0 +1,140 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.AbstractDataType
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * A Scala UDF would box every float; these loop over the raw
+  * ArrayData inside whole-stage codegen — the hot path of
+  * similarity-search / embedding-dedup stays JIT-compiled primitive
+  * arithmetic. (SURVEY north star: similarity ops are first-class at
+  * 100 TB, so they get the custom-Expression treatment.)
+  */
+abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Java source computing the double result from ArrayData a, b. */
+  protected def genBody(a: String, b: String, out: String): String
+  protected def evalVec(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalVec(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => genBody(a, b, ev.value))
+}
+
+/** cosine(a, b) with double accumulation; 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression) extends FloatVecBinary {
+  override def prettyName: String = "cosine_sim"
+
+  protected def genBody(a: String, b: String, out: String): String =
+    s"""
+       |int n = $a.numElements();
+       |double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  float x = $a.getFloat(i); float y = $b.getFloat(i);
+       |  dot += (double) x * (double) y;
+       |  na += (double) x * (double) x;
+       |  nb += (double) y * (double) y;
+       |}
+       |double denom = Math.sqrt(na) * Math.sqrt(nb);
+       |$out = denom == 0.0 ? 0.0 : dot / denom;
+     """.stripMargin
+
+  protected def evalVec(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Plain dot product (use on pre-normalized vectors: dot == cosine,
+  * saving the norms in the inner loop of a k-NN scan).
+  */
+case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
+  override def prettyName: String = "dot_f"
+
+  protected def genBody(a: String, b: String, out: String): String =
+    s"""
+       |int n = $a.numElements();
+       |double dot = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}
+       |$out = dot;
+     """.stripMargin
+
+  protected def evalVec(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a float vector. */
+case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "l2_norm"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |int n = $a.numElements();
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { double x = (double) $a.getFloat(i); s += x * x; }
+         |${ev.value} = Math.sqrt(s);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorFunctions {
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumns.column(CosineSimilarity(GraftColumns.expr(a), GraftColumns.expr(b)))
+  def dotF(a: Column, b: Column): Column =
+    GraftColumns.column(DotProduct(GraftColumns.expr(a), GraftColumns.expr(b)))
+  def l2Norm(a: Column): Column =
+    GraftColumns.column(L2Norm(GraftColumns.expr(a)))
+
+  /** Register cosine_sim/dot_f/l2_norm for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftColumns.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    GraftColumns.registerFunction(spark, "dot_f", es => DotProduct(es(0), es(1)))
+    GraftColumns.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+  }
+}
