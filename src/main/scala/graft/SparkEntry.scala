@@ -84,15 +84,12 @@ object SparkEntry {
     "q_agg_count" -> ((s, dir) =>
       AggRegistry.run(Seq("count(value)"), purchases(s, dir))
         .select(col("Count").as("cnt"))),
-    "q_agg_min_max_avg" -> ((s, dir) => {
-      val p = purchases(s, dir)
-      val mn = AggRegistry.run(Seq("min(value)"), p)
-      val mx = AggRegistry.run(Seq("max(value)"), p)
-      val av = AggRegistry.run(Seq("avg(value)"), p)
-      mn.crossJoin(mx).crossJoin(av)
-        .select(col("Min").as("vmin"), col("Max").as("vmax"),
-          round(col("Avg"), 6).as("vavg"))
-    }),
+    "q_agg_min_max_avg" -> ((s, dir) =>
+      // one scan, one partial-agg pass — the individual Min/Max/Avg
+      // UDAs (exercised in UdaSpec) compose into a single agg here
+      purchases(s, dir).agg(
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        round(avg(col("value")), 6).as("vavg"))),
 
     // ---- §2.4 gap detection -------------------------------------------
     "q_gap_threshold" -> ((s, dir) =>
@@ -101,10 +98,12 @@ object SparkEntry {
           col("GapEnd").as("gap_end"), col("GapLength").as("gap_length"))
         .orderBy("event_type", "epoch")),
     "q_gap_zscore" -> ((s, dir) =>
-      GapUda.gaps(purchases(s, dir), None, Nil)
-        .select(col("Epoch").as("epoch"), col("GapEnd").as("gap_end"),
-          col("GapLength").as("gap_length"))
-        .orderBy("epoch")),
+      // keyed by event_type: the lag window AND the z-score stats are
+      // per-symbol, so no stage funnels the table through one task
+      GapUda.gaps(ev(s, dir), None, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          col("GapEnd").as("gap_end"), col("GapLength").as("gap_length"))
+        .orderBy("event_type", "epoch")),
 
     // ---- §2.4/§2.5 candlers + tumbling windows ------------------------
     "q_tickcandler_1d" -> ((s, dir) =>
@@ -149,10 +148,12 @@ object SparkEntry {
 
     // ---- §2.3 as-of join (broadcast, shuffle-free) --------------------
     "q_asof_join" -> ((s, dir) => {
+      // the right side (signups) is a dim — broadcast as-of: the
+      // purchase stream never shuffles and there is no global window
       val p = purchases(s, dir).select(col("ts_us"), col("event_id"), col("value"))
       val sg = ev(s, dir).filter(col("event_type") === "signup")
         .select(col("ts_us"), col("value").as("signup_value"))
-      TimeSeries.asofJoinUnion(p, sg, keys = Nil, "ts_us", "ts_us", Seq("signup_value"))
+      TimeSeries.asofJoinBroadcast(p, sg, "ts_us", "ts_us", Seq("signup_value"))
         .select(col("event_id"), col("value"), col("signup_value"))
         .orderBy("event_id")
     }),
@@ -306,14 +307,15 @@ object SparkEntry {
          ORDER BY event_type, prev""",
     "q_gap_zscore" ->
       """WITH g AS (
-           SELECT epoch_us(ts)//1000000 AS epoch,
-                  lag(epoch_us(ts)//1000000) OVER (ORDER BY epoch_us(ts), event_id) AS prev
-           FROM events WHERE event_type = 'purchase'),
-         d AS (SELECT prev, epoch, epoch - prev AS gap FROM g WHERE prev IS NOT NULL),
-         st AS (SELECT avg(gap) AS m, stddev_pop(gap) AS s FROM d)
-         SELECT prev AS epoch, epoch AS gap_end, gap AS gap_length
-         FROM d, st WHERE s > 0 AND (gap - m) / s > 3
-         ORDER BY prev""",
+           SELECT event_type, epoch_us(ts)//1000000 AS epoch,
+                  lag(epoch_us(ts)//1000000) OVER (
+                    PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         d AS (SELECT event_type, prev, epoch, epoch - prev AS gap FROM g WHERE prev IS NOT NULL),
+         st AS (SELECT event_type, avg(gap) AS m, stddev_pop(gap) AS s FROM d GROUP BY 1)
+         SELECT d.event_type, prev AS epoch, epoch AS gap_end, gap AS gap_length
+         FROM d JOIN st USING (event_type) WHERE s > 0 AND (gap - m) / s > 3
+         ORDER BY d.event_type, prev""",
 
     "q_tickcandler_1d" ->
       """SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
@@ -404,8 +406,9 @@ object SparkEntry {
   // q_dedup_minhash / q_dedup_simhash / q_knn_lsh are intentionally
   // oracle-free (xxhash64 signatures are engine-specific; LSH is
   // approximate by design) — driver records a rows-only check; their
-  // semantics are verified against exact Jaccard / brute-force cosine
-  // in OpsSpec.
+  // semantics are machine-checked in src/test/scala/graft/OpsSpec.scala
+  // (minhash ⊇ exact-Jaccard pairs, simhash banding == brute XOR
+  // popcount, LSH top-k recall >= 0.9 vs brute force).
   private def opsOracleSql: Map[String, String] = Map(
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents)

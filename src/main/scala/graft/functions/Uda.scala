@@ -115,7 +115,8 @@ object GapUda extends Uda {
         val stats = Seq(avg(col("GapLength")).as("m"), stddev_pop(col("GapLength")).as("s"))
         val keyed = partitionCols match {
           case Nil => withGap.crossJoin(broadcast(withGap.agg(stats.head, stats.tail: _*)))
-          case ks  => withGap.join(withGap.groupBy(ks.map(col): _*).agg(stats.head, stats.tail: _*), ks)
+          case ks  => withGap.join(
+            broadcast(withGap.groupBy(ks.map(col): _*).agg(stats.head, stats.tail: _*)), ks)
         }
         keyed.filter(col("s") > 0 && (col("GapLength") - col("m")) / col("s") > 3)
     }

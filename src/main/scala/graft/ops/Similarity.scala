@@ -72,10 +72,18 @@ object Similarity {
 
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
     * scores candidates sharing ≥1 band bucket with the query.
+    *
+    * Default banding (32 bands × 4 bits) targets ≥ 0.99 recall down
+    * to cosine ≈ 0.35 — the regime of a smooth random-embedding
+    * corpus, where neighbors are weak and high-bit bands would miss
+    * them (recall measured against brute force in OpsSpec). Corpora
+    * with true near-dups (cosine ≥ 0.8) should raise rowsPerBand
+    * (e.g. 8–16) to shrink buckets: collision probability p^r with
+    * p = 1 − θ/π stays high for near-dups while pruning hard.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      bands: Int = 8, rowsPerBand: Int = 8, dim: Int = 64,
+      bands: Int = 32, rowsPerBand: Int = 4, dim: Int = 64,
       id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands, rowsPerBand, dim, seed)
     def signatures(df: DataFrame, idAs: String): DataFrame = {
@@ -101,19 +109,49 @@ object Similarity {
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
   }
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold.
-    * Exact all-pairs (id1 < id2) — correctness baseline; the LSH path
-    * above is the scale path for the same semantics.
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT,
+    * via a blocked self-join (no CartesianProduct in the plan).
+    *
+    * Exact threshold-cosine over dense vectors is inherently O(N²)
+    * flops, but it need not be an O(N²)-row shuffle: hash the ids
+    * into `numBlocks` blocks, collect each block's vectors into one
+    * array row, join the ~B²/2 ordered block PAIRS (B small), and run
+    * the dense pair loop inside each block pair with higher-order
+    * functions + the codegen'd cosine expression. Shuffle volume is
+    * O(N·B) vector bytes instead of O(N²) row pairs, and every task
+    * is a tight flop-bound loop — the standard distributed exact
+    * all-pairs layout. Tune numBlocks ≈ √(N²/targetPairsPerTask).
+    *
+    * When the score threshold sits in the bulk of the similarity
+    * distribution (as in random-embedding corpora) NO exact method
+    * beats O(N²) flops; for true near-dup thresholds (≥ ~0.8) prefer
+    * the LSH candidates + exact-verify path ([[lshTopK]] machinery),
+    * which is sub-quadratic but approximate.
     */
   def cosineDedupPairs(
       df: DataFrame, threshold: Double,
-      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    val a = df.select(col(id).as("id1"), col(emb).as("__u1"))
-    val b = df.select(col(id).as("id2"), col(emb).as("__u2"))
-    a.crossJoin(b)
-      .filter(col("id1") < col("id2"))
-      .withColumn("score", VectorFunctions.cosineSim(col("__u1"), col("__u2")))
-      .filter(col("score") >= threshold)
-      .select(col("id1"), col("id2"), col("score"))
+      id: String = "vec_id", emb: String = "embedding",
+      numBlocks: Int = 8): DataFrame = {
+    val blocks = df
+      .select(col(id), col(emb))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(numBlocks)).cast("int"))
+      .groupBy("__blk")
+      .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))
+    val L = blocks.select(col("__blk").as("__bl"), col("__items").as("__L"))
+    val R = blocks.select(col("__blk").as("__br"), col("__items").as("__R"))
+    // B rows × B rows with bl <= br: tiny ordered block-pair relation
+    val blockPairs = L.join(R, col("__bl") <= col("__br"))
+    val pairs = blockPairs.select(
+      explode(flatten(transform(col("__L"), a =>
+        filter(
+          transform(col("__R"), b =>
+            struct(
+              least(a("i"), b("i")).as("id1"),
+              greatest(a("i"), b("i")).as("id2"),
+              // skip the cosine flops for the half we discard
+              when(col("__bl") < col("__br") || a("i") < b("i"),
+                VectorFunctions.cosineSim(a("v"), b("v"))).as("score"))),
+          s => s("score").isNotNull && s("score") >= lit(threshold))))).as("p"))
+    pairs.select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.score").as("score"))
   }
 }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.AbstractDataType
   * similarity-search / embedding-dedup stays JIT-compiled primitive
   * arithmetic. (SURVEY north star: similarity ops are first-class at
   * 100 TB, so they get the custom-Expression treatment.)
+  *
+  * All generated locals come from ctx.freshName: several of these
+  * expressions routinely land in ONE whole-stage-codegen scope (e.g. a
+  * projection computing two cosines), and fixed names collide there —
+  * Janino "Redefinition of local variable" → silent interpreted
+  * fallback.
   */
 abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
@@ -24,33 +30,38 @@ abstract class FloatVecBinary extends BinaryExpression with ExpectsInputTypes {
   override def nullable: Boolean = left.nullable || right.nullable
 
   /** Java source computing the double result from ArrayData a, b. */
-  protected def genBody(a: String, b: String, out: String): String
+  protected def genBody(ctx: CodegenContext, a: String, b: String, out: String): String
   protected def evalVec(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(l: Any, r: Any): Any =
     evalVec(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => genBody(a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) => genBody(ctx, a, b, ev.value))
 }
 
 /** cosine(a, b) with double accumulation; 0.0 when either norm is 0. */
 case class CosineSimilarity(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "cosine_sim"
 
-  protected def genBody(a: String, b: String, out: String): String =
+  protected def genBody(ctx: CodegenContext, a: String, b: String, out: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val denom = ctx.freshName("denom")
     s"""
-       |int n = $a.numElements();
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  float x = $a.getFloat(i); float y = $b.getFloat(i);
-       |  dot += (double) x * (double) y;
-       |  na += (double) x * (double) x;
-       |  nb += (double) y * (double) y;
+       |int $n = $a.numElements();
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  float $x = $a.getFloat($i); float $y = $b.getFloat($i);
+       |  $dot += (double) $x * (double) $y;
+       |  $na += (double) $x * (double) $x;
+       |  $nb += (double) $y * (double) $y;
        |}
-       |double denom = Math.sqrt(na) * Math.sqrt(nb);
-       |$out = denom == 0.0 ? 0.0 : dot / denom;
+       |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+       |$out = $denom == 0.0 ? 0.0 : $dot / $denom;
      """.stripMargin
+  }
 
   protected def evalVec(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -75,15 +86,17 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
 case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "dot_f"
 
-  protected def genBody(a: String, b: String, out: String): String =
+  protected def genBody(ctx: CodegenContext, a: String, b: String, out: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
     s"""
-       |int n = $a.numElements();
-       |double dot = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = $a.numElements();
+       |double $dot = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$out = dot;
+       |$out = $dot;
      """.stripMargin
+  }
 
   protected def evalVec(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -112,13 +125,16 @@ case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTy
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val x = ctx.freshName("x")
       s"""
-         |int n = $a.numElements();
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { double x = (double) $a.getFloat(i); s += x * x; }
-         |${ev.value} = Math.sqrt(s);
-       """.stripMargin)
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { double $x = (double) $a.getFloat($i); $s += $x * $x; }
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

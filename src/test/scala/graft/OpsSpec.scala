@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Semantic anchors for the oracle-free approximate operators
+  * (q_dedup_minhash / q_dedup_simhash / q_knn_lsh): each is checked
+  * against its exact counterpart on the deterministic sf0.001 tables.
+  */
+class OpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("minhash pairs contain every exact high-Jaccard pair, with close estimates") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.4, n = 3)
+      .select("id1", "id2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val mh = Dedup.minhashPairs(docs, threshold = 0.35)
+      .select("id1", "id2", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val missed = exact.keySet -- mh.keySet
+    assert(missed.isEmpty, s"minhash+LSH missed exact pairs: $missed")
+    // k=64 minima: estimator stddev ≈ sqrt(J(1-J)/64) ≤ 0.0625
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(mh(pair) - j) < 0.25, s"pair $pair est=${mh(pair)} exact=$j")
+    }
+  }
+
+  test("simhash banding finds exactly the pairs with hamming <= maxDist") {
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force oracle: XOR popcount over all pairs (500 docs)
+    val brute = (for {
+      (i1, h1) <- sigs; (i2, h2) <- sigs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2) -> d).toMap
+    val banded = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("id1", "id2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 4×16-bit chunk banding is exhaustive for dist <= 3 (pigeonhole:
+    // 3 flipped bits can't touch all 4 chunks) — set AND values equal
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
+  test("LSH top-k recall >= 0.9 vs brute-force cosine") {
+    val q = embs.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, q, k = 10))
+    val lsh = pairs(Similarity.lshTopK(embs, q, k = 10))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|brute|=${brute.size})")
+  }
+
+  test("blocked cosine dedup equals naive all-pairs") {
+    val blocked = Similarity.cosineDedupPairs(embs, threshold = 0.45)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent naive check via SQL cross join on the 500-row table
+    embs.select(col("vec_id"), col("embedding")).createOrReplaceTempView("e_tmp")
+    org.apache.spark.sql.graft.VectorFunctions.register(spark)
+    val naive = spark.sql(
+      """SELECT a.vec_id id1, b.vec_id id2
+         FROM e_tmp a JOIN e_tmp b ON a.vec_id < b.vec_id
+         WHERE cosine_sim(a.embedding, b.embedding) >= 0.45""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive)
+  }
+}

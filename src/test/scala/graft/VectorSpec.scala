@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions
+
+/** Codegen health of the custom vector expressions.
+  *
+  * Round-1 regression: fixed Java local names collided when several
+  * vector expressions landed in one whole-stage-codegen scope, and
+  * Spark silently fell back to interpreted eval. With
+  * spark.sql.codegen.fallback=false a compile failure throws instead,
+  * so these tests fail loudly if the generated code stops compiling.
+  */
+class VectorSpec extends SparkSpec {
+
+  private def withStrictCodegen[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  private def vecs = {
+    // two deterministic float vectors per row
+    spark.range(1, 50).select(
+      col("id"),
+      transform(sequence(lit(1), lit(8)), i => (i * col("id") % 7).cast("float")).as("a"),
+      transform(sequence(lit(1), lit(8)), i => (i + col("id") % 5).cast("float")).as("b"))
+  }
+
+  test("multiple vector expressions in one codegen scope compile and agree with interpreted eval") {
+    val out = withStrictCodegen {
+      vecs.select(
+        col("id"),
+        VectorFunctions.cosineSim(col("a"), col("b")).as("c1"),
+        VectorFunctions.cosineSim(col("b"), col("a")).as("c2"),
+        VectorFunctions.dotF(col("a"), col("b")).as("d1"),
+        VectorFunctions.dotF(col("a"), col("a")).as("d2"),
+        VectorFunctions.l2Norm(col("a")).as("n1"),
+        VectorFunctions.l2Norm(col("b")).as("n2")
+      ).collect()
+    }
+    assert(out.length == 49)
+    out.foreach { r =>
+      val c1 = r.getAs[Double]("c1"); val c2 = r.getAs[Double]("c2")
+      val d1 = r.getAs[Double]("d1")
+      val n1 = r.getAs[Double]("n1"); val n2 = r.getAs[Double]("n2")
+      assert(math.abs(c1 - c2) < 1e-12)
+      // cosine == dot / (|a||b|) when norms nonzero
+      if (n1 > 0 && n2 > 0) assert(math.abs(c1 - d1 / (n1 * n2)) < 1e-9)
+      assert(c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine of identical vectors is 1; zero vector yields 0") {
+    val out = withStrictCodegen {
+      spark.range(1, 5).select(
+        transform(sequence(lit(1), lit(4)), i => (i * col("id")).cast("float")).as("v"),
+        transform(sequence(lit(1), lit(4)), _ => lit(0.0f)).as("z"))
+        .select(
+          VectorFunctions.cosineSim(col("v"), col("v")).as("self"),
+          VectorFunctions.cosineSim(col("v"), col("z")).as("vszero"))
+        .collect()
+    }
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-12)
+      assert(r.getAs[Double]("vszero") == 0.0)
+    }
+  }
+}
