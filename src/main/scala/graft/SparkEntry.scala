@@ -195,7 +195,48 @@ object SparkEntry {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
-        .select(col("o_orderkey"), col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- §2.8 SQL layer (backtick TBKs + date literals) ----------------
+    "q_sql_select_range" -> ((s, dir) => {
+      val svc = new graft.sql.SqlService(s)
+      svc.mount("EVENTS/1Sec/RAW", ev(s, dir))
+      svc.sql(
+        """SELECT Epoch AS epoch, event_id, value FROM `EVENTS/1Sec/RAW`
+           WHERE Epoch BETWEEN '2024-01-10' AND '2024-01-19-23:59:59'
+             AND event_type = 'purchase'
+           ORDER BY event_id;""")
+    }),
+    "q_sql_agg_count" -> ((s, dir) => {
+      val svc = new graft.sql.SqlService(s)
+      svc.mount("EVENTS/1Sec/RAW", ev(s, dir))
+      svc.sql(
+        """SELECT event_type, count(*) AS cnt FROM `EVENTS/1Sec/RAW`
+           WHERE Epoch >= '2024-01-15'
+           GROUP BY event_type ORDER BY event_type""")
+    }),
+    "q_sql_insert_select" -> ((s, dir) => {
+      // INSERT INTO a variable bucket from a SELECT, then read it back
+      // through SQL — the reference's insert-into round trip
+      // (sqlparser/insertintostatement.go:31-126)
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlq").toString
+      val cat = new graft.catalog.BucketCatalog(s, root)
+      val svc = new graft.sql.SqlService(s, Some(cat))
+      svc.mount("EVENTS/1Sec/RAW", ev(s, dir))
+      cat.create(graft.core.TimeBucketKey.parse("PURCH/1Sec/VALS"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("Epoch", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("Nanoseconds", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))),
+        isVariable = true)
+      svc.sql(
+        """INSERT INTO `PURCH/1Sec/VALS`
+           SELECT Epoch, Nanoseconds, value FROM `EVENTS/1Sec/RAW`
+           WHERE event_type = 'purchase' AND Epoch < '2024-01-20'""").collect()
+      svc.sql(
+        """SELECT Epoch AS epoch, Nanoseconds AS nanoseconds, value
+           FROM `PURCH/1Sec/VALS` ORDER BY epoch, nanoseconds""")
+    })
   ) ++ opsQueries
 
   /** LLM-data-pipeline operators (BASELINE.json north star): text
@@ -400,7 +441,25 @@ object SparkEntry {
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    // ns-precision bounds: 2024-01-10, 2024-01-19-23:59:59, 2024-01-15,
+    // 2024-01-20 as unix nanos — the same values SqlService rewrites
+    // the date literals to
+    "q_sql_select_range" ->
+      """SELECT epoch_us(ts)//1000000 AS epoch, event_id, value FROM events
+         WHERE epoch_us(ts)*1000 BETWEEN 1704844800000000000 AND 1705708799000000000
+           AND event_type = 'purchase'
+         ORDER BY event_id""",
+    "q_sql_agg_count" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE epoch_us(ts)*1000 >= 1705276800000000000
+         GROUP BY event_type ORDER BY event_type""",
+    "q_sql_insert_select" ->
+      """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds, value
+         FROM events
+         WHERE event_type = 'purchase' AND epoch_us(ts)*1000 < 1705708800000000000
+         ORDER BY epoch, nanoseconds"""
   ) ++ opsOracleSql
 
   // q_dedup_minhash / q_dedup_simhash / q_knn_lsh are intentionally

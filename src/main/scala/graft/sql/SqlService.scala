@@ -1,0 +1,158 @@
+package graft.sql
+
+import graft.catalog.BucketCatalog
+import graft.core.TimeBucketKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.{LocalDate, LocalDateTime, ZoneOffset, ZonedDateTime}
+import java.time.format.DateTimeFormatter
+import scala.collection.mutable
+import scala.util.Try
+
+/** Marketstore-dialect SQL on Spark SQL.
+  *
+  * The reference's SQL layer (sqlparser/executablestatement.go:96-141)
+  * supports exactly SELECT / INSERT INTO / EXPLAIN over backtick-quoted
+  * TimeBucketKey table names, with string date literals in Epoch
+  * predicates coerced to Unix nanos (CoerceToNumeric,
+  * executablestatement.go:674-710). Spark-first translation: a THIN
+  * textual rewrite (TBK names → registered temp views; Epoch-vs-date
+  * comparisons → ns-precision integer compares) and then Spark SQL
+  * executes the statement — which makes the dialect a strict superset
+  * (joins / ORDER BY / GROUP BY / set ops, all rejected by the
+  * reference's executor, simply work).
+  */
+class SqlService(spark: SparkSession, catalog: Option[BucketCatalog] = None) {
+
+  private val mounts = mutable.Map[String, DataFrame]()
+
+  /** Expose an arbitrary DataFrame under a TBK name (feeders/tests). */
+  def mount(tbk: String, df: DataFrame): Unit = mounts(tbk) = df
+
+  def sql(statement: String): DataFrame = {
+    val stmt = statement.trim.stripSuffix(";").trim
+    val upper = stmt.toUpperCase
+    if (upper.startsWith("EXPLAIN "))
+      explain(stmt.substring("EXPLAIN ".length))
+    else if (upper.startsWith("INSERT "))
+      insert(stmt)
+    else
+      spark.sql(rewrite(stmt))
+  }
+
+  /** EXPLAIN <select>: one-column plan dump (reference returns the
+    * parse tree as a 1-column result, sqlparser/explainstatement.go).
+    */
+  private def explain(selectStmt: String): DataFrame = {
+    import spark.implicits._
+    val plan = spark.sql(rewrite(selectStmt)).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    plan.linesIterator.toSeq.toDF("plan")
+  }
+
+  private val InsertRe =
+    """(?is)^INSERT\s+INTO\s+`([^`]+)`\s+(SELECT\b.*)$""".r
+
+  /** INSERT INTO `TBK` SELECT ... : materialize the inner select and
+    * upsert it into the destination bucket with the bucket's
+    * fixed/variable slot semantics
+    * (sqlparser/insertintostatement.go:31-126).
+    */
+  private def insert(stmt: String): DataFrame = {
+    import spark.implicits._
+    stmt match {
+      case InsertRe(tbkStr, select) =>
+        val cat = catalog.getOrElse(
+          throw new IllegalArgumentException("INSERT requires a BucketCatalog"))
+        val result = spark.sql(rewrite(select))
+        cat.write(TimeBucketKey.parse(tbkStr), result)
+        Seq(result.count()).toDF("inserted")
+      case _ =>
+        throw new IllegalArgumentException(s"unsupported INSERT statement: $stmt")
+    }
+  }
+
+  // `SYM/TF/AttGroup` (three /-separated segments, as keytypes.go:23)
+  private val TbkRe = "`([^`/]+/[^`/]+/[^`/]+)`".r
+
+  /** Register every referenced TBK as a temp view and rewrite date
+    * literals; returns the executable Spark SQL text.
+    */
+  private def rewrite(stmt: String): String = {
+    var anyNanos = false
+    var out = TbkRe.replaceAllIn(stmt, m => {
+      val tbkStr = m.group(1)
+      val df = mounts.getOrElse(tbkStr, {
+        val cat = catalog.getOrElse(
+          throw new IllegalArgumentException(s"unknown table: `$tbkStr`"))
+        cat.read(TimeBucketKey.parse(tbkStr))
+      })
+      if (df.columns.contains("Nanoseconds")) anyNanos = true
+      val view = "tbk_" + tbkStr.replaceAll("[^A-Za-z0-9]", "_")
+      df.createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    out = SqlService.rewriteDatePredicates(out, anyNanos)
+    out
+  }
+}
+
+object SqlService {
+
+  /** The reference's 5 accepted date-literal layouts
+    * (executablestatement.go CoerceToNumeric), parsed in UTC like Go's
+    * time.Parse; result is Unix nanos.
+    */
+  def parseDateLiteralNs(s: String): Option[Long] = {
+    def ldt(pattern: String): Option[Long] = Try {
+      LocalDateTime.parse(s, DateTimeFormatter.ofPattern(pattern))
+        .toInstant(ZoneOffset.UTC)
+    }.toOption.map(i => i.getEpochSecond * 1000000000L + i.getNano)
+    def zdt(pattern: String): Option[Long] = Try {
+      ZonedDateTime.parse(s, DateTimeFormatter.ofPattern(pattern))
+        .toInstant
+    }.toOption.map(i => i.getEpochSecond * 1000000000L + i.getNano)
+    def ld(pattern: String): Option[Long] = Try {
+      LocalDate.parse(s, DateTimeFormatter.ofPattern(pattern))
+        .atStartOfDay.toInstant(ZoneOffset.UTC)
+    }.toOption.map(i => i.getEpochSecond * 1000000000L + i.getNano)
+    ldt("uuuu-MM-dd-HH:mm:ss.SSSSSSSS")
+      .orElse(zdt("uuuu-MM-dd-HH:mm:ss zzz"))
+      .orElse(ldt("uuuu-MM-dd-HH:mm:ss"))
+      .orElse(ldt("uuuu-MM-dd-HH:mm"))
+      .orElse(ld("uuuu-MM-dd"))
+  }
+
+  private val CmpRe =
+    """(?i)\bEpoch\s*(<=|>=|!=|<>|=|<|>)\s*'([^']+)'""".r
+  private val BetweenRe =
+    """(?i)\bEpoch\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'""".r
+
+  /** Epoch-vs-date-literal comparisons become ns-precision integer
+    * compares: `Epoch op '2024-01-02'` →
+    * `(Epoch*1e9 [+ Nanoseconds]) op <unix_ns>` — exactly the
+    * reference's nanosecond Epoch comparison semantics
+    * (selectrelation.go Epoch+Nanoseconds special-casing). Literals
+    * that don't parse as dates are left untouched.
+    */
+  def rewriteDatePredicates(stmt: String, withNanos: Boolean): String = {
+    val epochNs =
+      if (withNanos) "(Epoch * 1000000000 + Nanoseconds)"
+      else "(Epoch * 1000000000)"
+    val afterBetween = BetweenRe.replaceAllIn(stmt, m => {
+      (parseDateLiteralNs(m.group(1)), parseDateLiteralNs(m.group(2))) match {
+        case (Some(lo), Some(hi)) =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"$epochNs BETWEEN ${lo}L AND ${hi}L")
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+    CmpRe.replaceAllIn(afterBetween, m => {
+      parseDateLiteralNs(m.group(2)) match {
+        case Some(ns) =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"$epochNs ${m.group(1)} ${ns}L")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+  }
+}

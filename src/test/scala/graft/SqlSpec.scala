@@ -1,0 +1,137 @@
+package graft
+
+import graft.catalog.BucketCatalog
+import graft.core.TimeBucketKey
+import graft.sql.SqlService
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Marketstore SQL dialect goldens, mirroring
+  * reference sqlparser/all_test.go:119-184 (range select with the
+  * date-literal formats, impossible predicate → 0 rows, nested
+  * predicate, SELECT *, INSERT INTO from SELECT, count(*) with integer
+  * epoch) plus the date-literal format matrix of CoerceToNumeric.
+  */
+class SqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): (BucketCatalog, SqlService) = {
+    val root = Files.createTempDirectory("graft-sql").toString
+    val cat = new BucketCatalog(spark, root)
+    (cat, new SqlService(spark, Some(cat)))
+  }
+
+  private val ohlcv = StructType(Seq(
+    StructField("Epoch", LongType), StructField("Open", DoubleType),
+    StructField("Close", DoubleType)))
+
+  // 2000-01-05 12:00:00 UTC = 947073600; one bar per minute for 120 min
+  private val t0 = 947073600L
+
+  private def seedBars(cat: BucketCatalog): Unit = {
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, (0 until 120).map(i => (t0 + i * 60L, 10.0 + i, 10.5 + i))
+      .toDF("Epoch", "Open", "Close"))
+  }
+
+  test("range SELECT with date literals (all_test.go:119-127 shape)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    // 12:30..13:00 inclusive → 31 one-minute bars
+    val rows = svc.sql(
+      """SELECT Epoch, Open, Close FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch BETWEEN '2000-01-05-12:30' AND '2000-01-05-13:00';""").collect()
+    assert(rows.length == 31)
+    val strict = svc.sql(
+      """SELECT Epoch FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch > '2000-01-05-12:30' AND Epoch < '2000-01-05-13:00'""").collect()
+    assert(strict.length == 29)
+  }
+
+  test("impossible predicate returns 0 rows, no error (all_test.go:138-146)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val rows = svc.sql(
+      """SELECT Epoch FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch < '2000-01-05-12:30' AND Epoch > '2000-01-05-13:00'""").collect()
+    assert(rows.isEmpty)
+  }
+
+  test("nested predicate with column + epoch conditions (all_test.go:149-157)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val rows = svc.sql(
+      """SELECT Epoch, Open FROM `AAPL/1Min/OHLCV`
+         WHERE Open > 40.5 AND (Epoch > '2000-01-05-12:30' AND Epoch < '2000-01-05-13:00')""").collect()
+    // minutes 31..59 have Open 41..69; Open > 40.5 keeps all 29
+    assert(rows.length == 29)
+    assert(rows.map(_.getAs[Double]("Open")).min == 41.0)
+  }
+
+  test("SELECT * keeps bucket payload columns (all_test.go:160-168)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val df = svc.sql(
+      """SELECT * FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch BETWEEN '2000-01-05-12:30' AND '2000-01-05-13:00'""")
+    assert(df.columns.contains("Open") && df.columns.contains("Close"))
+    assert(df.count() == 31)
+  }
+
+  test("INSERT INTO bucket SELECT ... writes through the catalog (all_test.go:171-179)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val dest = TimeBucketKey.parse("AAPL/30Min/OHLCV")
+    cat.create(dest, ohlcv, isVariable = false)
+    val res = svc.sql(
+      """INSERT INTO `AAPL/30Min/OHLCV`
+         SELECT Epoch, Open, Close FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch BETWEEN '2000-01-05-12:30' AND '2000-01-05-13:00'""").collect()
+    assert(res.length == 1 && res.head.getLong(0) == 31L)
+    assert(svc.sql("SELECT * FROM `AAPL/30Min/OHLCV`").count() == 31)
+  }
+
+  test("count(*) with integer epoch literal (all_test.go:182-189)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val n = svc.sql(
+      s"""SELECT count(*) AS cnt FROM `AAPL/1Min/OHLCV` WHERE Epoch < $t0""").collect()
+    assert(n.head.getLong(0) == 0L)
+  }
+
+  test("unknown table errors (all_test.go TestStatementErrors)") {
+    val (_, svc) = freshCatalog()
+    intercept[Exception] {
+      svc.sql("SELECT * FROM `foo/bar/baz`").collect()
+    }
+  }
+
+  test("EXPLAIN returns a one-column plan") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val plan = svc.sql("EXPLAIN SELECT Epoch FROM `AAPL/1Min/OHLCV` WHERE Epoch > '2000-01-05'")
+    assert(plan.columns.toSeq == Seq("plan"))
+    assert(plan.count() > 0)
+  }
+
+  test("date literal formats parse like the reference's CoerceToNumeric") {
+    import SqlService.parseDateLiteralNs
+    assert(parseDateLiteralNs("2000-01-05").contains(947030400L * 1000000000L))
+    assert(parseDateLiteralNs("2000-01-05-12:30").contains((947030400L + 45000) * 1000000000L))
+    assert(parseDateLiteralNs("2000-01-05-12:30:15").contains((947030400L + 45015) * 1000000000L))
+    assert(parseDateLiteralNs("2000-01-05-12:30:15.12345678")
+      .contains((947030400L + 45015) * 1000000000L + 123456780L))
+    assert(parseDateLiteralNs("2000-01-05-12:30:15 UTC").contains((947030400L + 45015) * 1000000000L))
+    assert(parseDateLiteralNs("not-a-date").isEmpty)
+  }
+
+  test("nanosecond-precision epoch compare on variable buckets") {
+    val (cat, svc) = freshCatalog()
+    val tbk = TimeBucketKey.parse("TEST/1Sec/TICK")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("Bid", DoubleType))), isVariable = true)
+    cat.write(tbk, Seq(
+      (947073600L, 100000000, 1.0), (947073600L, 900000000, 2.0), (947073601L, 0, 3.0))
+      .toDF("Epoch", "Nanoseconds", "Bid"))
+    // 12:00:00.12345678 cuts between the two sub-second ticks
+    val rows = svc.sql(
+      """SELECT Bid FROM `TEST/1Sec/TICK`
+         WHERE Epoch > '2000-01-05-12:00:00.12345678'""").collect()
+    assert(rows.map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+  }
+}
