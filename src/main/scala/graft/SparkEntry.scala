@@ -127,6 +127,20 @@ object SparkEntry {
           col("High").as("high"), col("Low").as("low"), col("Close").as("close"))
         .orderBy("epoch")
     }),
+    "q_candles_market_hours" -> ((s, dir) => {
+      // TimeQual inside the scan (planner/planner.go:199-201): daily
+      // candles honoring market hours 09:30-16:00 UTC, weekends +
+      // 2024-01-15 closed — the reference's nasdaq 1D filter shape
+      val cal = graft.operators.MarketCalendar("UTC", "09:30:00", "16:00:00",
+        nonTradingDays = Seq("2024-01-15"))
+      val p = purchases(s, dir)
+        .filter(graft.operators.TimeQual.isMarketOpen(col("Epoch"), cal))
+      AggRegistry.run(Seq("tickcandler('1D', value, Sum::value)"), p)
+        .select(col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"),
+          round(col("value_SUM"), 6).as("value_sum"))
+        .orderBy("epoch")
+    }),
     "q_multi_symbol_candles" -> ((s, dir) =>
       Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
         openOf = col("value"), closeOf = col("value"),
@@ -386,6 +400,20 @@ object SparkEntry {
             arg_min(open, epoch) AS open, max(high) AS high, min(low) AS low,
             arg_max(close, epoch) AS close
          FROM daily GROUP BY 1 ORDER BY 1""",
+    // market hours in pure epoch arithmetic (tz-independent):
+    // weekday = (day + 4) % 7 with 0=Sunday; 2024-01-15 = day 19737;
+    // 09:30 = 34200 s, 16:00 = 57600 s
+    "q_candles_market_hours" ->
+      """WITH mh AS (
+           SELECT epoch_us(ts) AS tsu, epoch_us(ts)//1000000 AS e, value FROM events
+           WHERE event_type = 'purchase'
+             AND (e//86400 + 4) % 7 NOT IN (0, 6)
+             AND e//86400 <> 19737
+             AND e % 86400 >= 34200 AND e % 86400 < 57600)
+         SELECT e//86400*86400 AS epoch,
+            arg_min(value, tsu) AS open, max(value) AS high, min(value) AS low,
+            arg_max(value, tsu) AS close, round(sum(value), 6) AS value_sum
+         FROM mh GROUP BY 1 ORDER BY 1""",
     "q_multi_symbol_candles" ->
       """SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
             arg_min(value, epoch_us(ts)) AS open, max(value) AS high,

@@ -60,21 +60,29 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * seconds) + payload columns (+ Nanoseconds for variable buckets —
     * auto-added as 0 otherwise, matching utils/io/rowseries.go:176-181).
     */
-  def write(tbk: TimeBucketKey, df: DataFrame): Unit = {
-    val variable = isVariable(tbk.attGroup)
+  def write(tbk: TimeBucketKey, df: DataFrame): Unit =
+    writeMulti(tbk.attGroup, tbk.timeframe, df.withColumn("symbol", lit(tbk.symbol)))
+
+  /** Multi-symbol upsert: df carries a `symbol` column alongside Epoch
+    * + payload. One Spark job upserts every symbol's partition — the
+    * cascade/trigger path writes all touched symbols at once instead
+    * of a per-symbol job fan-out.
+    */
+  def writeMulti(attGroup: String, timeframe: String, df: DataFrame): Unit = {
+    require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
+    val variable = isVariable(attGroup)
     val keyed0 = df
-      .withColumn("symbol", lit(tbk.symbol))
-      .withColumn("timeframe", lit(tbk.timeframe))
+      .withColumn("timeframe", lit(timeframe))
       .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
     val keyed =
       if (variable && !df.columns.contains(Uda.NanosCol))
         keyed0.withColumn(Uda.NanosCol, lit(0))
       else keyed0
-    val path = agPath(tbk.attGroup)
+    val path = agPath(attGroup)
     val dedupKeys =
       Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
 
-    val existing = readAg(tbk.attGroup)
+    val existing = readAg(attGroup)
     val merged = existing match {
       case Some(old) =>
         // only partitions present in the incoming batch are rewritten
@@ -97,6 +105,14 @@ class BucketCatalog(spark: SparkSession, root: String) {
       fs.listStatus(p).exists(s => s.getPath.getName.startsWith("symbol="))
     if (hasData) Some(spark.read.parquet(agPath(attGroup))) else None
   }
+
+  /** Partition-pruned scan of ALL symbols of one attGroup/timeframe
+    * (symbol column retained) — single scan for wildcard queries and
+    * the downsample cascade.
+    */
+  def readMulti(attGroup: String, timeframe: String): DataFrame =
+    spark.read.parquet(agPath(attGroup))
+      .filter(col("timeframe") === timeframe)
 
   /** Partition-pruned scan of one bucket, time-ordered. */
   def read(tbk: TimeBucketKey): DataFrame = {

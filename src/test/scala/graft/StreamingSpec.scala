@@ -1,0 +1,138 @@
+package graft
+
+import graft.catalog.BucketCatalog
+import graft.core.TimeBucketKey
+import graft.operators.{MarketCalendar, TimeQual}
+import graft.streaming.DownsampleCascade
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Bar row for the streaming cascade tests. */
+case class Bar(symbol: String, Epoch: Long, Open: Double, High: Double,
+    Low: Double, Close: Double, Volume: Double)
+
+/** Downsample-cascade semantics, mirroring the reference's ondiskagg
+  * trigger tests (contrib/ondiskagg/aggtrigger): base-TF writes
+  * produce/refresh coarser candles; a LATE out-of-order write
+  * recomputes and overwrites the already-written destination candle.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ohlcv = StructType(Seq(
+    StructField("Epoch", LongType), StructField("Open", DoubleType),
+    StructField("High", DoubleType), StructField("Low", DoubleType),
+    StructField("Close", DoubleType), StructField("Volume", DoubleType)))
+
+  private def fresh(): (BucketCatalog, DownsampleCascade) = {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("X/1Min/OHLCV"), ohlcv, isVariable = false)
+    (cat, new DownsampleCascade(cat, "OHLCV", "1Min", Seq("5Min", "1H")))
+  }
+
+  // t0 = 2024-01-08 10:00 UTC (a Monday)
+  private val t0 = 1704708000L
+
+  private def bar(sym: String, minute: Int, px: Double, vol: Double = 1.0): Bar =
+    Bar(sym, t0 + minute * 60L, px, px + 0.5, px - 0.5, px + 0.25, vol)
+
+  test("batch ingest cascades 1Min bars into 5Min and 1H candles") {
+    val (cat, cascade) = fresh()
+    cascade.ingest(Seq(
+      bar("AAPL", 0, 10), bar("AAPL", 1, 11), bar("AAPL", 4, 12),
+      bar("AAPL", 5, 20), bar("AAPL", 7, 19),
+      bar("MSFT", 0, 100), bar("MSFT", 6, 101)).toDS.toDF)
+
+    val fiveMin = cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV"))
+      .orderBy("Epoch").collect()
+    assert(fiveMin.length == 2)
+    val w0 = fiveMin(0)
+    assert(w0.getAs[Long]("Epoch") == t0)
+    assert(w0.getAs[Double]("Open") == 10.0) // earliest bar's open
+    assert(w0.getAs[Double]("High") == 12.5) // max high
+    assert(w0.getAs[Double]("Low") == 9.5) // min low
+    assert(w0.getAs[Double]("Close") == 12.25) // latest bar's close
+    assert(w0.getAs[Double]("Volume") == 3.0)
+    val hourly = cat.read(TimeBucketKey.parse("AAPL/1H/OHLCV")).collect()
+    assert(hourly.length == 1)
+    assert(hourly.head.getAs[Double]("Volume") == 5.0)
+    assert(cat.read(TimeBucketKey.parse("MSFT/5Min/OHLCV")).count() == 2)
+  }
+
+  test("late out-of-order write overwrites the existing destination candle") {
+    val (cat, cascade) = fresh()
+    cascade.ingest(Seq(bar("AAPL", 1, 11), bar("AAPL", 4, 12)).toDS.toDF)
+    val before = cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).collect()
+    assert(before.length == 1 && before.head.getAs[Double]("Open") == 11.0)
+
+    // late bar for minute 0 arrives AFTER the 5Min candle was written:
+    // new open + new high; recompute must overwrite, not append
+    cascade.ingest(Seq(bar("AAPL", 0, 15)).toDS.toDF)
+    val after = cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).collect()
+    assert(after.length == 1)
+    assert(after.head.getAs[Double]("Open") == 15.0) // minute-0 bar is now earliest
+    assert(after.head.getAs[Double]("High") == 15.5)
+    assert(after.head.getAs[Double]("Close") == 12.25) // unchanged latest
+    assert(after.head.getAs[Double]("Volume") == 3.0)
+  }
+
+  test("structured-streaming attach: micro-batches drive the cascade") {
+    val (cat, cascade) = fresh()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Bar]
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = cascade.attach(source.toDF, ckpt)
+    try {
+      source.addData(bar("AAPL", 0, 10), bar("AAPL", 3, 12))
+      q.processAllAvailable()
+      assert(cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).count() == 1)
+      source.addData(bar("AAPL", 2, 50)) // late, same window
+      q.processAllAvailable()
+      val c = cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).collect()
+      assert(c.length == 1 && c.head.getAs[Double]("High") == 50.5)
+    } finally q.stop()
+  }
+
+  test("1D destination honors the market-hours TimeQual (aggtrigger.go:237-246)") {
+    val root = Files.createTempDirectory("graft-mh").toString
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("X/1Min/OHLCV"), ohlcv, isVariable = false)
+    val cal = MarketCalendar("UTC", "09:30:00", "16:00:00")
+    val cascade = new DownsampleCascade(cat, "OHLCV", "1Min", Seq("1D"),
+      marketFilter = Some(cal))
+    // 09:00 (pre-market) and 10:00 (in hours) bars on the same Monday
+    cascade.ingest(Seq(
+      Bar("AAPL", t0 - 3600, 5.0, 5.5, 4.5, 5.25, 1.0), // 09:00, filtered out
+      bar("AAPL", 0, 10)).toDS.toDF)
+    val daily = cat.read(TimeBucketKey.parse("AAPL/1D/OHLCV")).collect()
+    assert(daily.length == 1)
+    assert(daily.head.getAs[Double]("Open") == 10.0) // pre-market bar excluded
+    assert(daily.head.getAs[Double]("Volume") == 1.0)
+  }
+
+  test("isMarketOpen matches reference boundary semantics (calendar.go:107-137)") {
+    import spark.implicits._
+    val cal = MarketCalendar("UTC", "09:30:00", "16:00:00",
+      nonTradingDays = Seq("2024-01-09"), earlyCloses = Seq("2024-01-10"))
+    val monday930 = 1704706200L // 2024-01-08 09:30:00
+    val cases = Seq(
+      monday930 -> true, // open boundary inclusive
+      (monday930 - 1) -> false, // 09:29:59
+      (1704708000L + 6 * 3600L) -> false, // 16:00 close boundary exclusive
+      (1704708000L + 6 * 3600L - 1) -> true, // 15:59:59
+      (monday930 + 6 * 86400L) -> false, // Sunday
+      (monday930 + 86400L) -> false, // Tuesday = listed holiday
+      (monday930 + 2 * 86400L + 3 * 3600L) -> true, // Wed 12:30 < early close 13:00
+      (monday930 + 2 * 86400L + 4 * 3600L) -> false // Wed 13:30 >= early close
+    )
+    val got = cases.map(_._1).toDF("Epoch")
+      .withColumn("open", TimeQual.isMarketOpen(col("Epoch"), cal))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (e, want) =>
+      assert(got(e) == want, s"epoch $e: got ${got(e)}, want $want")
+    }
+  }
+}
