@@ -150,6 +150,28 @@ object SparkEntry {
           col("High").as("high"), col("Low").as("low"), col("Close").as("close"))
         .orderBy("event_type", "epoch")),
 
+    // ---- §2.4 trade→bar with condition flags ---------------------------
+    "q_trades_to_bars" -> ((s, dir) => {
+      // events as a tape: deterministic condition codes by event_id
+      // (73='I' odd lot, 87='W' avg price, 52='4' derivatively priced,
+      // 57='9' corrected close, 64='@' regular sale)
+      val trades = ev(s, dir).select(
+        col("event_type").as("symbol"), col("Epoch"), col("Nanoseconds"),
+        col("value").as("Price"),
+        (col("event_id") % 100 + 1).cast("double").as("Size"),
+        array(
+          when(col("event_id") % 11 === 0, lit(73))
+            .when(col("event_id") % 11 === 1, lit(87))
+            .when(col("event_id") % 11 === 2, lit(52))
+            .when(col("event_id") % 11 === 3, lit(57))
+            .otherwise(lit(64))).as("Conditions"))
+      TradeBars.fromTrades(trades, CandleDuration.parse("1Min"))
+        .select(col("symbol"), col("Epoch").as("epoch"),
+          col("Open").as("open"), col("High").as("high"), col("Low").as("low"),
+          col("Close").as("close"), round(col("Volume"), 6).as("volume"))
+        .orderBy("symbol", "epoch")
+    }),
+
     // ---- §2.3 epoch-keyed union (keep-last) ---------------------------
     "q_union_keeplast" -> ((s, dir) => {
       val e = ev(s, dir).select(col("Epoch"), col("Nanoseconds"), col("event_id"), col("value"))
@@ -420,6 +442,27 @@ object SparkEntry {
             min(value) AS low, arg_max(value, epoch_us(ts)) AS close
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_trades_to_bars" ->
+      """WITH t AS (
+           SELECT event_type AS symbol, epoch_us(ts) AS tsu,
+                  epoch_us(ts)//1000000 AS e, value AS price,
+                  (event_id % 100 + 1)::DOUBLE AS sz,
+                  CASE event_id % 11 WHEN 0 THEN 73 WHEN 1 THEN 87
+                       WHEN 2 THEN 52 WHEN 3 THEN 57 ELSE 64 END AS cond
+           FROM events),
+         f AS (SELECT *, e//60*60 AS epoch,
+                  cond NOT IN (73, 87) AS uhl,
+                  cond NOT IN (73, 87, 52) AS ul,
+                  cond <> 57 AS uv FROM t)
+         SELECT symbol, epoch,
+            arg_min(price, tsu) FILTER (ul) AS open,
+            max(price) FILTER (uhl) AS high,
+            min(price) FILTER (uhl) AS low,
+            arg_max(price, tsu) FILTER (ul) AS close,
+            round(sum(sz) FILTER (uv), 6) AS volume
+         FROM f GROUP BY 1, 2
+         HAVING open IS NOT NULL AND volume IS NOT NULL AND volume <> 0
+         ORDER BY 1, 2""",
     "q_union_keeplast" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, value FROM events),
           l AS (SELECT * FROM e WHERE tsu//1000000 < $T2),
