@@ -5,6 +5,7 @@ import graft.core.{CandleDuration, TimeBucketKey}
 import graft.functions.AggRegistry
 import graft.operators.TimeSeries
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Engine-level query API mirroring the reference's QueryRequest
   * (frontend/query.go:21-47): destination TBK (comma list + `*`
@@ -31,45 +32,65 @@ final case class QueryRequest(
 
 class QueryService(catalog: BucketCatalog) {
 
-  /** Execute one request; returns a result per resolved bucket, keyed
-    * by TBK string (≅ the reference's ColumnSeriesMap / NumpyMultiDataset).
+  /** ONE isin-pruned scan answering the whole request, keyed by the
+    * `symbol` column (≅ NumpyMultiDataset as a single grouped frame).
+    * The reference's design target is ~16k symbols
+    * (docs/design/file_format_design.txt); a per-symbol scan fan-out
+    * would be 16k driver-launched jobs, so every stage here — range
+    * filter, projection, per-symbol FIRST/LAST window, grouped
+    * function pipeline — stays in one job.
     */
-  def query(req: QueryRequest): Map[String, DataFrame] = {
+  def queryMulti(req: QueryRequest): DataFrame = {
     val proto = TimeBucketKey.parse(req.destination)
-    val keys: Seq[TimeBucketKey] =
-      if (proto.symbol == "*")
-        catalog.listSymbols(proto.attGroup).map(s => proto.copy(symbol = s))
-      else TimeBucketKey.expand(req.destination)
-    keys.map(k => k.key -> queryOne(k, req)).toMap
-  }
+    val symbols: Seq[String] =
+      if (proto.symbol == "*") catalog.listSymbols(proto.attGroup)
+      else proto.symbol.split(",").toIndexedSeq.map(_.trim)
 
-  private def queryOne(tbk: TimeBucketKey, req: QueryRequest): DataFrame = {
     // Timeframe substitution: serve a non-stored TF from the widest
     // stored TF that divides it, scaling LIMIT by the width ratio
     // (frontend/query.go:313-334 + utils/timeframe.go:189-208).
-    val want = CandleDuration.parse(tbk.timeframe)
-    val stored = catalog.listTimeframes(tbk.attGroup, tbk.symbol)
-    val (scanTbk, scaledLimit) =
-      if (stored.contains(tbk.timeframe)) (tbk, req.limit)
+    val stored = symbols.headOption
+      .map(s => catalog.listTimeframes(proto.attGroup, s)).getOrElse(Nil)
+    val want = CandleDuration.parse(proto.timeframe)
+    val (scanTf, scaledLimit) =
+      if (stored.contains(proto.timeframe)) (proto.timeframe, req.limit)
       else {
         val storedTfs = stored.flatMap(s => scala.util.Try(CandleDuration.parse(s)).toOption)
         CandleDuration.queryable(want, storedTfs) match {
           case Some(src) =>
-            (tbk.copy(timeframe = src.string),
-             req.limit.map(n => CandleDuration.scaleLimit(want, src, n)))
-          case None => (tbk, req.limit)
+            (src.string, req.limit.map(n => CandleDuration.scaleLimit(want, src, n)))
+          case None => (proto.timeframe, req.limit)
         }
       }
 
-    var df = catalog.read(scanTbk)
+    var df = catalog.readMulti(proto.attGroup, scanTf)
+      .filter(col("symbol").isin(symbols: _*))
+      .drop("timeframe", "year")
     df = TimeSeries.rangeFilter(df, req.epochStart, req.startNanos, req.epochEnd, req.endNanos)
-    if (req.columns.nonEmpty) df = TimeSeries.project(df, req.columns)
+    if (req.columns.nonEmpty)
+      df = TimeSeries.project(df, "symbol" +: req.columns)
     df = scaledLimit match {
-      case Some(n) => TimeSeries.limit(df, n, req.limitFromStart)
+      case Some(n) => TimeSeries.limitPerKey(df, n, req.limitFromStart, Seq("symbol"))
       case None => df
     }
-    // Chained UDA pipeline: output of function N feeds function N+1
-    // (sqlparser/registry.go:51-113).
-    AggRegistry.run(req.functions, df.drop("symbol", "timeframe", "year"))
+    AggRegistry.runGrouped(req.functions, df, Seq("symbol"))
+  }
+
+  /** Compatibility shape: one DataFrame per resolved bucket, keyed by
+    * TBK string (≅ the reference's ColumnSeriesMap). All entries are
+    * filters over the SAME single-scan plan from [[queryMulti]];
+    * collecting every entry still runs one job per entry, so callers
+    * wanting one job should use [[queryMulti]] directly.
+    */
+  def query(req: QueryRequest): Map[String, DataFrame] = {
+    val proto = TimeBucketKey.parse(req.destination)
+    val symbols: Seq[String] =
+      if (proto.symbol == "*") catalog.listSymbols(proto.attGroup)
+      else proto.symbol.split(",").toIndexedSeq.map(_.trim)
+    val grouped = queryMulti(req)
+    symbols.map { s =>
+      proto.copy(symbol = s).key ->
+        grouped.filter(col("symbol") === s).drop("symbol")
+    }.toMap
   }
 }

@@ -40,7 +40,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
     if (!fs.exists(meta)) {
       val out = fs.create(meta, true)
       val kind = if (isVariable) "variable" else "fixed"
-      out.write(s"$kind\n${schema.toDDL}\n".getBytes("UTF-8"))
+      // schema as JSON: unlike DDL it round-trips field metadata
+      // (char/varchar length caps for STRING16 enforcement)
+      out.write(s"$kind\n${schema.json}\n".getBytes("UTF-8"))
       out.close()
     }
   }
@@ -53,7 +55,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
     in.close()
     val lines = txt.split("\n")
-    (lines(0).trim == "variable", StructType.fromDDL(lines(1)))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
+      .asInstanceOf[StructType]
+    (lines(0).trim == "variable", schema)
   }
 
   /** Upsert a batch of rows for one bucket. df must carry Epoch (long
@@ -63,19 +67,57 @@ class BucketCatalog(spark: SparkSession, root: String) {
   def write(tbk: TimeBucketKey, df: DataFrame): Unit =
     writeMulti(tbk.attGroup, tbk.timeframe, df.withColumn("symbol", lit(tbk.symbol)))
 
+  /** Write-side type coercion (utils/io/coercecolumn.go:19-130 +
+    * GetMissingAndTypeCoercionColumns, columnseries.go:486-542):
+    * incoming columns cast to the bucket's declared types, declared
+    * columns missing from the batch null-filled, and length-capped
+    * strings (STRING16, datatypes.go:78) rejected when too long
+    * (mirrors integ test_string16.py "test_too_long_string").
+    */
+  private def coerce(df: DataFrame, declared: StructType): DataFrame = {
+    val byName = df.columns.map(c => c.toLowerCase -> c).toMap
+    val cols = declared.fields.toSeq.map { f =>
+      val vcLen = org.apache.spark.sql.catalyst.util.CharVarcharUtils
+        .getRawType(f.metadata).collect {
+          case org.apache.spark.sql.types.VarcharType(n) => n
+          case org.apache.spark.sql.types.CharType(n) => n
+        }
+      byName.get(f.name.toLowerCase) match {
+        case Some(src) =>
+          val base = if (df.schema(src).dataType == f.dataType) col(src) else col(src).cast(f.dataType)
+          vcLen match {
+            case Some(n) =>
+              when(length(base) > n, raise_error(
+                concat(lit(s"string too long for ${f.name} (max $n): "), base)))
+                .otherwise(base).as(f.name)
+            case None => base.as(f.name)
+          }
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(col("symbol") +: cols: _*)
+  }
+
   /** Multi-symbol upsert: df carries a `symbol` column alongside Epoch
     * + payload. One Spark job upserts every symbol's partition — the
     * cascade/trigger path writes all touched symbols at once instead
-    * of a per-symbol job fan-out.
+    * of a per-symbol job fan-out. A bucket that was never create()d is
+    * created from the first batch's schema (executor/writer.go:287-320).
     */
   def writeMulti(attGroup: String, timeframe: String, df: DataFrame): Unit = {
     require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
-    val variable = isVariable(attGroup)
-    val keyed0 = df
+    if (!fs.exists(new Path(agPath(attGroup), MetaFile))) {
+      val inferred = StructType(df.schema.fields.filterNot(f =>
+        Seq("symbol", "timeframe", "year").contains(f.name)))
+      create(TimeBucketKey("__infer", timeframe, attGroup), inferred,
+        isVariable = df.columns.contains(Uda.NanosCol))
+    }
+    val (variable, declared) = readMeta(attGroup)
+    val keyed0 = coerce(df, declared)
       .withColumn("timeframe", lit(timeframe))
       .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
     val keyed =
-      if (variable && !df.columns.contains(Uda.NanosCol))
+      if (variable && !keyed0.columns.contains(Uda.NanosCol))
         keyed0.withColumn(Uda.NanosCol, lit(0))
       else keyed0
     val path = agPath(attGroup)
@@ -83,20 +125,43 @@ class BucketCatalog(spark: SparkSession, root: String) {
       Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
 
     val existing = readAg(attGroup)
-    val merged = existing match {
+    existing match {
       case Some(old) =>
-        // only partitions present in the incoming batch are rewritten
+        // Stage-and-swap: the merge READS the live partitions, so the
+        // merged output is first fully materialized into a staging
+        // directory, then swapped in per partition. A dynamic
+        // overwrite of the path being read would lose the touched
+        // partitions on a mid-write crash (the reference guards this
+        // window with its WAL, executor/wal.go); after staging, the
+        // only non-atomic window left is the per-partition rename
+        // loop below — each individual partition swap is a single
+        // filesystem rename.
         val affected = keyed.select("symbol", "timeframe", "year").distinct()
         val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
-        TimeSeries.unionKeepLast(
+        val merged = TimeSeries.unionKeepLast(
           oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
-      case None => keyed
+        val staging = new Path(root, s".staging_${attGroup}_${System.nanoTime()}")
+        merged.write.mode("overwrite")
+          .partitionBy("symbol", "timeframe", "year")
+          .parquet(staging.toString)
+        try {
+          for {
+            symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
+            tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
+            yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
+          } {
+            val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
+            val target = new Path(path, rel)
+            if (fs.exists(target)) fs.delete(target, true)
+            fs.mkdirs(target.getParent)
+            fs.rename(yearDir.getPath, target)
+          }
+        } finally fs.delete(staging, true)
+      case None =>
+        keyed.write.mode("append")
+          .partitionBy("symbol", "timeframe", "year")
+          .parquet(path)
     }
-    merged.write
-      .mode(if (existing.isDefined) "overwrite" else "append")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("symbol", "timeframe", "year")
-      .parquet(path)
   }
 
   private def readAg(attGroup: String): Option[DataFrame] = {
@@ -159,6 +224,46 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val (variable, schema) = readMeta(attGroup)
     (schema, variable)
   }
+
+  /** Delete rows of one bucket inside an inclusive ns-precision epoch
+    * range (reference range delete, executor/delete.go:15-130). Only
+    * the year partitions the range touches are rewritten; partitions
+    * left empty are removed.
+    */
+  def deleteRange(
+      tbk: TimeBucketKey,
+      startEpoch: Long, startNanos: Int = 0,
+      endEpoch: Long = Long.MaxValue, endNanos: Int = 999999999): Unit = {
+    val existing = readAg(tbk.attGroup).getOrElse(return)
+    val mine = existing.filter(
+      col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
+    val e = col(Uda.EpochCol)
+    val n = if (existing.columns.contains(Uda.NanosCol)) col(Uda.NanosCol) else lit(0)
+    val inRange = e >= startEpoch && e <= endEpoch &&
+      !(e === startEpoch && n < startNanos) && !(e === endEpoch && n > endNanos)
+    val touchedYears = mine.filter(inRange)
+      .select("year").distinct().collect().map(_.getInt(0))
+    if (touchedYears.isEmpty) return
+    val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
+    val keptYears = keep.select("year").distinct().collect().map(_.getInt(0)).toSet
+    if (keptYears.nonEmpty)
+      keep.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("symbol", "timeframe", "year")
+        .parquet(agPath(tbk.attGroup))
+    // dynamic overwrite can't clear a partition with zero output rows
+    touchedYears.filterNot(keptYears).foreach { y =>
+      val p = new Path(agPath(tbk.attGroup),
+        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Zero all data on/after a date (CLI trim,
+    * cmd/connect/session/trim.go:15-65).
+    */
+  def trim(tbk: TimeBucketKey, fromEpoch: Long): Unit =
+    deleteRange(tbk, fromEpoch)
 }
 
 object BucketCatalog {

@@ -24,6 +24,16 @@ trait Uda {
   /** Quoted init args (e.g. the window: '5Min'). */
   def initArgs: Seq[String] = Nil
   def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame
+
+  /** Grouped variant: run the aggregate independently per key group
+    * (one multi-symbol job instead of a per-bucket fan-out — the
+    * reference loops buckets serially, frontend/query.go:216-226).
+    * Group columns are carried through the output.
+    */
+  def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame =
+    if (groupCols.isEmpty) apply(df, argMap, init)
+    else throw new UnsupportedOperationException(s"$name has no grouped form")
 }
 
 object Uda {
@@ -41,42 +51,45 @@ object Uda {
     else struct(col(EpochCol))
 }
 
+/** Shared shape for the scalar aggregates: one output column, with a
+  * grouped form that keys the same aggregation by the group columns.
+  */
+abstract class ScalarUda extends Uda {
+  protected def aggExpr(argMap: Map[String, Seq[String]]): Column
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    df.agg(aggExpr(argMap))
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame =
+    if (groupCols.isEmpty) apply(df, argMap, init)
+    else df.groupBy(groupCols.map(col): _*).agg(aggExpr(argMap))
+}
+
 /** Row count → single row (reference: uda/count/count.go:46-74). */
-object CountUda extends Uda {
+object CountUda extends ScalarUda {
   val name = "count"
   val requiredArgs = Seq("Column")
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
-    df.agg(count(lit(1)).as("Count"))
+  protected def aggExpr(argMap: Map[String, Seq[String]]): Column = count(lit(1)).as("Count")
 }
 
 /** Single-column min (uda/min/min.go:42-62). */
-object MinUda extends Uda {
+object MinUda extends ScalarUda {
   val name = "min"
   val requiredArgs = Seq("Column")
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
-    val c = argMap("Column").head
-    df.agg(min(col(c)).as("Min"))
-  }
+  protected def aggExpr(argMap: Map[String, Seq[String]]): Column = min(col(argMap("Column").head)).as("Min")
 }
 
 /** Single-column max (uda/max/max.go:42-62). */
-object MaxUda extends Uda {
+object MaxUda extends ScalarUda {
   val name = "max"
   val requiredArgs = Seq("Column")
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
-    val c = argMap("Column").head
-    df.agg(max(col(c)).as("Max"))
-  }
+  protected def aggExpr(argMap: Map[String, Seq[String]]): Column = max(col(argMap("Column").head)).as("Max")
 }
 
 /** Single-column mean (uda/avg/avg.go:42-60). */
-object AvgUda extends Uda {
+object AvgUda extends ScalarUda {
   val name = "avg"
   val requiredArgs = Seq("Column")
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
-    val c = argMap("Column").head
-    df.agg(avg(col(c)).as("Avg"))
-  }
+  protected def aggExpr(argMap: Map[String, Seq[String]]): Column = avg(col(argMap("Column").head)).as("Avg")
 }
 
 /** Abnormal-gap detector (uda/gap/gap.go:61-186).
@@ -100,6 +113,10 @@ object GapUda extends Uda {
 
   def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
     gaps(df, init.headOption.map(CandleDuration.parse), partitionCols = Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame =
+    gaps(df, init.headOption.map(CandleDuration.parse), partitionCols = groupCols)
 
   def gaps(df: DataFrame, threshold: Option[CandleDuration], partitionCols: Seq[String]): DataFrame = {
     val w0 = if (partitionCols.isEmpty) Window.orderBy(Uda.timeKey(df))
@@ -170,7 +187,11 @@ object TickCandlerUda extends Uda {
   override val optionalArgs = Seq("Sum", "Avg")
   override val initArgs = Seq("Timeframe")
 
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
     val tf = CandleDuration.parse(init.head)
     val priceCols = argMap("CandlePrice")
     val price =
@@ -179,7 +200,7 @@ object TickCandlerUda extends Uda {
     Candler.candle(df, tf,
       openOf = price, closeOf = price, highOf = price, lowOf = price,
       sums = argMap.getOrElse("Sum", Nil), avgs = argMap.getOrElse("Avg", Nil),
-      groupCols = Nil)
+      groupCols = groupCols)
   }
 }
 
@@ -194,7 +215,11 @@ object CandleCandlerUda extends Uda {
   override val optionalArgs = Seq("Sum", "Avg")
   override val initArgs = Seq("Timeframe")
 
-  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame = {
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
     val tf = CandleDuration.parse(init.head)
     Candler.candle(df, tf,
       openOf = col(argMap("Open").head),
@@ -202,7 +227,7 @@ object CandleCandlerUda extends Uda {
       highOf = col(argMap("High").head),
       lowOf = col(argMap("Low").head),
       sums = argMap.getOrElse("Sum", Nil), avgs = argMap.getOrElse("Avg", Nil),
-      groupCols = Nil)
+      groupCols = groupCols)
   }
 }
 
@@ -251,10 +276,16 @@ object AggRegistry {
     .map(u => u.name -> u).toMap
 
   def run(calls: Seq[String], df: DataFrame): DataFrame =
+    runGrouped(calls, df, Nil)
+
+  /** Chained pipeline keyed by group columns: every stage aggregates
+    * per key, so a multi-symbol query is ONE job end-to-end.
+    */
+  def runGrouped(calls: Seq[String], df: DataFrame, groupCols: Seq[String]): DataFrame =
     calls.foldLeft(df) { (d, callStr) =>
       val call = FunctionCall.parse(callStr)
       val uda = all.getOrElse(call.name,
         throw new IllegalArgumentException(s"unknown aggregate: ${call.name}"))
-      uda(d, call.argMap(uda.requiredArgs), call.initArgs)
+      uda.applyGrouped(d, call.argMap(uda.requiredArgs), call.initArgs, groupCols)
     }
 }

@@ -46,6 +46,24 @@ object TimeSeries {
     if (df.columns.contains(Uda.NanosCol)) Seq(col(Uda.EpochCol), col(Uda.NanosCol))
     else Seq(col(Uda.EpochCol))
 
+  /** Per-key FIRST-n / LAST-n: one keyed window (distributed by key),
+    * so a multi-symbol limited query is a single job — no per-symbol
+    * scan fan-out (reference runs one backward scan per bucket).
+    */
+  def limitPerKey(df: DataFrame, n: Int, fromStart: Boolean, keys: Seq[String]): DataFrame = {
+    val key = sortKey(df)
+    val ordered =
+      if (fromStart) key.map(_.asc) else key.map(_.desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordered: _*)
+    // rows return time-ascending like the reference's backward scan;
+    // after the keyed window every key sits in one partition, so a
+    // partition-local sort suffices — no global sort
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+      .sortWithinPartitions((keys.map(col) ++ key).map(_.asc): _*)
+  }
+
   /** Column projection that always keeps Epoch (+Nanoseconds), matching
     * the reference (utils/io/columnseries.go:196-212 Project).
     */
@@ -53,6 +71,16 @@ object TimeSeries {
     val keep = (Seq(Uda.EpochCol, Uda.NanosCol).filter(df.columns.contains) ++
       cols.filterNot(c => c == Uda.EpochCol || c == Uda.NanosCol)).distinct
     df.select(keep.map(col): _*)
+  }
+
+  /** Column rename/alias surface (utils/io/columnseries.go:131-169
+    * Rename): unknown source columns error; Epoch may be renamed only
+    * via an explicit mapping, mirroring the reference's guarded remap.
+    */
+  def rename(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    val missing = mapping.keySet -- df.columns.toSet
+    require(missing.isEmpty, s"rename of unknown columns: $missing")
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
 
   /** Epoch-keyed union where `right` overwrites `left` on duplicate

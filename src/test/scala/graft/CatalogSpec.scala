@@ -121,4 +121,92 @@ class CatalogSpec extends SparkSpec {
     val got = TimeSeries.rangeFilter(df, 10L, 200, 10L, 899).collect()
     assert(got.map(_.getAs[Int]("Nanoseconds")).toSeq == Seq(500))
   }
+
+  test("range delete + trim (executor/delete.go, trim.go)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    // rows straddling a year boundary: 2020-12-31 23:59 + 2021 rows
+    cat.write(tbk, Seq(
+      (1609459140L, 1.0, 0.0), (1609459200L, 2.0, 0.0), (1609459260L, 3.0, 0.0),
+      (1609459320L, 4.0, 0.0)).toDF("Epoch", "Open", "Close"))
+    cat.deleteRange(tbk, 1609459200L, 0, 1609459260L)
+    val left = cat.read(tbk).orderBy("Epoch").collect()
+    assert(left.map(_.getAs[Double]("Open")).toSeq == Seq(1.0, 4.0))
+    // other symbols untouched by a full trim of AAPL
+    cat.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"),
+      Seq((1609459200L, 9.0, 0.0)).toDF("Epoch", "Open", "Close"))
+    cat.trim(tbk, 0L)
+    assert(cat.read(tbk).count() == 0)
+    assert(cat.read(TimeBucketKey.parse("MSFT/1Min/OHLCV")).count() == 1)
+  }
+
+  test("write-side type coercion + missing-column null fill (coercecolumn.go, test_coerce_column.py)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("T/1Min/COERCE")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Val", FloatType),
+      StructField("Qty", IntegerType))), isVariable = false)
+    // int column written into float bucket; Qty missing → null fill
+    cat.write(tbk, Seq((60L, 7), (120L, 9)).toDF("Epoch", "Val"))
+    val got = cat.read(tbk).orderBy("Epoch").collect()
+    assert(got.head.getAs[Float]("Val") == 7.0f)
+    assert(got.head.isNullAt(got.head.fieldIndex("Qty")))
+  }
+
+  test("STRING16 length cap rejects too-long strings (test_string16.py)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("T/1Min/S16")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType),
+      StructField("Name", StringType,
+        metadata = new MetadataBuilder()
+          .putString("__CHAR_VARCHAR_TYPE_STRING", "varchar(16)").build()))),
+      isVariable = false)
+    cat.write(tbk, Seq((60L, "exactly16chars!!")).toDF("Epoch", "Name"))
+    assert(cat.read(tbk).count() == 1)
+    intercept[Exception] {
+      cat.write(tbk, Seq((120L, "seventeen chars!!")).toDF("Epoch", "Name"))
+    }
+  }
+
+  test("auto-create bucket from first write (executor/writer.go:287-320)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("NEW/1Sec/AUTO")
+    cat.write(tbk, Seq((10L, 500, 1.5)).toDF("Epoch", "Nanoseconds", "Bid"))
+    val (schema, variable) = cat.getInfo("AUTO")
+    assert(variable) // Nanoseconds column ⇒ variable records
+    assert(schema.fieldNames.toSeq == Seq("Epoch", "Nanoseconds", "Bid"))
+    assert(cat.read(tbk).count() == 1)
+  }
+
+  test("column rename surface (columnseries.go:131-169)") {
+    val df = Seq((1L, 10.0)).toDF("Epoch", "V")
+    val r = TimeSeries.rename(df, Map("V" -> "Value"))
+    assert(r.columns.toSeq == Seq("Epoch", "Value"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.rename(df, Map("Nope" -> "X"))
+    }
+  }
+
+  test("CSV load into a bucket (cmd/connect/session/load.go)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("CSV/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    val csv = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.writeString(csv.resolve("bars.csv"),
+      "Epoch,Open,Close\n2021-01-01 00:01:00,1.5,1.6\n2021-01-01 00:02:00,2.5,2.6\n")
+    val n = graft.sources.CsvLoader.load(spark, cat, tbk,
+      csv.resolve("bars.csv").toString,
+      timeFormat = Some("yyyy-MM-dd HH:mm:ss"))
+    assert(n == 2)
+    val got = cat.read(tbk).orderBy("Epoch").collect()
+    assert(got.map(_.getAs[Long]("Epoch")).toSeq == Seq(1609459260L, 1609459320L))
+    assert(got.map(_.getAs[Double]("Open")).toSeq == Seq(1.5, 2.5))
+  }
 }
