@@ -193,6 +193,23 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("server shims: version, GetInfo shape, numpy dtype map (server.go:66-85, numpy.go:11-23)") {
+    import graft.api.{NumpyTypes, ServerInfo}
+    assert(ServerInfo.serverVersion().nonEmpty)
+    assert(NumpyTypes.toSpark("i8") == LongType && NumpyTypes.toSpark("f4") == FloatType)
+    assert(NumpyTypes.toNumpy(DoubleType) == "f8")
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("AAPL/1Min/OHLCV"), ohlcv, isVariable = false)
+    cat.write(TimeBucketKey.parse("AAPL/1Min/OHLCV"),
+      Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    val info = ServerInfo.getInfo(cat, "OHLCV")
+    assert(!info.isVariable)
+    assert(info.dataShapes == Seq("Epoch" -> "i8", "Open" -> "f8", "Close" -> "f8"))
+    assert(info.symbols == Seq("AAPL"))
+    assert(info.timeframes("AAPL") == Seq("1Min"))
+  }
+
   test("CSV load into a bucket (cmd/connect/session/load.go)") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
