@@ -134,14 +134,19 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: k minima of seeded xxhash64 over shingles.
-    * One groupBy(id) with k partial-aggregated mins.
+  /** MinHash signature: k minima over shingles. ONE string xxhash per
+    * shingle; the k hash functions re-hash that 8-byte base with the
+    * function index (xxhash64 over (long, int) — a few multiplies vs
+    * a variable-length string walk), cutting the per-shingle hashing
+    * cost ~k× against k seeded string hashes. One groupBy(id) with k
+    * partial-aggregated long mins.
     */
   def minhashSignatures(
       df: DataFrame, k: Int = 64, n: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val rows = shingleRows(df, id, text, n)
-    val mins = (0 until k).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"mh_$i"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
     rows.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
