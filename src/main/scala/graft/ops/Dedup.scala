@@ -46,7 +46,9 @@ object Dedup {
     * branch (freq, prefix, sets) sits on the SAME exchange, so Spark
     * computes the scan+shingle once and reuses it (ReusedExchange).
     */
-  private def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  private def shingleRows(
+      df: DataFrame, id: String, text: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
     val base = df.select(col(id), toks(col(text)).as("__ts"))
       .withColumn("__n", size(col("__ts")))
     val idx = base.withColumn("__i",
@@ -54,7 +56,8 @@ object Dedup {
     val sh = when(col("__n") >= n,
         concat_ws(" ", (0 until n).map(j => element_at(col("__ts"), col("__i") + j)): _*))
       .otherwise(concat_ws(" ", col("__ts")))
-    idx.select(col(id), sh.as("__sh")).dropDuplicates(id, "__sh")
+    val raw = idx.select(col(id), sh.as("__sh"))
+    if (distinct) raw.dropDuplicates(id, "__sh") else raw
   }
 
   /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard ≥ τ).
@@ -144,7 +147,9 @@ object Dedup {
   def minhashSignatures(
       df: DataFrame, k: Int = 64, n: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val rows = shingleRows(df, id, text, n)
+    // distinct=false: duplicate shingle rows can't change a min, so
+    // the dedup shuffle is pure cost here
+    val rows = shingleRows(df, id, text, n, distinct = false)
       .withColumn("__h", xxhash64(col("__sh")))
     val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
     rows.groupBy(col(id)).agg(mins.head, mins.tail: _*)

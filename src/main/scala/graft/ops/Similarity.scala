@@ -66,7 +66,10 @@ object Similarity {
     */
   private def bandSig(emb: Column, band: Array[Array[Float]]): Column =
     band.zipWithIndex.map { case (plane, j) =>
-      val planeCol = array(plane.map(v => lit(v)): _*)
+      // typedlit: ONE array literal node per plane (array(lit...) of
+      // dim elements made the expression tree ~dim x larger and blew
+      // up codegen compile time across bands)
+      val planeCol = typedlit(plane.toSeq)
       when(VectorFunctions.dotF(emb, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
