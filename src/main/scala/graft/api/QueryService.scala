@@ -73,7 +73,8 @@ class QueryService(catalog: BucketCatalog) {
       case Some(n) => TimeSeries.limitPerKey(df, n, req.limitFromStart, Seq("symbol"))
       case None => df
     }
-    AggRegistry.runGrouped(req.functions, df, Seq("symbol"))
+    AggRegistry.runGrouped(req.functions, df, Seq("symbol"),
+      AggRegistry.forCatalog(catalog))
   }
 
   /** Compatibility shape: one DataFrame per resolved bucket, keyed by

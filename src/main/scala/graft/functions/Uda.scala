@@ -244,18 +244,24 @@ object CandleCandlerUda extends Uda {
 object AdjustUda {
   def apply(
       prices: DataFrame,
-      rateChanges: DataFrame, // columns: Epoch (long), Rate (double)
+      rateChanges: DataFrame, // columns: [matchCols...,] Epoch (long), Rate (double)
       priceCols: Seq[String],
       volumeCols: Seq[String],
       keyCols: Seq[String] = Seq(Uda.EpochCol),
+      matchCols: Seq[String] = Nil, // e.g. symbol for multi-series CA tables
       roundTo: Int = 4): DataFrame = {
-    val ca = broadcast(
-      rateChanges.select(col(Uda.EpochCol).as("caEpoch"), col("Rate").as("caRate")))
-    val factors = prices.select(keyCols.map(col): _*)
-      .join(ca, col(Uda.EpochCol) < col("caEpoch"), "left")
-      .groupBy(keyCols.map(col): _*)
+    val ca = broadcast(rateChanges.select(
+      matchCols.map(c => col(c).as(s"__ca_$c")) ++
+        Seq(col(Uda.EpochCol).as("caEpoch"), col("Rate").as("caRate")): _*))
+    val cond = matchCols.foldLeft(col(Uda.EpochCol) < col("caEpoch")) {
+      (acc, c) => acc && col(c) === col(s"__ca_$c")
+    }
+    val allKeys = (matchCols ++ keyCols).distinct
+    val factors = prices.select(allKeys.map(col): _*)
+      .join(ca, cond, "left")
+      .groupBy(allKeys.map(col): _*)
       .agg(coalesce(exp(sum(log(col("caRate")))), lit(1.0)).as("AdjFactor"))
-    val joined = prices.join(factors, keyCols)
+    val joined = prices.join(factors, allKeys)
     val adjusted = priceCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, round(col(c) * col("AdjFactor"), roundTo))
     }
@@ -263,6 +269,39 @@ object AdjustUda {
       d.withColumn(c, col(c) / col("AdjFactor"))
     }
     withVol.drop("AdjFactor")
+  }
+}
+
+/** Registry-bound adjust (sqlparser/registry.go:40 `adjust` with
+  * CatalogDir): rate changes load from a corporate-actions bucket in
+  * the catalog; init args pick 'split'/'dividend' event types when the
+  * CA bucket carries a Type column (uda/adjust/adjust.go:56-96).
+  * Grouped form joins CA rows per symbol — one broadcast join for all
+  * symbols in the query.
+  */
+final class AdjustRegistryUda(
+    catalog: graft.catalog.BucketCatalog,
+    caAttGroup: String = "CA",
+    caTimeframe: String = "1D") extends Uda {
+  val name = "adjust"
+  val requiredArgs = Seq("Price")
+  override val optionalArgs = Seq("Volume")
+  override val initArgs = Seq("Types")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val ca0 = catalog.readMulti(caAttGroup, caTimeframe)
+    val ca1 =
+      if (init.nonEmpty && ca0.columns.contains("Type"))
+        ca0.filter(lower(col("Type")).isin(init.map(_.toLowerCase): _*))
+      else ca0
+    val matchCols = groupCols.filter(ca1.columns.contains)
+    AdjustUda(df, ca1, priceCols = argMap("Price"),
+      volumeCols = argMap.getOrElse("Volume", Nil),
+      matchCols = matchCols)
   }
 }
 
@@ -275,16 +314,24 @@ object AggRegistry {
     CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda)
     .map(u => u.name -> u).toMap
 
+  /** Default registry + catalog-bound aggregates (`adjust` needs the
+    * CA bucket — NewDefaultAggRunner(catDir), sqlparser/registry.go:32-49).
+    */
+  def forCatalog(catalog: graft.catalog.BucketCatalog,
+      caAttGroup: String = "CA", caTimeframe: String = "1D"): Map[String, Uda] =
+    all + ("adjust" -> new AdjustRegistryUda(catalog, caAttGroup, caTimeframe))
+
   def run(calls: Seq[String], df: DataFrame): DataFrame =
     runGrouped(calls, df, Nil)
 
   /** Chained pipeline keyed by group columns: every stage aggregates
     * per key, so a multi-symbol query is ONE job end-to-end.
     */
-  def runGrouped(calls: Seq[String], df: DataFrame, groupCols: Seq[String]): DataFrame =
+  def runGrouped(calls: Seq[String], df: DataFrame, groupCols: Seq[String],
+      registry: Map[String, Uda] = all): DataFrame =
     calls.foldLeft(df) { (d, callStr) =>
       val call = FunctionCall.parse(callStr)
-      val uda = all.getOrElse(call.name,
+      val uda = registry.getOrElse(call.name,
         throw new IllegalArgumentException(s"unknown aggregate: ${call.name}"))
       uda.applyGrouped(d, call.argMap(uda.requiredArgs), call.initArgs, groupCols)
     }

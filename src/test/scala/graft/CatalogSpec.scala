@@ -210,6 +210,75 @@ class CatalogSpec extends SparkSpec {
     assert(info.timeframes("AAPL") == Seq("1Min"))
   }
 
+  test("registry adjust: per-symbol CA rates through the query service (registry.go:40)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val prices = TimeBucketKey.parse("AAPL/1D/PRICES")
+    cat.create(prices, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Close", DoubleType))), isVariable = false)
+    cat.write(prices, Seq((86400L, 100.0), (2 * 86400L, 50.0)).toDF("Epoch", "Close"))
+    cat.write(TimeBucketKey.parse("MSFT/1D/PRICES"),
+      Seq((86400L, 10.0)).toDF("Epoch", "Close"))
+    // CA bucket: AAPL 2:1 split effective day 2; MSFT untouched
+    cat.create(TimeBucketKey.parse("AAPL/1D/CA"), StructType(Seq(
+      StructField("Epoch", LongType), StructField("Rate", DoubleType))), isVariable = false)
+    cat.write(TimeBucketKey.parse("AAPL/1D/CA"),
+      Seq((2 * 86400L, 0.5)).toDF("Epoch", "Rate"))
+    val svc = new QueryService(cat)
+    val out = svc.queryMulti(QueryRequest(
+      destination = "AAPL,MSFT/1D/PRICES", functions = Seq("adjust(Close)")))
+      .orderBy("symbol", "Epoch").collect()
+    // AAPL day-1 close scaled by the later split rate; day-2 and MSFT unchanged
+    assert(out.map(r => (r.getAs[String]("symbol"), r.getAs[Double]("Close"))).toSeq ==
+      Seq(("AAPL", 50.0), ("AAPL", 50.0), ("MSFT", 10.0)))
+  }
+
+  test("LAST-n across a year-partition boundary (test_query_overlapping_years.py)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    // 3 bars in Dec 2020, 2 bars in Jan 2021 (separate year partitions)
+    val dec = Seq(1609459020L, 1609459080L, 1609459140L)
+    val jan = Seq(1609459200L, 1609459260L)
+    cat.write(tbk, (dec ++ jan).zipWithIndex
+      .map { case (e, i) => (e, i.toDouble, 0.0) }.toDF("Epoch", "Open", "Close"))
+    val svc = new QueryService(cat)
+    val res = svc.queryMulti(QueryRequest(
+      destination = "AAPL/1Min/OHLCV", limit = Some(4), limitFromStart = false))
+      .orderBy("Epoch").collect()
+    assert(res.map(_.getAs[Long]("Epoch")).toSeq == (dec.drop(1) ++ jan))
+  }
+
+  test("randomized unsorted write → sorted dedup read round-trip (test_data_integrity.py style)") {
+    val rnd = new scala.util.Random(7)
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("RND/1Sec/TICKS")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("V", DoubleType))), isVariable = true)
+    // several shuffled batches with overlapping keys; last write wins
+    val expected = scala.collection.mutable.Map[(Long, Int), Double]()
+    (1 to 3).foreach { _ =>
+      // unique keys WITHIN a batch (same-batch duplicate keys have no
+      // defined winner); batches overlap ACROSS writes → upsert
+      val batch = Seq.fill(200)((
+        1700000000L + rnd.nextInt(500).toLong,
+        rnd.nextInt(5) * 1000, rnd.nextDouble()))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      batch.foreach { case (e, n, v) => expected((e, n)) = v }
+      cat.write(tbk, rnd.shuffle(batch).toDF("Epoch", "Nanoseconds", "V"))
+    }
+    val got = cat.read(tbk).select("Epoch", "Nanoseconds", "V").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == expected.toMap)
+    // read-side ordering is (Epoch, Nanoseconds) ascending
+    val ordered = TimeSeries.limit(cat.read(tbk), Int.MaxValue, fromStart = true)
+      .select("Epoch", "Nanoseconds").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ordered.toSeq == ordered.sortBy(identity).toSeq)
+  }
+
   test("CSV load into a bucket (cmd/connect/session/load.go)") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
