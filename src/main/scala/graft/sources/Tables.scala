@@ -29,6 +29,11 @@ object Tables {
     * ts arrives either as a raw ns long (nanosAsLong) or as a µs
     * timestamp — both are normalized to the µs value so the DuckDB
     * oracle (which truncates ns→µs on read) sees identical numbers.
+    *
+    * Note: Epoch here is DERIVED, so Epoch predicates don't reach the
+    * parquet reader on this testdata table. Engine storage
+    * (BucketCatalog) persists Epoch physically — range filters push
+    * down and prune row groups there (asserted in PlanSpec).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")

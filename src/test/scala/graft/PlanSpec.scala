@@ -15,6 +15,34 @@ import org.apache.spark.sql.execution.window.WindowExec
 class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("bucket scans push Epoch range filters and prune columns to the parquet reader") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val cat = new graft.catalog.BucketCatalog(spark, root)
+    val tbk = graft.core.TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Epoch", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("Open", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("Close", org.apache.spark.sql.types.DoubleType))),
+      isVariable = false)
+    cat.write(tbk, (1 to 100).map(i => (i * 60L, i.toDouble, i + 0.5)).toDF("Epoch", "Open", "Close"))
+    val q = graft.operators.TimeSeries.project(
+      graft.operators.TimeSeries.rangeFilter(cat.read(tbk), 600L, 0, 1200L), Seq("Open"))
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(Epoch,600)"),
+      s"Epoch lower bound not pushed: ${meta("PushedFilters")}")
+    assert(meta("PushedFilters").contains("LessThanOrEqual(Epoch,1200)"),
+      s"Epoch upper bound not pushed: ${meta("PushedFilters")}")
+    val readSchema = meta("ReadSchema")
+    assert(readSchema.contains("Epoch") && readSchema.contains("Open") && !readSchema.contains("Close"),
+      s"column pruning failed: $readSchema")
+    // partition pruning on the symbol/timeframe dirs
+    assert(scans.head.partitionFilters.nonEmpty)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
