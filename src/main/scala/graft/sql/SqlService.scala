@@ -35,8 +35,35 @@ class SqlService(spark: SparkSession, catalog: Option[BucketCatalog] = None) {
       explain(stmt.substring("EXPLAIN ".length))
     else if (upper.startsWith("INSERT "))
       insert(stmt)
-    else
-      spark.sql(rewrite(stmt))
+    else udaSelect(stmt) match {
+      case Some(df) => df
+      case None => spark.sql(rewrite(stmt))
+    }
+  }
+
+  // SELECT <uda>(args...) FROM <relation...> — one pipeline call as the
+  // whole select list, the reference's UDA select-list execution
+  // (sqlparser/selectrelation.go:466-584, "SRF" note :473-474: the agg
+  // output REPLACES the relation output)
+  private val UdaSelectRe =
+    """(?is)^SELECT\s+([A-Za-z_]\w*)\s*\(([^()]*)\)\s+FROM\s+(.+)$""".r
+
+  private def registry: Map[String, graft.functions.Uda] =
+    catalog.map(c => graft.functions.AggRegistry.forCatalog(c))
+      .getOrElse(graft.functions.AggRegistry.all)
+
+  /** Route `SELECT uda(...) FROM rel [WHERE ...]` through the function
+    * registry; anything else (grouping, aliases, multiple select
+    * items) stays plain Spark SQL.
+    */
+  private def udaSelect(stmt: String): Option[DataFrame] = stmt match {
+    case UdaSelectRe(name, args, rest)
+        if registry.contains(name.toLowerCase) &&
+          !rest.toUpperCase.contains("GROUP BY") =>
+      val source = spark.sql(rewrite(s"SELECT * FROM $rest"))
+      Some(graft.functions.AggRegistry.runGrouped(
+        Seq(s"${name.toLowerCase}($args)"), source, Nil, registry))
+    case _ => None
   }
 
   /** EXPLAIN <select>: one-column plan dump (reference returns the

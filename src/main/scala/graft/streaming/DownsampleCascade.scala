@@ -57,26 +57,37 @@ class DownsampleCascade(
       .agg(min(col(Uda.EpochCol)).as("__head"), max(col(Uda.EpochCol)).as("__tail"))
     val base = catalog.readMulti(attGroup, baseTf)
       .drop("timeframe", "year")
-    destinations.foreach { d =>
-      val dest = CandleDuration.parse(d)
-      val affected = base.join(broadcast(spans), Seq("symbol"))
-        .filter(col(Uda.EpochCol) >= dest.truncate(col("__head")) &&
-          col(Uda.EpochCol) < dest.ceil(col("__tail")))
-        .drop("__head", "__tail")
-      // >= 1D destinations honor the market-hours TimeQual, like the
-      // reference's nasdaq filter (aggtrigger.go:237-246)
-      val filtered = marketFilter match {
-        case Some(cal) if dest.approxSeconds >= 86400L =>
-          affected.filter(TimeQual.isMarketOpen(col(Uda.EpochCol), cal))
-        case _ => affected
+    // read the base slice ONCE for the WIDEST destination's span — it
+    // contains every narrower destination's affected windows (the
+    // reference queries the destinations' UpperBound for the same
+    // reason, aggtrigger.go:130-136) — and reuse it per destination
+    val widest = destinations.map(CandleDuration.parse).maxBy(_.approxSeconds)
+    val slice = base.join(broadcast(spans), Seq("symbol"))
+      .filter(col(Uda.EpochCol) >= widest.truncate(col("__head")) &&
+        col(Uda.EpochCol) < widest.ceil(col("__tail")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      destinations.foreach { d =>
+        val dest = CandleDuration.parse(d)
+        val affected = slice
+          .filter(col(Uda.EpochCol) >= dest.truncate(col("__head")) &&
+            col(Uda.EpochCol) < dest.ceil(col("__tail")))
+          .drop("__head", "__tail")
+        // >= 1D destinations honor the market-hours TimeQual, like the
+        // reference's nasdaq filter (aggtrigger.go:237-246)
+        val filtered = marketFilter match {
+          case Some(cal) if dest.approxSeconds >= 86400L =>
+            affected.filter(TimeQual.isMarketOpen(col(Uda.EpochCol), cal))
+          case _ => affected
+        }
+        val candles = Candler.candle(filtered, dest,
+          openOf = col("Open"), closeOf = col("Close"),
+          highOf = col("High"), lowOf = col("Low"),
+          sums = sums, avgs = Nil, groupCols = Seq("symbol"))
+        val renamed = sums.foldLeft(candles)((df, c) => df.withColumnRenamed(s"${c}_SUM", c))
+        catalog.writeMulti(attGroup, d, renamed)
       }
-      val candles = Candler.candle(filtered, dest,
-        openOf = col("Open"), closeOf = col("Close"),
-        highOf = col("High"), lowOf = col("Low"),
-        sums = sums, avgs = Nil, groupCols = Seq("symbol"))
-      val renamed = sums.foldLeft(candles)((df, c) => df.withColumnRenamed(s"${c}_SUM", c))
-      catalog.writeMulti(attGroup, d, renamed)
-    }
+    } finally slice.unpersist(blocking = false)
   }
 
   /** Attach to a streaming source of base-TF rows: each micro-batch is

@@ -94,6 +94,23 @@ class SqlSpec extends SparkSpec {
     assert(n.head.getLong(0) == 0L)
   }
 
+  test("UDA call as the select list routes through the function registry (selectrelation.go:466-584)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val candles = svc.sql(
+      """SELECT candlecandler('30Min', Open, Open, Open, Close)
+         FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch BETWEEN '2000-01-05-12:00' AND '2000-01-05-13:00'""")
+      .orderBy("Epoch").collect()
+    // 12:00..13:00 inclusive start bars → 30Min windows at 12:00, 12:30, 13:00
+    assert(candles.length == 3)
+    assert(candles.head.getAs[Double]("Open") == 10.0)
+    assert(candles.head.getAs[Double]("Close") == 39.5) // close of 12:29 bar
+    // scalar UDA: reference's count outputs a Count column
+    val cnt = svc.sql("SELECT count(*) FROM `AAPL/1Min/OHLCV` WHERE Epoch >= '2000-01-05'")
+    assert(cnt.columns.toSeq == Seq("Count"))
+    assert(cnt.collect().head.getLong(0) == 120L)
+  }
+
   test("unknown table errors (all_test.go TestStatementErrors)") {
     val (_, svc) = freshCatalog()
     intercept[Exception] {
