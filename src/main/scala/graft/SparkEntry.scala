@@ -330,6 +330,12 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nCells = 16, nProbe = 8)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
 
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
@@ -533,12 +539,13 @@ object SparkEntry {
          ORDER BY epoch, nanoseconds"""
   ) ++ opsOracleSql
 
-  // q_dedup_minhash / q_dedup_simhash / q_knn_lsh are intentionally
-  // oracle-free (xxhash64 signatures are engine-specific; LSH is
-  // approximate by design) — driver records a rows-only check; their
-  // semantics are machine-checked in src/test/scala/graft/OpsSpec.scala
-  // (minhash ⊇ exact-Jaccard pairs, simhash banding == brute XOR
-  // popcount, LSH top-k recall >= 0.9 vs brute force).
+  // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_knn_ivf are
+  // intentionally oracle-free (xxhash64 signatures are engine-specific;
+  // LSH/IVF are approximate by design) — driver records a rows-only
+  // check; their semantics are machine-checked in
+  // src/test/scala/graft/OpsSpec.scala (minhash ⊇ exact-Jaccard pairs,
+  // simhash banding == brute XOR popcount, LSH top-k recall >= 0.9 vs
+  // brute force, IVF full-probe == brute force).
   private def opsOracleSql: Map[String, String] = Map(
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents)

@@ -112,6 +112,54 @@ object Similarity {
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path beside
+    * LSH: corpus vectors are assigned to their nearest of `nCells`
+    * coarse centroids; each query probes its `nProbe` nearest cells
+    * and re-ranks exactly (cosine) inside them. The shuffle is keyed
+    * by cell id, so at scale each query touches ~nProbe/nCells of the
+    * corpus instead of all of it.
+    *
+    * Centroids here are a deterministic corpus sample (lowest
+    * xxhash64(id) rows — the classic k-means init); a trained
+    * quantizer drops in by replacing `centroids`. On isotropic random
+    * corpora cell pruning is weak (same caveat as LSH); on clustered
+    * real embeddings it's the workhorse.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic sample of nCells corpus vectors as centroids
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(id), col(emb))
+      .orderBy(xxhash64(col(id)), col(id))
+      .limit(nCells)
+      .collect()
+      .map(r => r.getSeq[Float](1))
+    // per-row scored cells: array of (cosine-to-centroid, cellId)
+    def cellScores(v: Column): Column = array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosineSim(v, typedlit(c)).as("s"), lit(i).as("cell"))
+      }: _*)
+    val assigned = corpus
+      .withColumn("cell", array_max(cellScores(col(emb))).getField("cell"))
+      .select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
+    val probes = queries
+      .withColumn("__cells",
+        slice(reverse(array_sort(cellScores(col(emb)))), 1, nProbe))
+      .select(col(id).as("query_id"), col(emb).as("__qv"),
+        explode(col("__cells").getField("cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    assigned.join(probes, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT,
     * via a blocked self-join (no CartesianProduct in the plan).
     *

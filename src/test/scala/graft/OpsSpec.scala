@@ -57,6 +57,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|brute|=${brute.size})")
   }
 
+  test("IVF probes recover most brute-force neighbors; full probing is exact") {
+    val q = embs.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, q, k = 10))
+    // probing ALL cells degenerates to exact search — must match brute
+    val full = pairs(Similarity.ivfTopK(embs, q, k = 10, nCells = 16, nProbe = 16))
+    assert(full == brute)
+    // partial probing keeps useful recall even on an isotropic corpus
+    val partial = pairs(Similarity.ivfTopK(embs, q, k = 10, nCells = 16, nProbe = 8))
+    val recall = (brute & partial).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF nProbe=8/16 recall $recall")
+  }
+
   test("blocked cosine dedup equals naive all-pairs") {
     val blocked = Similarity.cosineDedupPairs(embs, threshold = 0.45)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -13,6 +13,9 @@ import java.nio.file.Files
 case class Bar(symbol: String, Epoch: Long, Open: Double, High: Double,
     Low: Double, Close: Double, Volume: Double)
 
+/** Tick row for the watermarked live-candle tests. */
+case class Tick(symbol: String, Epoch: Long, Price: Double, Size: Double)
+
 /** Downsample-cascade semantics, mirroring the reference's ondiskagg
   * trigger tests (contrib/ondiskagg/aggtrigger): base-TF writes
   * produce/refresh coarser candles; a LATE out-of-order write
@@ -111,6 +114,40 @@ class StreamingSpec extends SparkSpec {
     assert(daily.length == 1)
     assert(daily.head.getAs[Double]("Open") == 10.0) // pre-market bar excluded
     assert(daily.head.getAs[Double]("Volume") == 1.0)
+  }
+
+  test("LiveCandles: watermarked windowed aggregation updates candles and drops too-late rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val candles = graft.streaming.LiveCandles.candles(
+      source.toDF, graft.core.CandleDuration.parse("5Min"), allowedLateness = "5 minutes")
+    val q = candles.writeStream
+      .format("memory").queryName("live_candles").outputMode("update").start()
+    try {
+      source.addData(Tick("AAPL", t0, 10.0, 1.0), Tick("AAPL", t0 + 60, 12.0, 2.0))
+      q.processAllAvailable()
+      // slightly-late tick INSIDE the allowed lateness updates the window
+      source.addData(Tick("AAPL", t0 + 30, 50.0, 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("live_candles")
+        .groupBy("symbol", "Epoch")
+        .agg(org.apache.spark.sql.functions.expr("max_by(High, Volume)").as("High"),
+          org.apache.spark.sql.functions.max("Volume").as("Volume"))
+        .collect()
+      assert(latest.length == 1)
+      assert(latest.head.getAs[Double]("High") == 50.0)
+      assert(latest.head.getAs[Double]("Volume") == 4.0)
+      // advance event time far past the watermark, then send a
+      // hopelessly late tick: state for the old window is gone and the
+      // update stream must NOT revise it
+      source.addData(Tick("AAPL", t0 + 3600, 99.0, 1.0))
+      q.processAllAvailable()
+      val before = spark.table("live_candles").count()
+      source.addData(Tick("AAPL", t0 - 3600, 1000.0, 1.0))
+      q.processAllAvailable()
+      val news = spark.table("live_candles").collect().drop(before.toInt)
+      assert(!news.exists(_.getAs[Double]("High") == 1000.0))
+    } finally q.stop()
   }
 
   test("isMarketOpen matches reference boundary semantics (calendar.go:107-137)") {
