@@ -279,6 +279,53 @@ class CatalogSpec extends SparkSpec {
     assert(ordered.toSeq == ordered.sortBy(identity).toSeq)
   }
 
+  test("multi-year query with limit returns sorted, unduplicated rows (test_bug_duplicated_limit.py)") {
+    for (variable <- Seq(true, false)) {
+      val root = freshRoot()
+      val cat = new BucketCatalog(spark, root)
+      val tbk = TimeBucketKey.parse(s"TQVD/1Min/TICK$variable")
+      val fields = Seq(StructField("Epoch", LongType)) ++
+        (if (variable) Seq(StructField("Nanoseconds", IntegerType)) else Nil) ++
+        Seq(StructField("Ask", FloatType))
+      cat.create(tbk, StructType(fields), isVariable = variable)
+      // 2017-01-01 and 2018-01-01: two year partitions
+      cat.write(tbk, Seq((1483228800L, 10.0f), (1514764800L, 11.0f)).toDF("Epoch", "Ask"))
+      val svc = new QueryService(cat)
+      val res = svc.queryMulti(QueryRequest(destination = tbk.key, limit = Some(2)))
+        .select("Epoch", "Ask").collect()
+      assert(res.map(_.getLong(0)).toSeq == Seq(1483228800L, 1514764800L),
+        s"variable=$variable: rows must be sorted and unduplicated")
+      assert(res.map(_.getFloat(1)).toSeq == Seq(10.0f, 11.0f))
+    }
+  }
+
+  test("ns-precision range bounds don't leak rows under LIMIT (test_leakage_1second_limit.py)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("DEBUG/1Sec/TICK")
+    cat.create(tbk, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("Bid", FloatType), StructField("Ask", FloatType))), isVariable = true)
+    val e = 1546304523L // 2019-01-01 01:02:03
+    cat.write(tbk, Seq((e, 0, 1.0f, 2.0f)).toDF("Epoch", "Nanoseconds", "Bid", "Ask"))
+    cat.write(tbk, Seq((e, 100000000, 3.0f, 4.0f)).toDF("Epoch", "Nanoseconds", "Bid", "Ask"))
+    val svc = new QueryService(cat)
+    // start at .1s, FIRST 1 → must be the .1s tick, not the .0s one
+    val first = svc.queryMulti(QueryRequest(destination = tbk.key,
+      epochStart = e, startNanos = 100000000, limit = Some(1), limitFromStart = true))
+      .collect()
+    assert(first.length == 1)
+    assert(first.head.getAs[Float]("Bid") == 3.0f)
+    assert(first.head.getAs[Int]("Nanoseconds") == 100000000)
+    // end at .0s, LAST 1 → must be the .0s tick, not the .1s one
+    val last = svc.queryMulti(QueryRequest(destination = tbk.key,
+      epochEnd = e, endNanos = 0, limit = Some(1), limitFromStart = false))
+      .collect()
+    assert(last.length == 1)
+    assert(last.head.getAs[Float]("Bid") == 1.0f)
+    assert(last.head.getAs[Int]("Nanoseconds") == 0)
+  }
+
   test("CSV load into a bucket (cmd/connect/session/load.go)") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
