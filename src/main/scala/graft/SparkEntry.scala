@@ -251,6 +251,18 @@ object SparkEntry {
            WHERE Epoch >= '2024-01-15'
            GROUP BY event_type ORDER BY event_type""")
     }),
+    "q_sql_tickcandler" -> ((s, dir) => {
+      // UDA call as the SQL select list (selectrelation.go:466-584)
+      val svc = new graft.sql.SqlService(s)
+      svc.mount("EVENTS/1Sec/RAW", ev(s, dir))
+      svc.sql(
+        """SELECT tickcandler('1D', value, Sum::value) FROM `EVENTS/1Sec/RAW`
+           WHERE event_type = 'purchase' AND Epoch < '2024-01-15'""")
+        .select(col("Epoch").as("epoch"), col("Open").as("open"),
+          col("High").as("high"), col("Low").as("low"), col("Close").as("close"),
+          round(col("value_SUM"), 6).as("value_sum"))
+        .orderBy("epoch")
+    }),
     "q_sql_insert_select" -> ((s, dir) => {
       // INSERT INTO a variable bucket from a SELECT, then read it back
       // through SQL — the reference's insert-into round trip
@@ -532,6 +544,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE epoch_us(ts)*1000 >= 1705276800000000000
          GROUP BY event_type ORDER BY event_type""",
+    "q_sql_tickcandler" ->
+      """SELECT (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+            arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+            min(value) AS low, arg_max(value, epoch_us(ts)) AS close,
+            round(sum(value), 6) AS value_sum
+         FROM events
+         WHERE event_type = 'purchase' AND epoch_us(ts)*1000 < 1705276800000000000
+         GROUP BY 1 ORDER BY 1""",
     "q_sql_insert_select" ->
       """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds, value
          FROM events
