@@ -150,34 +150,36 @@ object SqlService {
   }
 
   private val CmpRe =
-    """(?i)\bEpoch\s*(<=|>=|!=|<>|=|<|>)\s*'([^']+)'""".r
+    """(?i)\b(?:([A-Za-z_]\w*)\s*\.\s*)?Epoch\s*(<=|>=|!=|<>|=|<|>)\s*'([^']+)'""".r
   private val BetweenRe =
-    """(?i)\bEpoch\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'""".r
+    """(?i)\b(?:([A-Za-z_]\w*)\s*\.\s*)?Epoch\s+BETWEEN\s+'([^']+)'\s+AND\s+'([^']+)'""".r
 
   /** Epoch-vs-date-literal comparisons become ns-precision integer
-    * compares: `Epoch op '2024-01-02'` →
-    * `(Epoch*1e9 [+ Nanoseconds]) op <unix_ns>` — exactly the
+    * compares: `[alias.]Epoch op '2024-01-02'` →
+    * `([alias.]Epoch*1e9 [+ Nanoseconds]) op <unix_ns>` — exactly the
     * reference's nanosecond Epoch comparison semantics
     * (selectrelation.go Epoch+Nanoseconds special-casing). Literals
     * that don't parse as dates are left untouched.
     */
   def rewriteDatePredicates(stmt: String, withNanos: Boolean): String = {
-    val epochNs =
-      if (withNanos) "(Epoch * 1000000000 + Nanoseconds)"
-      else "(Epoch * 1000000000)"
+    def epochNs(alias: String): String = {
+      val q = Option(alias).map(a => s"$a.").getOrElse("")
+      if (withNanos) s"(${q}Epoch * 1000000000 + ${q}Nanoseconds)"
+      else s"(${q}Epoch * 1000000000)"
+    }
     val afterBetween = BetweenRe.replaceAllIn(stmt, m => {
-      (parseDateLiteralNs(m.group(1)), parseDateLiteralNs(m.group(2))) match {
+      (parseDateLiteralNs(m.group(2)), parseDateLiteralNs(m.group(3))) match {
         case (Some(lo), Some(hi)) =>
           scala.util.matching.Regex.quoteReplacement(
-            s"$epochNs BETWEEN ${lo}L AND ${hi}L")
+            s"${epochNs(m.group(1))} BETWEEN ${lo}L AND ${hi}L")
         case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
     CmpRe.replaceAllIn(afterBetween, m => {
-      parseDateLiteralNs(m.group(2)) match {
+      parseDateLiteralNs(m.group(3)) match {
         case Some(ns) =>
           scala.util.matching.Regex.quoteReplacement(
-            s"$epochNs ${m.group(1)} ${ns}L")
+            s"${epochNs(m.group(1))} ${m.group(2)} ${ns}L")
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })

@@ -111,6 +111,24 @@ class SqlSpec extends SparkSpec {
     assert(cnt.collect().head.getLong(0) == 120L)
   }
 
+  test("superset: joins and ORDER BY across TBK views (reference rejects both)") {
+    // the reference errors on Join and ORDER BY
+    // (executablestatement.go:194-200, :182-186); Spark SQL executes them
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val tbk2 = TimeBucketKey.parse("AAPL/1Min/SIGNAL")
+    cat.create(tbk2, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Score", DoubleType))), isVariable = false)
+    cat.write(tbk2, Seq((t0, 0.9), (t0 + 60, 0.1)).toDF("Epoch", "Score"))
+    val rows = svc.sql(
+      """SELECT b.Epoch, b.Open, s.Score
+         FROM `AAPL/1Min/OHLCV` b JOIN `AAPL/1Min/SIGNAL` s ON b.Epoch = s.Epoch
+         WHERE b.Epoch >= '2000-01-05'
+         ORDER BY s.Score DESC""").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[Double]("Score") == 0.9)
+    assert(rows.head.getAs[Double]("Open") == 10.0)
+  }
+
   test("unknown table errors (all_test.go TestStatementErrors)") {
     val (_, svc) = freshCatalog()
     intercept[Exception] {
