@@ -285,7 +285,93 @@ object SparkEntry {
         """SELECT Epoch AS epoch, Nanoseconds AS nanoseconds, value
            FROM `PURCH/1Sec/VALS` ORDER BY epoch, nanoseconds""")
     })
-  ) ++ opsQueries
+  ) ++ roundTripQueries ++ opsQueries
+
+  /** Write-path round trips (write → mutate → read-back), oracle-gated
+    * against the equivalent pure-SELECT over the source table — the
+    * reference treats these as first-class integ tests
+    * (tests/integ/tests/test_coerce_column.py, test_query_limits.py,
+    * executor/delete.go semantics).
+    */
+  private def roundTripQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.catalog.BucketCatalog
+    import graft.core.TimeBucketKey
+    import org.apache.spark.sql.types._
+
+    def tmpCatalog(s: SparkSession, tag: String): BucketCatalog =
+      new BucketCatalog(s, java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+
+    def purchCols(s: SparkSession, dir: String): DataFrame =
+      purchases(s, dir).select(col("Epoch"), col("Nanoseconds"), col("value"), col("event_id"))
+
+    def readBack(cat: BucketCatalog, tbk: TimeBucketKey): DataFrame =
+      cat.read(tbk).select(
+        col("Epoch").as("epoch"), col("Nanoseconds").cast("long").as("nanoseconds"),
+        col("value"), col("event_id"))
+        .orderBy("epoch", "nanoseconds")
+
+    Map[String, (SparkSession, String) => DataFrame](
+      // write → ns-range delete → read back (executor/delete.go:15-130)
+      "q_roundtrip_delete" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "del")
+        val tbk = TimeBucketKey.parse("PURCH/1Sec/RT")
+        cat.write(tbk, purchCols(s, dir))
+        cat.deleteRange(tbk, T1, 0, T2 - 1)
+        readBack(cat, tbk)
+      }),
+      // write → trim-from-date → read back (cmd/connect/session/trim.go)
+      "q_roundtrip_trim" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "trim")
+        val tbk = TimeBucketKey.parse("PURCH/1Sec/RT")
+        cat.write(tbk, purchCols(s, dir))
+        cat.trim(tbk, T2)
+        readBack(cat, tbk)
+      }),
+      // declared-schema write coercion: double→f4, long→i4, a declared
+      // column missing from the batch null-filled
+      // (utils/io/coercecolumn.go:19-130, test_coerce_column.py)
+      "q_roundtrip_coerce" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "co")
+        val tbk = TimeBucketKey.parse("PURCH/1Sec/CO")
+        cat.create(tbk, StructType(Seq(
+          StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+          StructField("value", FloatType), StructField("event_id", IntegerType),
+          StructField("extra", DoubleType))), isVariable = true)
+        cat.write(tbk, purchCols(s, dir))
+        cat.read(tbk).select(
+          col("Epoch").as("epoch"), col("Nanoseconds").cast("long").as("nanoseconds"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("long").as("event_id"), col("extra"))
+          .orderBy("epoch", "nanoseconds")
+      }),
+      // CSV dump → \load → read back (cmd/connect/loader/utils.go)
+      "q_roundtrip_csv" -> ((s, dir) => {
+        val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/data"
+        purchCols(s, dir).coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(csvDir)
+        val cat = tmpCatalog(s, "csv")
+        val tbk = TimeBucketKey.parse("PURCH/1Sec/CSV")
+        graft.sources.CsvLoader.load(s, cat, tbk, csvDir)
+        readBack(cat, tbk)
+      }),
+      // multi-symbol wildcard LAST-n through the query API — one
+      // isin-pruned scan, per-symbol window limit
+      // (frontend/query.go:21-47, test_query_limits.py shapes)
+      "q_queryservice_lastn" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "qs")
+        cat.writeMulti("EV", "1Sec", ev(s, dir).select(
+          col("event_type").as("symbol"), col("Epoch"), col("Nanoseconds"),
+          col("value"), col("event_id")))
+        val qs = new graft.api.QueryService(cat)
+        qs.queryMulti(graft.api.QueryRequest("*/1Sec/EV",
+            columns = Seq("value", "event_id"),
+            limit = Some(10), limitFromStart = false))
+          .select(col("symbol"), col("Epoch").as("epoch"),
+            col("Nanoseconds").cast("long").as("nanoseconds"),
+            col("value"), col("event_id"))
+          .orderBy("symbol", "epoch", "nanoseconds")
+      }))
+  }
 
   /** LLM-data-pipeline operators (BASELINE.json north star): text
     * analysis, dedup family, similarity search, multimodal plumbing.
@@ -557,7 +643,45 @@ object SparkEntry {
          FROM events
          WHERE event_type = 'purchase' AND epoch_us(ts)*1000 < 1705708800000000000
          ORDER BY epoch, nanoseconds"""
-  ) ++ opsOracleSql
+  ) ++ roundTripOracleSql ++ opsOracleSql
+
+  /** Round-trip oracles: the write→mutate→read-back pipelines above
+    * must equal these pure SELECTs over the source events table.
+    */
+  private def roundTripOracleSql: Map[String, String] = Map(
+    "q_roundtrip_delete" ->
+      s"""SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            value, event_id
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_us(ts)//1000000 NOT BETWEEN $T1 AND ${T2 - 1}
+          ORDER BY epoch, nanoseconds""",
+    "q_roundtrip_trim" ->
+      s"""SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            value, event_id
+          FROM events
+          WHERE event_type = 'purchase' AND epoch_us(ts)//1000000 < $T2
+          ORDER BY epoch, nanoseconds""",
+    "q_roundtrip_coerce" ->
+      """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            CAST(CAST(value AS FLOAT) AS DOUBLE) AS value,
+            CAST(event_id AS INTEGER)::BIGINT AS event_id,
+            CAST(NULL AS DOUBLE) AS extra
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY epoch, nanoseconds""",
+    "q_roundtrip_csv" ->
+      """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            value, event_id
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY epoch, nanoseconds""",
+    "q_queryservice_lastn" ->
+      """WITH e AS (SELECT event_type AS symbol, epoch_us(ts) AS tsu, value, event_id FROM events),
+         r AS (SELECT symbol, tsu, value, event_id,
+                 row_number() OVER (PARTITION BY symbol ORDER BY tsu DESC) AS rk
+               FROM e)
+         SELECT symbol, tsu//1000000 AS epoch, (tsu%1000000)*1000 AS nanoseconds, value, event_id
+         FROM r WHERE rk <= 10 ORDER BY symbol, epoch, nanoseconds"""
+  )
 
   // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_knn_ivf are
   // intentionally oracle-free (xxhash64 signatures are engine-specific;

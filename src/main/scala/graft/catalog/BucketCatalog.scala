@@ -63,6 +63,13 @@ class BucketCatalog(spark: SparkSession, root: String) {
   /** Upsert a batch of rows for one bucket. df must carry Epoch (long
     * seconds) + payload columns (+ Nanoseconds for variable buckets —
     * auto-added as 0 otherwise, matching utils/io/rowseries.go:176-181).
+    *
+    * Callers wanting a written-row count without a second execution
+    * attach an `Observation` to `df` BEFORE calling (see
+    * SqlService.insert) — the CollectMetrics node rides the write job.
+    * The catalog itself stays observation-free: `Observation.get`
+    * deadlocks on the stream-execution thread (foreachBatch), which is
+    * exactly where the downsample cascade calls [[writeMulti]].
     */
   def write(tbk: TimeBucketKey, df: DataFrame): Unit =
     writeMulti(tbk.attGroup, tbk.timeframe, df.withColumn("symbol", lit(tbk.symbol)))
@@ -127,41 +134,56 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val existing = readAg(attGroup)
     existing match {
       case Some(old) =>
-        // Stage-and-swap: the merge READS the live partitions, so the
-        // merged output is first fully materialized into a staging
-        // directory, then swapped in per partition. A dynamic
-        // overwrite of the path being read would lose the touched
-        // partitions on a mid-write crash (the reference guards this
-        // window with its WAL, executor/wal.go); after staging, the
-        // only non-atomic window left is the per-partition rename
-        // loop below — each individual partition swap is a single
-        // filesystem rename.
         val affected = keyed.select("symbol", "timeframe", "year").distinct()
         val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
         val merged = TimeSeries.unionKeepLast(
           oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
-        val staging = new Path(root, s".staging_${attGroup}_${System.nanoTime()}")
-        merged.write.mode("overwrite")
-          .partitionBy("symbol", "timeframe", "year")
-          .parquet(staging.toString)
-        try {
-          for {
-            symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
-            tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
-            yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
-          } {
-            val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
-            val target = new Path(path, rel)
-            if (fs.exists(target)) fs.delete(target, true)
-            fs.mkdirs(target.getParent)
-            fs.rename(yearDir.getPath, target)
-          }
-        } finally fs.delete(staging, true)
+        stageSwap(merged, attGroup)
       case None =>
         keyed.write.mode("append")
           .partitionBy("symbol", "timeframe", "year")
           .parquet(path)
     }
+  }
+
+  /** Stage-and-swap commit shared by every path that rewrites live
+    * partitions it is simultaneously reading (merge upserts, range
+    * deletes): materialize `df` fully into a staging directory, then
+    * swap each staged (symbol, timeframe, year) partition into the
+    * live tree. A dynamic overwrite of the path being read would lose
+    * the touched partitions on a mid-write crash — the reference
+    * guards this exact window with its WAL (executor/wal.go:29-45);
+    * after staging, the only non-atomic window left is the rename
+    * loop, each step of which is a single filesystem rename.
+    * Partitions in `clearIfUnstaged` that produced no staged output
+    * are deleted (a rewrite that emptied them).
+    */
+  private def stageSwap(df: DataFrame, attGroup: String,
+      clearIfUnstaged: Seq[String] = Nil): Unit = {
+    val path = agPath(attGroup)
+    val staging = new Path(root, s".staging_${attGroup}_${System.nanoTime()}")
+    df.write.mode("overwrite")
+      .partitionBy("symbol", "timeframe", "year")
+      .parquet(staging.toString)
+    try {
+      val staged = scala.collection.mutable.Set[String]()
+      for {
+        symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
+        tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
+        yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
+      } {
+        val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
+        staged += rel
+        val target = new Path(path, rel)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.mkdirs(target.getParent)
+        fs.rename(yearDir.getPath, target)
+      }
+      clearIfUnstaged.filterNot(staged).foreach { rel =>
+        val p = new Path(path, rel)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    } finally fs.delete(staging, true)
   }
 
   private def readAg(attGroup: String): Option[DataFrame] = {
@@ -227,8 +249,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   /** Delete rows of one bucket inside an inclusive ns-precision epoch
     * range (reference range delete, executor/delete.go:15-130). Only
-    * the year partitions the range touches are rewritten; partitions
-    * left empty are removed.
+    * the year partitions the range touches are rewritten, through the
+    * same [[stageSwap]] commit as the upsert path (no self-overwrite
+    * crash window); partitions left empty are removed.
     */
   def deleteRange(
       tbk: TimeBucketKey,
@@ -245,18 +268,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
       .select("year").distinct().collect().map(_.getInt(0))
     if (touchedYears.isEmpty) return
     val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
-    val keptYears = keep.select("year").distinct().collect().map(_.getInt(0)).toSet
-    if (keptYears.nonEmpty)
-      keep.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("symbol", "timeframe", "year")
-        .parquet(agPath(tbk.attGroup))
-    // dynamic overwrite can't clear a partition with zero output rows
-    touchedYears.filterNot(keptYears).foreach { y =>
-      val p = new Path(agPath(tbk.attGroup),
-        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    stageSwap(keep, tbk.attGroup,
+      clearIfUnstaged = touchedYears.toSeq.map(y =>
+        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y"))
   }
 
   /** Zero all data on/after a date (CLI trim,

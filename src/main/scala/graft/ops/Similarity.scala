@@ -76,17 +76,21 @@ object Similarity {
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
     * scores candidates sharing ≥1 band bucket with the query.
     *
-    * Default banding (32 bands × 4 bits) targets ≥ 0.99 recall down
-    * to cosine ≈ 0.35 — the regime of a smooth random-embedding
-    * corpus, where neighbors are weak and high-bit bands would miss
-    * them (recall measured against brute force in OpsSpec). Corpora
-    * with true near-dups (cosine ≥ 0.8) should raise rowsPerBand
-    * (e.g. 8–16) to shrink buckets: collision probability p^r with
-    * p = 1 − θ/π stays high for near-dups while pruning hard.
+    * Default banding (16 bands × 8 bits) targets the near-dup regime
+    * LSH is for — neighbors at cosine ≥ ~0.8, where the per-band
+    * collision probability p^r (p = 1 − θ/π) stays high while random
+    * pairs (p ≈ 0.5) collide in ≥1 band with probability only
+    * 1−(1−2⁻⁸)¹⁶ ≈ 6%, so the candidate join prunes hard. Low-bit
+    * banding (e.g. 32×4) trades that pruning for recall on corpora
+    * whose "neighbors" are weak (cosine ≈ 0.35, isotropic random
+    * embeddings): there random pairs collide at ~87% and the
+    * candidate set degenerates toward all-pairs — pass it explicitly
+    * when that regime is really wanted (OpsSpec's isotropic recall
+    * check does).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      bands: Int = 32, rowsPerBand: Int = 4, dim: Int = 64,
+      bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
       id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands, rowsPerBand, dim, seed)
     def signatures(df: DataFrame, idAs: String): DataFrame = {

@@ -36,8 +36,10 @@ object CsvLoader {
       case None =>
         raw.withColumn(Uda.EpochCol, col(timeColumn).cast("long"))
     }
-    val n = withEpoch.count()
-    catalog.write(tbk, withEpoch)
-    n
+    // loaded-row count observed on the write job itself — one
+    // execution, no second pass (batch context, so Observation is safe)
+    val obs = org.apache.spark.sql.Observation()
+    catalog.write(tbk, withEpoch.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
   }
 }

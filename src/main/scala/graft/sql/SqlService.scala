@@ -3,6 +3,7 @@ package graft.sql
 import graft.catalog.BucketCatalog
 import graft.core.TimeBucketKey
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import java.time.{LocalDate, LocalDateTime, ZoneOffset, ZonedDateTime}
 import java.time.format.DateTimeFormatter
 import scala.collection.mutable
@@ -90,9 +91,16 @@ class SqlService(spark: SparkSession, catalog: Option[BucketCatalog] = None) {
       case InsertRe(tbkStr, select) =>
         val cat = catalog.getOrElse(
           throw new IllegalArgumentException("INSERT requires a BucketCatalog"))
-        val result = spark.sql(rewrite(select))
+        // rows inserted = rows the SELECT produced, observed on the
+        // write job itself (CollectMetrics rides the plan into the
+        // catalog's staging write) — the SELECT executes exactly once.
+        // Safe here: INSERT runs on a user thread, where the batch
+        // QueryExecutionListener backing Observation fires.
+        val obs = org.apache.spark.sql.Observation()
+        val result = spark.sql(rewrite(select)).observe(obs, count(lit(1)).as("rows"))
         cat.write(TimeBucketKey.parse(tbkStr), result)
-        Seq(result.count()).toDF("inserted")
+        val n = obs.get("rows").asInstanceOf[Long]
+        Seq(n).toDF("inserted")
       case _ =>
         throw new IllegalArgumentException(s"unsupported INSERT statement: $stmt")
     }

@@ -46,15 +46,38 @@ class OpsSpec extends SparkSpec {
     assert(banded == brute, s"banded=$banded brute=$brute")
   }
 
-  test("LSH top-k recall >= 0.9 vs brute-force cosine") {
+  test("LSH top-k recall >= 0.9 vs brute-force cosine (isotropic banding)") {
     val q = embs.filter(col("vec_id") < 5)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(Similarity.bruteForceTopK(embs, q, k = 10))
-    val lsh = pairs(Similarity.lshTopK(embs, q, k = 10))
+    // this corpus is isotropic (neighbors at cosine ≈ 0.35-0.5), the
+    // regime that needs low-bit bands — passed explicitly; the default
+    // is tuned for near-dups and is checked in the next test
+    val lsh = pairs(Similarity.lshTopK(embs, q, k = 10, bands = 32, rowsPerBand = 4))
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|brute|=${brute.size})")
+  }
+
+  test("LSH default banding finds planted near-dups and prunes hard") {
+    // plant exact twins: copies of the first 5 vectors under new ids —
+    // the near-dup regime (cosine = 1.0) the default banding targets
+    val twins = embs.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(twins)
+    val q = embs.filter(col("vec_id") < 5)
+    val top1 = Similarity.lshTopK(corpus, q, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(top1.get(i).contains(i + 100000),
+        s"default-banded LSH should return the planted twin for query $i, got ${top1.get(i)}")
+    }
+    // pruning: candidate pairs scored must be well under all-pairs
+    val scored = Similarity.lshTopK(corpus, q, k = Int.MaxValue).count()
+    val allPairs = 5L * (corpus.count() - 1)
+    assert(scored < allPairs / 4,
+      s"default banding scored $scored of $allPairs possible pairs — not pruning")
   }
 
   test("IVF probes recover most brute-force neighbors; full probing is exact") {
