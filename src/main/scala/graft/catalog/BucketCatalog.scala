@@ -222,6 +222,28 @@ class BucketCatalog(spark: SparkSession, root: String) {
       .filter(_.startsWith("symbol=")).map(_.stripPrefix("symbol=")).sorted
   }
 
+  /** Attribute groups present under the catalog root (directory walk,
+    * no data scan) — the wire front's ListSymbols/GetInfo enumerate
+    * across groups like the reference's catalog descent
+    * (catalog/catalog.go:18-116).
+    */
+  def listAttGroups(): Seq[String] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, MetaFile)))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Most recent year partition of one bucket (GetInfo's LatestYear). */
+  def latestYear(tbk: TimeBucketKey): Option[Int] = {
+    val p = new Path(agPath(tbk.attGroup),
+      s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("year=")).map(_.stripPrefix("year=").toInt).maxOption
+  }
+
   def listTimeframes(attGroup: String, symbol: String): Seq[String] = {
     val p = new Path(agPath(attGroup), s"symbol=$symbol")
     if (!fs.exists(p)) Nil

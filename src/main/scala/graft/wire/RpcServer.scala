@@ -1,0 +1,322 @@
+package graft.wire
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.api.{NumpyTypes, QueryRequest, QueryService, ServerInfo}
+import graft.catalog.BucketCatalog
+import graft.core.{CandleDuration, TimeBucketKey}
+import graft.sql.SqlService
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.net.InetSocketAddress
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** JSON-RPC 2.0 server on `POST /rpc`, speaking both
+  * `application/x-msgpack` (utils/rpc/msgpack2/server.go:24-60) and
+  * `application/json` — the reference's wire surface
+  * (frontend/server.go:66-85), so a pymarketstore-style client's
+  * Query/Write/Create/Destroy/ListSymbols/GetInfo round-trips work
+  * against this engine unchanged.
+  *
+  * The HTTP layer is the JDK's built-in server: the RPC front is a
+  * control-plane fan-in (requests are row-bounded by LIMIT/range;
+  * heavy lifting stays in Spark jobs), so no server framework is
+  * warranted. Method dispatch mirrors frontend/query.go:91-116 and
+  * frontend/write.go:36-51,70-128,152-210.
+  */
+class RpcServer(
+    spark: SparkSession,
+    catalog: BucketCatalog,
+    port: Int = 5993,
+    timezone: String = "UTC") {
+
+  private val queryService = new QueryService(catalog)
+  private val sqlService = new SqlService(spark, Some(catalog))
+  private val json = new ObjectMapper()
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  http.createContext("/rpc", new Handler)
+  http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  def start(): Unit = http.start()
+  def stop(): Unit = http.stop(0)
+  def boundPort: Int = http.getAddress.getPort
+
+  private final class Handler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val isMsgpack = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .forall(_.toLowerCase.contains("msgpack"))
+      val body = ex.getRequestBody.readAllBytes()
+      val req =
+        try {
+          if (isMsgpack) MsgPack.decode(body).asInstanceOf[Map[Any, Any]]
+          else fromJava(json.readValue(body, classOf[Object])).asInstanceOf[Map[Any, Any]]
+        } catch { case NonFatal(_) => Map.empty[Any, Any] }
+      val id = req.getOrElse("id", null)
+      val response: Map[String, Any] =
+        try {
+          val method = req.getOrElse("method", "").toString
+          val params = req.getOrElse("params", Map.empty[Any, Any]) match {
+            case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Map[Any, Any]]
+            case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]]
+            case _ => Map.empty[Any, Any]
+          }
+          Map("jsonrpc" -> "2.0", "result" -> dispatch(method, params), "id" -> id)
+        } catch {
+          case NonFatal(e) =>
+            Map("jsonrpc" -> "2.0", "id" -> id,
+              "error" -> Map("code" -> -32000L,
+                "message" -> Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      val out =
+        if (isMsgpack) MsgPack.encode(response)
+        else json.writeValueAsBytes(toJava(response))
+      ex.getResponseHeaders.set("Content-Type",
+        if (isMsgpack) "application/x-msgpack" else "application/json")
+      ex.getResponseHeaders.set("marketstore-version", ServerInfo.Version)
+      ex.sendResponseHeaders(200, out.length.toLong)
+      ex.getResponseBody.write(out)
+      ex.close()
+    }
+  }
+
+  // ------------------------------------------------------------- dispatch
+
+  private def dispatch(method: String, params: Map[Any, Any]): Any = method match {
+    case "DataService.Query" => queryEndpoint(params)
+    case "DataService.Write" => writeEndpoint(params)
+    case "DataService.Create" => createEndpoint(params)
+    case "DataService.Destroy" => destroyEndpoint(params)
+    case "DataService.ListSymbols" => listSymbolsEndpoint(params)
+    case "DataService.GetInfo" => getInfoEndpoint(params)
+    case other => throw new IllegalArgumentException(s"rpc: unknown method '$other'")
+  }
+
+  private def requests(params: Map[Any, Any]): Seq[Map[Any, Any]] =
+    params.getOrElse("requests", Vector.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[Any, Any]])
+
+  private def str(m: Map[Any, Any], k: String): Option[String] =
+    m.get(k).collect { case s if s != null => s.toString }
+  private def lng(m: Map[Any, Any], k: String): Option[Long] =
+    m.get(k).collect { case n: Long => n; case n: Int => n.toLong; case d: Double => d.toLong }
+  private def bool(m: Map[Any, Any], k: String): Boolean =
+    m.get(k).contains(true)
+
+  /** frontend/query.go:91-116: each request is either a query-API call
+    * or a SQL statement; responses are NumpyMultiDatasets.
+    */
+  private def queryEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val responses = requests(params).map { r =>
+      val df =
+        if (bool(r, "is_sqlstatement")) sqlService.sql(str(r, "sql_statement").get)
+        else {
+          val dest = str(r, "destination").getOrElse(
+            throw new IllegalArgumentException("query: destination required"))
+          queryService.queryMulti(QueryRequest(
+            destination = dest,
+            epochStart = lng(r, "epoch_start").getOrElse(0L),
+            startNanos = lng(r, "epoch_start_nanos").getOrElse(0L).toInt,
+            epochEnd = lng(r, "epoch_end").getOrElse(Long.MaxValue),
+            endNanos = lng(r, "epoch_end_nanos").getOrElse(999999999L).toInt,
+            columns = r.getOrElse("columns", Vector.empty).asInstanceOf[Seq[Any]].map(_.toString),
+            limit = lng(r, "limit_record_count").map(_.toInt),
+            limitFromStart = bool(r, "limit_from_start"),
+            functions = r.getOrElse("functions", Vector.empty).asInstanceOf[Seq[Any]].map(_.toString)))
+        }
+      val tbkOfSymbol: String => String =
+        if (bool(r, "is_sqlstatement")) _ => str(r, "sql_statement").get + ":SQL"
+        else {
+          val proto = TimeBucketKey.parse(str(r, "destination").get)
+          sym => s"$sym/${proto.timeframe}/${proto.attGroup}"
+        }
+      Map("result" -> toNumpyMulti(df, tbkOfSymbol))
+    }
+    Map("responses" -> responses,
+      "version" -> ServerInfo.Version, "timezone" -> timezone)
+  }
+
+  /** One collected payload: rows grouped per symbol (contiguous spans,
+    * numpy.go:133-156). Frames without a symbol column (SQL results)
+    * become a single span.
+    */
+  private def toNumpyMulti(df0: DataFrame, tbkOf: String => String): Map[String, Any] = {
+    val hasSymbol = df0.columns.contains("symbol")
+    // wire dtypes are fixed-width: widen whatever the frame carries
+    val df = {
+      val casted = df0.schema.fields.map { f =>
+        f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType |
+               FloatType | DoubleType | StringType => col(f.name)
+          case BooleanType => col(f.name).cast("byte").as(f.name)
+          case _: DecimalType => col(f.name).cast("double").as(f.name)
+          case TimestampType => unix_micros(col(f.name)).as(f.name)
+          case other =>
+            throw new IllegalArgumentException(s"wire: unsupported column type $other (${f.name})")
+        }
+      }
+      df0.select(casted.toSeq: _*)
+    }
+    val rows = df.collect().toSeq
+    val (schema, groups) =
+      if (hasSymbol) {
+        val i = df.schema.fieldIndex("symbol")
+        val dataSchema = StructType(df.schema.fields.toSeq.filterNot(_.name == "symbol"))
+        val grouped = rows.groupBy(_.getString(i)).toSeq.sortBy(_._1).map { case (sym, rs) =>
+          tbkOf(sym) -> rs.map(r =>
+            Row.fromSeq(r.toSeq.zipWithIndex.collect { case (v, j) if j != i => v }))
+        }
+        (dataSchema, grouped)
+      } else (df.schema, Seq(tbkOf("") -> rows))
+    NumpyCodec.encode(schema, groups)
+  }
+
+  /** frontend/write.go:36-51: decode each dataset and upsert per TBK.
+    * All of one request's buckets go through catalog writes; the
+    * variable flag creates missing buckets with the right record type.
+    */
+  private def writeEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val responses = requests(params).map { r =>
+      try {
+        val ds = r.getOrElse("dataset",
+          throw new IllegalArgumentException("write: dataset required")).asInstanceOf[Map[Any, Any]]
+        val variable = bool(r, "is_variable_length")
+        val (schema, groups) = NumpyCodec.decode(ds)
+        groups.foreach { case (tbkStr, rows) =>
+          val tbk = TimeBucketKey.parse(tbkStr)
+          catalog.create(tbk, schema, variable)
+          val df = spark.createDataFrame(rows.asJava, schema)
+          catalog.write(tbk, df)
+        }
+        Map("error" -> "", "version" -> ServerInfo.Version)
+      } catch {
+        case NonFatal(e) =>
+          Map("error" -> Option(e.getMessage).getOrElse("write failed"),
+            "version" -> ServerInfo.Version)
+      }
+    }
+    Map("responses" -> responses)
+  }
+
+  /** frontend/write.go:70-128: bucket creation from wire dtypes.
+    * Key format "SYM/1Min/OHLC:Symbol/Timeframe/AttributeGroup".
+    */
+  private def createEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val responses = requests(params).map { r =>
+      try {
+        val key = str(r, "key").getOrElse(
+          throw new IllegalArgumentException("create: key required"))
+        val tbk = TimeBucketKey.parse(key.split(":")(0))
+        val names = r.getOrElse("column_names", Vector.empty).asInstanceOf[Seq[Any]].map(_.toString)
+        val types = r.getOrElse("column_types", Vector.empty).asInstanceOf[Seq[Any]].map(_.toString)
+        val declared = NumpyCodec.schemaOf(names, types)
+        val withEpoch =
+          if (declared.fieldNames.contains("Epoch")) declared
+          else StructType(StructField("Epoch", LongType) +: declared.fields)
+        catalog.create(tbk, withEpoch, bool(r, "is_variable_length"))
+        Map("error" -> "", "version" -> ServerInfo.Version)
+      } catch {
+        case NonFatal(e) =>
+          Map("error" -> Option(e.getMessage).getOrElse("create failed"),
+            "version" -> ServerInfo.Version)
+      }
+    }
+    Map("responses" -> responses)
+  }
+
+  /** frontend/write.go:182-210. */
+  private def destroyEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val responses = requests(params).map { r =>
+      try {
+        val key = str(r, "key").getOrElse(
+          throw new IllegalArgumentException("destroy: key required"))
+        catalog.destroy(TimeBucketKey.parse(key.split(":")(0)))
+        Map("error" -> "", "version" -> ServerInfo.Version)
+      } catch {
+        case NonFatal(e) =>
+          Map("error" -> Option(e.getMessage).getOrElse("destroy failed"),
+            "version" -> ServerInfo.Version)
+      }
+    }
+    Map("responses" -> responses)
+  }
+
+  /** frontend/query.go:264-288: "symbol" (default) or "tbk" format. */
+  private def listSymbolsEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val format = str(params, "format").getOrElse("symbol")
+    val ags = catalog.listAttGroups()
+    val results: Seq[String] =
+      if (format == "tbk")
+        for {
+          ag <- ags; sym <- catalog.listSymbols(ag)
+          tf <- catalog.listTimeframes(ag, sym)
+        } yield s"$sym/$tf/$ag"
+      else ags.flatMap(catalog.listSymbols).distinct.sorted
+    Map("Results" -> results)
+  }
+
+  /** frontend/write.go:139-179: per-key schema/record-type info.
+    * TimeFrame rides as duration nanos (Go time.Duration), Type ints
+    * use the reference enum (datatypes.go:41-57), RecordType 0=fixed
+    * 1=variable.
+    */
+  private def getInfoEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    val responses = requests(params).map { r =>
+      try {
+        val key = str(r, "key").getOrElse(
+          throw new IllegalArgumentException("getinfo: key required"))
+        val tbk = TimeBucketKey.parse(key.split(":")(0))
+        val (schema, variable) = catalog.getInfo(tbk.attGroup)
+        val tfNanos = CandleDuration.parse(tbk.timeframe).approxSeconds * 1000000000L
+        Map(
+          "LatestYear" -> catalog.latestYear(tbk).getOrElse(0).toLong,
+          "TimeFrame" -> tfNanos,
+          "DSV" -> schema.fields.toSeq.map(f => Map(
+            "Name" -> f.name,
+            "Type" -> RpcServer.elementTypeEnum(NumpyTypes.fieldToTypeStr(f)))),
+          "RecordType" -> (if (variable) 1L else 0L),
+          "ServerResp" -> Map("error" -> "", "version" -> ServerInfo.Version))
+      } catch {
+        case NonFatal(e) =>
+          Map("LatestYear" -> 0L, "TimeFrame" -> 0L, "DSV" -> Vector.empty,
+            "RecordType" -> 2L, // NOTYPE
+            "ServerResp" -> Map(
+              "error" -> Option(e.getMessage).getOrElse("getinfo failed"),
+              "version" -> ServerInfo.Version))
+      }
+    }
+    Map("responses" -> responses)
+  }
+
+  // ------------------------------------------------ JSON <-> plain values
+
+  private def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, value) => (k: Any) -> fromJava(value) }.toMap
+    case l: java.util.List[_] => l.asScala.toVector.map(fromJava)
+    case i: java.lang.Integer => i.longValue()
+    case other => other
+  }
+
+  private def toJava(v: Any): Any = v match {
+    case m: scala.collection.Map[_, _] =>
+      val out = new java.util.LinkedHashMap[String, Any]()
+      m.foreach { case (k, value) => out.put(k.toString, toJava(value)) }
+      out
+    case s: scala.collection.Seq[_] => s.map(toJava).asJava
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case other => other
+  }
+}
+
+object RpcServer {
+  /** numpy dtype string → reference EnumElementType ordinal
+    * (utils/io/datatypes.go:41-57).
+    */
+  val elementTypeEnum: Map[String, Long] = Map(
+    "f4" -> 0L, "i4" -> 1L, "f8" -> 2L, "i8" -> 3L, "i1" -> 5L,
+    "i2" -> 9L, "u1" -> 10L, "u2" -> 11L, "u4" -> 12L, "u8" -> 13L,
+    "U16" -> 14L)
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.catalog.BucketCatalog
+import graft.wire.{MsgPack, NumpyCodec, RpcServer}
+import org.apache.spark.sql.types._
+import java.net.{HttpURLConnection, URL}
+
+/** Wire-protocol integration: a real HTTP round trip through the
+  * JSON-RPC/msgpack `/rpc` front — Create → Write → Query (range +
+  * limit, mirroring tests/integ/tests/test_grpc_compat.py:66 shapes) →
+  * ListSymbols → GetInfo → Destroy, all msgpack-encoded on the socket.
+  */
+class WireSpec extends SparkSpec {
+
+  private def rpc(port: Int, method: String, params: Map[String, Any]): Map[Any, Any] = {
+    val req = Map("jsonrpc" -> "2.0", "method" -> method,
+      "params" -> Seq(params), "id" -> 1L)
+    val conn = new URL(s"http://127.0.0.1:$port/rpc")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-msgpack")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(MsgPack.encode(req))
+    val bytes = conn.getInputStream.readAllBytes()
+    val resp = MsgPack.decode(bytes).asInstanceOf[Map[Any, Any]]
+    assert(resp("jsonrpc") == "2.0" && resp("id") == 1L)
+    resp.get("error").foreach(e => fail(s"rpc error: $e"))
+    resp("result").asInstanceOf[Map[Any, Any]]
+  }
+
+  test("msgpack codec round-trips the protocol value shapes") {
+    val v = Map(
+      "s" -> "hello", "neg" -> -5L, "big" -> 1590000000000L,
+      "f" -> 3.5, "t" -> true, "n" -> null,
+      "bin" -> Array[Byte](1, 2, -3),
+      "arr" -> Vector(1L, "two", Vector(3L)),
+      "m" -> Map("k" -> 127L, "j" -> -32L),
+      "longstr" -> ("x" * 300))
+    val back = MsgPack.decode(MsgPack.encode(v)).asInstanceOf[Map[Any, Any]]
+    assert(back("s") == "hello" && back("neg") == -5L && back("big") == 1590000000000L)
+    assert(back("f") == 3.5 && back("t") == true && back("n") == null)
+    assert(back("bin").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, -3))
+    assert(back("arr") == Vector(1L, "two", Vector(3L)))
+    assert(back("m") == Map("k" -> 127L, "j" -> -32L))
+    assert(back("longstr") == "x" * 300)
+  }
+
+  test("rpc server: create/write/query/list/getinfo/destroy over a socket") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wire").toString
+    val cat = new BucketCatalog(spark, root)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+
+      // ---- Create (frontend/write.go:70-128 key format)
+      val created = rpc(port, "DataService.Create", Map("requests" -> Seq(Map(
+        "key" -> "AAPL/1Min/OHLC:Symbol/Timeframe/AttributeGroup",
+        "column_names" -> Seq("Epoch", "Open", "Close", "Note"),
+        "column_types" -> Seq("i8", "f4", "f8", "U16"),
+        "is_variable_length" -> false))))
+      assert(created("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("error") == "")
+
+      // ---- Write two symbols in one NumpyMultiDataset
+      val t0 = 1590000000L
+      val schema = StructType(Seq(
+        StructField("Epoch", LongType), StructField("Open", FloatType),
+        StructField("Close", DoubleType), StructField("Note", StringType)))
+      def rows(base: Double) = (0 until 20).map(i =>
+        org.apache.spark.sql.Row(t0 + 60L * i, (base + i).toFloat, base + i + 0.5, s"n$i"))
+      val ds = NumpyCodec.encode(schema, Seq(
+        "AAPL/1Min/OHLC" -> rows(100.0), "TSLA/1Min/OHLC" -> rows(700.0)))
+      val written = rpc(port, "DataService.Write", Map("requests" -> Seq(Map(
+        "dataset" -> ds, "is_variable_length" -> false))))
+      assert(written("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("error") == "")
+
+      // ---- Query with range + LAST-limit (test_grpc_compat.py range cases)
+      val q = rpc(port, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "AAPL,TSLA/1Min/OHLC",
+        "epoch_start" -> (t0 + 5 * 60L), "epoch_end" -> (t0 + 15 * 60L),
+        "limit_record_count" -> 3L, "limit_from_start" -> false))))
+      assert(q("version") == graft.api.ServerInfo.Version)
+      val result = q("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("result").asInstanceOf[Map[Any, Any]]
+      val (rSchema, groups) = NumpyCodec.decode(result)
+      assert(rSchema.fieldNames.toSeq == Seq("Epoch", "Open", "Close", "Note"))
+      val byTbk = groups.toMap
+      assert(byTbk.keySet == Set("AAPL/1Min/OHLC", "TSLA/1Min/OHLC"))
+      // LAST 3 inside [t0+300, t0+900]: minutes 13, 14, 15
+      val aapl = byTbk("AAPL/1Min/OHLC")
+      assert(aapl.map(_.getLong(0)) == Seq(t0 + 13 * 60L, t0 + 14 * 60L, t0 + 15 * 60L))
+      assert(aapl.last.getFloat(1) == 115.0f)
+      assert(aapl.last.getDouble(2) == 115.5)
+      assert(aapl.last.getString(3) == "n15")
+
+      // ---- SQL through the same endpoint
+      val sq = rpc(port, "DataService.Query", Map("requests" -> Seq(Map(
+        "is_sqlstatement" -> true,
+        "sql_statement" -> "SELECT count(*) AS cnt FROM `AAPL/1Min/OHLC`"))))
+      val sqlResult = sq("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("result").asInstanceOf[Map[Any, Any]]
+      val (_, sqlGroups) = NumpyCodec.decode(sqlResult)
+      assert(sqlGroups.head._2.head.getLong(0) == 20L)
+
+      // ---- ListSymbols, both formats
+      val syms = rpc(port, "DataService.ListSymbols", Map.empty)("Results")
+      assert(syms == Vector("AAPL", "TSLA"))
+      val tbks = rpc(port, "DataService.ListSymbols", Map("format" -> "tbk"))("Results")
+      assert(tbks == Vector("AAPL/1Min/OHLC", "TSLA/1Min/OHLC"))
+
+      // ---- GetInfo shape (frontend/write.go:139-160)
+      val info = rpc(port, "DataService.GetInfo", Map("requests" -> Seq(Map(
+        "key" -> "AAPL/1Min/OHLC"))))("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]
+      assert(info("LatestYear") == 2020L)
+      assert(info("TimeFrame") == 60L * 1000000000L)
+      assert(info("RecordType") == 0L)
+      val dsv = info("DSV").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
+      assert(dsv.map(d => d("Name") -> d("Type")) ==
+        Seq("Epoch" -> 3L, "Open" -> 0L, "Close" -> 2L, "Note" -> 14L))
+
+      // ---- Destroy drops the symbol
+      rpc(port, "DataService.Destroy", Map("requests" -> Seq(Map(
+        "key" -> "TSLA/1Min/OHLC"))))
+      val after = rpc(port, "DataService.ListSymbols", Map.empty)("Results")
+      assert(after == Vector("AAPL"))
+    } finally srv.stop()
+  }
+
+  test("rpc server speaks plain JSON too") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
+    val cat = new BucketCatalog(spark, root)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val conn = new URL(s"http://127.0.0.1:${srv.boundPort}/rpc")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"jsonrpc":"2.0","method":"DataService.ListSymbols","params":[{}],"id":7}"""
+          .getBytes("UTF-8"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getHeaderField("Content-Type").contains("application/json"))
+      assert(body.contains(""""Results":[]""") && body.contains(""""id":7"""))
+    } finally srv.stop()
+  }
+}
