@@ -3,11 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (plus a copy
+  * to SPARK_GRAFT_BENCH_OUT, default /tmp/bench.json — sbt prefixes
+  * stdout with [info], which defeats machine parsing of the log).
   *
   * Failures are NOT swallowed: a failing query records "err" in the
   * JSON and flips the exit code to 1 (round-1 lesson: a silent
   * catch-all hid a codegen regression for a whole round).
+  *
+  * Optional second scale point: when SPARK_GRAFT_SF_DIR2 names a
+  * directory (e.g. tools/scale_testdata.py output), the timed loop
+  * runs again there and emits a second JSON line — a constants-level
+  * check that the plans hold as data grows, beyond PlanSpec's
+  * shape-level guarantees.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,7 +27,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // keep stdout clean for the single JSON result line
+    // keep stdout clean for the JSON result lines
     spark.sparkContext.setLogLevel("ERROR")
     // warm up the JVM/codegen paths so the first timed query isn't
     // charged for session bootstrap
@@ -38,6 +46,25 @@ object Bench {
       }
     }
 
+    val runs = Seq(sfDir) ++
+      sys.env.get("SPARK_GRAFT_SF_DIR2").filter(d => new java.io.File(d).isDirectory)
+    var anyFailed = false
+    val lines = runs.map { dir =>
+      val (line, failed) = timedRun(spark, dir)
+      anyFailed ||= failed
+      println(line)
+      line
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      lines.mkString("", "\n", "\n"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    spark.stop()
+    if (anyFailed) sys.exit(1)
+  }
+
+  /** One timed pass over every query; returns (JSON line, anyFailed). */
+  private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
     var failed = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -56,14 +83,6 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errMap,"n_failed":${failed.size},"sf":"$sfDir"}"""
-    println(line)
-    // sbt prefixes stdout with [info], which defeated the driver's JSON
-    // parse two rounds running — the file copy is the machine-readable
-    // artifact (round-2 verdict item #5)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    (line, failed.nonEmpty)
   }
 }

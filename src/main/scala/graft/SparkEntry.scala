@@ -354,6 +354,41 @@ object SparkEntry {
         graft.sources.CsvLoader.load(s, cat, tbk, csvDir)
         readBack(cat, tbk)
       }),
+      // full wire round trip: write → HTTP JSON-RPC/msgpack Query over
+      // a loopback socket → NumpyMultiDataset decode → DataFrame. Puts
+      // the wire codecs (msgpack, LE column blobs) under the same
+      // hash-level oracle as every operator (frontend/query.go:91-116)
+      "q_wire_query" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "wire")
+        val tbk = TimeBucketKey.parse("PURCH/1Sec/WR")
+        cat.write(tbk, purchCols(s, dir))
+        val srv = new graft.wire.RpcServer(s, cat, port = 0)
+        srv.start()
+        try {
+          val req = Map("jsonrpc" -> "2.0", "method" -> "DataService.Query",
+            "params" -> Seq(Map("requests" -> Seq(Map(
+              "destination" -> "PURCH/1Sec/WR",
+              "epoch_start" -> T1, "epoch_end" -> (T2 - 1))))), "id" -> 1L)
+          val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/rpc")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-msgpack")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(graft.wire.MsgPack.encode(req))
+          val resp = graft.wire.MsgPack.decode(conn.getInputStream.readAllBytes())
+            .asInstanceOf[Map[Any, Any]]
+          val result = resp("result").asInstanceOf[Map[Any, Any]]("responses")
+            .asInstanceOf[Seq[Any]].head.asInstanceOf[Map[Any, Any]]("result")
+            .asInstanceOf[Map[Any, Any]]
+          val (schema, groups) = graft.wire.NumpyCodec.decode(result)
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(groups.flatMap(_._2).asJava, schema)
+            .select(col("Epoch").as("epoch"),
+              col("Nanoseconds").cast("long").as("nanoseconds"),
+              col("value"), col("event_id"))
+            .orderBy("epoch", "nanoseconds")
+        } finally srv.stop()
+      }),
       // multi-symbol wildcard LAST-n through the query API — one
       // isin-pruned scan, per-symbol window limit
       // (frontend/query.go:21-47, test_query_limits.py shapes)
@@ -673,6 +708,13 @@ object SparkEntry {
       """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
             value, event_id
           FROM events WHERE event_type = 'purchase'
+          ORDER BY epoch, nanoseconds""",
+    "q_wire_query" ->
+      s"""SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            value, event_id
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_us(ts)//1000000 BETWEEN $T1 AND ${T2 - 1}
           ORDER BY epoch, nanoseconds""",
     "q_queryservice_lastn" ->
       """WITH e AS (SELECT event_type AS symbol, epoch_us(ts) AS tsu, value, event_id FROM events),

@@ -64,11 +64,17 @@ abstract class ScalarUda extends Uda {
     else df.groupBy(groupCols.map(col): _*).agg(aggExpr(argMap))
 }
 
-/** Row count → single row (reference: uda/count/count.go:46-74). */
+/** Row count → single row of (Epoch = now, Count) — the reference's
+  * exact output shape (uda/count/count.go:65-74: Epoch stamped with
+  * the current UTC second). Grouped counts keep the group key instead
+  * of the timestamp (Spark superset path).
+  */
 object CountUda extends ScalarUda {
   val name = "count"
   val requiredArgs = Seq("Column")
   protected def aggExpr(argMap: Map[String, Seq[String]]): Column = count(lit(1)).as("Count")
+  override def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    df.agg(aggExpr(argMap)).select(unix_timestamp().as(Uda.EpochCol), col("Count"))
 }
 
 /** Single-column min (uda/min/min.go:42-62). */

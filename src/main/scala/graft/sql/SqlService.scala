@@ -3,7 +3,7 @@ package graft.sql
 import graft.catalog.BucketCatalog
 import graft.core.TimeBucketKey
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, unix_timestamp}
 import java.time.{LocalDate, LocalDateTime, ZoneOffset, ZonedDateTime}
 import java.time.format.DateTimeFormatter
 import scala.collection.mutable
@@ -67,40 +67,90 @@ class SqlService(spark: SparkSession, catalog: Option[BucketCatalog] = None) {
     case _ => None
   }
 
-  /** EXPLAIN <select>: one-column plan dump (reference returns the
-    * parse tree as a 1-column result, sqlparser/explainstatement.go).
+  /** EXPLAIN <statement>: the parse tree as a one-column JSON result
+    * named "explain-output", the reference's shape
+    * (sqlparser/explainstatement.go:21-26 — each node marshalled to
+    * JSON). Our thin dialect's "parse tree" is the statement type, the
+    * referenced TBKs, and the rewritten Spark SQL; the Spark logical
+    * plan rides along as the physical-plan view the reference lacks.
     */
-  private def explain(selectStmt: String): DataFrame = {
+  private def explain(stmt: String): DataFrame = {
     import spark.implicits._
-    val plan = spark.sql(rewrite(selectStmt)).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExtendedMode)
-    plan.linesIterator.toSeq.toDF("plan")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    val upper = stmt.toUpperCase
+    node.put("Type",
+      if (upper.startsWith("INSERT")) "InsertIntoStatement" else "SelectStatement")
+    node.put("QueryText", stmt)
+    val tables = node.putArray("Tables")
+    TbkRe.findAllMatchIn(stmt).map(_.group(1)).toSeq.distinct.foreach(tables.add)
+    stmt match {
+      case InsertRe(tbkStr, colList, select) =>
+        node.put("TableName", tbkStr)
+        val aliases = node.putArray("ColumnAliases")
+        Option(colList).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty).foreach(aliases.add)
+        node.put("RewrittenSQL", rewrite(select))
+      case _ =>
+        val rw = rewrite(stmt)
+        node.put("RewrittenSQL", rw)
+        node.put("SparkPlan",
+          spark.sql(rw).queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode))
+    }
+    Seq(om.writeValueAsString(node)).toDF("explain-output")
   }
 
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+`([^`]+)`\s+(SELECT\b.*)$""".r
+    """(?is)^INSERT\s+INTO\s+`([^`]+)`\s*(?:\(([^)]*)\))?\s*(SELECT\b.*)$""".r
 
-  /** INSERT INTO `TBK` SELECT ... : materialize the inner select and
-    * upsert it into the destination bucket with the bucket's
-    * fixed/variable slot semantics
-    * (sqlparser/insertintostatement.go:31-126).
+  /** INSERT INTO `TBK` [(col, ...)] SELECT ... : project the select
+    * output onto the destination columns and upsert with the bucket's
+    * fixed/variable slot semantics. Target columns are the explicit
+    * column list when given, else the bucket's declared columns —
+    * select output missing any of them errors, exactly the reference's
+    * alias mapping (sqlparser/insertintostatement.go:62-100).
+    *
+    * Returns the reference's response shape: one row of
+    * (Epoch = now, "Rows Written") (insertintostatement.go:117-123).
     */
   private def insert(stmt: String): DataFrame = {
-    import spark.implicits._
     stmt match {
-      case InsertRe(tbkStr, select) =>
+      case InsertRe(tbkStr, colList, select) =>
         val cat = catalog.getOrElse(
           throw new IllegalArgumentException("INSERT requires a BucketCatalog"))
+        val tbk = TimeBucketKey.parse(tbkStr)
+        val raw = spark.sql(rewrite(select))
+        val targets: Seq[String] =
+          Option(colList).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Try(cat.getInfo(tbk.attGroup)).toOption match {
+              case Some((schema, variable)) =>
+                val declared = schema.fieldNames.toSeq
+                val withEpoch =
+                  if (declared.contains("Epoch")) declared else "Epoch" +: declared
+                // variable buckets may omit Nanoseconds (write adds 0)
+                if (variable && !raw.columns.contains("Nanoseconds"))
+                  withEpoch.filterNot(_ == "Nanoseconds")
+                else withEpoch
+              // bucket not created yet: auto-create from the select shape
+              case None => raw.columns.toSeq
+            })
+        val missing = targets.filterNot(raw.columns.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"Unable to find these columns: ${missing.mkString(", ")} needed for INSERT " +
+            s"into target table `$tbkStr`; use column aliases to select them")
         // rows inserted = rows the SELECT produced, observed on the
         // write job itself (CollectMetrics rides the plan into the
         // catalog's staging write) — the SELECT executes exactly once.
         // Safe here: INSERT runs on a user thread, where the batch
         // QueryExecutionListener backing Observation fires.
         val obs = org.apache.spark.sql.Observation()
-        val result = spark.sql(rewrite(select)).observe(obs, count(lit(1)).as("rows"))
-        cat.write(TimeBucketKey.parse(tbkStr), result)
+        val result = raw.select(targets.map(col): _*)
+          .observe(obs, count(lit(1)).as("rows"))
+        cat.write(tbk, result)
         val n = obs.get("rows").asInstanceOf[Long]
-        Seq(n).toDF("inserted")
+        spark.range(1).select(
+          unix_timestamp().as("Epoch"), lit(n.toFloat).as("Rows Written"))
       case _ =>
         throw new IllegalArgumentException(s"unsupported INSERT statement: $stmt")
     }

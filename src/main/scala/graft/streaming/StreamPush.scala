@@ -21,10 +21,15 @@ final class SubscriptionSet {
   def subscribed(tbk: String): Boolean = synchronized {
     patterns.exists(p => SubscriptionSet.globToRegex(p).matches(tbk))
   }
+
+  /** Immutable snapshot of the patterns — shippable inside a task
+    * closure for partition-side delivery.
+    */
+  def snapshot: Seq[String] = synchronized { patterns.toSeq }
 }
 
 object SubscriptionSet {
-  private[streaming] def globToRegex(glob: String): scala.util.matching.Regex = {
+  private[graft] def globToRegex(glob: String): scala.util.matching.Regex = {
     val sb = new StringBuilder("^")
     glob.foreach {
       case '*' => sb.append("[^/]*")
@@ -98,7 +103,8 @@ final class StreamTrigger(
     attGroup: String,
     bus: PushBus,
     subscriptions: SubscriptionSet,
-    nowMs: () => Long = () => System.currentTimeMillis()) extends AutoCloseable {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    distributedBus: Option[PushBus with Serializable] = None) extends AutoCloseable {
 
   private val shelf = new Shelf((tbk, payload) => deliver(tbk, payload), nowMs)
 
@@ -107,6 +113,22 @@ final class StreamTrigger(
 
   /** Called after a batch lands in (attGroup, timeframe); `touched`
     * carries the batch's (symbol, Epoch) rows.
+    *
+    * Delivery routing:
+    *  - sub-minute timeframes with a `distributedBus`: payload maps
+    *    are built and pushed inside `foreachPartition` — the driver
+    *    never materializes the rows, and each executor partition
+    *    pushes through its own serialized bus copy (the Kafka-producer
+    *    / socket-pool shape). Subscription patterns ship as an
+    *    immutable snapshot in the closure.
+    *  - everything else funnels through a driver collect. This is a
+    *    BOUNDED collect by contract: one row per touched symbol
+    *    (reference design target ~16k symbols,
+    *    docs/design/file_format_design.txt), i.e. control-plane
+    *    payload, not data — and the shelf's deadline timers are
+    *    one-place state that cannot be distributed without changing
+    *    the reference's per-window replacement semantics
+    *    (shelf.go:40-55).
     */
   def fire(timeframe: String, touched: DataFrame): Unit = {
     val tf = CandleDuration.parse(timeframe)
@@ -119,18 +141,34 @@ final class StreamTrigger(
       .groupBy("symbol")
       .agg(max_by(struct(payloadCols.map(col): _*), Uda.timeKey(base)).as("__row"),
         max(col("__tail")).as("__tail"))
-    latest.collect().foreach { r =>
-      val sym = r.getAs[String]("symbol")
-      val row = r.getAs[Row]("__row")
-      val tail = r.getAs[Long]("__tail")
-      val payload = payloadCols.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap
-      val tbk = s"$sym/$timeframe/$attGroup"
-      if (tf.approxSeconds <= 60L) deliver(tbk, payload)
-      else {
-        // deadline = window end of the tail bar (Ceil semantics)
-        val deadlineSec = tf.approxSeconds * (tail / tf.approxSeconds) + tf.approxSeconds
-        shelf.store(tbk, payload, deadlineSec * 1000L)
-      }
+    (distributedBus, tf.approxSeconds <= 60L) match {
+      case (Some(dbus), true) =>
+        val pats = subscriptions.snapshot
+        val cols = payloadCols.toSeq
+        val ag = attGroup
+        latest.foreachPartition { rows: Iterator[Row] =>
+          rows.foreach { r =>
+            val tbk = s"${r.getAs[String]("symbol")}/$timeframe/$ag"
+            if (pats.exists(p => SubscriptionSet.globToRegex(p).matches(tbk))) {
+              val row = r.getAs[Row]("__row")
+              dbus.push(tbk, cols.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap)
+            }
+          }
+        }
+      case _ =>
+        latest.collect().foreach { r =>
+          val sym = r.getAs[String]("symbol")
+          val row = r.getAs[Row]("__row")
+          val tail = r.getAs[Long]("__tail")
+          val payload = payloadCols.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap
+          val tbk = s"$sym/$timeframe/$attGroup"
+          if (tf.approxSeconds <= 60L) deliver(tbk, payload)
+          else {
+            // deadline = window end of the tail bar (Ceil semantics)
+            val deadlineSec = tf.approxSeconds * (tail / tf.approxSeconds) + tf.approxSeconds
+            shelf.store(tbk, payload, deadlineSec * 1000L)
+          }
+        }
     }
   }
 

@@ -56,6 +56,29 @@ class PushSpec extends SparkSpec {
     } finally trig.close()
   }
 
+  test("distributed bus pushes sub-minute bars partition-side, no driver collect") {
+    val root = Files.createTempDirectory("graft-push-dist").toString
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("AAPL/1Min/OHLCV"), ohlcv, isVariable = false)
+    cat.write(TimeBucketKey.parse("AAPL/1Min/OHLCV"),
+      Seq((60L, 1.0, 1.5), (120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    cat.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"),
+      Seq((60L, 9.0, 9.5)).toDF("Epoch", "Open", "Close"))
+    val subs = new SubscriptionSet
+    subs.subscribe("AAPL/1Min/*")
+    PushSpec.staticGot.clear()
+    // serialized bus copies on the executors write into JVM-static
+    // state (local mode shares the JVM) — proves the push happened in
+    // the tasks, not on the driver
+    val trig = new StreamTrigger(cat, "OHLCV", new CollectingBus, subs,
+      distributedBus = Some(new PushSpec.StaticBus))
+    try {
+      trig.fire("1Min", Seq(("AAPL", 120L), ("MSFT", 60L)).toDF("symbol", "Epoch"))
+      assert(PushSpec.staticGot.map(_._1).toSeq == Seq("AAPL/1Min/OHLCV"))
+      assert(PushSpec.staticGot.head._2("Open") == 2.0)
+    } finally trig.close()
+  }
+
   test("coarse timeframes shelve until the window deadline (shelf.go deadline)") {
     val root = Files.createTempDirectory("graft-shelf").toString
     val cat = new BucketCatalog(spark, root)
@@ -96,5 +119,14 @@ class PushSpec extends SparkSpec {
       Thread.sleep(700)
       assert(emitted.drop(1).map(_._2("v")).toSeq == Seq(3, 4))
     } finally shelf.close()
+  }
+}
+
+object PushSpec {
+  val staticGot = new scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+
+  final class StaticBus extends PushBus with Serializable {
+    def push(tbk: String, payload: Map[String, Any]): Unit =
+      staticGot.synchronized { staticGot += (tbk -> payload) }
   }
 }

@@ -83,8 +83,39 @@ class SqlSpec extends SparkSpec {
       """INSERT INTO `AAPL/30Min/OHLCV`
          SELECT Epoch, Open, Close FROM `AAPL/1Min/OHLCV`
          WHERE Epoch BETWEEN '2000-01-05-12:30' AND '2000-01-05-13:00'""").collect()
-    assert(res.length == 1 && res.head.getLong(0) == 31L)
+    // reference response shape: one row of (Epoch = now, "Rows Written")
+    // (insertintostatement.go:117-123)
+    assert(res.length == 1 && res.head.getAs[Float]("Rows Written") == 31.0f)
     assert(svc.sql("SELECT * FROM `AAPL/30Min/OHLCV`").count() == 31)
+  }
+
+  test("INSERT with a column list maps select aliases onto destination columns") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val dest = TimeBucketKey.parse("AAPL/5Min/OHLCV")
+    cat.create(dest, ohlcv, isVariable = false)
+    // select emits extra/reordered columns; the list picks and orders
+    // (insertintostatement.go:62-100 alias mapping)
+    svc.sql(
+      """INSERT INTO `AAPL/5Min/OHLCV` (Epoch, Open, Close)
+         SELECT Close, Epoch, Open, Open * 2 AS Doubled FROM `AAPL/1Min/OHLCV`
+         WHERE Epoch BETWEEN '2000-01-05-12:30' AND '2000-01-05-12:35'""").collect()
+    val back = svc.sql(
+      "SELECT Epoch, Open, Close FROM `AAPL/5Min/OHLCV` ORDER BY Epoch").collect()
+    assert(back.length == 6)
+    assert(back.head.getAs[Double]("Open") == 40.0) // minute 30's Open
+    assert(back.head.getAs[Double]("Close") == 40.5)
+  }
+
+  test("INSERT missing destination columns errors with the residue") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val dest = TimeBucketKey.parse("AAPL/10Min/OHLCV")
+    cat.create(dest, ohlcv, isVariable = false)
+    val e = intercept[IllegalArgumentException] {
+      svc.sql(
+        """INSERT INTO `AAPL/10Min/OHLCV`
+           SELECT Epoch, Open FROM `AAPL/1Min/OHLCV`""").collect()
+    }
+    assert(e.getMessage.contains("Close"))
   }
 
   test("count(*) with integer epoch literal (all_test.go:182-189)") {
@@ -105,10 +136,11 @@ class SqlSpec extends SparkSpec {
     assert(candles.length == 3)
     assert(candles.head.getAs[Double]("Open") == 10.0)
     assert(candles.head.getAs[Double]("Close") == 39.5) // close of 12:29 bar
-    // scalar UDA: reference's count outputs a Count column
+    // scalar UDA: reference's count outputs (Epoch = now, Count)
+    // (uda/count/count.go:65-74)
     val cnt = svc.sql("SELECT count(*) FROM `AAPL/1Min/OHLCV` WHERE Epoch >= '2000-01-05'")
-    assert(cnt.columns.toSeq == Seq("Count"))
-    assert(cnt.collect().head.getLong(0) == 120L)
+    assert(cnt.columns.toSeq == Seq("Epoch", "Count"))
+    assert(cnt.collect().head.getAs[Long]("Count") == 120L)
   }
 
   test("superset: joins and ORDER BY across TBK views (reference rejects both)") {
@@ -136,11 +168,24 @@ class SqlSpec extends SparkSpec {
     }
   }
 
-  test("EXPLAIN returns a one-column plan") {
+  test("EXPLAIN returns the parse tree as one JSON column (explainstatement.go:21-26)") {
     val (cat, svc) = freshCatalog(); seedBars(cat)
     val plan = svc.sql("EXPLAIN SELECT Epoch FROM `AAPL/1Min/OHLCV` WHERE Epoch > '2000-01-05'")
-    assert(plan.columns.toSeq == Seq("plan"))
-    assert(plan.count() > 0)
+    assert(plan.columns.toSeq == Seq("explain-output"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(plan.head.getString(0))
+    assert(node.get("Type").asText() == "SelectStatement")
+    assert(node.get("Tables").get(0).asText() == "AAPL/1Min/OHLCV")
+    assert(node.get("QueryText").asText().contains("SELECT Epoch"))
+    // INSERT explains as its statement node, not an executed plan
+    val ins = svc.sql(
+      """EXPLAIN INSERT INTO `AAPL/30Min/OHLCV` (Epoch, Open)
+         SELECT Epoch, Open FROM `AAPL/1Min/OHLCV`""")
+    val insNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(ins.head.getString(0))
+    assert(insNode.get("Type").asText() == "InsertIntoStatement")
+    assert(insNode.get("TableName").asText() == "AAPL/30Min/OHLCV")
+    assert(insNode.get("ColumnAliases").get(1).asText() == "Open")
   }
 
   test("date literal formats parse like the reference's CoerceToNumeric") {

@@ -18,7 +18,11 @@ class UdaSpec extends SparkSpec {
     .toDF("Epoch", "Example", "Example2")
 
   test("count/min/max/avg goldens (test_basic_aggfunc.py:26-50)") {
-    assert(AggRegistry.run(Seq("count(Example)"), tick).head.getLong(0) == 4L)
+    // count's output row is (Epoch = now, Count) — reference shape
+    // (uda/count/count.go:65-74)
+    val cnt = AggRegistry.run(Seq("count(Example)"), tick)
+    assert(cnt.columns.toSeq == Seq("Epoch", "Count"))
+    assert(cnt.head.getAs[Long]("Count") == 4L)
     assert(AggRegistry.run(Seq("min(Example)"), tick).head.getDouble(0) == 2.0)
     assert(AggRegistry.run(Seq("max(Example)"), tick).head.getDouble(0) == 8.0)
     assert(AggRegistry.run(Seq("avg(Example)"), tick).head.getDouble(0) == 5.0)
@@ -86,6 +90,6 @@ class UdaSpec extends SparkSpec {
 
   test("chained pipeline: tickcandler then count (AggRunner.Run chaining, registry.go:51-113)") {
     val out = AggRegistry.run(Seq("tickcandler('1Min', Example)", "count(Open)"), tick)
-    assert(out.head.getLong(0) == 1L) // all 4 ticks in one minute
+    assert(out.head.getAs[Long]("Count") == 1L) // all 4 ticks in one minute
   }
 }
