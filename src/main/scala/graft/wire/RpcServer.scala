@@ -38,10 +38,14 @@ class RpcServer(
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   http.createContext("/rpc", new Handler)
-  http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  // daemon threads + explicit shutdown: a non-daemon pool would pin
+  // any embedding JVM (Verify, a user's driver) open after main exits
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => { val t = new Thread(r, "graft-rpc"); t.setDaemon(true); t })
+  http.setExecutor(pool)
 
   def start(): Unit = http.start()
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
   def boundPort: Int = http.getAddress.getPort
 
   private final class Handler extends HttpHandler {
@@ -160,13 +164,23 @@ class RpcServer(
       df0.select(casted.toSeq: _*)
     }
     val rows = df.collect().toSeq
+    // implicit time sort — the reference always returns rows
+    // time-ordered (executor/sort.go:11-50); the payload is bounded by
+    // the query, so this driver-side sort is control-plane work
+    def timeSorted(schema: StructType, rs: Seq[Row]): Seq[Row] =
+      if (!schema.fieldNames.contains("Epoch")) rs
+      else {
+        val e = schema.fieldIndex("Epoch")
+        val n = schema.fieldNames.indexOf("Nanoseconds")
+        rs.sortBy(r => (r.getLong(e), if (n >= 0) r.getInt(n).toLong else 0L))
+      }
     val (schema, groups) =
       if (hasSymbol) {
         val i = df.schema.fieldIndex("symbol")
         val dataSchema = StructType(df.schema.fields.toSeq.filterNot(_.name == "symbol"))
         val grouped = rows.groupBy(_.getString(i)).toSeq.sortBy(_._1).map { case (sym, rs) =>
-          tbkOf(sym) -> rs.map(r =>
-            Row.fromSeq(r.toSeq.zipWithIndex.collect { case (v, j) if j != i => v }))
+          tbkOf(sym) -> timeSorted(dataSchema, rs.map(r =>
+            Row.fromSeq(r.toSeq.zipWithIndex.collect { case (v, j) if j != i => v })))
         }
         (dataSchema, grouped)
       } else (df.schema, Seq(tbkOf("") -> rows))

@@ -129,6 +129,98 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("query with a functions pipeline re-candles per symbol over the wire") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-fn").toString
+    val cat = new BucketCatalog(spark, root)
+    val t0 = 1590000000L
+    val bars = (0 until 20).flatMap(i => Seq(
+      ("AAPL", t0 + 60L * i, 100.0 + i, 100.5 + i),
+      ("TSLA", t0 + 60L * i, 700.0 + i, 700.5 + i)))
+      .toDF("symbol", "Epoch", "Open", "Close")
+    cat.writeMulti("OHLC", "1Min", bars)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      // candlecandler('5Min', ...) through QueryRequest.functions —
+      // the chained-UDA pipeline of frontend/query.go:21-47, grouped
+      // per symbol in ONE job
+      val q = rpc(srv.boundPort, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "*/1Min/OHLC",
+        "functions" -> Seq("candlecandler('5Min', Open, Open, Open, Close)")))))
+      val result = q("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("result").asInstanceOf[Map[Any, Any]]
+      val (schema, groups) = NumpyCodec.decode(result)
+      val byTbk = groups.toMap
+      assert(byTbk.keySet == Set("AAPL/1Min/OHLC", "TSLA/1Min/OHLC"))
+      // 20 one-minute bars → 4 five-minute candles per symbol
+      val ep = schema.fieldIndex("Epoch")
+      val open = schema.fieldIndex("Open")
+      val close = schema.fieldIndex("Close")
+      val aapl = byTbk("AAPL/1Min/OHLC").sortBy(_.getLong(ep))
+      assert(aapl.size == 4)
+      assert(aapl.head.getDouble(open) == 100.0)
+      assert(aapl.head.getDouble(close) == 104.5) // close of minute 4
+      assert(byTbk("TSLA/1Min/OHLC").size == 4)
+    } finally srv.stop()
+  }
+
+  test("nanosecond-precision variable records round-trip the wire; empty ranges and bad symbols behave") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-ns").toString
+    val cat = new BucketCatalog(spark, root)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val t0 = 1451606400L // 2016-01-01
+      val schema = StructType(Seq(
+        StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+        StructField("Bid", DoubleType)))
+      // three sub-second ticks in one epoch second (test_nanoseconds_precision)
+      val rows = Seq(
+        org.apache.spark.sql.Row(t0, 100000000, 1.0),
+        org.apache.spark.sql.Row(t0, 500000000, 2.0),
+        org.apache.spark.sql.Row(t0, 900000000, 3.0))
+      val ds = NumpyCodec.encode(schema, Seq("TICK/1Sec/NS" -> rows))
+      rpc(port, "DataService.Write", Map("requests" -> Seq(Map(
+        "dataset" -> ds, "is_variable_length" -> true))))
+
+      // ns bounds cut between the ticks: [t0+200ms, t0+999ms] → 2.0, 3.0
+      val q = rpc(port, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "TICK/1Sec/NS",
+        "epoch_start" -> t0, "epoch_start_nanos" -> 200000000L,
+        "epoch_end" -> t0, "epoch_end_nanos" -> 999999999L))))
+      val (rs, groups) = NumpyCodec.decode(
+        q("responses").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[Any, Any]]("result")
+          .asInstanceOf[Map[Any, Any]])
+      val got = groups.toMap.apply("TICK/1Sec/NS")
+      assert(got.map(_.getDouble(rs.fieldIndex("Bid"))) == Seq(2.0, 3.0))
+      assert(got.map(_.getInt(rs.fieldIndex("Nanoseconds"))) == Seq(500000000, 900000000))
+
+      // empty range → zero-length dataset, not an error (test_no_data_available)
+      val empty = rpc(port, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "TICK/1Sec/NS",
+        "epoch_start" -> (t0 - 86400L), "epoch_end" -> (t0 - 1L)))))
+      val emptyResult = empty("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("result").asInstanceOf[Map[Any, Any]]
+      assert(emptyResult("length") == 0L)
+
+      // unknown attribute group → JSON-RPC error, not a hang/crash
+      val conn = new URL(s"http://127.0.0.1:$port/rpc")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-msgpack")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(MsgPack.encode(Map("jsonrpc" -> "2.0",
+        "method" -> "DataService.Query",
+        "params" -> Seq(Map("requests" -> Seq(Map("destination" -> "NOPE/1Min/MISSING")))),
+        "id" -> 9L)))
+      val resp = MsgPack.decode(conn.getInputStream.readAllBytes()).asInstanceOf[Map[Any, Any]]
+      assert(resp.contains("error"))
+      assert(resp("error").asInstanceOf[Map[Any, Any]]("message") != null)
+    } finally srv.stop()
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
