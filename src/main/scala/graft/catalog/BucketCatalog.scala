@@ -143,7 +143,22 @@ class BucketCatalog(spark: SparkSession, root: String) {
         keyed.write.mode("append")
           .partitionBy("symbol", "timeframe", "year")
           .parquet(path)
+        // first write into an empty group: log what landed (directory
+        // walk, no data scan) so a replica tailing the commit log sees
+        // bootstrap writes too
+        logCommit(attGroup, listPartitions(attGroup))
     }
+  }
+
+  /** All (symbol, timeframe, year) partition rel-paths of a group. */
+  private def listPartitions(attGroup: String): Seq[String] = {
+    val p = new Path(agPath(attGroup))
+    if (!fs.exists(p)) Nil
+    else for {
+      symDir <- fs.listStatus(p).toSeq if symDir.getPath.getName.startsWith("symbol=")
+      tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
+      yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
+    } yield s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
   }
 
   /** Stage-and-swap commit shared by every path that rewrites live
@@ -161,7 +176,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private def stageSwap(df: DataFrame, attGroup: String,
       clearIfUnstaged: Seq[String] = Nil): Unit = {
     val path = agPath(attGroup)
-    val staging = new Path(root, s".staging_${attGroup}_${System.nanoTime()}")
+    val staging = new Path(root, s"$StagingPrefix${attGroup}_${System.nanoTime()}")
     df.write.mode("overwrite")
       .partitionBy("symbol", "timeframe", "year")
       .parquet(staging.toString)
@@ -183,7 +198,61 @@ class BucketCatalog(spark: SparkSession, root: String) {
         val p = new Path(path, rel)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      logCommit(attGroup, staged.toSeq.sorted ++ clearIfUnstaged.filterNot(staged).map(_ + ":cleared"))
     } finally fs.delete(staging, true)
+  }
+
+  /** Append one line per committed swap to the catalog's commit log —
+    * the durable trail the reference keeps in its WAL transaction
+    * groups (executor/wal.go; replication tails the same records,
+    * replication/sender.go:14-48). A replica catalog can tail this
+    * file and re-read exactly the partitions each commit names.
+    * Best-effort: a commit-log write failure never fails the data
+    * commit (the data swap already happened atomically).
+    */
+  private def logCommit(attGroup: String, partitions: Seq[String]): Unit =
+    try {
+      val line = s"""{"ts":${System.currentTimeMillis()},"attGroup":"$attGroup","partitions":[${
+        partitions.map(p => "\"" + p + "\"").mkString(",")}]}"""
+      // one immutable file per commit (monotonic name): the local
+      // Hadoop FS has no append, and write-once files are exactly the
+      // shape an object store replays best
+      val dir = new Path(root, CommitLog)
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, f"${System.nanoTime()}%020d.json"), false)
+      out.write(line.getBytes("UTF-8"))
+      out.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** Commit records, oldest first (empty if no swaps committed). */
+  def commitHistory(): Seq[String] = {
+    val dir = new Path(root, CommitLog)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val in = fs.open(p)
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        txt
+      }
+  }
+
+  /** Delete orphaned staging directories left by a crashed writer.
+    * Safe ONLY under the catalog's single-writer contract (the
+    * reference has the same: one server process owns the store and
+    * replays/cleans its WAL on startup, executor/wal.go:29-45): an
+    * orphan is any staging dir present when no write is in flight,
+    * because a completed stageSwap always removes its own dir.
+    * Returns the number of directories removed.
+    */
+  def recoverOrphanedStaging(): Int = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return 0
+    val orphans = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
+    orphans.foreach(s => fs.delete(s.getPath, true))
+    orphans.size
   }
 
   private def readAg(attGroup: String): Option[DataFrame] = {
@@ -304,4 +373,6 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
 object BucketCatalog {
   val MetaFile = "_graft_meta.txt"
+  val CommitLog = "_graft_commits.jsonl"
+  val StagingPrefix = ".staging_"
 }

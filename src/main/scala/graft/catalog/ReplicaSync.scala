@@ -1,0 +1,89 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+/** Pull-based replica of a BucketCatalog root — the Spark-native shape
+  * of the reference's master→replica replication, which streams WAL
+  * transaction groups and replays them on the receiver
+  * (replication/sender.go:14-48, receiver.go:12-40). Here the commit
+  * log IS the stream: each record names exactly the partitions a
+  * commit rewrote, so `sync()` copies only those partition directories
+  * (or deletes ones a commit cleared) and is idempotent — re-running
+  * after a partial failure converges.
+  *
+  * Progress is a marker file holding the last applied commit name;
+  * multiple commits touching one partition collapse to a single copy
+  * of its final state. The replica root is itself a valid
+  * BucketCatalog (meta files ride along with the first commit of each
+  * group), so a standby can serve reads with zero restore step.
+  */
+final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: String) {
+  private val conf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path(primaryRoot).getFileSystem(conf)
+  private val marker = new Path(replicaRoot, "_graft_replica_marker.txt")
+  private val om = new ObjectMapper()
+
+  private def lastApplied(): String = {
+    if (!fs.exists(marker)) return ""
+    val in = fs.open(marker)
+    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    in.close(); s
+  }
+
+  /** Apply all unseen commits; returns how many were applied. */
+  def sync(): Int = {
+    val logDir = new Path(primaryRoot, BucketCatalog.CommitLog)
+    if (!fs.exists(logDir)) return 0
+    val seen = lastApplied()
+    val pending = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName > seen).sortBy(_.getName)
+    if (pending.isEmpty) return 0
+
+    // last action per (attGroup, partition) wins — one copy of the
+    // final state instead of replaying intermediate rewrites
+    val finalActions = scala.collection.mutable.LinkedHashMap[(String, String), Boolean]()
+    pending.foreach { p =>
+      try {
+        val in = fs.open(p)
+        val node = om.readTree(in)
+        in.close()
+        val ag = node.get("attGroup").asText()
+        val parts = node.get("partitions")
+        (0 until parts.size()).foreach { i =>
+          val raw = parts.get(i).asText()
+          val cleared = raw.endsWith(":cleared")
+          val rel = raw.stripSuffix(":cleared")
+          finalActions.remove((ag, rel))
+          finalActions((ag, rel)) = cleared
+        }
+      } catch { case NonFatal(_) => /* skip torn record */ }
+    }
+
+    finalActions.foreach { case ((ag, rel), cleared) =>
+      val dst = new Path(new Path(replicaRoot, ag), rel)
+      if (cleared) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+      } else {
+        val src = new Path(new Path(primaryRoot, ag), rel)
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.mkdirs(dst.getParent)
+          FileUtil.copy(fs, src, fs, dst, false, true, conf)
+        }
+      }
+      // group meta rides along so the replica is a working catalog
+      val srcMeta = new Path(new Path(primaryRoot, ag), BucketCatalog.MetaFile)
+      val dstMeta = new Path(new Path(replicaRoot, ag), BucketCatalog.MetaFile)
+      if (fs.exists(srcMeta) && !fs.exists(dstMeta))
+        FileUtil.copy(fs, srcMeta, fs, dstMeta, false, true, conf)
+    }
+
+    val out = fs.create(marker, true)
+    out.write(pending.last.getName.getBytes("UTF-8"))
+    out.close()
+    pending.size
+  }
+}

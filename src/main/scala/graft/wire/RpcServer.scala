@@ -30,7 +30,8 @@ class RpcServer(
     spark: SparkSession,
     catalog: BucketCatalog,
     port: Int = 5993,
-    timezone: String = "UTC") {
+    timezone: String = "UTC",
+    triggers: Option[graft.streaming.TriggerRegistry] = None) {
 
   private val queryService = new QueryService(catalog)
   private val sqlService = new SqlService(spark, Some(catalog))
@@ -203,6 +204,11 @@ class RpcServer(
           catalog.create(tbk, schema, variable)
           val df = spark.createDataFrame(rows.asJava, schema)
           catalog.write(tbk, df)
+          // the reference fires matching triggers after every durable
+          // write (executor/written.go:24-47) — downsample cascade,
+          // stream push, user plugins
+          triggers.foreach(_.dispatch(tbk.key,
+            df.withColumn("symbol", lit(tbk.symbol))))
         }
         Map("error" -> "", "version" -> ServerInfo.Version)
       } catch {

@@ -342,4 +342,31 @@ class CatalogSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("Epoch")).toSeq == Seq(1609459260L, 1609459320L))
     assert(got.map(_.getAs[Double]("Open")).toSeq == Seq(1.5, 2.5))
   }
+
+  test("orphaned staging dirs are recoverable; commits leave a durable trail (executor/wal.go role)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLCV")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    // second write merges → stage-and-swap → one commit record
+    cat.write(tbk, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    val commits = cat.commitHistory()
+    assert(commits.nonEmpty)
+    assert(commits.last.contains("\"attGroup\":\"OHLCV\""))
+    assert(commits.last.contains("symbol=AAPL/timeframe=1Min/year=1970"))
+    // deleteRange commits through the same path and logs too
+    cat.deleteRange(tbk, 100L)
+    assert(cat.commitHistory().size > commits.size)
+
+    // simulate a writer that crashed mid-stage: an orphan staging dir
+    val orphan = java.nio.file.Path.of(root, ".staging_OHLCV_123")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "x")
+    assert(cat.recoverOrphanedStaging() == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    // live data untouched by recovery
+    assert(cat.read(tbk).count() == 1)
+    assert(cat.read(tbk).head().getAs[Long]("Epoch") == 60L)
+  }
 }

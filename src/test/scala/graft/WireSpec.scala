@@ -221,6 +221,28 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("wire writes fire matching triggers (executor/written.go dispatch)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-trig").toString
+    val cat = new BucketCatalog(spark, root)
+    val reg = new graft.streaming.TriggerRegistry
+    val fired = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    reg.register("*/1Min/*", (tbk: String, batch: org.apache.spark.sql.DataFrame) =>
+      fired.synchronized { fired += (tbk -> batch.count()) })
+    val srv = new RpcServer(spark, cat, port = 0, triggers = Some(reg))
+    srv.start()
+    try {
+      val schema = StructType(Seq(
+        StructField("Epoch", LongType), StructField("Open", DoubleType)))
+      val rows = (0 until 5).map(i => org.apache.spark.sql.Row(1590000000L + 60L * i, 1.0 + i))
+      val ds = NumpyCodec.encode(schema, Seq(
+        "AAPL/1Min/OHLC" -> rows, "AAPL/5Min/OHLC" -> rows))
+      rpc(srv.boundPort, "DataService.Write", Map("requests" -> Seq(Map(
+        "dataset" -> ds, "is_variable_length" -> false))))
+      // only the 1Min bucket matches the glob
+      assert(fired.toSeq == Seq("AAPL/1Min/OHLC" -> 5L))
+    } finally srv.stop()
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
