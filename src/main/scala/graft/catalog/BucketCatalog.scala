@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.StructType
   * At cluster scale the upsert path = dynamic-partition overwrite of
   * only the (symbol, timeframe, year) partitions present in the batch:
   * rewrite cost is bounded by touched partitions, not table size.
+  *
+  * Concurrency contract: SINGLE WRITER per root (readers unlimited) —
+  * the same contract as the reference, whose one server process owns
+  * the store and its WAL. Commits leave a record in [[CommitLog]];
+  * [[recoverOrphanedStaging]] cleans up after a crashed writer;
+  * [[ReplicaSync]] builds read replicas from the commit log.
   */
 class BucketCatalog(spark: SparkSession, root: String) {
   import BucketCatalog._
