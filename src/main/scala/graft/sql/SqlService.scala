@@ -94,9 +94,17 @@ class SqlService(spark: SparkSession, catalog: Option[BucketCatalog] = None) {
       case _ =>
         val rw = rewrite(stmt)
         node.put("RewrittenSQL", rw)
-        node.put("SparkPlan",
-          spark.sql(rw).queryExecution.explainString(
-            org.apache.spark.sql.execution.SimpleMode))
+        // UDA select lists (SELECT tickcandler(...) FROM ...) are not
+        // Spark SQL — they explain as their statement node only, like
+        // the reference's parse-tree-only output
+        stmt match {
+          case UdaSelectRe(name, _, _) if registry.contains(name.toLowerCase) =>
+            node.put("UdaCall", name.toLowerCase)
+          case _ =>
+            node.put("SparkPlan",
+              spark.sql(rw).queryExecution.explainString(
+                org.apache.spark.sql.execution.SimpleMode))
+        }
     }
     Seq(om.writeValueAsString(node)).toDF("explain-output")
   }

@@ -186,6 +186,12 @@ class SqlSpec extends SparkSpec {
     assert(insNode.get("Type").asText() == "InsertIntoStatement")
     assert(insNode.get("TableName").asText() == "AAPL/30Min/OHLCV")
     assert(insNode.get("ColumnAliases").get(1).asText() == "Open")
+    // UDA select lists aren't Spark SQL — they explain as the node only
+    val uda = svc.sql("EXPLAIN SELECT tickcandler('1D', Open) FROM `AAPL/1Min/OHLCV`")
+    val udaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(uda.head.getString(0))
+    assert(udaNode.get("UdaCall").asText() == "tickcandler")
+    assert(udaNode.get("SparkPlan") == null)
   }
 
   test("date literal formats parse like the reference's CoerceToNumeric") {
