@@ -243,6 +243,47 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("full ingest loop over the wire: write fires the cascade, coarser bars queryable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-loop").toString
+    val cat = new BucketCatalog(spark, root)
+    val reg = new graft.streaming.TriggerRegistry
+    val cascade = new graft.streaming.DownsampleCascade(
+      cat, "OHLCV", "1Min", destinations = Seq("5Min"), sums = Seq("Volume"))
+    // write lands the batch; the trigger re-derives the touched 5Min
+    // windows — the reference's ondiskagg deployment loop
+    reg.register("*/1Min/OHLCV", (tbk: String, batch: org.apache.spark.sql.DataFrame) =>
+      cascade.cascade(batch.select(
+        org.apache.spark.sql.functions.col("symbol"),
+        org.apache.spark.sql.functions.col("Epoch"))))
+    val srv = new RpcServer(spark, cat, port = 0, triggers = Some(reg))
+    srv.start()
+    try {
+      val t0 = 1590000000L // divisible by 300 → clean 5Min windows
+      val schema = StructType(Seq(
+        StructField("Epoch", LongType), StructField("Open", DoubleType),
+        StructField("High", DoubleType), StructField("Low", DoubleType),
+        StructField("Close", DoubleType), StructField("Volume", DoubleType)))
+      val bars = (0 until 10).map(i => org.apache.spark.sql.Row(
+        t0 + 60L * i, i.toDouble, i + 0.5, i - 0.5, i + 0.25, 10.0))
+      rpc(srv.boundPort, "DataService.Write", Map("requests" -> Seq(Map(
+        "dataset" -> NumpyCodec.encode(schema, Seq("AAPL/1Min/OHLCV" -> bars)),
+        "is_variable_length" -> false))))
+      val q = rpc(srv.boundPort, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "AAPL/5Min/OHLCV"))))
+      val (rs, groups) = NumpyCodec.decode(
+        q("responses").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[Any, Any]]("result")
+          .asInstanceOf[Map[Any, Any]])
+      val candles = groups.toMap.apply("AAPL/5Min/OHLCV")
+      assert(candles.size == 2)
+      def f(r: org.apache.spark.sql.Row, c: String) = r.getDouble(rs.fieldIndex(c))
+      val first = candles.head
+      assert(first.getLong(rs.fieldIndex("Epoch")) == t0)
+      assert(f(first, "Open") == 0.0 && f(first, "Close") == 4.25)
+      assert(f(first, "High") == 4.5 && f(first, "Low") == -0.5)
+      assert(f(first, "Volume") == 50.0)
+    } finally srv.stop()
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
