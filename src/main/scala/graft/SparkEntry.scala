@@ -470,6 +470,26 @@ object SparkEntry {
         .orderBy("query_id", "vec_id")
     }),
 
+    // ---- composite training-data pipeline ------------------------------
+    // the ops composed the way a real corpus build chains them:
+    // langid → quality gate → exact dedup (keep canonical) → near-dup
+    // removal (drop the higher id of each jaccard pair) → corpus stats.
+    // One oracled query proving the stages agree end-to-end, not just
+    // individually.
+    "q_pipeline_corpus" -> ((s, dir) => {
+      val d = TextAnalysis.withLangId(
+        TextAnalysis.withQuality(TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
+      val f = d.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
+      val canonIds = Dedup.exactGroups(f).select(col("canonical_id").as("doc_id"))
+      val canon = f.join(canonIds, Seq("doc_id"), "left_semi")
+      val losers = Dedup.jaccardPairs(canon, threshold = 0.4, n = 3)
+        .select(col("id2").as("doc_id")).distinct()
+      canon.join(losers, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -798,6 +818,35 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
          ORDER BY query_id, vec_id""",
+
+    "q_pipeline_corpus" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         s AS (SELECT doc_id, text, ts, len(ts)::BIGINT AS n_tokens,
+             round(least(len(ts) / 100.0, 1.0) * 0.3
+               + (len(list_distinct(ts))::DOUBLE / len(ts)) * 0.4
+               + (1.0 - len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts)) * 0.3, 6) AS quality,
+             CASE WHEN len(list_filter(ts, x -> x IN ('der','die','das','und','ist')))
+                       > greatest(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))),
+                                  len(list_filter(ts, x -> x IN ('el','la','de','que','y')))) THEN 'de'
+                  WHEN len(list_filter(ts, x -> x IN ('el','la','de','que','y')))
+                       > len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) THEN 'es'
+                  WHEN len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) > 0 THEN 'en'
+                  ELSE 'und' END AS lang
+           FROM t),
+         f AS (SELECT * FROM s WHERE lang = 'en' AND quality >= 0.6),
+         canon AS (SELECT * FROM f WHERE doc_id IN (
+             SELECT min(doc_id) FROM f GROUP BY md5(lower(trim(text))))),
+         tok AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM canon),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS sng FROM tok),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.sng = b.sng AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         survivors AS (SELECT * FROM canon WHERE doc_id NOT IN (SELECT id2 FROM pairs))
+         SELECT count(*)::BIGINT AS n_docs, round(avg(quality), 6) AS avg_quality,
+           sum(n_tokens)::BIGINT AS total_tokens
+         FROM survivors""",
 
     "q_multimodal_features" ->
       """WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,
