@@ -284,6 +284,32 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("non-stored timeframe served by substitution with scaled LAST-limit over the wire") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-tf").toString
+    val cat = new BucketCatalog(spark, root)
+    val t0 = 1590000000L
+    cat.writeMulti("OHLC", "1Min", (0 until 30).map(i =>
+      ("AAPL", t0 + 60L * i, 100.0 + i)).toDF("symbol", "Epoch", "Open"))
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      // 5Min was never stored: the query serves it from the stored
+      // 1Min bucket, scaling LAST 2 → 10 base rows
+      // (frontend/query.go:313-334 + utils/timeframe.go:189-208)
+      val q = rpc(srv.boundPort, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "AAPL/5Min/OHLC",
+        "limit_record_count" -> 2L, "limit_from_start" -> false))))
+      val (rs, groups) = NumpyCodec.decode(
+        q("responses").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[Any, Any]]("result")
+          .asInstanceOf[Map[Any, Any]])
+      val rows = groups.head._2
+      assert(rows.size == 10) // LAST 2 five-minute windows = 10 one-minute rows
+      val ep = rs.fieldIndex("Epoch")
+      assert(rows.map(_.getLong(ep)) == (20 until 30).map(i => t0 + 60L * i))
+    } finally srv.stop()
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
