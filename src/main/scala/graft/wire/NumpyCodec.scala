@@ -58,10 +58,12 @@ object NumpyCodec {
   }
 
   private def putValue(buf: ByteBuffer, t: String, v: Any): Unit = t match {
-    case "i1" => buf.put(num(v).toByte)
-    case "i2" | "u1" => buf.putShort(num(v).toShort)
-    case "i4" | "u2" => buf.putInt(num(v).toInt)
-    case "i8" | "u4" => buf.putLong(num(v))
+    // widths MUST match the wire dtype (u1=1, u2=2, u4=4 bytes), not
+    // the widened Spark type the value arrives as
+    case "i1" | "u1" => buf.put(num(v).toByte)
+    case "i2" | "u2" => buf.putShort(num(v).toShort)
+    case "i4" | "u4" => buf.putInt(num(v).toInt)
+    case "i8" | "u8" => buf.putLong(num(v))
     case "f4" => buf.putFloat(v match {
       case f: Float => f; case d: Double => d.toFloat; case x => num(x).toFloat })
     case "f8" => buf.putDouble(v match {
@@ -116,9 +118,16 @@ object NumpyCodec {
   private def getValue(buf: ByteBuffer, t: String): Any = t match {
     case "i1" => buf.get()
     case "i2" => buf.getShort()
-    case "u1" => buf.getShort() // widened on write
-    case "i4" | "u2" => buf.getInt()
-    case "i8" | "u4" => buf.getLong()
+    case "i4" => buf.getInt()
+    case "i8" => buf.getLong()
+    // unsigned wire values widen into the next signed Spark type
+    // (NumpyTypes.toSpark: u1→short, u2→int, u4→long, u8→decimal)
+    case "u1" => ((buf.get() & 0xff).toShort)
+    case "u2" => buf.getShort() & 0xffff
+    case "u4" => buf.getInt().toLong & 0xffffffffL
+    case "u8" =>
+      val raw = buf.getLong()
+      new java.math.BigDecimal(java.lang.Long.toUnsignedString(raw))
     case "f4" => buf.getFloat()
     case "f8" => buf.getDouble()
     case "U16" =>

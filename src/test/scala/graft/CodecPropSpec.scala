@@ -53,6 +53,34 @@ class CodecPropSpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("unsigned wire dtypes decode with their true widths and full ranges") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(width: Int, vals: Long*): Array[Byte] = {
+      val b = ByteBuffer.allocate(width * vals.size).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach { v => width match {
+        case 1 => b.put(v.toByte); case 2 => b.putShort(v.toShort)
+        case 4 => b.putInt(v.toInt); case 8 => b.putLong(v) } }
+      b.array()
+    }
+    val ds = Map[Any, Any](
+      "names" -> Vector("A", "B", "C", "D"),
+      "types" -> Vector("u1", "u2", "u4", "u8"),
+      "data" -> Vector(
+        le(1, 255L, 1L), le(2, 65535L, 2L),
+        le(4, 4294967295L, 3L), le(8, -1L /* 2^64-1 */, 4L)),
+      "length" -> 2L)
+    val (schema, groups) = NumpyCodec.decode(ds)
+    assert(schema.map(_.dataType.simpleString) ==
+      Seq("smallint", "int", "bigint", "decimal(20,0)"))
+    val rows = groups.head._2
+    assert(rows(0).getShort(0) == 255.toShort)
+    assert(rows(0).getInt(1) == 65535)
+    assert(rows(0).getLong(2) == 4294967295L)
+    assert(rows(0).getDecimal(3) == new java.math.BigDecimal("18446744073709551615"))
+    assert(rows(1).getShort(0) == 1 && rows(1).getInt(1) == 2 &&
+      rows(1).getLong(2) == 3L && rows(1).getDecimal(3).longValue() == 4L)
+  }
+
   test("numpy codec round-trips typed rows bit-exactly") {
     val schema = StructType(Seq(
       StructField("Epoch", LongType), StructField("N", IntegerType),
