@@ -23,7 +23,10 @@ object NumpyTypes {
     "f8" -> DoubleType,
     "U16" -> StringType)
 
-  /** Spark type → dtype string (the signed/primary direction). */
+  /** Spark type → dtype string (the signed/primary direction; the
+    * u8-widened decimal maps back so buckets created from wire u8
+    * columns round-trip GetInfo/Query).
+    */
   val toNumpy: Map[DataType, String] = Map(
     ByteType -> "i1",
     ShortType -> "i2",
@@ -32,7 +35,8 @@ object NumpyTypes {
     FloatType -> "f4",
     DoubleType -> "f8",
     StringType -> "U16",
-    BooleanType -> "i1")
+    BooleanType -> "i1",
+    DecimalType(20, 0) -> "u8")
 
   def fieldToTypeStr(f: StructField): String =
     toNumpy.getOrElse(f.dataType,

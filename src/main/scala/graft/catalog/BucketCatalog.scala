@@ -220,14 +220,22 @@ class BucketCatalog(spark: SparkSession, root: String) {
     try {
       val line = s"""{"ts":${System.currentTimeMillis()},"attGroup":"$attGroup","partitions":[${
         partitions.map(p => "\"" + p + "\"").mkString(",")}]}"""
-      // one immutable file per commit (monotonic name): the local
-      // Hadoop FS has no append, and write-once files are exactly the
-      // shape an object store replays best
+      // one immutable file per commit: the local Hadoop FS has no
+      // append, and write-once files are exactly the shape an object
+      // store replays best. Name = wall-clock millis (ordered across
+      // restarts, unlike nanoTime whose origin is per-boot) + a
+      // process-local counter for sub-ms ties. Written to a dotfile
+      // then renamed so readers NEVER see a torn record (rename is the
+      // atomicity primitive here, same as the partition swaps).
       val dir = new Path(root, CommitLog)
       fs.mkdirs(dir)
-      val out = fs.create(new Path(dir, f"${System.nanoTime()}%020d.json"), false)
+      val name = f"${System.currentTimeMillis()}%015d_${
+        BucketCatalog.commitCounter.getAndIncrement()}%06d.json"
+      val tmp = new Path(dir, s".tmp_$name")
+      val out = fs.create(tmp, false)
       out.write(line.getBytes("UTF-8"))
       out.close()
+      fs.rename(tmp, new Path(dir, name))
     } catch { case scala.util.control.NonFatal(_) => }
 
   /** Commit records, oldest first (empty if no swaps committed). */
@@ -235,7 +243,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val dir = new Path(root, CommitLog)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toIndexedSeq
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath).filter(p => !p.getName.startsWith(".")).sortBy(_.getName)
       .map { p =>
         val in = fs.open(p)
         val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -334,6 +342,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
     if (fs.exists(p)) fs.delete(p, true)
     val symDir = p.getParent
     if (fs.exists(symDir) && fs.listStatus(symDir).isEmpty) fs.delete(symDir, true)
+    // replicas must apply destroys too or they diverge forever
+    logCommit(tbk.attGroup,
+      Seq(s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}:cleared"))
   }
 
   /** Schema + record type for a bucket (GetInfo / GetDataShapes,
@@ -381,4 +392,5 @@ object BucketCatalog {
   val MetaFile = "_graft_meta.txt"
   val CommitLog = "_graft_commits.jsonl"
   val StagingPrefix = ".staging_"
+  private[catalog] val commitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }

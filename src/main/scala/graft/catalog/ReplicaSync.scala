@@ -38,8 +38,11 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
     val logDir = new Path(primaryRoot, BucketCatalog.CommitLog)
     if (!fs.exists(logDir)) return 0
     val seen = lastApplied()
+    // dotfiles are in-flight writes (logCommit stages then renames, so
+    // every visible .json is complete — no torn-record race)
     val pending = fs.listStatus(logDir).toSeq.map(_.getPath)
-      .filter(_.getName > seen).sortBy(_.getName)
+      .filter(p => !p.getName.startsWith(".") && p.getName > seen)
+      .sortBy(_.getName)
     if (pending.isEmpty) return 0
 
     // last action per (attGroup, partition) wins — one copy of the
@@ -66,6 +69,15 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
       val dst = new Path(new Path(replicaRoot, ag), rel)
       if (cleared) {
         if (fs.exists(dst)) fs.delete(dst, true)
+        // prune now-empty parents so listSymbols agrees with the
+        // primary (destroy removes the empty symbol dir there too)
+        var parent = dst.getParent
+        val stop = new Path(replicaRoot, ag)
+        while (parent != null && parent != stop &&
+            fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, true)
+          parent = parent.getParent
+        }
       } else {
         val src = new Path(new Path(primaryRoot, ag), rel)
         if (fs.exists(src)) {

@@ -13,19 +13,32 @@ import scala.collection.mutable
   * glob.Compile(stream, '/').
   */
 final class SubscriptionSet {
-  private val patterns = mutable.LinkedHashSet[String]()
+  // pattern → compiled regex: matching is the hot path (every push /
+  // every fired row consults it), so compile once at subscribe time
+  private val patterns = mutable.LinkedHashMap[String, scala.util.matching.Regex]()
 
-  def subscribe(pattern: String): Unit = synchronized { patterns += pattern }
+  def subscribe(pattern: String): Unit = synchronized {
+    patterns(pattern) = SubscriptionSet.globToRegex(pattern)
+  }
   def unsubscribe(pattern: String): Unit = synchronized { patterns -= pattern }
 
-  def subscribed(tbk: String): Boolean = synchronized {
-    patterns.exists(p => SubscriptionSet.globToRegex(p).matches(tbk))
+  /** Atomically swap the whole set (a websocket subscriber's new
+    * SubscribeMessage replaces its previous streams, stream.go:122-136).
+    */
+  def replaceAll(ps: Seq[String]): Unit = synchronized {
+    patterns.clear()
+    ps.foreach(p => patterns(p) = SubscriptionSet.globToRegex(p))
   }
 
-  /** Immutable snapshot of the patterns — shippable inside a task
-    * closure for partition-side delivery.
+  def subscribed(tbk: String): Boolean = synchronized {
+    patterns.values.exists(_.matches(tbk))
+  }
+
+  /** Immutable snapshot of the compiled patterns — shippable inside a
+    * task closure for partition-side delivery (scala Regex is
+    * Serializable), no per-row recompilation.
     */
-  def snapshot: Seq[String] = synchronized { patterns.toSeq }
+  def snapshot: Seq[scala.util.matching.Regex] = synchronized { patterns.values.toSeq }
 }
 
 object SubscriptionSet {
@@ -143,13 +156,13 @@ final class StreamTrigger(
         max(col("__tail")).as("__tail"))
     (distributedBus, tf.approxSeconds <= 60L) match {
       case (Some(dbus), true) =>
-        val pats = subscriptions.snapshot
+        val pats = subscriptions.snapshot // compiled once, shipped compiled
         val cols = payloadCols.toSeq
         val ag = attGroup
         latest.foreachPartition { rows: Iterator[Row] =>
           rows.foreach { r =>
             val tbk = s"${r.getAs[String]("symbol")}/$timeframe/$ag"
-            if (pats.exists(p => SubscriptionSet.globToRegex(p).matches(tbk))) {
+            if (pats.exists(_.matches(tbk))) {
               val row = r.getAs[Row]("__row")
               dbus.push(tbk, cols.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap)
             }

@@ -79,6 +79,9 @@ object NumpyCodec {
   private def num(v: Any): Long = v match {
     case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong
     case b: Byte => b.toLong; case b: Boolean => if (b) 1L else 0L
+    // u8-widened decimal: longValue() is the unsigned two's-complement
+    // bit pattern, exactly what the u8 wire slot holds
+    case d: java.math.BigDecimal => d.longValue()
     case null => 0L
     case other => throw new IllegalArgumentException(s"numpy encode: int from $other")
   }

@@ -51,9 +51,13 @@ class RpcServer(
 
   private final class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val isMsgpack = Option(ex.getRequestHeaders.getFirst("Content-Type"))
-        .forall(_.toLowerCase.contains("msgpack"))
       val body = ex.getRequestBody.readAllBytes()
+      // explicit header wins; otherwise sniff — a JSON-RPC body always
+      // starts with '{', a msgpack request map with a fixmap/map byte
+      val isMsgpack = Option(ex.getRequestHeaders.getFirst("Content-Type")) match {
+        case Some(ct) => ct.toLowerCase.contains("msgpack")
+        case None => body.isEmpty || body(0) != '{'.toByte
+      }
       val req =
         try {
           if (isMsgpack) MsgPack.decode(body).asInstanceOf[Map[Any, Any]]
@@ -131,13 +135,18 @@ class RpcServer(
             limitFromStart = bool(r, "limit_from_start"),
             functions = r.getOrElse("functions", Vector.empty).asInstanceOf[Seq[Any]].map(_.toString)))
         }
-      val tbkOfSymbol: String => String =
-        if (bool(r, "is_sqlstatement")) _ => str(r, "sql_statement").get + ":SQL"
+      // SQL results are ONE span under "<stmt>:SQL" (executeSQL,
+      // frontend/query.go:118-141) — any symbol column stays a data
+      // column; grouping it into per-symbol spans would collapse the
+      // identical keys and drop rows. Native queries span per symbol.
+      val result =
+        if (bool(r, "is_sqlstatement"))
+          toNumpyMulti(df, _ => str(r, "sql_statement").get + ":SQL", groupBySymbol = false)
         else {
           val proto = TimeBucketKey.parse(str(r, "destination").get)
-          sym => s"$sym/${proto.timeframe}/${proto.attGroup}"
+          toNumpyMulti(df, sym => s"$sym/${proto.timeframe}/${proto.attGroup}")
         }
-      Map("result" -> toNumpyMulti(df, tbkOfSymbol))
+      Map("result" -> result)
     }
     Map("responses" -> responses,
       "version" -> ServerInfo.Version, "timezone" -> timezone)
@@ -147,8 +156,10 @@ class RpcServer(
     * numpy.go:133-156). Frames without a symbol column (SQL results)
     * become a single span.
     */
-  private def toNumpyMulti(df0: DataFrame, tbkOf: String => String): Map[String, Any] = {
-    val hasSymbol = df0.columns.contains("symbol")
+  private def toNumpyMulti(
+      df0: DataFrame, tbkOf: String => String,
+      groupBySymbol: Boolean = true): Map[String, Any] = {
+    val hasSymbol = groupBySymbol && df0.columns.contains("symbol")
     // wire dtypes are fixed-width: widen whatever the frame carries
     val df = {
       val casted = df0.schema.fields.map { f =>
@@ -156,6 +167,8 @@ class RpcServer(
           case LongType | IntegerType | ShortType | ByteType |
                FloatType | DoubleType | StringType => col(f.name)
           case BooleanType => col(f.name).cast("byte").as(f.name)
+          // the u8-widened decimal IS a wire dtype; others narrow to f8
+          case dt: DecimalType if dt.precision == 20 && dt.scale == 0 => col(f.name)
           case _: DecimalType => col(f.name).cast("double").as(f.name)
           case TimestampType => unix_micros(col(f.name)).as(f.name)
           case other =>

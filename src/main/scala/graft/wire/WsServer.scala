@@ -35,10 +35,9 @@ final class WsServer(port: Int = 0) extends PushBus with AutoCloseable {
 
   private final class Conn(val socket: Socket) {
     val out: OutputStream = socket.getOutputStream
-    val streams = mutable.Set[String]()
-    def subscribed(tbk: String): Boolean = synchronized {
-      streams.exists(p => SubscriptionSet.globToRegex(p).matches(tbk))
-    }
+    // reuse the engine's subscription semantics (compiled-glob match)
+    val streams = new SubscriptionSet
+    def subscribed(tbk: String): Boolean = streams.subscribed(tbk)
     def send(bytes: Array[Byte]): Unit = synchronized {
       WsServer.writeFrame(out, 0x2, bytes)
     }
@@ -102,9 +101,7 @@ final class WsServer(port: Int = 0) extends PushBus with AutoCloseable {
               val bad = requested.filterNot(_.split("/", -1).length == 3)
               if (bad.nonEmpty)
                 conn.send(MsgPack.encode(Map("error" -> s"${bad.head} is an invalid stream")))
-              else if (requested.nonEmpty) conn.synchronized {
-                conn.streams.clear(); conn.streams ++= requested
-              }
+              else if (requested.nonEmpty) conn.streams.replaceAll(requested)
             } catch {
               case NonFatal(e) =>
                 conn.send(MsgPack.encode(Map("error" ->

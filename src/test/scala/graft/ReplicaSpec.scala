@@ -48,5 +48,15 @@ class ReplicaSpec extends SparkSpec {
     // replica is a full catalog: info + symbols line up
     assert(replica.listSymbols("OHLCV") == Seq("AAPL"))
     assert(replica.getInfo("OHLCV")._1.fieldNames.toSeq == Seq("Epoch", "Open"))
+
+    // destroy propagates (it logs a cleared commit) — replicas must
+    // not keep serving destroyed buckets
+    primary.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"),
+      Seq((60L, 9.0)).toDF("Epoch", "Open"))
+    assert(syncer.sync() > 0)
+    assert(replica.listSymbols("OHLCV").sorted == Seq("AAPL", "MSFT"))
+    primary.destroy(TimeBucketKey.parse("MSFT/1Min/OHLCV"))
+    assert(syncer.sync() > 0)
+    assert(replica.listSymbols("OHLCV") == Seq("AAPL"))
   }
 }

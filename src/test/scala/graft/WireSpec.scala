@@ -310,6 +310,48 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("multi-symbol SQL results keep every row in one span; u8 columns round-trip GetInfo") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wire-sqlm").toString
+    val cat = new BucketCatalog(spark, root)
+    val t0 = 1590000000L
+    cat.writeMulti("OHLC", "1Min", Seq(
+      ("AAPL", t0, 1.0), ("AAPL", t0 + 60L, 2.0),
+      ("TSLA", t0, 7.0)).toDF("symbol", "Epoch", "Open"))
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      // a SQL union across two TBK views yields a multi-symbol frame:
+      // it must arrive as ONE ":SQL" span with symbol as a data column
+      val stmt =
+        """SELECT symbol, Epoch, Open FROM `AAPL/1Min/OHLC`
+           UNION ALL SELECT symbol, Epoch, Open FROM `TSLA/1Min/OHLC`"""
+      val q = rpc(srv.boundPort, "DataService.Query", Map("requests" -> Seq(Map(
+        "is_sqlstatement" -> true, "sql_statement" -> stmt))))
+      val result = q("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]("result").asInstanceOf[Map[Any, Any]]
+      assert(result("length") == 3L)
+      val (rs, groups) = NumpyCodec.decode(result)
+      assert(groups.size == 1 && groups.head._1.endsWith(":SQL"))
+      assert(rs.fieldNames.contains("symbol"))
+      val syms = groups.head._2.map(_.getString(rs.fieldIndex("symbol")))
+      assert(syms.count(_ == "AAPL") == 2 && syms.count(_ == "TSLA") == 1)
+
+      // u8 create → GetInfo round trip (DecimalType(20,0) ↔ "u8")
+      rpc(srv.boundPort, "DataService.Create", Map("requests" -> Seq(Map(
+        "key" -> "X/1Min/COUNTS:Symbol/Timeframe/AttributeGroup",
+        "column_names" -> Seq("Epoch", "Hits"),
+        "column_types" -> Seq("i8", "u8"),
+        "is_variable_length" -> false))))
+      val info = rpc(srv.boundPort, "DataService.GetInfo", Map("requests" -> Seq(Map(
+        "key" -> "X/1Min/COUNTS"))))("responses").asInstanceOf[Seq[Any]].head
+        .asInstanceOf[Map[Any, Any]]
+      assert(info("ServerResp").asInstanceOf[Map[Any, Any]]("error") == "")
+      val dsv = info("DSV").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
+      assert(dsv.map(d => d("Name") -> d("Type")) == Seq("Epoch" -> 3L, "Hits" -> 13L))
+    } finally srv.stop()
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
@@ -327,6 +369,19 @@ class WireSpec extends SparkSpec {
       val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
       assert(conn.getHeaderField("Content-Type").contains("application/json"))
       assert(body.contains(""""Results":[]""") && body.contains(""""id":7"""))
+
+      // no Content-Type header at all (raw socket — HttpURLConnection
+      // always injects one): the '{' body sniffs as JSON
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      sock.setSoTimeout(5000)
+      val payload =
+        """{"jsonrpc":"2.0","method":"DataService.ListSymbols","params":[{}],"id":8}"""
+      sock.getOutputStream.write(
+        (s"POST /rpc HTTP/1.1\r\nHost: localhost\r\nContent-Length: ${payload.length}\r\n" +
+          s"Connection: close\r\n\r\n$payload").getBytes("UTF-8"))
+      val raw = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+      sock.close()
+      assert(raw.contains("application/json") && raw.contains(""""id":8"""))
     } finally srv.stop()
   }
 }
