@@ -1,5 +1,6 @@
 package graft.catalog
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core.TimeBucketKey
 import graft.functions.Uda
 import graft.operators.TimeSeries
@@ -7,6 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 /** Bucket storage over partitioned parquet.
   *
@@ -25,14 +28,37 @@ import org.apache.spark.sql.types.StructType
   *  - VARIABLE ⇒ many rows per second, keyed (epoch, nanoseconds);
   *    unsorted writes read back time-ordered (executor/sort.go:11-50).
   *
-  * At cluster scale the upsert path = dynamic-partition overwrite of
-  * only the (symbol, timeframe, year) partitions present in the batch:
+  * At cluster scale the upsert path rewrites only the
+  * (symbol, timeframe, year) partitions present in the batch:
   * rewrite cost is bounded by touched partitions, not table size.
   *
-  * Concurrency contract: SINGLE WRITER per root (readers unlimited) —
-  * the same contract as the reference, whose one server process owns
-  * the store and its WAL. Commits leave a record in [[CommitLog]];
-  * [[recoverOrphanedStaging]] cleans up after a crashed writer;
+  * == Snapshot isolation ==
+  * Every commit is a MANIFEST flip: staged parquet files (unique
+  * names) are moved into the live partition directories, then a new
+  * versioned manifest listing the exact live files of the group is
+  * published by atomic rename. Readers resolve the file list through
+  * the current manifest — never by directory listing — so a reader
+  * that planned a query just before a commit keeps reading the files
+  * of the snapshot it pinned. Files that leave the live set are
+  * retained on disk for [[BucketCatalog.VacuumGraceCommits]] more
+  * commits before vacuum deletes them: a read pinned at manifest V is
+  * safe until commit V+3 of the same group lands. This is the role the
+  * reference's WAL plays for its single server process
+  * (executor/wal.go:29-45), re-expressed in the append-only
+  * files-plus-log shape object stores replay best. At very large file
+  * counts a production deployment would compact manifests
+  * incrementally (the commit log already carries the per-commit
+  * delta); the full-snapshot manifest here is one small JSON per
+  * commit.
+  *
+  * Concurrency contract: mutations are serialized per
+  * (root, attributeGroup) by an in-process lock — concurrent writers
+  * through one JVM (e.g. the RPC front's request pool) cannot lose
+  * acknowledged rows to a read-merge-swap race. Across PROCESSES the
+  * contract remains single writer per root, same as the reference
+  * (one server process owns the store and its WAL); readers are
+  * unlimited in both dimensions. Commits leave a record in the commit
+  * log; [[recoverOrphanedStaging]] cleans up after a crashed writer;
   * [[ReplicaSync]] builds read replicas from the commit log.
   */
 class BucketCatalog(spark: SparkSession, root: String) {
@@ -40,18 +66,23 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   private def agPath(attGroup: String) = s"$root/$attGroup"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val om = new ObjectMapper()
 
-  def create(tbk: TimeBucketKey, schema: StructType, isVariable: Boolean): Unit = {
-    val meta = new Path(agPath(tbk.attGroup), MetaFile)
-    if (!fs.exists(meta)) {
-      val out = fs.create(meta, true)
-      val kind = if (isVariable) "variable" else "fixed"
-      // schema as JSON: unlike DDL it round-trips field metadata
-      // (char/varchar length caps for STRING16 enforcement)
-      out.write(s"$kind\n${schema.json}\n".getBytes("UTF-8"))
-      out.close()
+  private def mutate[T](attGroup: String)(body: => T): T =
+    writeLock(root, attGroup).synchronized(body)
+
+  def create(tbk: TimeBucketKey, schema: StructType, isVariable: Boolean): Unit =
+    mutate(tbk.attGroup) {
+      val meta = new Path(agPath(tbk.attGroup), MetaFile)
+      if (!fs.exists(meta)) {
+        val out = fs.create(meta, true)
+        val kind = if (isVariable) "variable" else "fixed"
+        // schema as JSON: unlike DDL it round-trips field metadata
+        // (char/varchar length caps for STRING16 enforcement)
+        out.write(s"$kind\n${schema.json}\n".getBytes("UTF-8"))
+        out.close()
+      }
     }
-  }
 
   def isVariable(attGroup: String): Boolean = readMeta(attGroup)._1
 
@@ -117,126 +148,303 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * of a per-symbol job fan-out. A bucket that was never create()d is
     * created from the first batch's schema (executor/writer.go:287-320).
     */
-  def writeMulti(attGroup: String, timeframe: String, df: DataFrame): Unit = {
-    require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
-    if (!fs.exists(new Path(agPath(attGroup), MetaFile))) {
-      val inferred = StructType(df.schema.fields.filterNot(f =>
-        Seq("symbol", "timeframe", "year").contains(f.name)))
-      create(TimeBucketKey("__infer", timeframe, attGroup), inferred,
-        isVariable = df.columns.contains(Uda.NanosCol))
+  def writeMulti(attGroup: String, timeframe: String, df: DataFrame): Unit =
+    mutate(attGroup) {
+      require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
+      if (!fs.exists(new Path(agPath(attGroup), MetaFile))) {
+        val inferred = StructType(df.schema.fields.filterNot(f =>
+          Seq("symbol", "timeframe", "year").contains(f.name)))
+        create(TimeBucketKey("__infer", timeframe, attGroup), inferred,
+          isVariable = df.columns.contains(Uda.NanosCol))
+      }
+      val (variable, declared) = readMeta(attGroup)
+      val keyed0 = coerce(df, declared)
+        .withColumn("timeframe", lit(timeframe))
+        .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
+      val keyed =
+        if (variable && !keyed0.columns.contains(Uda.NanosCol))
+          keyed0.withColumn(Uda.NanosCol, lit(0))
+        else keyed0
+      val dedupKeys =
+        Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
+      val merged = readAg(attGroup) match {
+        case Some(old) =>
+          val affected = keyed.select("symbol", "timeframe", "year").distinct()
+          val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
+          TimeSeries.unionKeepLast(
+            oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
+        case None => keyed
+      }
+      stageSwap(merged, attGroup)
     }
-    val (variable, declared) = readMeta(attGroup)
-    val keyed0 = coerce(df, declared)
-      .withColumn("timeframe", lit(timeframe))
-      .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
-    val keyed =
-      if (variable && !keyed0.columns.contains(Uda.NanosCol))
-        keyed0.withColumn(Uda.NanosCol, lit(0))
-      else keyed0
-    val path = agPath(attGroup)
-    val dedupKeys =
-      Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
 
-    val existing = readAg(attGroup)
-    existing match {
-      case Some(old) =>
-        val affected = keyed.select("symbol", "timeframe", "year").distinct()
-        val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
-        val merged = TimeSeries.unionKeepLast(
-          oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
-        stageSwap(merged, attGroup)
-      case None =>
-        keyed.write.mode("append")
-          .partitionBy("symbol", "timeframe", "year")
-          .parquet(path)
-        // first write into an empty group: log what landed (directory
-        // walk, no data scan) so a replica tailing the commit log sees
-        // bootstrap writes too
-        logCommit(attGroup, listPartitions(attGroup))
-    }
-  }
-
-  /** All (symbol, timeframe, year) partition rel-paths of a group. */
-  private def listPartitions(attGroup: String): Seq[String] = {
+  /** All data files on disk under a group's partition dirs, rel paths
+    * — the bootstrap listing for pre-manifest roots (and the recovery
+    * sweep's view of what physically exists).
+    */
+  private def listDataFilesOnDisk(attGroup: String): Seq[String] = {
     val p = new Path(agPath(attGroup))
     if (!fs.exists(p)) Nil
     else for {
       symDir <- fs.listStatus(p).toSeq if symDir.getPath.getName.startsWith("symbol=")
       tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
       yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
-    } yield s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
+      f <- fs.listStatus(yearDir.getPath).toSeq
+      if f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")
+    } yield s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}/${f.getPath.getName}"
   }
 
-  /** Stage-and-swap commit shared by every path that rewrites live
-    * partitions it is simultaneously reading (merge upserts, range
-    * deletes): materialize `df` fully into a staging directory, then
-    * swap each staged (symbol, timeframe, year) partition into the
-    * live tree. A dynamic overwrite of the path being read would lose
-    * the touched partitions on a mid-write crash — the reference
-    * guards this exact window with its WAL (executor/wal.go:29-45);
-    * after staging, the only non-atomic window left is the rename
-    * loop, each step of which is a single filesystem rename.
-    * Partitions in `clearIfUnstaged` that produced no staged output
-    * are deleted (a rewrite that emptied them).
+  // ------------------------------------------------------------ manifests
+
+  private def manifestDirPath(attGroup: String) = new Path(agPath(attGroup), ManifestDir)
+  private def manifestName(v: Long) = f"$v%015d.json"
+
+  private def currentManifestVersion(attGroup: String): Option[Long] = {
+    val dir = manifestDirPath(attGroup)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .maxOption
+  }
+
+  /** (files, removed, buckets) of one manifest version. `buckets` are
+    * the symbol=S/timeframe=T pairs that EXIST — a fully-trimmed
+    * bucket has no files but still lists (the reference's trim empties
+    * a bucket without deleting it, cmd/connect/session/trim.go).
+    */
+  private def readManifestVersion(
+      attGroup: String, v: Long): (Seq[String], Seq[String], Seq[String]) = {
+    val p = new Path(manifestDirPath(attGroup), manifestName(v))
+    val in = fs.open(p)
+    val node = om.readTree(in)
+    in.close()
+    def arr(k: String): Seq[String] = {
+      val a = node.get(k)
+      if (a == null) Nil else (0 until a.size()).map(a.get(_).asText())
+    }
+    (arr("files"), arr("removed"), arr("buckets"))
+  }
+
+  /** Live data files (rel paths under the group dir) per the current
+    * manifest — the read snapshot. None ⇒ no manifest yet (a
+    * pre-manifest root; readers fall back to directory listing).
+    */
+  def liveFiles(attGroup: String): Option[Seq[String]] =
+    currentManifestVersion(attGroup).map(v => readManifestVersion(attGroup, v)._1)
+
+  /** Existing buckets ("symbol=S/timeframe=T", possibly empty of
+    * files) per the current manifest — None if no manifest.
+    */
+  def liveBuckets(attGroup: String): Option[Seq[String]] =
+    currentManifestVersion(attGroup).map(v => readManifestVersion(attGroup, v)._3)
+
+  /** Files referenced by ANY retained manifest version (live + grace-
+    * retained) — None if no manifest. Anything on disk outside this
+    * set is foreign: a crashed move or an out-of-band write.
+    */
+  def referencedFiles(attGroup: String): Option[Set[String]] = {
+    val dir = manifestDirPath(attGroup)
+    if (!fs.exists(dir)) None
+    else Some(fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .flatMap { v =>
+        val (files, removed, _) = readManifestVersion(attGroup, v)
+        files ++ removed
+      }.toSet)
+  }
+
+  /** All data files physically present under the group's partition
+    * dirs (live + grace + foreign) — the integrity tool's disk view.
+    */
+  def dataFilesOnDisk(attGroup: String): Seq[String] = listDataFilesOnDisk(attGroup)
+
+  private def writeManifest(
+      attGroup: String, v: Long, files: Seq[String], removed: Seq[String],
+      buckets: Seq[String]): Unit = {
+    val dir = manifestDirPath(attGroup)
+    fs.mkdirs(dir)
+    val map = new java.util.LinkedHashMap[String, Any]()
+    map.put("version", v)
+    map.put("files", files.sorted.asJava)
+    map.put("removed", removed.sorted.asJava)
+    map.put("buckets", buckets.sorted.asJava)
+    val tmp = new Path(dir, s".tmp_${manifestName(v)}")
+    val out = fs.create(tmp, true)
+    out.write(om.writeValueAsBytes(map))
+    out.close()
+    if (!fs.rename(tmp, new Path(dir, manifestName(v))))
+      throw new IllegalStateException(s"could not publish manifest v$v for $attGroup")
+  }
+
+  /** Flip the group's manifest: every file under a partition in
+    * `replacedParts` leaves the live set, `addedFiles` join it. The
+    * flip (a rename) is the commit point; the old snapshot's files
+    * stay readable for [[VacuumGraceCommits]] more commits.
+    */
+  private def bucketOf(part: String): String = {
+    val i = part.lastIndexOf('/')
+    if (i < 0) part else part.substring(0, i)
+  }
+
+  private def commitManifest(
+      attGroup: String, replacedParts: Set[String], addedFiles: Seq[String],
+      logParts: Seq[String], addBuckets: Set[String] = Set.empty,
+      removeBuckets: Set[String] = Set.empty): Unit = {
+    // bootstrap a pre-manifest root from its directory listing —
+    // minus the files this very commit just moved in
+    val added = addedFiles.toSet
+    val prev = liveFiles(attGroup).getOrElse(
+      listDataFilesOnDisk(attGroup).filterNot(added))
+    def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+    val prevBuckets = liveBuckets(attGroup)
+      .getOrElse(prev.map(f => bucketOf(partOf(f))).distinct).toSet
+    val (dead, kept) = prev.partition(f => replacedParts.contains(partOf(f)))
+    val v = currentManifestVersion(attGroup).getOrElse(0L) + 1
+    writeManifest(attGroup, v, kept ++ addedFiles, dead,
+      (prevBuckets ++ addBuckets -- removeBuckets).toSeq)
+    vacuum(attGroup, v)
+    logCommit(attGroup, logParts)
+  }
+
+  /** Physically delete the files that left the live set
+    * [[VacuumGraceCommits]] commits ago (readers pinned to that
+    * snapshot have long finished), prune now-empty partition dirs, and
+    * drop manifest versions beyond [[ManifestRetention]].
+    */
+  private def vacuum(attGroup: String, committed: Long): Unit = {
+    val graceV = committed - VacuumGraceCommits
+    if (graceV >= 1 && fs.exists(new Path(manifestDirPath(attGroup), manifestName(graceV)))) {
+      val (_, removed, _) = readManifestVersion(attGroup, graceV)
+      val stop = new Path(agPath(attGroup))
+      removed.foreach { rel =>
+        try {
+          val f = new Path(agPath(attGroup), rel)
+          if (fs.exists(f)) fs.delete(f, false)
+          var parent = f.getParent
+          while (parent != null && !parent.equals(stop) &&
+              fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+            fs.delete(parent, true)
+            parent = parent.getParent
+          }
+        } catch { case NonFatal(e) =>
+          log.warn(s"vacuum of $attGroup/$rel failed: ${e.getMessage}")
+        }
+      }
+    }
+    val dir = manifestDirPath(attGroup)
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .filter(p => scala.util.Try(p.getName.stripSuffix(".json").toLong)
+        .toOption.exists(_ <= committed - ManifestRetention))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** Stage-and-commit shared by every write path: materialize `df`
+    * fully into a staging directory, move each staged file (Spark part
+    * file names are job-unique) into its live partition directory,
+    * then flip the manifest — see the class doc's snapshot-isolation
+    * contract. A mid-move crash leaves unreferenced files that the
+    * next [[recoverOrphanedStaging]] sweeps; the live snapshot is
+    * never touched until the manifest rename. Partitions in
+    * `clearIfUnstaged` that produced no staged output leave the live
+    * set (a rewrite that emptied them).
     */
   private def stageSwap(df: DataFrame, attGroup: String,
       clearIfUnstaged: Seq[String] = Nil): Unit = {
-    val path = agPath(attGroup)
+    val groupDir = agPath(attGroup)
     val staging = new Path(root, s"$StagingPrefix${attGroup}_${System.nanoTime()}")
     df.write.mode("overwrite")
       .partitionBy("symbol", "timeframe", "year")
       .parquet(staging.toString)
     try {
-      val staged = scala.collection.mutable.Set[String]()
+      val stagedParts = scala.collection.mutable.Set[String]()
+      val movedFiles = scala.collection.mutable.ArrayBuffer[String]()
       for {
         symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
         tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
         yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
       } {
         val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
-        staged += rel
-        val target = new Path(path, rel)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.mkdirs(target.getParent)
-        fs.rename(yearDir.getPath, target)
+        stagedParts += rel
+        val targetDir = new Path(groupDir, rel)
+        fs.mkdirs(targetDir)
+        fs.listStatus(yearDir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+            !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val name = f.getPath.getName
+            if (!fs.rename(f.getPath, new Path(targetDir, name)))
+              throw new IllegalStateException(
+                s"failed to move staged file $name into $targetDir")
+            movedFiles += s"$rel/$name"
+          }
       }
-      clearIfUnstaged.filterNot(staged).foreach { rel =>
-        val p = new Path(path, rel)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      logCommit(attGroup, staged.toSeq.sorted ++ clearIfUnstaged.filterNot(staged).map(_ + ":cleared"))
+      // a rewrite keeps its buckets listed even when it emptied them
+      // (trim semantics: the bucket exists with zero rows)
+      commitManifest(attGroup,
+        stagedParts.toSet ++ clearIfUnstaged,
+        movedFiles.toSeq,
+        logParts = stagedParts.toSeq.sorted ++
+          clearIfUnstaged.filterNot(stagedParts).map(_ + ":cleared"),
+        addBuckets = (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf))
     } finally fs.delete(staging, true)
   }
 
-  /** Append one line per committed swap to the catalog's commit log —
+  /** Append one record per committed swap to the catalog's commit log —
     * the durable trail the reference keeps in its WAL transaction
     * groups (executor/wal.go; replication tails the same records,
     * replication/sender.go:14-48). A replica catalog can tail this
     * file and re-read exactly the partitions each commit names.
     * Best-effort: a commit-log write failure never fails the data
-    * commit (the data swap already happened atomically).
+    * commit (the data commit already happened at the manifest flip) —
+    * but it is WARNED, because replicas tailing the log would silently
+    * diverge otherwise.
     */
   private def logCommit(attGroup: String, partitions: Seq[String]): Unit =
     try {
-      val line = s"""{"ts":${System.currentTimeMillis()},"attGroup":"$attGroup","partitions":[${
-        partitions.map(p => "\"" + p + "\"").mkString(",")}]}"""
+      // Jackson, not string interpolation: symbol/attGroup names come
+      // from wire clients, and a quote or backslash in one must not
+      // yield a torn record a replica silently skips
+      val map = new java.util.LinkedHashMap[String, Any]()
+      map.put("ts", System.currentTimeMillis())
+      map.put("attGroup", attGroup)
+      map.put("partitions", partitions.asJava)
       // one immutable file per commit: the local Hadoop FS has no
       // append, and write-once files are exactly the shape an object
-      // store replays best. Name = wall-clock millis (ordered across
-      // restarts, unlike nanoTime whose origin is per-boot) + a
-      // process-local counter for sub-ms ties. Written to a dotfile
-      // then renamed so readers NEVER see a torn record (rename is the
-      // atomicity primitive here, same as the partition swaps).
+      // store replays best. Names are a per-root MONOTONIC sequence
+      // seeded from the max existing commit name — restart- and
+      // clock-step-safe, unlike wall clock + an in-memory counter.
+      // Written to a dotfile then renamed so readers NEVER see a torn
+      // record (rename is the atomicity primitive here, same as the
+      // manifest flips).
       val dir = new Path(root, CommitLog)
       fs.mkdirs(dir)
-      val name = f"${System.currentTimeMillis()}%015d_${
-        BucketCatalog.commitCounter.getAndIncrement()}%06d.json"
+      val name = f"${nextCommitSeq(dir)}%015d.json"
       val tmp = new Path(dir, s".tmp_$name")
       val out = fs.create(tmp, false)
-      out.write(line.getBytes("UTF-8"))
+      out.write(om.writeValueAsBytes(map))
       out.close()
-      fs.rename(tmp, new Path(dir, name))
-    } catch { case scala.util.control.NonFatal(_) => }
+      if (!fs.rename(tmp, new Path(dir, name)))
+        log.warn(s"commit record $name for $attGroup could not be published — " +
+          "replicas tailing the commit log will miss this commit")
+    } catch {
+      case NonFatal(e) =>
+        log.warn(s"commit record write failed for $attGroup: ${e.getMessage} — " +
+          "replicas tailing the commit log will miss this commit")
+    }
+
+  private def nextCommitSeq(dir: Path): Long =
+    commitSeqs.computeIfAbsent(dir.toString, _ => {
+      val max =
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filterNot(_.startsWith("."))
+          .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
+          .map(_.toLong).maxOption.getOrElse(0L)
+      new java.util.concurrent.atomic.AtomicLong(max)
+    }).incrementAndGet()
 
   /** Commit records, oldest first (empty if no swaps committed). */
   def commitHistory(): Seq[String] = {
@@ -252,13 +460,15 @@ class BucketCatalog(spark: SparkSession, root: String) {
       }
   }
 
-  /** Delete orphaned staging directories left by a crashed writer.
-    * Safe ONLY under the catalog's single-writer contract (the
-    * reference has the same: one server process owns the store and
-    * replays/cleans its WAL on startup, executor/wal.go:29-45): an
-    * orphan is any staging dir present when no write is in flight,
-    * because a completed stageSwap always removes its own dir.
-    * Returns the number of directories removed.
+  /** Clean up after a crashed writer: delete orphaned staging
+    * directories, plus any data file no retained manifest references
+    * (a crash between the file moves and the manifest flip leaves
+    * such unreferenced files; they were never part of any snapshot).
+    * Safe ONLY at writer startup under the catalog's cross-process
+    * single-writer contract (the reference has the same: one server
+    * process owns the store and replays/cleans its WAL on startup,
+    * executor/wal.go:29-45). Returns the number of staging
+    * directories removed.
     */
   def recoverOrphanedStaging(): Int = {
     val p = new Path(root)
@@ -266,27 +476,55 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val orphans = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
     orphans.foreach(s => fs.delete(s.getPath, true))
+    listAttGroups().foreach { ag =>
+      referencedFiles(ag).foreach { referenced =>
+        listDataFilesOnDisk(ag).filterNot(referenced).foreach { rel =>
+          try fs.delete(new Path(agPath(ag), rel), false)
+          catch { case NonFatal(e) =>
+            log.warn(s"orphan sweep of $ag/$rel failed: ${e.getMessage}")
+          }
+        }
+      }
+    }
     orphans.size
   }
 
-  private def readAg(attGroup: String): Option[DataFrame] = {
-    val p = new Path(agPath(attGroup))
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(s => s.getPath.getName.startsWith("symbol="))
-    if (hasData) Some(spark.read.parquet(agPath(attGroup))) else None
-  }
+  // --------------------------------------------------------------- reads
+
+  /** The whole attribute group as one DataFrame (symbol/timeframe/year
+    * partition columns included), resolved through the current
+    * manifest snapshot. None ⇒ no data.
+    */
+  def readGroup(attGroup: String): Option[DataFrame] = readAg(attGroup)
+
+  private def readAg(attGroup: String): Option[DataFrame] =
+    liveFiles(attGroup) match {
+      case Some(files) =>
+        if (files.isEmpty) None
+        else Some(spark.read.option("basePath", agPath(attGroup))
+          .parquet(files.map(f => s"${agPath(attGroup)}/$f"): _*))
+      case None =>
+        // pre-manifest root: directory listing (legacy behavior)
+        val p = new Path(agPath(attGroup))
+        val hasData = fs.exists(p) &&
+          fs.listStatus(p).exists(s => s.getPath.getName.startsWith("symbol="))
+        if (hasData) Some(spark.read.parquet(agPath(attGroup))) else None
+    }
+
+  private def readAgOrFail(attGroup: String): DataFrame =
+    readAg(attGroup).getOrElse(throw new IllegalArgumentException(
+      s"no data for attribute group '$attGroup' under $root"))
 
   /** Partition-pruned scan of ALL symbols of one attGroup/timeframe
     * (symbol column retained) — single scan for wildcard queries and
     * the downsample cascade.
     */
   def readMulti(attGroup: String, timeframe: String): DataFrame =
-    spark.read.parquet(agPath(attGroup))
-      .filter(col("timeframe") === timeframe)
+    readAgOrFail(attGroup).filter(col("timeframe") === timeframe)
 
   /** Partition-pruned scan of one bucket, time-ordered. */
   def read(tbk: TimeBucketKey): DataFrame = {
-    val df = spark.read.parquet(agPath(tbk.attGroup))
+    val df = readAgOrFail(tbk.attGroup)
       .filter(col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
     val ord =
       if (df.columns.contains(Uda.NanosCol)) Seq(col(Uda.EpochCol), col(Uda.NanosCol))
@@ -296,13 +534,17 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   /** All symbols present for an AttributeGroup
     * (frontend ListSymbols, frontend/query.go:264-288) — resolved from
-    * partition directories, no data scan.
+    * the manifest (grace-retained dead files don't resurface destroyed
+    * symbols), no data scan.
     */
-  def listSymbols(attGroup: String): Seq[String] = {
-    val p = new Path(agPath(attGroup))
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-      .filter(_.startsWith("symbol=")).map(_.stripPrefix("symbol=")).sorted
+  def listSymbols(attGroup: String): Seq[String] = liveBuckets(attGroup) match {
+    case Some(buckets) =>
+      buckets.map(_.split("/")(0).stripPrefix("symbol=")).distinct.sorted
+    case None =>
+      val p = new Path(agPath(attGroup))
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+        .filter(_.startsWith("symbol=")).map(_.stripPrefix("symbol=")).sorted
   }
 
   /** Attribute groups present under the catalog root (directory walk,
@@ -319,32 +561,52 @@ class BucketCatalog(spark: SparkSession, root: String) {
   }
 
   /** Most recent year partition of one bucket (GetInfo's LatestYear). */
-  def latestYear(tbk: TimeBucketKey): Option[Int] = {
-    val p = new Path(agPath(tbk.attGroup),
-      s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-      .filter(_.startsWith("year=")).map(_.stripPrefix("year=").toInt).maxOption
+  def latestYear(tbk: TimeBucketKey): Option[Int] = liveFiles(tbk.attGroup) match {
+    case Some(files) =>
+      val prefix = s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/"
+      files.filter(_.startsWith(prefix))
+        .map(_.split("/")(2).stripPrefix("year=").toInt).maxOption
+    case None =>
+      val p = new Path(agPath(tbk.attGroup),
+        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+        .filter(_.startsWith("year=")).map(_.stripPrefix("year=").toInt).maxOption
   }
 
-  def listTimeframes(attGroup: String, symbol: String): Seq[String] = {
-    val p = new Path(agPath(attGroup), s"symbol=$symbol")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-      .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe=")).sorted
-  }
+  def listTimeframes(attGroup: String, symbol: String): Seq[String] =
+    liveBuckets(attGroup) match {
+      case Some(buckets) =>
+        buckets.filter(_.startsWith(s"symbol=$symbol/"))
+          .map(_.split("/")(1).stripPrefix("timeframe=")).distinct.sorted
+      case None =>
+        val p = new Path(agPath(attGroup), s"symbol=$symbol")
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+          .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe=")).sorted
+    }
 
   /** Drop one symbol/timeframe from a bucket (frontend Destroy,
-    * frontend/write.go:182-210) — partition-level delete.
+    * frontend/write.go:182-210) — a manifest commit that removes the
+    * bucket's partitions from the live set (physical files follow at
+    * vacuum).
     */
-  def destroy(tbk: TimeBucketKey): Unit = {
-    val p = new Path(agPath(tbk.attGroup), s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
-    if (fs.exists(p)) fs.delete(p, true)
-    val symDir = p.getParent
-    if (fs.exists(symDir) && fs.listStatus(symDir).isEmpty) fs.delete(symDir, true)
-    // replicas must apply destroys too or they diverge forever
-    logCommit(tbk.attGroup,
-      Seq(s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}:cleared"))
+  def destroy(tbk: TimeBucketKey): Unit = mutate(tbk.attGroup) {
+    val rel = s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}"
+    liveFiles(tbk.attGroup) match {
+      case Some(files) =>
+        def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+        val gone = files.filter(_.startsWith(rel + "/")).map(partOf).toSet
+        commitManifest(tbk.attGroup, gone, Nil, Seq(s"$rel:cleared"),
+          removeBuckets = Set(rel))
+      case None =>
+        val p = new Path(agPath(tbk.attGroup), rel)
+        if (fs.exists(p)) fs.delete(p, true)
+        val symDir = p.getParent
+        if (fs.exists(symDir) && fs.listStatus(symDir).isEmpty) fs.delete(symDir, true)
+        // replicas must apply destroys too or they diverge forever
+        logCommit(tbk.attGroup, Seq(s"$rel:cleared"))
+    }
   }
 
   /** Schema + record type for a bucket (GetInfo / GetDataShapes,
@@ -359,27 +621,28 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * range (reference range delete, executor/delete.go:15-130). Only
     * the year partitions the range touches are rewritten, through the
     * same [[stageSwap]] commit as the upsert path (no self-overwrite
-    * crash window); partitions left empty are removed.
+    * crash window); partitions left empty leave the live set.
     */
   def deleteRange(
       tbk: TimeBucketKey,
       startEpoch: Long, startNanos: Int = 0,
-      endEpoch: Long = Long.MaxValue, endNanos: Int = 999999999): Unit = {
-    val existing = readAg(tbk.attGroup).getOrElse(return)
-    val mine = existing.filter(
-      col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
-    val e = col(Uda.EpochCol)
-    val n = if (existing.columns.contains(Uda.NanosCol)) col(Uda.NanosCol) else lit(0)
-    val inRange = e >= startEpoch && e <= endEpoch &&
-      !(e === startEpoch && n < startNanos) && !(e === endEpoch && n > endNanos)
-    val touchedYears = mine.filter(inRange)
-      .select("year").distinct().collect().map(_.getInt(0))
-    if (touchedYears.isEmpty) return
-    val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
-    stageSwap(keep, tbk.attGroup,
-      clearIfUnstaged = touchedYears.toSeq.map(y =>
-        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y"))
-  }
+      endEpoch: Long = Long.MaxValue, endNanos: Int = 999999999): Unit =
+    mutate(tbk.attGroup) {
+      val existing = readAg(tbk.attGroup).getOrElse(return)
+      val mine = existing.filter(
+        col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
+      val e = col(Uda.EpochCol)
+      val n = if (existing.columns.contains(Uda.NanosCol)) col(Uda.NanosCol) else lit(0)
+      val inRange = e >= startEpoch && e <= endEpoch &&
+        !(e === startEpoch && n < startNanos) && !(e === endEpoch && n > endNanos)
+      val touchedYears = mine.filter(inRange)
+        .select("year").distinct().collect().map(_.getInt(0))
+      if (touchedYears.isEmpty) return
+      val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
+      stageSwap(keep, tbk.attGroup,
+        clearIfUnstaged = touchedYears.toSeq.map(y =>
+          s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y"))
+    }
 
   /** Zero all data on/after a date (CLI trim,
     * cmd/connect/session/trim.go:15-65).
@@ -391,6 +654,25 @@ class BucketCatalog(spark: SparkSession, root: String) {
 object BucketCatalog {
   val MetaFile = "_graft_meta.txt"
   val CommitLog = "_graft_commits.jsonl"
+  val ManifestDir = "_graft_manifest"
   val StagingPrefix = ".staging_"
-  private[catalog] val commitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Commits a superseded file stays on disk after leaving the live
+    * set: a read pinned at manifest V is safe until commit
+    * V + VacuumGraceCommits + 1 of the same group.
+    */
+  val VacuumGraceCommits = 2
+  /** Manifest versions kept for the recovery sweep / debugging. */
+  val ManifestRetention = 8
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[BucketCatalog])
+
+  // mutation serialization per (root, attGroup) — see the class doc's
+  // concurrency contract
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[catalog] def writeLock(root: String, attGroup: String): Object =
+    writeLocks.computeIfAbsent(s"$root#$attGroup", _ => new Object)
+
+  // per-root commit sequence, seeded from the max existing commit name
+  private val commitSeqs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 }

@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.functions.Uda
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
 
@@ -16,7 +16,13 @@ import scala.util.control.NonFatal
   *  - unique keys: no duplicate (Epoch[, Nanoseconds]) within a
   *    bucket — the slot-overwrite/dedup contract;
   *  - year consistency: every row's Epoch falls in its partition year
-  *    (the partition-pruning correctness precondition).
+  *    (the partition-pruning correctness precondition);
+  *  - no foreign files: every data file on disk is accounted for by a
+  *    retained manifest version (live snapshot or grace-retained).
+  *    A foreign file is an out-of-band write or a crashed writer's
+  *    leftovers — it is INCLUDED in the scan (its rows count toward
+  *    the dup/year checks, the way the reference checksums whatever
+  *    bytes sit in its year files) and flagged per partition.
   *
   * One distributed scan per attribute group (two shuffle stages: key
   * counts, then per-partition rollup); unreadable groups surface as
@@ -26,21 +32,40 @@ import scala.util.control.NonFatal
 object Integrity {
 
   /** Report columns: attGroup, symbol, timeframe, year, n_rows,
-    * n_dup_keys, n_year_mismatch, ok, error.
+    * n_dup_keys, n_year_mismatch, n_foreign_files, ok, error.
     */
   def check(
       spark: SparkSession, root: String,
       yearStart: Int = Int.MinValue, yearEnd: Int = Int.MaxValue): DataFrame = {
-    import spark.implicits._
     val cat = new BucketCatalog(spark, root)
     val reports = cat.listAttGroups().map { ag =>
       try {
         val (_, variable) = cat.getInfo(ag)
-        val df = spark.read.parquet(s"$root/$ag")
-          .filter(col("year") >= yearStart && col("year") <= yearEnd)
+        // the scan set: manifest-live files plus anything on disk NO
+        // retained manifest references (grace-retained history is
+        // engine-managed, not a violation — excluded from both)
+        val (df, foreign) = cat.liveFiles(ag) match {
+          case Some(live) =>
+            val referenced = cat.referencedFiles(ag).getOrElse(Set.empty)
+            val foreign = cat.dataFilesOnDisk(ag).filterNot(referenced)
+            val all = live ++ foreign
+            if (all.isEmpty) throw new IllegalStateException("no data files")
+            (spark.read.option("basePath", s"$root/$ag")
+              .parquet(all.map(f => s"$root/$ag/$f"): _*), foreign)
+          case None => (spark.read.parquet(s"$root/$ag"), Seq.empty[String])
+        }
+        val scoped = df.filter(col("year") >= yearStart && col("year") <= yearEnd)
+        val foreignByPart: Map[(String, String, Int), Long] = foreign
+          .map { f =>
+            val parts = f.split("/")
+            (parts(0).stripPrefix("symbol="), parts(1).stripPrefix("timeframe="),
+              parts(2).stripPrefix("year=").toInt)
+          }
+          .filter { case (_, _, y) => y >= yearStart && y <= yearEnd }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
         val keys = Seq("symbol", "timeframe", "year", Uda.EpochCol) ++
           (if (variable) Seq(Uda.NanosCol) else Nil)
-        val perKey = df
+        val perKey = scoped
           .withColumn("__ymm",
             when(year(timestamp_seconds(col(Uda.EpochCol))) =!= col("year"), 1L).otherwise(0L))
           .groupBy(keys.map(col): _*)
@@ -50,15 +75,17 @@ object Integrity {
             sum(col("__n")).as("n_rows"),
             sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L)).as("n_dup_keys"),
             sum(col("__ymm")).as("n_year_mismatch"))
-          .withColumn("attGroup", lit(ag))
-          .withColumn("ok", col("n_dup_keys") === 0 && col("n_year_mismatch") === 0)
-          .withColumn("error", lit(null).cast("string"))
-          .select("attGroup", "symbol", "timeframe", "year",
-            "n_rows", "n_dup_keys", "n_year_mismatch", "ok", "error")
           .collect().toSeq
+          .map { r =>
+            val (sym, tf, yr) = (r.getString(0), r.getString(1), r.getInt(2))
+            val nForeign = foreignByPart.getOrElse((sym, tf, yr), 0L)
+            val ok = r.getLong(4) == 0L && r.getLong(5) == 0L && nForeign == 0L
+            Row(ag, sym, tf, yr, r.getLong(3), r.getLong(4), r.getLong(5),
+              nForeign, ok, null)
+          }
       } catch {
         case NonFatal(e) =>
-          Seq(org.apache.spark.sql.Row(ag, null, null, null, null, null, null,
+          Seq(Row(ag, null, null, null, null, null, null, null,
             false, Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
     }
@@ -70,6 +97,7 @@ object Integrity {
       org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_dup_keys", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_year_mismatch", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_foreign_files", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ok", org.apache.spark.sql.types.BooleanType),
       org.apache.spark.sql.types.StructField("error", org.apache.spark.sql.types.StringType)))
     import scala.jdk.CollectionConverters._

@@ -25,6 +25,7 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
   private def fs = new Path(primaryRoot).getFileSystem(conf)
   private val marker = new Path(replicaRoot, "_graft_replica_marker.txt")
   private val om = new ObjectMapper()
+  private val primary = new BucketCatalog(spark, primaryRoot)
 
   private def lastApplied(): String = {
     if (!fs.exists(marker)) return ""
@@ -79,11 +80,33 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
           parent = parent.getParent
         }
       } else {
-        val src = new Path(new Path(primaryRoot, ag), rel)
-        if (fs.exists(src)) {
-          if (fs.exists(dst)) fs.delete(dst, true)
-          fs.mkdirs(dst.getParent)
-          FileUtil.copy(fs, src, fs, dst, false, true, conf)
+        // copy only the partition's LIVE files per the primary's
+        // current manifest: its partition dirs also hold grace-retained
+        // dead files (snapshot isolation), which a whole-dir copy would
+        // resurrect as duplicate rows on the replica. The replica keeps
+        // clean dirs, so its own catalog reads are exact without a
+        // manifest of its own. A file vacuumed mid-copy is skipped;
+        // the next sync (which sees the newer commit) converges.
+        primary.liveFiles(ag) match {
+          case Some(files) =>
+            val mine = files.filter(_.startsWith(rel + "/"))
+            if (fs.exists(dst)) fs.delete(dst, true)
+            if (mine.nonEmpty) {
+              fs.mkdirs(dst)
+              mine.foreach { f =>
+                val src = new Path(new Path(primaryRoot, ag), f)
+                if (fs.exists(src))
+                  FileUtil.copy(fs, src, fs, new Path(new Path(replicaRoot, ag), f),
+                    false, true, conf)
+              }
+            }
+          case None => // pre-manifest primary: whole-dir copy
+            val src = new Path(new Path(primaryRoot, ag), rel)
+            if (fs.exists(src)) {
+              if (fs.exists(dst)) fs.delete(dst, true)
+              fs.mkdirs(dst.getParent)
+              FileUtil.copy(fs, src, fs, dst, false, true, conf)
+            }
         }
       }
       // group meta rides along so the replica is a working catalog

@@ -17,12 +17,24 @@ final case class TimeBucketKey(symbol: String, timeframe: String, attGroup: Stri
 }
 
 object TimeBucketKey {
+  // symbols/timeframes/groups become partition directory names and
+  // commit-log fields, and wire clients control them — restrict to the
+  // reference's practical alphabet (BRK.A-style dots, dashes, plus the
+  // query surface's ',' lists and '*'/'?' globs). Anything else (quotes,
+  // backslashes, spaces, path separators) is rejected at the door.
+  private val Level = "^[A-Za-z0-9._,*?-]+$".r
+
   /** Parse "AAPL/1Min/OHLCV". Multi-symbol query strings
     * ("A,B,C/1Min/OHLCV", frontend/query.go:159-173) are expanded by
     * [[expand]].
     */
   def parse(s: String): TimeBucketKey = s.split("/") match {
-    case Array(sym, tf, ag) => TimeBucketKey(sym, tf, ag)
+    case Array(sym, tf, ag) =>
+      Seq(sym, tf, ag).foreach { lvl =>
+        if (!Level.matches(lvl)) throw new IllegalArgumentException(
+          s"TimeBucketKey level '$lvl' has characters outside [A-Za-z0-9._,*?-]: $s")
+      }
+      TimeBucketKey(sym, tf, ag)
     case _ => throw new IllegalArgumentException(
       s"TimeBucketKey must have 3 '/'-separated levels: $s")
   }

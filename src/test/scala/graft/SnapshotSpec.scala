@@ -1,0 +1,136 @@
+package graft
+
+import graft.catalog.BucketCatalog
+import graft.core.TimeBucketKey
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicReference
+
+/** Snapshot isolation + write serialization of the manifest-committed
+  * catalog: readers pinned to a manifest version survive concurrent
+  * partition rewrites (the reference serializes this visibility
+  * through its WAL'd single server process, executor/wal.go:29-45);
+  * concurrent in-process writers cannot lose acknowledged rows.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private val schema = StructType(Seq(
+    StructField("Epoch", LongType), StructField("V", DoubleType)))
+
+  test("reader never fails or sees a torn snapshot across partition swaps") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("SNAP/1Min/ISO")
+    cat.create(tbk, schema, isVariable = false)
+    // seed: epochs 1..50 across two year partitions (1970 + 2021)
+    val y2021 = 1609459200L
+    def batch(vs: Range, bias: Double) =
+      vs.map(i => (if (i % 2 == 0) i * 60L else y2021 + i * 60L, bias + i)).toDF("Epoch", "V")
+    cat.write(tbk, batch(1 to 50, 0.0))
+
+    val failure = new AtomicReference[Throwable](null)
+    @volatile var writerDone = false
+    val reader = new Thread(() => {
+      try {
+        while (!writerDone && failure.get == null) {
+          // every read must see a complete snapshot: exactly 50 keys,
+          // and one single batch's bias across all of them (a torn read
+          // mixing two commits would mix biases)
+          val rows = cat.read(tbk).select("Epoch", "V").collect()
+          assert(rows.length == 50, s"saw ${rows.length} rows")
+          val biases = rows.map(r => r.getDouble(1) - (r.getLong(0) match {
+            case e if e >= y2021 => (e - y2021) / 60
+            case e => e / 60
+          })).distinct
+          assert(biases.length == 1, s"torn snapshot: biases ${biases.toSeq}")
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    // writer: full-keyset rewrites with a changing bias + range deletes
+    // that rewrite one year partition
+    (1 to 8).foreach { i =>
+      cat.write(tbk, batch(1 to 50, i * 1000.0))
+      cat.deleteRange(tbk, y2021 + 51 * 60L, 0, y2021 + 52 * 60L) // no-op range, same commit path
+    }
+    writerDone = true
+    reader.join(60000)
+    assert(failure.get == null, s"reader failed: ${failure.get}")
+    val finalRows = cat.read(tbk).collect()
+    assert(finalRows.length == 50)
+    assert(finalRows.map(_.getAs[Double]("V")).forall(_ >= 8000.0))
+  }
+
+  test("concurrent writers to one bucket lose no acknowledged rows") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("CONC/1Min/WRITES")
+    cat.create(tbk, schema, isVariable = false)
+    val failure = new AtomicReference[Throwable](null)
+    // two writers interleave disjoint epoch ranges; without the
+    // per-group write lock both merge from the same old snapshot and
+    // the second manifest flip drops the first writer's rows
+    def writer(offset: Long): Thread = new Thread(() => {
+      try (1 to 5).foreach { i =>
+        cat.write(tbk, Seq((offset + i * 60L, offset + i.toDouble)).toDF("Epoch", "V"))
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    val (w1, w2) = (writer(0L), writer(1000000L))
+    w1.start(); w2.start(); w1.join(120000); w2.join(120000)
+    assert(failure.get == null, s"writer failed: ${failure.get}")
+    val got = cat.read(tbk).select("Epoch").collect().map(_.getLong(0)).toSet
+    val want = (1 to 5).flatMap(i => Seq(i * 60L, 1000000L + i * 60L)).toSet
+    assert(got == want, s"missing: ${want -- got}")
+  }
+
+  test("vacuum retains superseded files for the grace window, then deletes them") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("VAC/1Min/GRACE")
+    cat.create(tbk, schema, isVariable = false)
+    def filesOnDisk(): Set[String] = {
+      val dir = java.nio.file.Path.of(root, "GRACE")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    cat.write(tbk, Seq((60L, 1.0)).toDF("Epoch", "V"))
+    val gen1 = filesOnDisk()
+    cat.write(tbk, Seq((60L, 2.0)).toDF("Epoch", "V")) // v2: gen1 superseded
+    assert(gen1.subsetOf(filesOnDisk()), "superseded files must survive the grace window")
+    cat.write(tbk, Seq((60L, 3.0)).toDF("Epoch", "V")) // v3
+    cat.write(tbk, Seq((60L, 4.0)).toDF("Epoch", "V")) // v4: vacuums v2's removed = gen1
+    assert(gen1.intersect(filesOnDisk()).isEmpty, "grace-expired files must be vacuumed")
+    assert(cat.read(tbk).head().getAs[Double]("V") == 4.0)
+  }
+
+  test("destroy removes the bucket from the snapshot immediately") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    cat.write(TimeBucketKey.parse("A/1Min/DST"), Seq((60L, 1.0)).toDF("Epoch", "V"))
+    cat.write(TimeBucketKey.parse("B/1Min/DST"), Seq((60L, 2.0)).toDF("Epoch", "V"))
+    cat.destroy(TimeBucketKey.parse("A/1Min/DST"))
+    // physical files of A may persist through the grace window, but the
+    // snapshot (listSymbols + reads) must not show them
+    assert(cat.listSymbols("DST") == Seq("B"))
+    assert(cat.read(TimeBucketKey.parse("B/1Min/DST")).count() == 1)
+    assert(cat.readGroup("DST").get.select("symbol").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("B"))
+  }
+
+  test("TimeBucketKey rejects injection-prone characters") {
+    TimeBucketKey.parse("BRK.A/1Min/OHLC-V") // dots/dashes fine
+    TimeBucketKey.parse("A,B/1Min/X")        // comma lists fine
+    TimeBucketKey.parse("*/1Min/X")          // wildcard fine
+    intercept[IllegalArgumentException](TimeBucketKey.parse("A\"B/1Min/X"))
+    intercept[IllegalArgumentException](TimeBucketKey.parse("A\\B/1Min/X"))
+    intercept[IllegalArgumentException](TimeBucketKey.parse("A B/1Min/X"))
+    intercept[IllegalArgumentException](TimeBucketKey.parse("//X"))
+  }
+}
