@@ -89,6 +89,29 @@ final case class CandleDuration(n: Int, unit: CandleUnit) {
     case _ => truncate(epoch) + lit(fixedSeconds.get)
   }
 
+  /** Driver-side window-end (exclusive) for a scalar epoch — the same
+    * Ceil semantics as [[ceil]] but off the Column path, for
+    * control-plane deadlines (shelf timers). Calendar units use real
+    * java.time month arithmetic (utils/timeframe.go:169-186): a `1M`
+    * bar's deadline is month END, not a 2,629,746-second grid point.
+    */
+  def ceilEpoch(epoch: Long): Long = unit match {
+    case CandleUnit.Month | CandleUnit.Year =>
+      val months = if (unit == CandleUnit.Month) n else 12 * n
+      val d = java.time.Instant.ofEpochSecond(epoch)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val mse = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      val end = mse - Math.floorMod(mse, months) + months
+      java.time.LocalDate.of(1970 + Math.floorDiv(end, 12), Math.floorMod(end, 12) + 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    case CandleUnit.Week =>
+      val w = fixedSeconds.get
+      epoch - Math.floorMod(epoch + 3L * 86400L, w) + w
+    case _ =>
+      val w = fixedSeconds.get
+      epoch - Math.floorMod(epoch, w) + w
+  }
+
   /** Average seconds per window — used only for LIMIT scaling
     * (QueryableNrecords, utils/timeframe.go:200-208).
     */

@@ -195,10 +195,14 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2", "__sig1", "__sig2")
       .dropDuplicates("id1", "id2")
+    // matching-minima count as a folded sum of scalar element_at
+    // comparisons: higher-order zip_with/filter lambdas run
+    // INTERPRETED, this stays in whole-stage codegen
+    val matching = (0 until k).map(i =>
+      when(element_at(col("__sig1"), i + 1) === element_at(col("__sig2"), i + 1), 1)
+        .otherwise(0)).reduce[Column](_ + _)
     cands
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("__sig1"), col("__sig2"), (x, y) => x === y), b0 => b0))
-          .cast("double") / k)
+      .withColumn("est_jaccard", matching.cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }

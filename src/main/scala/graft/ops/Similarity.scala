@@ -182,14 +182,22 @@ object Similarity {
     * beats O(N²) flops; for true near-dup thresholds (≥ ~0.8) prefer
     * the LSH candidates + exact-verify path ([[lshTopK]] machinery),
     * which is sub-quadratic but approximate.
+    *
+    * `numBlocks <= 0` (the default) auto-sizes from one cheap corpus
+    * count: blocks are chosen so a block's collect_list row stays
+    * ~[[Similarity.MaxRowsPerBlock]] vectors (≈1 MB at d=64 f4) —
+    * far from Spark's single-row limits at any corpus size.
     */
   def cosineDedupPairs(
       df: DataFrame, threshold: Double,
       id: String = "vec_id", emb: String = "embedding",
-      numBlocks: Int = 8): DataFrame = {
+      numBlocks: Int = 0): DataFrame = {
+    val nb =
+      if (numBlocks > 0) numBlocks
+      else autoBlocks(df.select(col(id)).count())
     val blocks = df
       .select(col(id), col(emb))
-      .withColumn("__blk", pmod(xxhash64(col(id)), lit(numBlocks)).cast("int"))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
       .groupBy("__blk")
       .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))
     val L = blocks.select(col("__blk").as("__bl"), col("__items").as("__L"))
@@ -209,4 +217,17 @@ object Similarity {
           s => s("score").isNotNull && s("score") >= lit(threshold))))).as("p"))
     pairs.select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.score").as("score"))
   }
+
+  /** Cap on vectors collected into one block row of
+    * [[cosineDedupPairs]] (~1 MB of f4 at d=64).
+    */
+  val MaxRowsPerBlock = 4096
+
+  /** Auto block count: enough blocks to keep each collect_list row
+    * under [[MaxRowsPerBlock]] vectors, floor of 8 so small corpora
+    * still parallelize across block pairs.
+    */
+  private[graft] def autoBlocks(corpusRows: Long): Int =
+    math.max(8L, (corpusRows + MaxRowsPerBlock - 1) / MaxRowsPerBlock)
+      .min(Int.MaxValue).toInt
 }

@@ -177,9 +177,10 @@ final class StreamTrigger(
           val tbk = s"$sym/$timeframe/$attGroup"
           if (tf.approxSeconds <= 60L) deliver(tbk, payload)
           else {
-            // deadline = window end of the tail bar (Ceil semantics)
-            val deadlineSec = tf.approxSeconds * (tail / tf.approxSeconds) + tf.approxSeconds
-            shelf.store(tbk, payload, deadlineSec * 1000L)
+            // deadline = window end of the tail bar — real Ceil
+            // semantics, so a 1M bar emits at month END, not on the
+            // average-month grid (utils/timeframe.go:169-186)
+            shelf.store(tbk, payload, tf.ceilEpoch(tail) * 1000L)
           }
         }
     }

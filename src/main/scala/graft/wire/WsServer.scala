@@ -153,20 +153,46 @@ object WsServer {
     }
   }
 
-  /** One frame: returns (opcode, unmasked payload), or None on EOF. */
+  /** Largest client frame accepted: subscribe messages are tiny, so a
+    * client-declared multi-GB length is abuse, not traffic — the
+    * connection is dropped instead of allocating.
+    */
+  private[wire] val MaxFramePayload: Long = 1L << 20
+
+  /** One frame: returns (opcode, unmasked payload), or None on
+    * EOF / oversized declared length (caller closes the connection).
+    */
   private[wire] def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
     val b0 = in.read(); if (b0 == -1) return None
     val b1 = in.read(); if (b1 == -1) return None
     val op = b0 & 0x0f
     val masked = (b1 & 0x80) != 0
     var len: Long = (b1 & 0x7f).toLong
-    if (len == 126) len = ((in.read() & 0xff) << 8 | (in.read() & 0xff)).toLong
-    else if (len == 127) {
+    if (len == 126) {
+      val h = in.read(); val l = in.read()
+      if (h == -1 || l == -1) return None
+      len = (h << 8 | l).toLong
+    } else if (len == 127) {
       len = 0L
       var i = 0
-      while (i < 8) { len = (len << 8) | (in.read() & 0xff); i += 1 }
+      while (i < 8) {
+        val b = in.read()
+        if (b == -1) return None
+        len = (len << 8) | b
+        i += 1
+      }
     }
-    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.empty[Byte]
+    if (len < 0 || len > MaxFramePayload) return None
+    val mask = new Array[Byte](4)
+    if (masked) {
+      var i = 0
+      while (i < 4) {
+        val b = in.read()
+        if (b == -1) return None
+        mask(i) = b.toByte
+        i += 1
+      }
+    }
     val data = new Array[Byte](len.toInt)
     var off = 0
     while (off < data.length) {

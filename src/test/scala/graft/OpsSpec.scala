@@ -95,7 +95,7 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=8/16 recall $recall")
   }
 
-  test("blocked cosine dedup equals naive all-pairs") {
+  test("blocked cosine dedup equals naive all-pairs at any block count") {
     val blocked = Similarity.cosineDedupPairs(embs, threshold = 0.45)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // independent naive check via SQL cross join on the 500-row table
@@ -107,5 +107,31 @@ class OpsSpec extends SparkSpec {
          WHERE cosine_sim(a.embedding, b.embedding) >= 0.45""")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == naive)
+    // block count must not change the answer (coverage is exact for
+    // any partitioning of the ids)
+    for (nb <- Seq(3, 11)) {
+      val alt = Similarity.cosineDedupPairs(embs, threshold = 0.45, numBlocks = nb)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(alt == naive, s"numBlocks=$nb diverged")
+    }
+  }
+
+  test("cosine dedup auto-sizes blocks to bound per-block row width") {
+    // formula: enough blocks that no collect_list row exceeds
+    // MaxRowsPerBlock vectors (floor of 8 for small-corpus parallelism)
+    assert(Similarity.autoBlocks(500) == 8)
+    assert(Similarity.autoBlocks(8 * 4096) == 8)
+    assert(Similarity.autoBlocks(100000) == 25)
+    assert(Similarity.autoBlocks(10000000) == 2442)
+    // and at 10M+ vectors the per-block expectation stays ~4096 rows,
+    // far from Spark's single-row limits
+    assert(10000000 / Similarity.autoBlocks(10000000) <= Similarity.MaxRowsPerBlock)
+  }
+
+  test("minhash estimate stays in codegen (no interpreted higher-order lambdas)") {
+    val plan = Dedup.minhashPairs(docs, threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("zip_with") && !plan.toLowerCase.contains("lambdafunction"),
+      "estimate projection should be scalar element_at folds, not lambda HOFs")
   }
 }

@@ -101,6 +101,31 @@ class PushSpec extends SparkSpec {
     } finally trig.close()
   }
 
+  test("calendar timeframes shelve to real month end, not the average-month grid") {
+    val root = Files.createTempDirectory("graft-shelf-1m").toString
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("AAPL/1M/OHLCV"), ohlcv, isVariable = false)
+    // bar at 2021-01-01; its window closes at 2021-02-01 00:00 UTC.
+    // The old approxSeconds grid put the deadline BEFORE the bar's own
+    // epoch (611×2629746+2629746 < 1609459200) → instant bogus emit.
+    val jan1 = 1609459200L
+    val feb1 = 1612137600L
+    cat.write(TimeBucketKey.parse("AAPL/1M/OHLCV"),
+      Seq((jan1, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    val bus = new CollectingBus
+    val subs = new SubscriptionSet
+    subs.subscribe("*/*/*")
+    val trig = new StreamTrigger(cat, "OHLCV", bus, subs,
+      nowMs = () => feb1 * 1000 - 150) // pin clock 150 ms before month end
+    try {
+      trig.fire("1M", Seq(("AAPL", jan1)).toDF("symbol", "Epoch"))
+      assert(bus.got.isEmpty, "1M bar must shelve until month end")
+      assert(trig.shelvedKeys == Seq("AAPL/1M/OHLCV"))
+      Thread.sleep(400)
+      assert(bus.got.map(_._1) == Seq("AAPL/1M/OHLCV"))
+    } finally trig.close()
+  }
+
   test("same-deadline replacement cancels the previous package (shelf.go:40-55)") {
     val emitted = mutable.ArrayBuffer[(String, Map[String, Any])]()
     val base = System.currentTimeMillis()

@@ -88,6 +88,32 @@ class WsSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("oversized declared frame length drops the connection instead of allocating") {
+    val srv = new WsServer()
+    srv.start()
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      sock.setSoTimeout(5000)
+      clientHandshake(sock)
+      val out = sock.getOutputStream
+      // 64-bit extended length declaring ~2 GB on an unauthenticated
+      // socket — server must close, not allocate
+      out.write(0x82)
+      out.write(0x80 | 127)
+      val len = 0x7FFFFFFFL
+      (7 to 0 by -1).foreach(i => out.write(((len >>> (8 * i)) & 0xff).toInt))
+      out.write(Array[Byte](0x12, 0x34, 0x56, 0x78)) // mask (never read)
+      out.flush()
+      assert(sock.getInputStream.read() == -1, "server should close the connection")
+      sock.close()
+      // the server itself stays healthy for new clients
+      val sock2 = new Socket("127.0.0.1", srv.boundPort)
+      sock2.setSoTimeout(5000)
+      clientHandshake(sock2)
+      sock2.close()
+    } finally srv.close()
+  }
+
   test("ws server acts as the trigger's push bus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ws-trig").toString
