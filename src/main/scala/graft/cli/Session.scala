@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
 class Session(
     spark: SparkSession,
     catalog: BucketCatalog,
-    out: String => Unit = println(_)) {
+    out: String => Unit = println(_),
+    csvTarget: String = Session.DefaultCsvTarget) {
 
   private val queryService = new QueryService(catalog)
   private val sqlService = new SqlService(spark, Some(catalog))
@@ -45,12 +46,15 @@ class Session(
     }
   }
 
-  /** `\show TBK <from> [<to>]` — dates in the reference's literal
-    * formats (show.go:66-101; 'between'/'and'/'csv' tokens skipped).
+  /** `\show TBK <from> [<to>] [csv]` — dates in the reference's
+    * literal formats (show.go:66-101); a `csv` token redirects the
+    * rows to `mstore-csv-output.csv` (show.go:80-81) instead of
+    * printing them.
     */
   private def show(args: String): Option[DataFrame] = {
     val parts = args.split("\\s+").toSeq.filter(_.nonEmpty)
     if (parts.isEmpty) { out("""Not enough arguments, see '\help'"""); return None }
+    val toCsv = parts.drop(1).exists(_.equalsIgnoreCase("csv"))
     val times = parts.drop(1)
       .filterNot(a => Seq("between", "and", "csv").contains(a.toLowerCase))
       .flatMap(SqlService.parseDateLiteralNs)
@@ -60,8 +64,20 @@ class Session(
       epochStart = start / 1000000000L, startNanos = (start % 1000000000L).toInt,
       epochEnd = end / 1000000000L,
       endNanos = if (end == Long.MaxValue) 999999999 else (end % 1000000000L).toInt))
-    out(df.columns.mkString("  "))
-    df.collect().foreach(r => out(r.toSeq.mkString("  ")))
+    if (toCsv) {
+      // single local CSV file like the reference's writer (the rows
+      // are the same bounded collect the print path does)
+      val rows = df.collect()
+      val w = new java.io.PrintWriter(csvTarget, "UTF-8")
+      try {
+        w.println(df.columns.mkString(","))
+        rows.foreach(r => w.println(r.toSeq.mkString(",")))
+      } finally w.close()
+      out(s"wrote ${rows.length} rows to $csvTarget")
+    } else {
+      out(df.columns.mkString("  "))
+      df.collect().foreach(r => out(r.toSeq.mkString("  ")))
+    }
     Some(df)
   }
 
@@ -122,6 +138,11 @@ class Session(
 }
 
 object Session {
+  /** The reference's fixed CSV dump target (cmd/connect/session/
+    * show.go:80-81).
+    */
+  val DefaultCsvTarget = "mstore-csv-output.csv"
+
   /** Reference element-type names (utils/io/datatypes.go:65-79) →
     * Spark types, unsigned widened (SURVEY §1.2).
     */
@@ -150,7 +171,7 @@ object Session {
 
   val HelpText: String =
     s"""${ServerInfo.Version} session commands:
-       |  \\show <key> <from> [<to>]   display rows in a date range
+       |  \\show <key> <from> [<to>] [csv]   display rows (csv: write $DefaultCsvTarget)
        |  \\create <key>:<cat-keys> <shapes> <fixed|variable>
        |  \\destroy <key>              drop a bucket
        |  \\getinfo <key>              bucket schema + record type

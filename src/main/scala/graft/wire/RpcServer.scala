@@ -31,7 +31,8 @@ class RpcServer(
     catalog: BucketCatalog,
     port: Int = 5993,
     timezone: String = "UTC",
-    triggers: Option[graft.streaming.TriggerRegistry] = None) {
+    triggers: Option[graft.streaming.TriggerRegistry] = None,
+    val metrics: Metrics = new Metrics) {
 
   private val queryService = new QueryService(catalog)
   private val sqlService = new SqlService(spark, Some(catalog))
@@ -39,6 +40,15 @@ class RpcServer(
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   http.createContext("/rpc", new Handler)
+  // Prometheus text scrape endpoint (the reference exposes /metrics
+  // via promhttp; metrics/metrics.go names carried over)
+  http.createContext("/metrics", (ex: HttpExchange) => {
+    val out = metrics.render().getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, out.length.toLong)
+    ex.getResponseBody.write(out)
+    ex.close()
+  })
   // daemon threads + explicit shutdown: a non-daemon pool would pin
   // any embedding JVM (Verify, a user's driver) open after main exits
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
@@ -51,6 +61,7 @@ class RpcServer(
 
   private final class Handler extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      val reqStart = System.nanoTime()
       val body = ex.getRequestBody.readAllBytes()
       // explicit header wins; otherwise sniff — a JSON-RPC body always
       // starts with '{', a msgpack request map with a fixmap/map byte
@@ -64,15 +75,17 @@ class RpcServer(
           else fromJava(json.readValue(body, classOf[Object])).asInstanceOf[Map[Any, Any]]
         } catch { case NonFatal(_) => Map.empty[Any, Any] }
       val id = req.getOrElse("id", null)
+      val method = req.getOrElse("method", "").toString
       val response: Map[String, Any] =
         try {
-          val method = req.getOrElse("method", "").toString
           val params = req.getOrElse("params", Map.empty[Any, Any]) match {
             case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Map[Any, Any]]
             case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]]
             case _ => Map.empty[Any, Any]
           }
-          Map("jsonrpc" -> "2.0", "result" -> dispatch(method, params), "id" -> id)
+          val result = dispatch(method, params)
+          metrics.observeMethod(method, (System.nanoTime() - reqStart) / 1e9)
+          Map("jsonrpc" -> "2.0", "result" -> result, "id" -> id)
         } catch {
           case NonFatal(e) =>
             Map("jsonrpc" -> "2.0", "id" -> id,
@@ -88,6 +101,9 @@ class RpcServer(
       ex.sendResponseHeaders(200, out.length.toLong)
       ex.getResponseBody.write(out)
       ex.close()
+      // the reference observes every request at the HTTP layer
+      // (frontend/server.go:60-64 RPCTotalRequestDuration)
+      metrics.rpcTotal.observe((System.nanoTime() - reqStart) / 1e9)
     }
   }
 
@@ -216,7 +232,9 @@ class RpcServer(
           val tbk = TimeBucketKey.parse(tbkStr)
           catalog.create(tbk, schema, variable)
           val df = spark.createDataFrame(rows.asJava, schema)
+          val wStart = System.nanoTime()
           catalog.write(tbk, df)
+          metrics.writeDuration.observe((System.nanoTime() - wStart) / 1e9)
           // the reference fires matching triggers after every durable
           // write (executor/written.go:24-47) — downsample cascade,
           // stream push, user plugins

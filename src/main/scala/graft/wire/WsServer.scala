@@ -29,7 +29,8 @@ import scala.util.control.NonFatal
   * server can't upgrade connections, so this listens on its own
   * socket, like the reference's dedicated upgrade path).
   */
-final class WsServer(port: Int = 0) extends PushBus with AutoCloseable {
+final class WsServer(port: Int = 0, metrics: Option[Metrics] = None)
+    extends PushBus with AutoCloseable {
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
@@ -80,7 +81,9 @@ final class WsServer(port: Int = 0) extends PushBus with AutoCloseable {
   }
 
   private def drop(c: Conn): Unit = {
-    conns.synchronized { conns -= c }
+    // guard the gauge against double drops (push failure + loop exit)
+    val removed = conns.synchronized { val r = conns.contains(c); conns -= c; r }
+    if (removed) metrics.foreach(_.wsConnections.dec())
     try c.socket.close() catch { case NonFatal(_) => }
   }
 
@@ -90,6 +93,9 @@ final class WsServer(port: Int = 0) extends PushBus with AutoCloseable {
       if (!WsServer.handshake(in, sock.getOutputStream)) { sock.close(); return }
       val conn = new Conn(sock)
       conns.synchronized { conns += conn }
+      // the reference gauges live WS connections
+      // (frontend/stream/stream.go:151-156 metrics.WSConnections)
+      metrics.foreach(_.wsConnections.inc())
       var open = true
       while (open && running) {
         WsServer.readFrame(in) match {

@@ -51,6 +51,23 @@ class CliSpec extends SparkSpec {
     assert(after.select("Epoch").as[Long].collect().forall(_ < 1578009600L))
   }
 
+  test("show csv writes the reference's output file (show.go:80-81)") {
+    val root = Files.createTempDirectory("graft-cli2").toString
+    val cat = new BucketCatalog(spark, root)
+    val lines = mutable.ArrayBuffer[String]()
+    val target = Files.createTempDirectory("graft-cli-out").toString + "/mstore-csv-output.csv"
+    val s = new Session(spark, cat, lines += _, csvTarget = target)
+    cat.write(graft.core.TimeBucketKey.parse("TSLA/1Min/TICK"),
+      Seq((1577923200L, 1.5), (1577923260L, 2.5)).toDF("Epoch", "Price"))
+    s.exec("""\show TSLA/1Min/TICK 2020-01-02 csv""")
+    assert(lines.exists(_.contains(s"wrote 2 rows to $target")))
+    val got = scala.io.Source.fromFile(target).getLines().toSeq
+    assert(got.head == "Epoch,Price,symbol")
+    assert(got.tail.toSet == Set("1577923200,1.5,TSLA", "1577923260,2.5,TSLA"))
+    // rows went to the file, not the console
+    assert(!lines.exists(_.startsWith("Epoch")))
+  }
+
   test("anything else runs as SQL; string16 create enforces the cap") {
     val (cat, s, _) = fresh()
     s.exec("""\create X/1Sec/NOTES:Symbol/Timeframe/AttributeGroup Note/string16 variable""")

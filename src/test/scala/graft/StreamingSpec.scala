@@ -99,6 +99,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("polling feeder drives source→write→trigger→cascade→push on a timer (bgworker shape)") {
+    import graft.streaming.{IngestPipeline, PollingFeeder, PushBus, StreamTrigger,
+      SubscriptionSet, Trigger, TriggerRegistry}
+    val root = Files.createTempDirectory("graft-feeder").toString
+    val cat = new BucketCatalog(spark, root)
+    cat.create(TimeBucketKey.parse("AAPL/1Min/OHLCV"), ohlcv, isVariable = false)
+    val registry = new TriggerRegistry
+    val cascade = new DownsampleCascade(cat, "OHLCV", "1Min", Seq("5Min"))
+    registry.register("*/1Min/OHLCV", new Trigger {
+      def fire(tbk: String, batch: org.apache.spark.sql.DataFrame): Unit =
+        cascade.cascade(batch.select(col("symbol"), col("Epoch")))
+    })
+    val pushed = scala.collection.mutable.ArrayBuffer[String]()
+    val subs = new SubscriptionSet
+    subs.subscribe("*/1Min/*")
+    val push = new StreamTrigger(cat, "OHLCV", new PushBus {
+      def push(tbk: String, payload: Map[String, Any]): Unit =
+        pushed.synchronized { pushed += tbk }
+    }, subs)
+    registry.register("*/1Min/OHLCV", new Trigger {
+      def fire(tbk: String, batch: org.apache.spark.sql.DataFrame): Unit =
+        push.fire("1Min", batch.select(col("symbol"), col("Epoch")))
+    })
+    // clock starts at t0+10min and advances one minute per poll, so
+    // each tick yields fresh bars past the feeder's watermark
+    var nowAt = t0 + 600L
+    val feeder = new PollingFeeder(cat, new IngestPipeline(cat, registry),
+      Seq(TimeBucketKey.parse("AAPL/1Min/OHLCV")),
+      PollingFeeder.syntheticBars(spark, graft.core.CandleDuration.parse("1Min"),
+        () => nowAt),
+      intervalMs = 3600000L) // ticks driven manually below
+    try {
+      // reads throw until the first poll lands data
+      def barCount(): Long =
+        scala.util.Try(cat.read(TimeBucketKey.parse("AAPL/1Min/OHLCV")).count())
+          .getOrElse(0L)
+      feeder.start() // schedules the first poll immediately
+      val deadline = System.currentTimeMillis() + 30000
+      while (barCount() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val firstBatch = barCount()
+      assert(firstBatch >= 3, "backfill bars should have landed") // backfillSteps = 3
+      nowAt += 60L
+      feeder.pollOnce() // next tick: exactly the one new closed bar
+      assert(cat.read(TimeBucketKey.parse("AAPL/1Min/OHLCV")).count() == firstBatch + 1)
+      // the full loop ran: cascade produced 5Min candles, push delivered
+      assert(cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).count() >= 1)
+      assert(pushed.synchronized(pushed.nonEmpty) && pushed.head == "AAPL/1Min/OHLCV")
+    } finally { feeder.close(); push.close() }
+  }
+
   test("1D destination honors the market-hours TimeQual (aggtrigger.go:237-246)") {
     val root = Files.createTempDirectory("graft-mh").toString
     val cat = new BucketCatalog(spark, root)

@@ -352,6 +352,92 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/metrics exposes request histograms and moves after traffic (metrics/metrics.go)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val cat = new BucketCatalog(spark, root)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def scrape(): String = {
+        val conn = new URL(s"http://127.0.0.1:$port/metrics")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      def counter(body: String, name: String): Long =
+        body.linesIterator.find(_.startsWith(name)).map(_.split("\\s+").last.toLong)
+          .getOrElse(0L)
+      val before = scrape()
+      assert(before.contains("# TYPE alpaca_marketstore_rpc_total_request_duration_seconds histogram"))
+      assert(before.contains("alpaca_marketstore_ws_connections 0"))
+      val c0 = counter(before, "alpaca_marketstore_rpc_total_request_duration_seconds_count")
+
+      // one write + one query move the total, per-method and write hists
+      val schema = StructType(Seq(
+        StructField("Epoch", LongType), StructField("Open", DoubleType)))
+      val ds = NumpyCodec.encode(schema, Seq("AAPL/1Min/MET" ->
+        (0 until 3).map(i => org.apache.spark.sql.Row(1590000000L + 60L * i, 1.0 + i))))
+      rpc(port, "DataService.Write", Map("requests" -> Seq(Map(
+        "dataset" -> ds, "is_variable_length" -> false))))
+      rpc(port, "DataService.Query", Map("requests" -> Seq(Map(
+        "destination" -> "AAPL/1Min/MET"))))
+      val after = scrape()
+      assert(counter(after, "alpaca_marketstore_rpc_total_request_duration_seconds_count") >= c0 + 2)
+      assert(after.contains("""method="DataService.Query""""))
+      assert(counter(after, "alpaca_marketstore_write_csm_duration_seconds_count") >= 1)
+      // ws gauge tracks live connections through the shared registry
+      val ws = new graft.wire.WsServer(metrics = Some(srv.metrics))
+      ws.start()
+      val sock = new java.net.Socket("127.0.0.1", ws.boundPort)
+      sock.getOutputStream.write(
+        ("GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n").getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      val deadline = System.currentTimeMillis() + 5000
+      while (!scrape().contains("alpaca_marketstore_ws_connections 1") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(scrape().contains("alpaca_marketstore_ws_connections 1"))
+      sock.close()
+      while (!scrape().contains("alpaca_marketstore_ws_connections 0") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(scrape().contains("alpaca_marketstore_ws_connections 0"))
+      ws.close()
+    } finally srv.stop()
+  }
+
+  test("numpy wire shape matches the reference field-for-field (utils/io/numpy.go:45-156)") {
+    // hand-authored fixture, NOT a self-round-trip: a NumpyMultiDataset
+    // for two rows of (Epoch i8, Open f4) must carry exactly the
+    // msgpack keys types/names/data/length/startindex/lengths with
+    // little-endian column blobs — what a pymarketstore client decodes
+    val schema = StructType(Seq(
+      StructField("Epoch", LongType), StructField("Open", FloatType)))
+    val enc = NumpyCodec.encode(schema, Seq("AAPL/1Min/OHLC" -> Seq(
+      org.apache.spark.sql.Row(1590000000L, 1.5f),
+      org.apache.spark.sql.Row(1590000060L, 2.5f))))
+    assert(enc.keySet == Set("types", "names", "data", "length", "startindex", "lengths"))
+    assert(enc("types") == Seq("i8", "f4"))
+    assert(enc("names") == Seq("Epoch", "Open"))
+    assert(enc("length") == 2L)
+    assert(enc("startindex") == Map("AAPL/1Min/OHLC" -> 0L))
+    assert(enc("lengths") == Map("AAPL/1Min/OHLC" -> 2L))
+    val data = enc("data").asInstanceOf[Seq[Array[Byte]]]
+    // ColumnData[i] = concatenated little-endian row values (numpy.go:50-56)
+    def le64(v: Long): Seq[Byte] = (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte)
+    def le32f(v: Float): Seq[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      (0 until 4).map(i => ((bits >>> (8 * i)) & 0xff).toByte)
+    }
+    assert(data(0).toSeq == le64(1590000000L) ++ le64(1590000060L))
+    assert(data(1).toSeq == le32f(1.5f) ++ le32f(2.5f))
+    // and the msgpack layer preserves exactly those keys on the wire
+    val onWire = MsgPack.decode(MsgPack.encode(enc)).asInstanceOf[Map[Any, Any]]
+    assert(onWire.keySet.map(_.toString) ==
+      Set("types", "names", "data", "length", "startindex", "lengths"))
+    assert(onWire("data").asInstanceOf[Seq[Any]].head
+      .asInstanceOf[Array[Byte]].toSeq == data(0).toSeq)
+  }
+
   test("rpc server speaks plain JSON too") {
     val root = java.nio.file.Files.createTempDirectory("graft-wire-json").toString
     val cat = new BucketCatalog(spark, root)
