@@ -11,11 +11,11 @@ import org.apache.spark.sql.SparkSession
   * JSON and flips the exit code to 1 (round-1 lesson: a silent
   * catch-all hid a codegen regression for a whole round).
   *
-  * Optional second scale point: when SPARK_GRAFT_SF_DIR2 names a
-  * directory (e.g. tools/scale_testdata.py output), the timed loop
-  * runs again there and emits a second JSON line — a constants-level
-  * check that the plans hold as data grows, beyond PlanSpec's
-  * shape-level guarantees.
+  * Optional extra scale points: when SPARK_GRAFT_SF_DIR2 (and
+  * SPARK_GRAFT_SF_DIR3) name directories (e.g. tools/scale_testdata.py
+  * output), the timed loop runs again there and emits one more JSON
+  * line per point — a constants-level check that the plans hold as
+  * data grows, beyond PlanSpec's shape-level guarantees.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,7 +47,8 @@ object Bench {
     }
 
     val runs = Seq(sfDir) ++
-      sys.env.get("SPARK_GRAFT_SF_DIR2").filter(d => new java.io.File(d).isDirectory)
+      Seq("SPARK_GRAFT_SF_DIR2", "SPARK_GRAFT_SF_DIR3")
+        .flatMap(sys.env.get).filter(d => new java.io.File(d).isDirectory)
     var anyFailed = false
     val lines = runs.map { dir =>
       val (line, failed) = timedRun(spark, dir)

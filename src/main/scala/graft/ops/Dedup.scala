@@ -36,6 +36,62 @@ object Dedup {
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"),
         sort_array(collect_list(col(id))).as("ids"))
 
+  /** Collapse exact duplicates (identical normalized text) to one
+    * representative per content hash BEFORE a pairwise similarity
+    * join, then expand the representative pairs back through group
+    * membership. Exact-output-preserving for every op in this file:
+    * clones share the normalized token stream, hence identical
+    * shingle sets, minhash signatures and simhash bits, so
+    *  - a cross-group doc pair has exactly its representatives'
+    *    similarity, and
+    *  - a within-group pair is maximally similar (jaccard/est 1.0,
+    *    hamming 0), emitted directly as `selfExtras` literals.
+    *
+    * Why: clone-heavy corpora (the common case in web crawls) blow
+    * up a candidate join quadratically in the clone-group size — g
+    * copies of a doc put g identical prefixes/buckets in every band,
+    * so candidates grow Σg² while distinct content is flat. Collapse
+    * makes the expensive join run on DISTINCT texts only (one extra
+    * md5 hash-shuffle, same cost as [[exactGroups]]); measured at the
+    * 50×-clone bench point this turns an OOM into seconds. The
+    * within-group expansion is inherently C(g,2) in the OUTPUT —
+    * when clone groups are huge, [[exactGroups]] is the right tool
+    * instead of pair enumeration.
+    */
+  private def collapsedPairs(
+      df: DataFrame, id: String, text: String,
+      selfExtras: Seq[(String, Column)], selfQualifies: Boolean)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    val groups = df
+      .select(col(id), col(text), md5(lower(trim(col(text)))).as("__ch"))
+      .groupBy("__ch")
+      // any member's raw text works: all normalize identically
+      .agg(min(col(id)).as("__rep"), first(col(text)).as("__txt"),
+        sort_array(collect_list(col(id))).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = pairFn(
+      groups.select(col("__rep").as(id), col("__txt").as(text)))
+    val extraCols = repPairs.columns.filterNot(c => c == "id1" || c == "id2")
+    // cross-group: each unordered doc pair appears under exactly one
+    // representative pair; members of different groups can interleave
+    // in id order, so re-derive id1 < id2 per expanded pair
+    val m1 = groups.select(col("__rep").as("id1"), col("__ids").as("__ids1"))
+    val m2 = groups.select(col("__rep").as("id2"), col("__ids").as("__ids2"))
+    val cross = repPairs.join(m1, "id1").join(m2, "id2")
+      .withColumn("__a", explode(col("__ids1")))
+      .withColumn("__b", explode(col("__ids2")))
+      .select(least(col("__a"), col("__b")).as("id1") +:
+        greatest(col("__a"), col("__b")).as("id2") +: extraCols.map(col): _*)
+    if (!selfQualifies) cross
+    else cross.unionByName(
+      groups.filter(size(col("__ids")) >= 2)
+        .withColumn("__a", explode(col("__ids")))
+        .withColumn("__b", explode(col("__ids")))
+        .filter(col("__a") < col("__b"))
+        .select(col("__a").as("id1") +: col("__b").as("id2") +:
+          selfExtras.map { case (n, c) => c.as(n) }: _*))
+  }
+
   /** Document → DISTINCT (id, __sh) shingle rows.
     *
     * Codegen-friendly shape: explode the positions first, then build
@@ -98,11 +154,27 @@ object Dedup {
     * `maxDocFreq`, when set, additionally drops shingles in > f docs
     * from the index — a lossy knob for adversarial corpora; the
     * default (None) is exact.
+    *
+    * `collapseExact` (default on) pre-collapses identical texts via
+    * [[collapsedPairs]] so the join cost tracks DISTINCT content, not
+    * clone counts; the output is identical either way.
     */
   def jaccardPairs(
       df: DataFrame, threshold: Double, n: Int = 3,
       id: String = "doc_id", text: String = "text",
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None,
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      collapsedPairs(df, id, text,
+        Seq("jaccard" -> lit(1.0)), selfQualifies = threshold <= 1.0)(
+        reps => jaccardPairs(reps, threshold, n, id, text, maxDocFreq,
+          collapseExact = false))
+    else jaccardPairsDistinct(df, threshold, n, id, text, maxDocFreq)
+
+  private def jaccardPairsDistinct(
+      df: DataFrame, threshold: Double, n: Int,
+      id: String, text: String,
+      maxDocFreq: Option[Int]): DataFrame = {
     // the shingle relation feeds 3 consumers (freq, rank, verify-sets)
     // and Catalyst's per-branch column pruning defeats exchange reuse
     // — persist it once (Spark's ContextCleaner drops the cache when
@@ -179,22 +251,46 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16, n: Int = 3,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      collapsedPairs(df, id, text,
+        // clones share the signature exactly, so est is exactly 1.0
+        Seq("est_jaccard" -> lit(1.0)), selfQualifies = threshold <= 1.0)(
+        reps => minhashPairs(reps, threshold, k, bands, n, id, text,
+          collapseExact = false))
+    else minhashPairsDistinct(df, threshold, k, bands, n, id, text)
+
+  private def minhashPairsDistinct(
+      df: DataFrame, threshold: Double,
+      k: Int, bands: Int, n: Int,
+      id: String, text: String): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // the signature relation feeds the banding AND the post-candidate
+    // verify; persist so the shingle scan + k-min aggregation runs once
     val sigs = minhashSignatures(df, k, n, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
     val withSig = sigs.select(col(id), sigArr.as("__sig"))
-    val banded = withSig.select(col(id), col("__sig"),
+    // banding ships ONLY (id, band, bucket) — a doc's 64-long signature
+    // must not ride the bucket self-join (bands× replication of a
+    // ~520-byte array blows the shuffle ~30× and, at a few hundred
+    // thousand docs, OOMs the candidate stage; measured at the 50×
+    // scale point). Signatures rejoin per-candidate AFTER the pair
+    // dedup, when each survives exactly once per side.
+    val banded = withSig.select(col(id),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
-      .select(col(id), col("__sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col(id).as("id1"), col("__sig").as("__sig1"), col("band"), col("bucket"))
-    val b = banded.select(col(id).as("id2"), col("__sig").as("__sig2"), col("band"), col("bucket"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col(id).as("id1"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id2"), col("band"), col("bucket"))
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "__sig1", "__sig2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
+      .join(withSig.select(col(id).as("id1"), col("__sig").as("__sig1")), "id1")
+      .join(withSig.select(col(id).as("id2"), col("__sig").as("__sig2")), "id2")
     // matching-minima count as a folded sum of scalar element_at
     // comparisons: higher-order zip_with/filter lambdas run
     // INTERPRETED, this stays in whole-stage codegen
@@ -230,7 +326,17 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, maxDist: Int = 3,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      collapsedPairs(df, id, text,
+        Seq("hamming" -> lit(0)), selfQualifies = maxDist >= 0)(
+        reps => simhashPairs(reps, maxDist, id, text, collapseExact = false))
+    else simhashPairsDistinct(df, maxDist, id, text)
+
+  private def simhashPairsDistinct(
+      df: DataFrame, maxDist: Int,
+      id: String, text: String): DataFrame = {
     val sigs = simhashSignatures(df, id, text)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("band"),

@@ -128,6 +128,34 @@ class OpsSpec extends SparkSpec {
     assert(10000000 / Similarity.autoBlocks(10000000) <= Similarity.MaxRowsPerBlock)
   }
 
+  test("exact-clone collapse preserves pair output for jaccard/minhash/simhash") {
+    // clone-heavy corpus: 3 copies of every doc (one with case/space
+    // perturbations that normalize away), the regime where the
+    // candidate joins blow up quadratically without the collapse gate
+    val d = docs.select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        upper(col("text")).as("text")))
+      .unionByName(d.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("  "), col("text"), lit(" ")).as("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.get(2).toString.toDouble).toMap
+    val jOn = pairs(Dedup.jaccardPairs(corpus, threshold = 0.4))
+    val jOff = pairs(Dedup.jaccardPairs(corpus, threshold = 0.4, collapseExact = false))
+    assert(jOn == jOff, "jaccard collapse diverged from the distinct path")
+    // every within-clone-group pair present at similarity 1.0
+    val base = d.agg(min("doc_id")).collect()(0).getLong(0)
+    assert(jOn((base, base + 1000000)) == 1.0 &&
+      jOn((base + 1000000, base + 2000000)) == 1.0)
+    val mOn = pairs(Dedup.minhashPairs(corpus, threshold = 0.35))
+    val mOff = pairs(Dedup.minhashPairs(corpus, threshold = 0.35, collapseExact = false))
+    assert(mOn == mOff, "minhash collapse diverged from the distinct path")
+    val sOn = pairs(Dedup.simhashPairs(corpus, maxDist = 3))
+    val sOff = pairs(Dedup.simhashPairs(corpus, maxDist = 3, collapseExact = false))
+    assert(sOn == sOff, "simhash collapse diverged from the distinct path")
+  }
+
   test("minhash estimate stays in codegen (no interpreted higher-order lambdas)") {
     val plan = Dedup.minhashPairs(docs, threshold = 0.35)
       .queryExecution.executedPlan.toString
