@@ -439,6 +439,16 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.4, n = 3)
         .orderBy("id1", "id2")),
+    // clone-heavy corpus: every doc gains a whitespace-perturbed exact
+    // twin, so the collapse gate's within-group (jaccard 1.0) and
+    // cross-group pair expansion are both under the hash-level oracle
+    "q_dedup_clone_collapse" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" ")).as("text")))
+      Dedup.jaccardPairs(corpus, threshold = 0.4, n = 3).orderBy("id1", "id2")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.35)
         .orderBy("id1", "id2")),
@@ -479,10 +489,18 @@ object SparkEntry {
     "q_pipeline_corpus" -> ((s, dir) => {
       val d = TextAnalysis.withLangId(
         TextAnalysis.withQuality(TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
+      // the gated corpus feeds exactGroups, the canonical semi-join and
+      // the final anti-join — persist so the regex-heavy text-analysis
+      // scan runs once, not once per consumer (3× wall at the 50× point)
       val f = d.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val canonIds = Dedup.exactGroups(f).select(col("canonical_id").as("doc_id"))
       val canon = f.join(canonIds, Seq("doc_id"), "left_semi")
-      val losers = Dedup.jaccardPairs(canon, threshold = 0.4, n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // canon is exact-deduped already — skip jaccardPairs' internal
+      // clone-collapse gate, it would be a pure extra pass here
+      val losers = Dedup.jaccardPairs(canon, threshold = 0.4, n = 3,
+          collapseExact = false)
         .select(col("id2").as("doc_id")).distinct()
       canon.join(losers, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_docs"),
@@ -791,6 +809,22 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4
+         ORDER BY 1, 2""",
+
+    "q_dedup_clone_collapse" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' ' FROM documents),
+         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM docs2),
          d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
                i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
