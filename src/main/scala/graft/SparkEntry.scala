@@ -459,6 +459,19 @@ object SparkEntry {
       Similarity.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.45)
         .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
         .orderBy("id1", "id2")),
+    // sub-quadratic near-dup path: plant an exact twin per vector
+    // (found with probability 1 — identical sign bits in every band)
+    // and verify candidates with exact cosine; at τ=0.9 on this
+    // corpus the output deterministically equals the exact operator's,
+    // so the approximate path gets a hash-level oracle too
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.cosineDedupPairsLsh(corpus, threshold = 0.9)
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+        .orderBy("id1", "id2")
+    }),
 
     // ---- similarity search ---------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
@@ -841,6 +854,17 @@ object SparkEntry {
               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          WHERE s >= 0.45 ORDER BY id1, id2""",
+
+    "q_dedup_embedding_lsh" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000, embedding FROM embeddings)
+         SELECT id1, id2, round(s, 6) AS score FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+         WHERE s >= 0.9 ORDER BY id1, id2""",
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

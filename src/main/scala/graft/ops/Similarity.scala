@@ -218,6 +218,47 @@ object Similarity {
     pairs.select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.score").as("score"))
   }
 
+  /** Near-duplicate pairs by embedding cosine ≥ threshold —
+    * APPROXIMATE sub-quadratic path, the scale alternative to
+    * [[cosineDedupPairs]] for true near-dup thresholds (≥ ~0.8):
+    * random-hyperplane banding proposes candidate pairs (the bucket
+    * self-join shuffles only (id, band, bucket), mirroring the
+    * minhash/simhash shape), then EXACT cosine verifies each
+    * surviving candidate once, so false positives never reach the
+    * output — only recall is approximate. Identical vectors agree on
+    * every sign bit, so exact duplicates are found with probability 1
+    * at any banding; the default 16×8 banding keeps random isotropic
+    * pairs colliding in ≥1 band at only ~6% (see [[lshTopK]]).
+    * Scores are the same double-accumulated cosine as the exact
+    * operator, so outputs are directly comparable.
+    */
+  def cosineDedupPairsLsh(
+      df: DataFrame, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands, rowsPerBand, dim, seed)
+    val base = df.select(col(id), col(emb))
+    val sigs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
+    // sign bits are scale-invariant, so raw vectors band identically
+    // to unit vectors; the vector itself stays out of the self-join
+    // and rejoins per candidate side after pair dedup
+    val banded = base.select(col(id), explode(sigs).as("sig"))
+      .select(col(id), col("sig.band"), col("sig.bucket"))
+    val cands = banded.select(col(id).as("id1"), col("band"), col("bucket"))
+      .join(banded.select(col(id).as("id2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    cands
+      .join(base.select(col(id).as("id1"), col(emb).as("__v1")), "id1")
+      .join(base.select(col(id).as("id2"), col(emb).as("__v2")), "id2")
+      .withColumn("score", VectorFunctions.cosineSim(col("__v1"), col("__v2")))
+      .filter(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+
   /** Cap on vectors collected into one block row of
     * [[cosineDedupPairs]] (~1 MB of f4 at d=64).
     */

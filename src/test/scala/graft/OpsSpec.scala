@@ -116,6 +116,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH cosine dedup finds every exact-operator pair at near-dup thresholds") {
+    // plant an exact twin per vector: sign bits agree in every band,
+    // so twins are candidates with probability 1; exact verify then
+    // makes the output equal the exact operator's on this corpus
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val corpus = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("id1", "id2", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.cosineDedupPairs(corpus, threshold = 0.9))
+    val lsh = pairs(Similarity.cosineDedupPairsLsh(corpus, threshold = 0.9))
+    assert(exact.size >= 500, s"expected >=500 planted twin pairs, got ${exact.size}")
+    assert(lsh == exact, "LSH near-dup output diverged from the exact operator")
+    // and the banding prunes: candidates scored must be far below all-pairs
+    val n = corpus.count()
+    val scored = Similarity.cosineDedupPairsLsh(corpus, threshold = -1.0).count()
+    assert(scored < n * (n - 1) / 4,
+      s"LSH scored $scored of ${n * (n - 1) / 2} pairs — not pruning")
+  }
+
   test("cosine dedup auto-sizes blocks to bound per-block row width") {
     // formula: enough blocks that no collect_list row exceeds
     // MaxRowsPerBlock vectors (floor of 8 for small-corpus parallelism)
