@@ -164,6 +164,45 @@ object Similarity {
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
   }
 
+  /** Collapse exact-duplicate vectors (grouped on the embedding array
+    * itself — byte-equality, no hashing approximation) to one
+    * representative before a pairwise similarity join, then expand the
+    * representative pairs back through group membership — the vector
+    * analog of the text-side clone-collapse gate in
+    * [[graft.ops.Dedup]]. Bit-identical to the uncollapsed operator:
+    * cross-group pairs reuse the representatives' score (same input
+    * bytes → same codegen'd cosine), and within-group pairs compute
+    * cosineSim(v, v) through the same expression and threshold filter
+    * the uncollapsed self-join would apply to the identical twin pair.
+    * Clone groups otherwise inflate the candidate stage quadratically
+    * in the group size (g twins share EVERY band bucket / land in the
+    * same blocks).
+    */
+  private def collapsedVecPairs(
+      df: DataFrame, threshold: Double, id: String, emb: String)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    val groups = df.select(col(id), col(emb))
+      .groupBy(col(emb))
+      .agg(min(col(id)).as("__rep"), sort_array(collect_list(col(id))).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = pairFn(groups.select(col("__rep").as(id), col(emb)))
+    val m1 = groups.select(col("__rep").as("id1"), col("__ids").as("__ids1"))
+    val m2 = groups.select(col("__rep").as("id2"), col("__ids").as("__ids2"))
+    val cross = repPairs.join(m1, "id1").join(m2, "id2")
+      .withColumn("__a", explode(col("__ids1")))
+      .withColumn("__b", explode(col("__ids2")))
+      .select(least(col("__a"), col("__b")).as("id1"),
+        greatest(col("__a"), col("__b")).as("id2"), col("score"))
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .withColumn("score", VectorFunctions.cosineSim(col(emb), col(emb)))
+      .filter(col("score") >= lit(threshold))
+      .withColumn("__a", explode(col("__ids")))
+      .withColumn("__b", explode(col("__ids")))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("id1"), col("__b").as("id2"), col("score"))
+    cross.unionByName(within)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold — EXACT,
     * via a blocked self-join (no CartesianProduct in the plan).
     *
@@ -191,7 +230,17 @@ object Similarity {
   def cosineDedupPairs(
       df: DataFrame, threshold: Double,
       id: String = "vec_id", emb: String = "embedding",
-      numBlocks: Int = 0): DataFrame = {
+      numBlocks: Int = 0,
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      collapsedVecPairs(df, threshold, id, emb)(reps =>
+        cosineDedupPairs(reps, threshold, id, emb, numBlocks,
+          collapseExact = false))
+    else cosineDedupPairsDistinct(df, threshold, id, emb, numBlocks)
+
+  private def cosineDedupPairsDistinct(
+      df: DataFrame, threshold: Double,
+      id: String, emb: String, numBlocks: Int): DataFrame = {
     val nb =
       if (numBlocks > 0) numBlocks
       else autoBlocks(df.select(col(id)).count())
@@ -234,10 +283,30 @@ object Similarity {
     */
   def cosineDedupPairsLsh(
       df: DataFrame, threshold: Double,
-      bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
-      id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bands, rowsPerBand, dim, seed)
+      bands: Int = 16, rowsPerBand: Int = 0, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding", seed: Long = 42L,
+      collapseExact: Boolean = true): DataFrame =
+    if (collapseExact)
+      collapsedVecPairs(df, threshold, id, emb)(reps =>
+        cosineDedupPairsLsh(reps, threshold, bands, rowsPerBand, dim, id,
+          emb, seed, collapseExact = false))
+    else cosineDedupPairsLshDistinct(df, threshold, bands, rowsPerBand,
+      dim, id, emb, seed)
+
+  private def cosineDedupPairsLshDistinct(
+      df: DataFrame, threshold: Double,
+      bands: Int, rowsPerBand: Int, dim: Int,
+      id: String, emb: String, seed: Long): DataFrame = {
     val base = df.select(col(id), col(emb))
+    // bucket count must track corpus size: r sign bits give 2^r
+    // buckets per band, and isotropic bucket occupancy N/2^r drives
+    // candidate volume ~bands·N²/2^r — so auto-size r ≈ log2(N/4)
+    // (floor 8 keeps the small-corpus behavior, cap 24 bounds codegen)
+    val r =
+      if (rowsPerBand > 0) rowsPerBand
+      else math.min(24, math.max(8,
+        math.ceil(math.log(math.max(base.count(), 2L) / 4.0) / math.log(2)).toInt))
+    val planes = hyperplanes(bands, r, dim, seed)
     val sigs = array((0 until bands).map(b =>
       struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
     // sign bits are scale-invariant, so raw vectors band identically

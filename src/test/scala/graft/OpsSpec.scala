@@ -130,6 +130,12 @@ class OpsSpec extends SparkSpec {
     val lsh = pairs(Similarity.cosineDedupPairsLsh(corpus, threshold = 0.9))
     assert(exact.size >= 500, s"expected >=500 planted twin pairs, got ${exact.size}")
     assert(lsh == exact, "LSH near-dup output diverged from the exact operator")
+    // the vector clone-collapse gate is bit-identical to the
+    // uncollapsed self-joins (scores compared as raw doubles)
+    assert(pairs(Similarity.cosineDedupPairs(corpus, threshold = 0.9,
+      collapseExact = false)) == exact, "exact-op collapse diverged")
+    assert(pairs(Similarity.cosineDedupPairsLsh(corpus, threshold = 0.9,
+      collapseExact = false)) == lsh, "LSH-op collapse diverged")
     // and the banding prunes: candidates scored must be far below all-pairs
     val n = corpus.count()
     val scored = Similarity.cosineDedupPairsLsh(corpus, threshold = -1.0).count()

@@ -35,8 +35,19 @@ def main(src, dst, factor=10):
           FROM '{src}/documents.parquet' d CROSS JOIN range({factor}) i
         ) TO '{dst}/documents.parquet' (FORMAT parquet)
     """)
+    # embeddings: N copies under shifted vec_ids — exact twins stress
+    # the vector dedup family (twin groups are maximal-similarity
+    # clusters) while the benchmark's query set (vec_id < 5) stays
+    # pinned to the original five vectors
+    con.execute(f"""
+        COPY (
+          SELECT e.vec_id + i.range * 1000000 AS vec_id,
+                 e.* EXCLUDE (vec_id)
+          FROM '{src}/embeddings.parquet' e CROSS JOIN range({factor}) i
+        ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+    """)
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"]:
+              "orders", "lineitem"]:
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
             shutil.copyfile(p, f"{dst}/{t}.parquet")
