@@ -23,17 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalize: id, embedding, plus precomputed norm (dot on
-    * normalized vecs == cosine, halves the flops in the scan).
-    */
-  private def withUnitVec(df: DataFrame, id: String, emb: String): DataFrame = {
-    val norm = VectorFunctions.l2Norm(col(emb))
-    df.select(col(id), col(emb))
-      .withColumn("__norm", norm)
-      .filter(col("__norm") > 0)
-      .withColumn("__unit", transform(col(emb), x => (x / col("__norm")).cast("float")))
-  }
-
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (query_id, id, score) — k rows per query.
     */
@@ -93,22 +82,31 @@ object Similarity {
       bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
       id: String = "vec_id", emb: String = "embedding", seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands, rowsPerBand, dim, seed)
+    // banding ships ONLY (id, band, bucket): a vector must not ride
+    // the bucket self-join — bands× replication of the embedding
+    // array inflates the shuffle ~an order of magnitude (the same
+    // failure the minhash banding hit at the 50× scale point).
+    // Vectors rejoin per candidate side AFTER the pair dedup, when
+    // each id survives exactly once per side. Sign bits are
+    // scale-invariant, so raw vectors band identically to unit ones.
     def signatures(df: DataFrame, idAs: String): DataFrame = {
-      val u = withUnitVec(df, id, emb)
       val sigs = array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
-      u.select(col(id).as(idAs), col("__unit").as(s"__unit_$idAs"), explode(sigs).as("sig"))
-        .select(col(idAs), col(s"__unit_$idAs"), col("sig.band"), col("sig.bucket"))
+      df.select(col(id).as(idAs), explode(sigs).as("sig"))
+        .select(col(idAs), col("sig.band"), col("sig.bucket"))
     }
     val cs = signatures(corpus, "cand_id")
     val qs = signatures(queries, "query_id")
     val candidates = cs.join(qs, Seq("band", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        col("__unit_query_id"), col("__unit_cand_id"))
+      .select(col("query_id"), col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
+    // exact cosine re-rank with the SAME double-accumulated expression
+    // as bruteForceTopK, so LSH and brute scores are bit-comparable
     val scored = candidates
-      .withColumn("score", VectorFunctions.dotF(col("__unit_cand_id"), col("__unit_query_id")))
+      .join(corpus.select(col(id).as("cand_id"), col(emb).as("__cv")), "cand_id")
+      .join(broadcast(queries.select(col(id).as("query_id"), col(emb).as("__qv"))), "query_id")
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("__rank", row_number().over(w))

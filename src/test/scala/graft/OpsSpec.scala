@@ -30,6 +30,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("verified minhash equals the exhaustive exact operator at near-dup thresholds") {
+    // plant a one-token-appended twin per doc: trigram shingle sets
+    // differ by ~2 shingles, so the pairs land at jaccard ≈ 0.95 — the
+    // regime the propose/verify path targets. With seed-free xxhash64
+    // the banding is deterministic; per-pair propose probability at
+    // j = 0.9 is 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4e-8, and the verify step is
+    // exact, so the output must equal the exhaustive PPJoin's.
+    val d = docs.select("doc_id", "text")
+    val corpus = d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" zq")).as("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.jaccardPairs(corpus, threshold = 0.9, n = 3))
+    assert(exact.size >= 400, s"planted twins should qualify, got ${exact.size}")
+    val verified = pairs(Dedup.minhashPairsVerified(corpus, threshold = 0.9))
+    assert(verified == exact, "verified minhash diverged from exhaustive exact")
+    // collapse gate must not change the answer
+    assert(pairs(Dedup.minhashPairsVerified(corpus, threshold = 0.9,
+      collapseExact = false)) == exact, "uncollapsed verified minhash diverged")
+  }
+
+  test("verified simhash has precision 1 and finds exact clones with certainty") {
+    val d = docs.select("doc_id", "text")
+    // exact clones (normalize-identical): Hamming 0, proposed always
+    val corpus = d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" ")).as("text")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Dedup.jaccardPairs(corpus, threshold = 0.9, n = 3))
+    val verified = pairs(Dedup.simhashPairsVerified(corpus, threshold = 0.9))
+    // precision 1: every emitted pair is a true jaccard >= τ pair with
+    // the true score (recall may lag — simhash's tail, see docstring)
+    verified.foreach { case (p, j) =>
+      assert(exact.get(p).contains(j), s"false positive or wrong score: $p -> $j")
+    }
+    // every clone pair is present at jaccard 1.0
+    val cloneIds = d.select("doc_id").collect().map(_.getLong(0))
+    cloneIds.foreach { i =>
+      assert(verified.get((i, i + 1000000)).contains(1.0),
+        s"exact clone pair ($i, ${i + 1000000}) missed")
+    }
+  }
+
   test("simhash banding finds exactly the pairs with hamming <= maxDist") {
     val sigs = Dedup.simhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
@@ -73,6 +118,14 @@ class OpsSpec extends SparkSpec {
       assert(top1.get(i).contains(i + 100000),
         s"default-banded LSH should return the planted twin for query $i, got ${top1.get(i)}")
     }
+    // candidates are re-ranked with the SAME cosine expression as the
+    // brute operator, so the twin rows must match brute top-1 exactly
+    // (ids AND raw double scores)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Similarity.lshTopK(corpus, q, k = 1)) ==
+      rows(Similarity.bruteForceTopK(corpus, q, k = 1)),
+      "LSH top-1 rows should be bit-identical to brute top-1 on the twin corpus")
     // pruning: candidate pairs scored must be well under all-pairs
     val scored = Similarity.lshTopK(corpus, q, k = Int.MaxValue).count()
     val allPairs = 5L * (corpus.count() - 1)
