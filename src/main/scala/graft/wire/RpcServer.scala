@@ -37,6 +37,15 @@ class RpcServer(
   private val queryService = new QueryService(catalog)
   private val sqlService = new SqlService(spark, Some(catalog))
   private val json = new ObjectMapper()
+  private val startNanos = System.nanoTime()
+  /** frontend/utilities.go:14 `Queryable` — flipped off during bulk
+    * maintenance (the reference starts false until WAL replay
+    * finishes); read endpoints refuse while unset.
+    */
+  private val queryable = new java.util.concurrent.atomic.AtomicBoolean(true)
+  def setQueryable(b: Boolean): Unit = queryable.set(b)
+  private def requireQueryable(): Unit =
+    if (!queryable.get()) throw new IllegalStateException("server is not queryable")
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   http.createContext("/rpc", new Handler)
@@ -47,6 +56,21 @@ class RpcServer(
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
     ex.sendResponseHeaders(200, out.length.toLong)
     ex.getResponseBody.write(out)
+    ex.close()
+  })
+  // liveness probe (frontend/utilities.go:30-77): JSON status payload,
+  // 200 while queryable, 503 otherwise — same body shape either way
+  http.createContext("/heartbeat", (ex: HttpExchange) => {
+    val uptimeSec = (System.nanoTime() - startNanos) / 1e9
+    val ok = queryable.get()
+    val body = json.writeValueAsBytes(toJava(Map(
+      "status" -> (if (ok) "queryable" else "not queryable"),
+      "version" -> ServerInfo.Version,
+      "git_hash" -> "",
+      "uptime" -> f"$uptimeSec%.3fs")))
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(if (ok) 200 else 503, body.length.toLong)
+    ex.getResponseBody.write(body)
     ex.close()
   })
   // daemon threads + explicit shutdown: a non-daemon pool would pin
@@ -134,6 +158,7 @@ class RpcServer(
     * or a SQL statement; responses are NumpyMultiDatasets.
     */
   private def queryEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    requireQueryable() // frontend/grpc.go:286-288 (gRPC Query gate)
     val responses = requests(params).map { r =>
       val df =
         if (bool(r, "is_sqlstatement")) sqlService.sql(str(r, "sql_statement").get)
@@ -296,6 +321,7 @@ class RpcServer(
 
   /** frontend/query.go:264-288: "symbol" (default) or "tbk" format. */
   private def listSymbolsEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    requireQueryable() // frontend/query.go:265-267
     val format = str(params, "format").getOrElse("symbol")
     val ags = catalog.listAttGroups()
     val results: Seq[String] =

@@ -470,4 +470,45 @@ class WireSpec extends SparkSpec {
       assert(raw.contains("application/json") && raw.contains(""""id":8"""))
     } finally srv.stop()
   }
+
+  test("/heartbeat reports queryable status; gate refuses reads (frontend/utilities.go:30-77)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hb").toString
+    val cat = new BucketCatalog(spark, root)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def beat(): (Int, String) = {
+        val conn = new URL(s"http://127.0.0.1:$port/heartbeat")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+        (code, new String(in.readAllBytes(), "UTF-8"))
+      }
+      val (okCode, okBody) = beat()
+      assert(okCode == 200 && okBody.contains("\"status\":\"queryable\""))
+      assert(okBody.contains("\"version\"") && okBody.contains("\"uptime\""))
+
+      // flip off: heartbeat 503s and read endpoints refuse with the
+      // reference's errNotQueryable message (frontend/server.go:21)
+      srv.setQueryable(false)
+      val (downCode, downBody) = beat()
+      assert(downCode == 503 && downBody.contains("\"status\":\"not queryable\""))
+      val req = Map("jsonrpc" -> "2.0", "method" -> "DataService.ListSymbols",
+        "params" -> Seq(Map.empty[String, Any]), "id" -> 1L)
+      val conn = new URL(s"http://127.0.0.1:$port/rpc")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-msgpack")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(MsgPack.encode(req))
+      val resp = MsgPack.decode(conn.getInputStream.readAllBytes())
+        .asInstanceOf[Map[Any, Any]]
+      val err = resp("error").asInstanceOf[Map[Any, Any]]
+      assert(err("message").toString == "server is not queryable")
+
+      srv.setQueryable(true)
+      assert(beat()._1 == 200)
+    } finally srv.stop()
+  }
 }
