@@ -50,17 +50,18 @@ object Similarity {
     Array.fill(bands, rowsPerBand, dim)((rnd.nextGaussian()).toFloat)
   }
 
-  /** Band signature column: for one band, the bit pattern of
-    * sign(v · plane_j) packed into an int.
+  /** (band, bucket) rows of a vector column — one LshBandBuckets call
+    * (all bands in a single codegen'd loop, planes as one float[]
+    * reference) + posexplode. The composed per-band form (bands×rows
+    * dot_f against typedlit planes) exceeded codegen size limits at
+    * default banding and fell back to interpreted eval — ~700 µs/row,
+    * 68 s for a 100k-vector corpus at the 50× bench point.
     */
-  private def bandSig(emb: Column, band: Array[Array[Float]]): Column =
-    band.zipWithIndex.map { case (plane, j) =>
-      // typedlit: ONE array literal node per plane (array(lit...) of
-      // dim elements made the expression tree ~dim x larger and blew
-      // up codegen compile time across bands)
-      val planeCol = typedlit(plane.toSeq)
-      when(VectorFunctions.dotF(emb, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def bandedRows(
+      df: DataFrame, idFrom: String, idAs: String, emb: String,
+      planes: Array[Array[Array[Float]]]): DataFrame =
+    df.select(col(idFrom).as(idAs),
+        posexplode(VectorFunctions.lshBandBuckets(col(emb), planes)).as(Seq("band", "bucket")))
 
   /** LSH-bucketed ANN: same output shape as bruteForceTopK but only
     * scores candidates sharing ≥1 band bucket with the query.
@@ -89,14 +90,12 @@ object Similarity {
     // Vectors rejoin per candidate side AFTER the pair dedup, when
     // each id survives exactly once per side. Sign bits are
     // scale-invariant, so raw vectors band identically to unit ones.
-    def signatures(df: DataFrame, idAs: String): DataFrame = {
-      val sigs = array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
-      df.select(col(id).as(idAs), explode(sigs).as("sig"))
-        .select(col(idAs), col("sig.band"), col("sig.bucket"))
-    }
-    val cs = signatures(corpus, "cand_id")
-    val qs = signatures(queries, "query_id")
+    val cs = bandedRows(corpus, id, "cand_id", emb, planes)
+    // explicit broadcast: queries are the bounded side (same contract
+    // as bruteForceTopK), and the explode defeats Catalyst's size
+    // estimate so it would SMJ otherwise — shuffling + sorting the
+    // corpus's N×bands banded rows against Q×bands query rows
+    val qs = broadcast(bandedRows(queries, id, "query_id", emb, planes))
     val candidates = cs.join(qs, Seq("band", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"))
@@ -154,7 +153,10 @@ object Similarity {
         explode(col("__cells").getField("cell")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    assigned.join(probes, Seq("cell"))
+    // queries are the bounded side; the explode hides their size from
+    // Catalyst, which would otherwise shuffle the whole corpus for a
+    // handful of probe rows
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
       .withColumn("__rank", row_number().over(w))
@@ -305,13 +307,10 @@ object Similarity {
       else math.min(24, math.max(8,
         math.ceil(math.log(math.max(base.count(), 2L) / 4.0) / math.log(2)).toInt))
     val planes = hyperplanes(bands, r, dim, seed)
-    val sigs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"), bandSig(col(emb), planes(b)).as("bucket"))): _*)
     // sign bits are scale-invariant, so raw vectors band identically
     // to unit vectors; the vector itself stays out of the self-join
     // and rejoins per candidate side after pair dedup
-    val banded = base.select(col(id), explode(sigs).as("sig"))
-      .select(col(id), col("sig.band"), col("sig.bucket"))
+    val banded = bandedRows(base, id, id, emb, planes)
     val cands = banded.select(col(id).as("id1"), col("band"), col("bucket"))
       .join(banded.select(col(id).as("id2"), col("band"), col("bucket")),
         Seq("band", "bucket"))
