@@ -65,4 +65,30 @@ class VectorSpec extends SparkSpec {
       assert(r.getAs[Double]("vszero") == 0.0)
     }
   }
+
+  test("lsh_band_buckets compiles strictly and equals the composed per-band construction") {
+    // the fused expression exists because the composed form (bands x
+    // rows dot_f against typedlit planes) exceeded codegen limits and
+    // fell back to interpreted eval (~700us/row at the 50x scale
+    // point) — pin bit-for-bit agreement on every band
+    val bands = 16; val rows = 8; val dim = 8
+    val planes = graft.ops.Similarity.hyperplanes(bands, rows, dim)
+    val composed = (0 until bands).map { b =>
+      planes(b).zipWithIndex.map { case (plane, j) =>
+        when(VectorFunctions.dotF(col("a"), typedlit(plane.toSeq)) >= 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as(s"c_$b")
+    }
+    val out = withStrictCodegen {
+      vecs.select(
+        VectorFunctions.lshBandBuckets(col("a"), planes).as("fused") +: composed: _*)
+        .collect()
+    }
+    out.foreach { r =>
+      val fused = r.getSeq[Int](r.fieldIndex("fused"))
+      assert(fused.length == bands)
+      (0 until bands).foreach(b => assert(fused(b) == r.getAs[Int](s"c_$b"),
+        s"band $b disagrees"))
+    }
+  }
 }
