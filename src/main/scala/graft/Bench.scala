@@ -68,6 +68,11 @@ object Bench {
   private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
     var failed = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop persisted relations left by the previous query: operators
+      // persist intermediates and rely on ContextCleaner GC, so across
+      // a 48-query pass the block store otherwise accumulates dead
+      // caches whose eviction churn bleeds into later measurements
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
