@@ -536,13 +536,21 @@ object SparkEntry {
     // One oracled query proving the stages agree end-to-end, not just
     // individually.
     "q_pipeline_corpus" -> ((s, dir) => {
+      // persist the FEATURED corpus, then filter from cache. Filtering
+      // first looks cheaper but measures 3× worse: Catalyst pushes the
+      // gate predicate below the collapsed feature projection, so the
+      // lang_pred/quality expression trees evaluate once in the Filter
+      // and again in the Project — 58s → 18s for the gate stage at the
+      // 50× point. Materializing features once is also the production
+      // shape (a corpus build writes the featured table out, it does
+      // not recompute regex features per consumer).
       val d = TextAnalysis.withLangId(
         TextAnalysis.withQuality(TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
-      // the gated corpus feeds exactGroups, the canonical semi-join and
-      // the final anti-join — persist so the regex-heavy text-analysis
-      // scan runs once, not once per consumer (3× wall at the 50× point)
-      val f = d.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the gated corpus feeds exactGroups, the canonical semi-join and
+      // the final anti-join — each re-filters the cached features (the
+      // filter over materialized columns is sub-0.1s)
+      val f = d.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
       val canonIds = Dedup.exactGroups(f).select(col("canonical_id").as("doc_id"))
       val canon = f.join(canonIds, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
