@@ -528,6 +528,19 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // trained coarse quantizer (2 Lloyd iterations as Spark
+    // aggregations) at full probe: partitioning the corpus by ANY
+    // centroid set and probing every cell scores each vector exactly
+    // once, so the whole training + assignment + probe machinery sits
+    // under the exhaustive oracle — recall effects of PRUNED probes
+    // with trained centroids are OpsSpec's clustered-corpus check
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nCells = 16, nProbe = 16, trainIters = 2)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
 
     // ---- composite training-data pipeline ------------------------------
     // the ops composed the way a real corpus build chains them:
@@ -953,6 +966,18 @@ object SparkEntry {
 
     // full probe == exhaustive: same oracle as q_knn_brute
     "q_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // any quantizer at full probe == exhaustive — same oracle
+    "q_knn_ivf_trained" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s

@@ -120,29 +120,23 @@ object Similarity {
     * by cell id, so at scale each query touches ~nProbe/nCells of the
     * corpus instead of all of it.
     *
-    * Centroids here are a deterministic corpus sample (lowest
-    * xxhash64(id) rows — the classic k-means init); a trained
-    * quantizer drops in by replacing `centroids`. On isotropic random
-    * corpora cell pruning is weak (same caveat as LSH); on clustered
-    * real embeddings it's the workhorse.
+    * Centroid init is a deterministic corpus sample (lowest
+    * xxhash64(id) rows — the classic k-means init); `trainIters > 0`
+    * refines it with that many Lloyd iterations
+    * ([[trainedCentroids]]) — the production IVF shape (a trained
+    * coarse quantizer). The default 0 keeps the sampled quantizer. On
+    * isotropic random corpora cell pruning is weak (same caveat as
+    * LSH); on clustered real embeddings it's the workhorse.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
-      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.Row
-    // deterministic sample of nCells corpus vectors as centroids
-    val centroids: Array[Seq[Float]] = corpus
-      .select(col(id), col(emb))
-      .orderBy(xxhash64(col(id)), col(id))
-      .limit(nCells)
-      .collect()
-      .map(r => r.getSeq[Float](1))
-    // per-row scored cells: array of (cosine-to-centroid, cellId)
-    def cellScores(v: Column): Column = array(
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct(VectorFunctions.cosineSim(v, typedlit(c)).as("s"), lit(i).as("cell"))
-      }: _*)
+      id: String = "vec_id", emb: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters <= 0) sampledCentroids(corpus, nCells, id, emb)
+      else trainedCentroids(corpus, nCells, trainIters, id, emb)
+    def cellScores(v: Column): Column = Similarity.cellScores(v, centroids)
     val assigned = corpus
       .withColumn("cell", array_max(cellScores(col(emb))).getField("cell"))
       .select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
@@ -162,6 +156,61 @@ object Similarity {
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
+  /** Per-row scored cells against a fixed centroid set: array of
+    * (cosine-to-centroid, cellId) structs. Cosine is scale-invariant
+    * in the centroid, so unnormalized Lloyd means score identically to
+    * spherical-k-means normalized ones.
+    */
+  private def cellScores(v: Column, centroids: Array[Seq[Float]]): Column = array(
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosineSim(v, typedlit(c)).as("s"), lit(i).as("cell"))
+    }: _*)
+
+  /** Deterministic nCells-row corpus sample (lowest xxhash64(id)) —
+    * the k-means init, and the default IVF quantizer.
+    */
+  def sampledCentroids(
+      corpus: DataFrame, nCells: Int,
+      id: String = "vec_id", emb: String = "embedding"): Array[Seq[Float]] =
+    corpus.select(col(id), col(emb))
+      .orderBy(xxhash64(col(id)), col(id))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](1))
+
+  /** Coarse-quantizer training: `iters` Lloyd iterations of spherical
+    * k-means (cosine assignment, per-cell mean update), entirely as
+    * Spark aggregations — per iteration one assignment map over the
+    * corpus and one (cell, dim)-keyed mean shuffle of corpusRows × dim
+    * value rows, the standard distributed k-means shape. Deterministic
+    * end to end: hash-sampled init, deterministic assignment
+    * tie-break (array_max picks the highest (score, cell) struct), and
+    * a cell emptied by an iteration keeps its previous centroid.
+    * Driver state is only the nCells × dim centroid matrix.
+    */
+  def trainedCentroids(
+      corpus: DataFrame, nCells: Int, iters: Int = 3,
+      id: String = "vec_id", emb: String = "embedding"): Array[Seq[Float]] = {
+    val base = corpus.select(col(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sampledCentroids(corpus, nCells, id, emb)
+    try {
+      (0 until iters).foreach { _ =>
+        val means = base
+          .withColumn("cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+          .select(col("cell"), posexplode(col(emb)).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m").cast("float")).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+        cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      }
+      cents
+    } finally { base.unpersist(); () }
   }
 
   /** Collapse exact-duplicate vectors (grouped on the embedding array

@@ -148,6 +148,42 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=8/16 recall $recall")
   }
 
+  test("trained IVF quantizer separates clusters; 1-probe search stays in-cluster") {
+    import spark.implicits._
+    // two tight, well-separated clusters: members are small jitters of
+    // opposite-sign base vectors, so Lloyd means must converge onto
+    // one centroid per cluster regardless of where the hash-sampled
+    // init landed
+    val dim = 8
+    def member(cluster: Int, i: Int): (Long, Seq[Float]) = {
+      val sign = if (cluster == 0) 1f else -1f
+      val v = (0 until dim).map(d => sign * (1f + 0.01f * ((i + d) % 5)))
+      (cluster * 1000L + i, v)
+    }
+    val rows = (0 until 40).flatMap(i => Seq(member(0, i), member(1, i)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(corpus, nCells = 2, iters = 3)
+    // each trained centroid points into exactly one cluster (all-same
+    // sign), and the two centroids take opposite clusters
+    val signs = cents.map(c => c.map(math.signum(_)).distinct match {
+      case Seq(s) => s
+      case other => fail(s"mixed-sign centroid $other")
+    })
+    assert(signs.toSet == Set(1f, -1f), s"centroids did not separate: ${signs.toSeq}")
+    // with a converged quantizer, probing ONE cell out of two returns
+    // only in-cluster neighbors for every query — full recall at half
+    // the scan, the entire point of IVF on clustered data
+    val q = corpus.filter(col("vec_id").isin(0L, 1000L))
+    val hits = Similarity.ivfTopK(corpus, q, k = 5, nCells = 2, nProbe = 1,
+        trainIters = 3)
+      .select("query_id", "vec_id").collect()
+    assert(hits.length == 10)
+    hits.foreach { r =>
+      assert(r.getLong(0) / 1000L == r.getLong(1) / 1000L,
+        s"1-probe search crossed clusters: $r")
+    }
+  }
+
   test("blocked cosine dedup equals naive all-pairs at any block count") {
     val blocked = Similarity.cosineDedupPairs(embs, threshold = 0.45)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
