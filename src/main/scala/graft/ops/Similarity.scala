@@ -159,14 +159,15 @@ object Similarity {
   }
 
   /** Per-row scored cells against a fixed centroid set: array of
-    * (cosine-to-centroid, cellId) structs. Cosine is scale-invariant
-    * in the centroid, so unnormalized Lloyd means score identically to
-    * spherical-k-means normalized ones.
+    * (cosine-to-centroid, cellId) structs, via the fused
+    * CentroidStructScores expression — the composed per-centroid
+    * cosineSim form generates O(nCells·dim) source and falls out of
+    * codegen at production cell counts (the LshBandBuckets lesson).
+    * Cosine is scale-invariant in the centroid, so unnormalized Lloyd
+    * means score identically to spherical-k-means normalized ones.
     */
-  private def cellScores(v: Column, centroids: Array[Seq[Float]]): Column = array(
-    centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.cosineSim(v, typedlit(c)).as("s"), lit(i).as("cell"))
-    }: _*)
+  private def cellScores(v: Column, centroids: Array[Seq[Float]]): Column =
+    VectorFunctions.centroidStructScores(v, centroids)
 
   /** Deterministic nCells-row corpus sample (lowest xxhash64(id)) —
     * the k-means init, and the default IVF quantizer.

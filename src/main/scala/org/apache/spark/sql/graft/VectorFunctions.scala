@@ -218,6 +218,84 @@ case class LshBandBuckets(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Cosine of one vector against every row of a centroid matrix, as an
+  * array of (s: double, cell: int) structs — the IVF cell-scoring
+  * primitive ([[graft.ops.Similarity.ivfTopK]] feeds it to
+  * array_max / array_sort for assignment and probe selection).
+  *
+  * Exists for the same reason as [[LshBandBuckets]]: composing nCells
+  * separate [[CosineSimilarity]] calls against `typedlit` centroids
+  * generates O(nCells·dim) source and falls out of codegen at
+  * production cell counts (hundreds to thousands). Here the matrix is
+  * ONE flattened float[] reference and the work happens in this
+  * class's compiled [[core]] method, which the generated code calls
+  * directly — no Janino size limits, no interpreted tree walking, and
+  * the input vector's norm is computed once instead of nCells times.
+  * Scores are bit-identical to the composed form (same sequential
+  * double accumulation per centroid).
+  */
+case class CentroidStructScores(
+    child: Expression, centroids: IndexedSeq[Float], nCells: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.length == nCells * dim,
+    s"centroid matrix length ${centroids.length} != $nCells*$dim")
+
+  override def prettyName: String = "centroid_struct_scores"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("s", DoubleType, nullable = false),
+      StructField("cell", IntegerType, nullable = false))), containsNull = false)
+
+  @transient private lazy val flat: Array[Float] = centroids.toArray
+  // per-centroid squared norms, same sequential accumulation the
+  // composed CosineSimilarity would use on the same floats
+  @transient private lazy val centNorm2: Array[Double] = {
+    val out = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0; var k = 0
+      while (k < dim) { val x = flat(c * dim + k).toDouble; s += x * x; k += 1 }
+      out(c) = s; c += 1
+    }
+    out
+  }
+
+  /** The whole per-row computation, compiled Scala — called from both
+    * eval and the generated code.
+    */
+  def core(v: ArrayData): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    var na = 0.0
+    var k = 0
+    while (k < n) { val x = v.getFloat(k).toDouble; na += x * x; k += 1 }
+    val rows = new Array[Any](nCells)
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0
+      val off = c * dim
+      k = 0
+      while (k < n) { dot += flat(off + k).toDouble * v.getFloat(k).toDouble; k += 1 }
+      val denom = math.sqrt(na) * math.sqrt(centNorm2(c))
+      val s = if (denom == 0.0) 0.0 else dot / denom
+      rows(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s, c))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(v: Any): Any = core(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("cs", this,
+        classOf[CentroidStructScores].getName)
+      s"${ev.value} = $ref.core($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumns.column(CosineSimilarity(GraftColumns.expr(a), GraftColumns.expr(b)))
@@ -234,6 +312,15 @@ object VectorFunctions {
     val dim = planes.head.head.length
     GraftColumns.column(LshBandBuckets(GraftColumns.expr(v),
       planes.flatten.flatten.toIndexedSeq, bands, rows, dim))
+  }
+  /** (s, cell) struct array of cosines against a centroid matrix —
+    * see [[CentroidStructScores]].
+    */
+  def centroidStructScores(v: Column, centroids: Array[Seq[Float]]): Column = {
+    val nCells = centroids.length
+    val dim = centroids.head.length
+    GraftColumns.column(CentroidStructScores(GraftColumns.expr(v),
+      centroids.flatten.toIndexedSeq, nCells, dim))
   }
 
   /** Register cosine_sim/dot_f/l2_norm for SQL use. */

@@ -91,4 +91,31 @@ class VectorSpec extends SparkSpec {
         s"band $b disagrees"))
     }
   }
+
+  test("centroid_struct_scores compiles strictly and is bit-identical to composed cosines") {
+    val nCells = 5; val dim = 8
+    val rnd = new scala.util.Random(7)
+    val cents: Array[Seq[Float]] =
+      Array.fill(nCells)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val composed = cents.zipWithIndex.map { case (c, i) =>
+      VectorFunctions.cosineSim(col("a"), typedlit(c)).as(s"c_$i")
+    }
+    val out = withStrictCodegen {
+      vecs.select(
+        VectorFunctions.centroidStructScores(col("a"), cents).as("fused") +:
+          composed.toSeq: _*)
+        .collect()
+    }
+    out.foreach { r =>
+      val fused = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("fused"))
+      assert(fused.length == nCells)
+      fused.zipWithIndex.foreach { case (s, i) =>
+        assert(s.getInt(1) == i)
+        // bit-identical, not just close: same sequential accumulation
+        assert(java.lang.Double.doubleToLongBits(s.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getAs[Double](s"c_$i")),
+          s"cell $i: ${s.getDouble(0)} != ${r.getAs[Double](s"c_$i")}")
+      }
+    }
+  }
 }
