@@ -185,11 +185,16 @@ object Similarity {
     * k-means (cosine assignment, per-cell mean update), entirely as
     * Spark aggregations — per iteration one assignment map over the
     * corpus and one (cell, dim)-keyed mean shuffle of corpusRows × dim
-    * value rows, the standard distributed k-means shape. Deterministic
-    * end to end: hash-sampled init, deterministic assignment
-    * tie-break (array_max picks the highest (score, cell) struct), and
-    * a cell emptied by an iteration keeps its previous centroid.
-    * Driver state is only the nCells × dim centroid matrix.
+    * value rows, the standard distributed k-means shape. The init is
+    * a deterministic hash sample, assignment ties break
+    * deterministically (array_max picks the highest (score, cell)
+    * struct), and a cell emptied by an iteration keeps its previous
+    * centroid. The per-cell float means themselves can vary in the
+    * last bits run to run (partial-sum combine order follows task
+    * scheduling) — cell-level structure is stable, and exact-oracle
+    * consumers must not depend on centroid bits (full-probe ivfTopK
+    * doesn't: it scores every vector against the original embeddings
+    * whatever the partition).
     */
   def trainedCentroids(
       corpus: DataFrame, nCells: Int, iters: Int = 3,
