@@ -497,6 +497,45 @@ class BucketCatalog(spark: SparkSession, root: String) {
     */
   def readGroup(attGroup: String): Option[DataFrame] = readAg(attGroup)
 
+  /** Manifest versions currently readable for a group, oldest first —
+    * the time-travel window. Bounded by [[BucketCatalog.ManifestRetention]]
+    * manifests on disk; versions older than the vacuum grace may
+    * reference already-deleted files (readGroupAt refuses those).
+    */
+  def manifestVersions(attGroup: String): Seq[Long] = {
+    val dir = manifestDirPath(attGroup)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .sorted
+  }
+
+  /** Time-travel read: the group exactly as manifest `version` listed
+    * it. Valid while the version's files survive — a superseded file
+    * lives [[BucketCatalog.VacuumGraceCommits]] commits past its
+    * replacement, so the last 1 + grace versions are always readable;
+    * older retained manifests may already have vacuumed files, and
+    * this refuses them with a clear error instead of failing
+    * mid-query. Some(empty) semantics mirror readGroup: None when the
+    * version lists no files.
+    */
+  def readGroupAt(attGroup: String, version: Long): Option[DataFrame] = {
+    val p = new Path(manifestDirPath(attGroup), manifestName(version))
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"no manifest v$version for $attGroup (retained: ${manifestVersions(attGroup).mkString(", ")})")
+    val (files, _, _) = readManifestVersion(attGroup, version)
+    val missing = files.filterNot(f => fs.exists(new Path(agPath(attGroup), f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"manifest v$version of $attGroup is beyond the vacuum grace window: " +
+          s"${missing.size} of ${files.size} files already deleted (first: ${missing.head})")
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", agPath(attGroup))
+      .parquet(files.map(f => s"${agPath(attGroup)}/$f"): _*))
+  }
+
   private def readAg(attGroup: String): Option[DataFrame] =
     liveFiles(attGroup) match {
       case Some(files) =>

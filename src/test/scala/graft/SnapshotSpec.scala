@@ -110,6 +110,27 @@ class SnapshotSpec extends SparkSpec {
     assert(cat.read(tbk).head().getAs[Double]("V") == 4.0)
   }
 
+  test("time travel: readGroupAt pins a retained version, refuses vacuumed ones") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("TT/1Min/TRAVEL")
+    cat.create(tbk, schema, isVariable = false)
+    // four generations of the same key, biases 1..4 → manifests v1..v4
+    (1 to 4).foreach(i => cat.write(tbk, Seq((60L, i.toDouble)).toDF("Epoch", "V")))
+    assert(cat.manifestVersions("TRAVEL") == Seq(1L, 2L, 3L, 4L))
+    // current + grace window (VacuumGraceCommits = 2): v3 and v4 readable
+    def vAt(v: Long): Double =
+      cat.readGroupAt("TRAVEL", v).get.head().getAs[Double]("V")
+    assert(vAt(4L) == 4.0 && vAt(3L) == 3.0)
+    // v1's files were vacuumed at the v4 commit (v4 - grace = v2's
+    // removed set = v1's files) — refused with a clear error, and the
+    // error names the loss instead of failing mid-query
+    val e = intercept[IllegalStateException](cat.readGroupAt("TRAVEL", 1L))
+    assert(e.getMessage.contains("vacuum grace window"))
+    // unknown versions are a different, explicit error
+    intercept[IllegalArgumentException](cat.readGroupAt("TRAVEL", 99L))
+  }
+
   test("destroy removes the bucket from the snapshot immediately") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
