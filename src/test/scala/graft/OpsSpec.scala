@@ -272,6 +272,39 @@ class OpsSpec extends SparkSpec {
     assert(sOn == sOff, "simhash collapse diverged from the distinct path")
   }
 
+  test("clone-collapse equivalence holds on randomized clone-group structures") {
+    import spark.implicits._
+    // irregular shapes the structured corpus above can't produce:
+    // variable clone multiplicities (incl. singletons), short texts
+    // from a tiny vocabulary so DISTINCT texts overlap heavily (real
+    // mid-similarity pairs exercise the cross-group expansion, not
+    // just the within-group selfExtras)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.get(2).toString.toDouble).toMap
+    Seq(11L, 23L, 57L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta")
+      val bases = (0 until 25).map(_ =>
+        Seq.fill(4 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val rows = bases.zipWithIndex.flatMap { case (t, i) =>
+        (0 until (1 + rnd.nextInt(4))).map(c => (i * 100L + c, t))
+      }
+      val corpus = rows.toDF("doc_id", "text")
+      val jOn = pairs(Dedup.jaccardPairs(corpus, 0.5, n = 2))
+      val jOff = pairs(Dedup.jaccardPairs(corpus, 0.5, n = 2, collapseExact = false))
+      assert(jOn == jOff, s"jaccard collapse diverged at seed $seed")
+      val vOn = pairs(Dedup.minhashPairsVerified(corpus, 0.5, n = 2))
+      val vOff = pairs(Dedup.minhashPairsVerified(corpus, 0.5, n = 2,
+        collapseExact = false))
+      assert(vOn == vOff, s"verified minhash collapse diverged at seed $seed")
+      val sOn = pairs(Dedup.simhashPairs(corpus, maxDist = 3))
+      val sOff = pairs(Dedup.simhashPairs(corpus, maxDist = 3, collapseExact = false))
+      assert(sOn == sOff, s"simhash collapse diverged at seed $seed")
+    }
+  }
+
   test("minhash estimate stays in codegen (no interpreted higher-order lambdas)") {
     val plan = Dedup.minhashPairs(docs, threshold = 0.35)
       .queryExecution.executedPlan.toString
