@@ -67,7 +67,8 @@ class RpcServer(
       "status" -> (if (ok) "queryable" else "not queryable"),
       "version" -> ServerInfo.Version,
       "git_hash" -> "",
-      "uptime" -> f"$uptimeSec%.3fs")))
+      "uptime" -> String.format(java.util.Locale.ROOT, "%.3fs",
+        Double.box(uptimeSec)))))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(if (ok) 200 else 503, body.length.toLong)
     ex.getResponseBody.write(body)
