@@ -426,6 +426,12 @@ object SparkEntry {
       TextAnalysis.withLangId(Tables.documents(s, dir))
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred")),
+    // rolling-hash fingerprint selection (winnowing): guarantees
+    // shared runs >= w+k-1 words surface a shared fingerprint while
+    // indexing only ~2/(w+1) of each doc's grams
+    "q_text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))
+        .orderBy("doc_id", "fingerprint")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
@@ -871,6 +877,26 @@ object SparkEntry {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    // winnowing (k=3, w=4): md5 each word 3-gram, lexicographic min
+    // per 4-gram window, distinct selected hashes; only full windows
+    // select (plus the single clipped window of a short doc)
+    "q_text_winnow" ->
+      """WITH b AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts,
+              len(string_split(lower(trim(text)), ' ')) AS n,
+              greatest(len(string_split(lower(trim(text)), ' ')) - 2, 1) AS g
+           FROM documents),
+         grams AS (SELECT doc_id, g, r.i,
+              md5(CASE WHEN n >= 3 THEN array_to_string(ts[r.i : r.i + 2], ' ')
+                       ELSE array_to_string(ts, ' ') END) AS h
+           FROM b, LATERAL (SELECT unnest(range(1, g + 1)) AS i) r),
+         sel AS (SELECT doc_id, g, i,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+           FROM grams)
+         SELECT DISTINCT doc_id, fingerprint FROM sel
+         WHERE i <= greatest(g - 3, 1)
+         ORDER BY doc_id, fingerprint""",
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS canonical_id,

@@ -88,4 +88,44 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the rolling-hash document-fingerprint selection): hash every word
+    * k-gram, keep the minimum of each sliding window of w grams, emit
+    * the distinct selected hashes per document as (id, fingerprint)
+    * rows. Guarantee: two documents sharing a token run of
+    * ≥ w + k − 1 words share at least one fingerprint, while long
+    * documents keep only ~2/(w+1) of their gram hashes — the standard
+    * plagiarism / near-copy index for corpora too large to compare
+    * pairwise. Documents shorter than a window contribute their
+    * single minimum.
+    *
+    * Hashes are md5 hex and minima are LEXICOGRAPHIC, so any SQL
+    * engine reproduces the selection bit-for-bit (the oracle does).
+    * Plan shape: one explode + one doc-keyed windowed min — a single
+    * shuffle on the document id, no pairwise work.
+    */
+  def winnowingFingerprints(
+      df: DataFrame, k: Int = 3, w: Int = 4,
+      id: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(id), tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .withColumn("__g", greatest(col("__n") - (k - 1), lit(1)))
+    // positions explode first, scalar element_at builds each gram —
+    // same codegen-friendly shape as Dedup.shingleRows
+    val idx = base.withColumn("__i", explode(sequence(lit(1), col("__g"))))
+    val gram = when(col("__n") >= k,
+        concat_ws(" ", (0 until k).map(j => element_at(col("__ts"), col("__i") + j)): _*))
+      .otherwise(concat_ws(" ", col("__ts")))
+    val winMin = Window.partitionBy(col(id)).orderBy(col("__i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    idx.select(col(id), col("__i"), col("__g"), md5(gram).as("__h"))
+      .withColumn("__sel", min(col("__h")).over(winMin))
+      // only FULL windows select (plus the single clipped window of a
+      // short doc) — the winnowing paper's scheme
+      .filter(col("__i") <= greatest(col("__g") - (w - 1), lit(1)))
+      .select(col(id), col("__sel").as("fingerprint"))
+      .distinct()
+  }
 }

@@ -272,6 +272,32 @@ class OpsSpec extends SparkSpec {
     assert(sOn == sOff, "simhash collapse diverged from the distinct path")
   }
 
+  test("winnowing fingerprints: shared-run guarantee, selection density, short docs") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val k = 3; val w = 4
+    val shared = "one two three four five six seven" // 7 words >= w+k-1 = 6
+    val corpus = Seq(
+      1L -> s"aa bb cc $shared dd ee",
+      2L -> s"xx yy $shared zz ww qq rr",
+      3L -> "tiny doc",                 // shorter than one gram window
+      4L -> "totally different words entirely here now")
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(corpus, k, w)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee: a shared run of >= w+k-1 words shares
+    // at least one selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 7-word run selected no common fingerprint")
+    assert((byDoc(1L) & byDoc(4L)).isEmpty, "disjoint docs share a fingerprint")
+    // selection really thins: fewer fingerprints than grams
+    val grams1 = corpus.filter(col("doc_id") === 1L)
+      .select(explode(split(lower(trim(col("text"))), " "))).count() - (k - 1)
+    assert(byDoc(1L).size < grams1, s"no thinning: ${byDoc(1L).size} of $grams1")
+    // a doc shorter than one window still yields exactly its minimum
+    assert(byDoc(3L).size == 1)
+  }
+
   test("clone-collapse equivalence holds on randomized clone-group structures") {
     import spark.implicits._
     // irregular shapes the structured corpus above can't produce:
