@@ -304,10 +304,25 @@ object Similarity {
       .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
       .groupBy("__blk")
       .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))
-    val L = blocks.select(col("__blk").as("__bl"), col("__items").as("__L"))
-    val R = blocks.select(col("__blk").as("__br"), col("__items").as("__R"))
-    // B rows × B rows with bl <= br: tiny ordered block-pair relation
-    val blockPairs = L.join(R, col("__bl") <= col("__br"))
+    // Each block's payload reaches its ordered block pairs by
+    // EXPLODING the partner id range (L emits (bl, br) for br ≥ bl,
+    // R emits (bl, br) for bl ≤ br) and equi-joining on (bl, br).
+    // The previous `__bl <= __br` NON-equi join planned as
+    // BroadcastNestedLoopJoin — broadcasting the entire blocked
+    // corpus (~2.5 GB at 10M 64-d vectors), which dies at the
+    // broadcast long before the (inherent, documented) flops. The
+    // explode+equi-join shape shuffles the documented O(N·B) vector
+    // bytes and broadcasts nothing; the merge hint pins SortMergeJoin
+    // so post-aggregate size underestimates can never re-introduce a
+    // payload broadcast.
+    val L = blocks.select(col("__blk").as("__bl"),
+      explode(sequence(col("__blk"), lit(nb - 1))).as("__br"),
+      col("__items").as("__L"))
+    val R = blocks.select(
+      explode(sequence(lit(0), col("__blk"))).as("__bl"),
+      col("__blk").as("__br"),
+      col("__items").as("__R"))
+    val blockPairs = L.hint("merge").join(R.hint("merge"), Seq("__bl", "__br"))
     val pairs = blockPairs.select(
       explode(flatten(transform(col("__L"), a =>
         filter(

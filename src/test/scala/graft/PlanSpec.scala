@@ -43,6 +43,27 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty)
   }
 
+  test("cosineDedupPairs never broadcasts the blocked corpus (no BNLJ carrying block payloads)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // the `__bl <= __br` non-equi block-pair join used to plan as
+    // BroadcastNestedLoopJoin, broadcasting the ENTIRE blocked corpus
+    // (~2.5 GB at 10M 64-d vectors) — the explode+equi-join shape must
+    // keep every join over the block payloads a shuffle join
+    val embs = (0 until 200).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    for (collapse <- Seq(true, false)) {
+      val plan = graft.ops.Similarity
+        .cosineDedupPairs(embs, threshold = 0.9, numBlocks = 5,
+          collapseExact = collapse)
+        .queryExecution.executedPlan
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.isEmpty,
+        s"BroadcastNestedLoopJoin in cosineDedupPairs(collapse=$collapse):\n${bnlj.mkString("\n")}")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
