@@ -429,6 +429,9 @@ class BucketCatalog(spark: SparkSession, root: String) {
       if (!fs.rename(tmp, new Path(dir, name)))
         log.warn(s"commit record $name for $attGroup could not be published — " +
           "replicas tailing the commit log will miss this commit")
+      // keep the log bounded (the reference trims its WAL the same
+      // way); the listing this costs is O(retention), not O(history)
+      pruneCommitLog()
     } catch {
       case NonFatal(e) =>
         log.warn(s"commit record write failed for $attGroup: ${e.getMessage} — " +
@@ -446,7 +449,12 @@ class BucketCatalog(spark: SparkSession, root: String) {
       new java.util.concurrent.atomic.AtomicLong(max)
     }).incrementAndGet()
 
-  /** Commit records, oldest first (empty if no swaps committed). */
+  /** Commit records, oldest first (empty if no swaps committed).
+    * Bounded by [[BucketCatalog.CommitLogRetention]]: older applied
+    * records are rotated away by [[pruneCommitLog]] the way the
+    * reference trims flushed WAL transaction groups
+    * (executor/wal.go:463-487).
+    */
   def commitHistory(): Seq[String] = {
     val dir = new Path(root, CommitLog)
     if (!fs.exists(dir)) Nil
@@ -458,6 +466,36 @@ class BucketCatalog(spark: SparkSession, root: String) {
         in.close()
         txt
       }
+  }
+
+  /** Rotate the commit log down to its newest `keepLast` records — the
+    * reference's WAL trim (executor/wal.go:463-487), which the commit
+    * log otherwise lacks: without rotation every commit ever made
+    * stays listed, and `commitHistory()` plus every [[ReplicaSync]]
+    * restart pays O(total commits ever) filesystem listings. Runs
+    * automatically after each commit with the default retention, so
+    * the directory stays bounded with no operator action.
+    *
+    * A replica whose marker is older than the oldest retained record
+    * can no longer tail the log — [[ReplicaSync.sync]] detects that
+    * gap by sequence number and falls back to a full resync of the
+    * primary's live snapshot, so pruning is always safe; it only costs
+    * a lagging replica a bootstrap copy. Returns how many records were
+    * removed.
+    */
+  def pruneCommitLog(keepLast: Int = CommitLogRetention): Int = {
+    val dir = new Path(root, CommitLog)
+    if (!fs.exists(dir)) return 0
+    val names = fs.listStatus(dir).toIndexedSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith(".")).sortBy(_.getName)
+    val dead = names.dropRight(math.max(keepLast, 1))
+    dead.foreach { p =>
+      try fs.delete(p, false)
+      catch { case NonFatal(e) =>
+        log.warn(s"commit-log prune of ${p.getName} failed: ${e.getMessage}")
+      }
+    }
+    dead.size
   }
 
   /** Clean up after a crashed writer: delete orphaned staging
@@ -702,6 +740,11 @@ object BucketCatalog {
   val VacuumGraceCommits = 2
   /** Manifest versions kept for the recovery sweep / debugging. */
   val ManifestRetention = 8
+  /** Commit-log records kept by the automatic rotation — sized so any
+    * replica syncing within a reasonable lag tails incrementally; a
+    * replica further behind full-resyncs (see [[BucketCatalog.pruneCommitLog]]).
+    */
+  val CommitLogRetention = 512
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[BucketCatalog])
 

@@ -34,16 +34,38 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
     in.close(); s
   }
 
-  /** Apply all unseen commits; returns how many were applied. */
+  private def seqOf(name: String): Long =
+    name.takeWhile(_.isDigit) match { case "" => 0L; case d => d.toLong }
+
+  /** Apply all unseen commits; returns how many were applied (or, on a
+    * full resync, how many retained records the new marker covers).
+    *
+    * The commit log rotates ([[BucketCatalog.pruneCommitLog]]), so a
+    * replica whose marker predates the oldest retained record cannot
+    * know what the pruned commits touched. That gap is detected by
+    * sequence number (oldest retained > marker + 1) and handled by
+    * [[fullResync]] — a copy of every group's live snapshot — after
+    * which tailing resumes from the newest record. The same path
+    * bootstraps a FRESH replica attaching to a primary whose early
+    * history is already pruned (empty marker, oldest retained > 1).
+    */
   def sync(): Int = {
     val logDir = new Path(primaryRoot, BucketCatalog.CommitLog)
     if (!fs.exists(logDir)) return 0
     val seen = lastApplied()
     // dotfiles are in-flight writes (logCommit stages then renames, so
     // every visible .json is complete — no torn-record race)
-    val pending = fs.listStatus(logDir).toSeq.map(_.getPath)
-      .filter(p => !p.getName.startsWith(".") && p.getName > seen)
+    val retained = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("."))
       .sortBy(_.getName)
+    if (retained.isEmpty) return 0
+    val seenSeq = if (seen.isEmpty) 0L else seqOf(seen)
+    if (seqOf(retained.head.getName) > seenSeq + 1) {
+      fullResync()
+      writeMarker(retained.last.getName)
+      return retained.size
+    }
+    val pending = retained.filter(_.getName > seen)
     if (pending.isEmpty) return 0
 
     // last action per (attGroup, partition) wins — one copy of the
@@ -116,9 +138,48 @@ final class ReplicaSync(spark: SparkSession, primaryRoot: String, replicaRoot: S
         FileUtil.copy(fs, srcMeta, fs, dstMeta, false, true, conf)
     }
 
-    val out = fs.create(marker, true)
-    out.write(pending.last.getName.getBytes("UTF-8"))
-    out.close()
+    writeMarker(pending.last.getName)
     pending.size
   }
+
+  private def writeMarker(name: String): Unit = {
+    val out = fs.create(marker, true)
+    out.write(name.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Replace the replica's state with the primary's current live
+    * snapshot, group by group — the recovery path when the tail of the
+    * commit log no longer reaches this replica's marker (and the
+    * bootstrap for a fresh replica on a pruned primary). Copies only
+    * manifest-live files (grace-retained dead files would resurrect as
+    * duplicate rows), plus each group's meta so the replica stays a
+    * working catalog. Reads served DURING a resync may see a partially
+    * replaced group — same as the reference's replica bootstrap, which
+    * streams a snapshot before tailing (replication/sender.go:14-48).
+    */
+  private def fullResync(): Unit =
+    primary.listAttGroups().foreach { ag =>
+      val srcAg = new Path(primaryRoot, ag)
+      val dstAg = new Path(replicaRoot, ag)
+      if (fs.exists(dstAg)) fs.delete(dstAg, true)
+      primary.liveFiles(ag) match {
+        case Some(files) =>
+          fs.mkdirs(dstAg)
+          files.foreach { f =>
+            val src = new Path(srcAg, f)
+            if (fs.exists(src))
+              FileUtil.copy(fs, src, fs, new Path(dstAg, f), false, true, conf)
+          }
+        case None => // pre-manifest primary: dirs are the live set
+          if (fs.exists(srcAg)) {
+            fs.mkdirs(dstAg.getParent)
+            FileUtil.copy(fs, srcAg, fs, dstAg, false, true, conf)
+          }
+      }
+      val srcMeta = new Path(srcAg, BucketCatalog.MetaFile)
+      val dstMeta = new Path(dstAg, BucketCatalog.MetaFile)
+      if (fs.exists(srcMeta) && !fs.exists(dstMeta))
+        FileUtil.copy(fs, srcMeta, fs, dstMeta, false, true, conf)
+    }
 }

@@ -59,4 +59,61 @@ class ReplicaSpec extends SparkSpec {
     assert(syncer.sync() > 0)
     assert(replica.listSymbols("OHLCV") == Seq("AAPL"))
   }
+
+  test("commit-log rotation: marker resume without rescan, gap falls back to full resync") {
+    val primaryRoot = Files.createTempDirectory("graft-rot-primary").toString
+    val replicaRoot = Files.createTempDirectory("graft-rot-replica").toString
+    val primary = new BucketCatalog(spark, primaryRoot)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/ROT")
+    primary.create(tbk, ohlcv, isVariable = false)
+    // a second group an old commit created and nothing touches again —
+    // the full-resync path must carry it even though every record
+    // naming it is pruned
+    val cold = TimeBucketKey.parse("COLD/1Min/ROTCOLD")
+    primary.create(cold, ohlcv, isVariable = false)
+    primary.write(cold, Seq((60L, 42.0)).toDF("Epoch", "Open"))
+
+    def rows(c: BucketCatalog, k: TimeBucketKey) =
+      c.read(k).orderBy("Epoch").collect().map(r =>
+        (r.getAs[Long]("Epoch"), r.getAs[Double]("Open"))).toSeq
+
+    (1 to 6).foreach(i => primary.write(tbk, Seq((i * 60L, i.toDouble)).toDF("Epoch", "Open")))
+    val syncer = new ReplicaSync(spark, primaryRoot, replicaRoot)
+    assert(syncer.sync() == 7) // 6 ROT commits + 1 ROTCOLD
+    val replica = new BucketCatalog(spark, replicaRoot)
+    assert(rows(replica, tbk) == rows(primary, tbk))
+
+    // 4 more commits; prune so the oldest retained record is exactly
+    // marker+1 — a RESTARTED syncer must resume from the marker and
+    // apply only the 4 pending records, not rescan history
+    (7 to 10).foreach(i => primary.write(tbk, Seq((i * 60L, i.toDouble)).toDF("Epoch", "Open")))
+    assert(primary.pruneCommitLog(keepLast = 4) == 7)
+    val restarted = new ReplicaSync(spark, primaryRoot, replicaRoot)
+    assert(restarted.sync() == 4)
+    assert(rows(replica, tbk) == rows(primary, tbk))
+    assert(rows(replica, tbk).map(_._2) == (1 to 10).map(_.toDouble))
+
+    // now lag the replica past the retention window: 3 commits land,
+    // rotation keeps only the last — the pruned middle commit makes
+    // tailing unsound, so sync must full-resync and still converge
+    (11 to 13).foreach(i => primary.write(tbk, Seq((i * 60L, i.toDouble)).toDF("Epoch", "Open")))
+    assert(primary.pruneCommitLog(keepLast = 1) == 6)
+    assert(restarted.sync() == 1)
+    assert(rows(replica, tbk) == rows(primary, tbk))
+    assert(rows(replica, cold) == Seq((60L, 42.0))) // cold group carried
+    assert(replica.listSymbols("ROT") == Seq("AAPL"))
+
+    // a FRESH replica attaching to the pruned primary bootstraps the
+    // same way (empty marker, oldest retained record > 1)
+    val freshRoot = Files.createTempDirectory("graft-rot-fresh").toString
+    val fresh = new ReplicaSync(spark, primaryRoot, freshRoot)
+    assert(fresh.sync() == 1)
+    val freshCat = new BucketCatalog(spark, freshRoot)
+    assert(rows(freshCat, tbk) == rows(primary, tbk))
+    assert(rows(freshCat, cold) == Seq((60L, 42.0)))
+
+    // idempotent: nothing new → nothing applied
+    assert(restarted.sync() == 0)
+    assert(fresh.sync() == 0)
+  }
 }
