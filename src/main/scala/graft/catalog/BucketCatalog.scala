@@ -1,6 +1,6 @@
 package graft.catalog
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.core.TimeBucketKey
 import graft.functions.Uda
 import graft.operators.TimeSeries
@@ -45,11 +45,16 @@ import scala.util.control.NonFatal
   * safe until commit V+3 of the same group lands. This is the role the
   * reference's WAL plays for its single server process
   * (executor/wal.go:29-45), re-expressed in the append-only
-  * files-plus-log shape object stores replay best. At very large file
-  * counts a production deployment would compact manifests
-  * incrementally (the commit log already carries the per-commit
-  * delta); the full-snapshot manifest here is one small JSON per
-  * commit.
+  * files-plus-log shape object stores replay best. Manifests are
+  * INCREMENTAL: most commits publish a small DELTA record (this
+  * commit's added/removed files and bucket changes) and every
+  * [[BucketCatalog.ManifestCheckpointEvery]]-th commit publishes a
+  * full SNAPSHOT — so manifest bytes written per commit are O(changed
+  * files), not O(all files), at the reference's design target of 16k
+  * symbols × years of partitions. Readers resolve a version from the
+  * nearest snapshot at or below it plus the delta fold (bounded by the
+  * checkpoint cadence); the writer keeps the resolved live set cached
+  * in memory so commits stay O(delta) too.
   *
   * Concurrency contract: mutations are serialized per
   * (root, attributeGroup) by an in-process lock — concurrent writers
@@ -70,6 +75,16 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   private def mutate[T](attGroup: String)(body: => T): T =
     writeLock(root, attGroup).synchronized(body)
+
+  // resolved (version, files, buckets) of each group's current
+  // manifest; versions are immutable once published, so entries are
+  // valid at their exact version and as fold bases for newer deltas
+  private val resolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String], Seq[String])]()
+  // "attGroup#version" → is-snapshot, so retention checks don't
+  // re-read manifest bodies
+  private val kindCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def create(tbk: TimeBucketKey, schema: StructType, isVariable: Boolean): Unit =
     mutate(tbk.attGroup) {
@@ -208,51 +223,118 @@ class BucketCatalog(spark: SparkSession, root: String) {
       .maxOption
   }
 
-  /** (files, removed, buckets) of one manifest version. `buckets` are
-    * the symbol=S/timeframe=T pairs that EXIST — a fully-trimmed
-    * bucket has no files but still lists (the reference's trim empties
-    * a bucket without deleting it, cmd/connect/session/trim.go).
+  /** One manifest record, parsed. Two kinds: a SNAPSHOT ("kind"
+    * absent — legacy — or "snapshot") lists the group's complete live
+    * state; a DELTA lists only its commit's changes (added/removed
+    * files, addBuckets/removeBuckets). Both carry "removed" — the
+    * files that left the live set AT that commit — which is what
+    * vacuum consumes. `buckets` are the symbol=S/timeframe=T pairs
+    * that EXIST, possibly with zero files — a fully-trimmed bucket
+    * stays listed (the reference's trim empties a bucket without
+    * deleting it, cmd/connect/session/trim.go).
     */
-  private def readManifestVersion(
-      attGroup: String, v: Long): (Seq[String], Seq[String], Seq[String]) = {
-    val p = new Path(manifestDirPath(attGroup), manifestName(v))
-    val in = fs.open(p)
-    val node = om.readTree(in)
-    in.close()
-    def arr(k: String): Seq[String] = {
-      val a = node.get(k)
-      if (a == null) Nil else (0 until a.size()).map(a.get(_).asText())
-    }
-    (arr("files"), arr("removed"), arr("buckets"))
+  private def readManifestNode(attGroup: String, v: Long): JsonNode = {
+    val in = fs.open(new Path(manifestDirPath(attGroup), manifestName(v)))
+    try om.readTree(in) finally in.close()
   }
+
+  private def arr(node: JsonNode, k: String): Seq[String] = {
+    val a = node.get(k)
+    if (a == null) Nil else (0 until a.size()).map(a.get(_).asText())
+  }
+
+  private def isSnapshotNode(node: JsonNode): Boolean = {
+    val k = node.get("kind")
+    k == null || k.asText() == "snapshot"
+  }
+
+  private def isSnapshotVersion(attGroup: String, v: Long): Boolean =
+    kindCache.computeIfAbsent(s"$attGroup#$v",
+      _ => isSnapshotNode(readManifestNode(attGroup, v)))
+
+  /** (files, buckets) of one manifest version: walk down to the
+    * nearest snapshot (or to `from`, an already-resolved lower version
+    * — the writer's cache), then fold the deltas back up. The walk is
+    * bounded by the checkpoint cadence.
+    */
+  private def resolveVersion(attGroup: String, v: Long,
+      from: Option[(Long, Seq[String], Seq[String])] = None): (Seq[String], Seq[String]) = {
+    var deltas = List.empty[JsonNode]
+    var w = v
+    var base: (Seq[String], Seq[String]) = null
+    while (base == null) {
+      from match {
+        case Some((cv, cf, cb)) if cv == w => base = (cf, cb)
+        case _ =>
+          if (w < 1) throw new IllegalStateException(
+            s"no snapshot manifest at or below v$v for $attGroup")
+          val node =
+            try readManifestNode(attGroup, w)
+            catch { case _: java.io.FileNotFoundException =>
+              throw new IllegalArgumentException(
+                s"manifest v$w needed to resolve v$v of $attGroup is gone " +
+                  s"(retained: ${manifestVersions(attGroup).mkString(", ")})")
+            }
+          kindCache.put(s"$attGroup#$w", isSnapshotNode(node))
+          if (isSnapshotNode(node)) base = (arr(node, "files"), arr(node, "buckets"))
+          else { deltas ::= node; w -= 1 } // prepend ⇒ ascending fold order
+      }
+    }
+    var files = base._1
+    var buckets = base._2.toSet
+    deltas.foreach { d =>
+      val removed = arr(d, "removed").toSet
+      files = files.filterNot(removed) ++ arr(d, "added")
+      buckets = buckets ++ arr(d, "addBuckets") -- arr(d, "removeBuckets")
+    }
+    (files, buckets.toSeq)
+  }
+
+  /** (version, files, buckets) of the current manifest through the
+    * instance cache. Published versions are immutable, so a cache hit
+    * at the exact current version is always valid; a cache at a lower
+    * version serves as the fold base for the newer deltas (saving the
+    * snapshot re-read on the single-writer's hot path).
+    */
+  private def resolveCurrent(attGroup: String): Option[(Long, Seq[String], Seq[String])] =
+    currentManifestVersion(attGroup).map { v =>
+      val cached = Option(resolvedCache.get(attGroup)).filter(_._1 <= v)
+      val (files, buckets) = cached match {
+        case Some((cv, cf, cb)) if cv == v => (cf, cb)
+        case _ => resolveVersion(attGroup, v, cached)
+      }
+      val r = (v, files, buckets)
+      resolvedCache.put(attGroup, r)
+      r
+    }
 
   /** Live data files (rel paths under the group dir) per the current
     * manifest — the read snapshot. None ⇒ no manifest yet (a
     * pre-manifest root; readers fall back to directory listing).
     */
   def liveFiles(attGroup: String): Option[Seq[String]] =
-    currentManifestVersion(attGroup).map(v => readManifestVersion(attGroup, v)._1)
+    resolveCurrent(attGroup).map(_._2)
 
   /** Existing buckets ("symbol=S/timeframe=T", possibly empty of
     * files) per the current manifest — None if no manifest.
     */
   def liveBuckets(attGroup: String): Option[Seq[String]] =
-    currentManifestVersion(attGroup).map(v => readManifestVersion(attGroup, v)._3)
+    resolveCurrent(attGroup).map(_._3)
 
   /** Files referenced by ANY retained manifest version (live + grace-
     * retained) — None if no manifest. Anything on disk outside this
-    * set is foreign: a crashed move or an out-of-band write.
+    * set is foreign: a crashed move or an out-of-band write. Coverage
+    * without per-version resolution: a file live at retained version v
+    * is either in v's base snapshot (itself retained — pruning never
+    * drops a needed base) or in some retained delta's "added".
     */
   def referencedFiles(attGroup: String): Option[Set[String]] = {
     val dir = manifestDirPath(attGroup)
     if (!fs.exists(dir)) None
-    else Some(fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-      .flatMap { v =>
-        val (files, removed, _) = readManifestVersion(attGroup, v)
-        files ++ removed
-      }.toSet)
+    else Some(manifestVersions(attGroup).flatMap { v =>
+      val node = readManifestNode(attGroup, v)
+      arr(node, "files") ++ arr(node, "added") ++ arr(node, "removed")
+    }.toSet)
   }
 
   /** All data files physically present under the group's partition
@@ -260,22 +342,43 @@ class BucketCatalog(spark: SparkSession, root: String) {
     */
   def dataFilesOnDisk(attGroup: String): Seq[String] = listDataFilesOnDisk(attGroup)
 
-  private def writeManifest(
-      attGroup: String, v: Long, files: Seq[String], removed: Seq[String],
-      buckets: Seq[String]): Unit = {
+  private def publishManifest(
+      attGroup: String, v: Long, map: java.util.LinkedHashMap[String, Any]): Unit = {
     val dir = manifestDirPath(attGroup)
     fs.mkdirs(dir)
-    val map = new java.util.LinkedHashMap[String, Any]()
-    map.put("version", v)
-    map.put("files", files.sorted.asJava)
-    map.put("removed", removed.sorted.asJava)
-    map.put("buckets", buckets.sorted.asJava)
     val tmp = new Path(dir, s".tmp_${manifestName(v)}")
     val out = fs.create(tmp, true)
     out.write(om.writeValueAsBytes(map))
     out.close()
     if (!fs.rename(tmp, new Path(dir, manifestName(v))))
       throw new IllegalStateException(s"could not publish manifest v$v for $attGroup")
+  }
+
+  private def writeSnapshot(
+      attGroup: String, v: Long, files: Seq[String], removed: Seq[String],
+      buckets: Seq[String]): Unit = {
+    val map = new java.util.LinkedHashMap[String, Any]()
+    map.put("version", v)
+    map.put("kind", "snapshot")
+    map.put("files", files.sorted.asJava)
+    map.put("removed", removed.sorted.asJava)
+    map.put("buckets", buckets.sorted.asJava)
+    publishManifest(attGroup, v, map)
+    kindCache.put(s"$attGroup#$v", true)
+  }
+
+  private def writeDelta(
+      attGroup: String, v: Long, added: Seq[String], removed: Seq[String],
+      addBuckets: Seq[String], removeBuckets: Seq[String]): Unit = {
+    val map = new java.util.LinkedHashMap[String, Any]()
+    map.put("version", v)
+    map.put("kind", "delta")
+    map.put("added", added.sorted.asJava)
+    map.put("removed", removed.sorted.asJava)
+    map.put("addBuckets", addBuckets.sorted.asJava)
+    map.put("removeBuckets", removeBuckets.sorted.asJava)
+    publishManifest(attGroup, v, map)
+    kindCache.put(s"$attGroup#$v", false)
   }
 
   /** Flip the group's manifest: every file under a partition in
@@ -295,15 +398,25 @@ class BucketCatalog(spark: SparkSession, root: String) {
     // bootstrap a pre-manifest root from its directory listing —
     // minus the files this very commit just moved in
     val added = addedFiles.toSet
-    val prev = liveFiles(attGroup).getOrElse(
-      listDataFilesOnDisk(attGroup).filterNot(added))
     def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
-    val prevBuckets = liveBuckets(attGroup)
-      .getOrElse(prev.map(f => bucketOf(partOf(f))).distinct).toSet
+    val (prevV, prev, prevBuckets) = resolveCurrent(attGroup) match {
+      case Some((pv, files, buckets)) => (pv, files, buckets)
+      case None =>
+        val files = listDataFilesOnDisk(attGroup).filterNot(added)
+        (0L, files, files.map(f => bucketOf(partOf(f))).distinct)
+    }
     val (dead, kept) = prev.partition(f => replacedParts.contains(partOf(f)))
-    val v = currentManifestVersion(attGroup).getOrElse(0L) + 1
-    writeManifest(attGroup, v, kept ++ addedFiles, dead,
-      (prevBuckets ++ addBuckets -- removeBuckets).toSeq)
+    val v = prevV + 1
+    val newFiles = kept ++ addedFiles
+    val newBuckets = (prevBuckets.toSet ++ addBuckets -- removeBuckets).toSeq
+    // snapshot checkpoints at v = 1, 1+E, 1+2E, …; every other commit
+    // publishes only its delta — O(changed files) manifest bytes
+    if ((v - 1) % ManifestCheckpointEvery == 0)
+      writeSnapshot(attGroup, v, newFiles, dead, newBuckets)
+    else
+      writeDelta(attGroup, v, addedFiles, dead,
+        addBuckets.toSeq, removeBuckets.toSeq)
+    resolvedCache.put(attGroup, (v, newFiles, newBuckets))
     vacuum(attGroup, v)
     logCommit(attGroup, logParts)
   }
@@ -316,7 +429,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private def vacuum(attGroup: String, committed: Long): Unit = {
     val graceV = committed - VacuumGraceCommits
     if (graceV >= 1 && fs.exists(new Path(manifestDirPath(attGroup), manifestName(graceV)))) {
-      val (_, removed, _) = readManifestVersion(attGroup, graceV)
+      val removed = arr(readManifestNode(attGroup, graceV), "removed")
       val stop = new Path(agPath(attGroup))
       removed.foreach { rel =>
         try {
@@ -333,12 +446,19 @@ class BucketCatalog(spark: SparkSession, root: String) {
         }
       }
     }
-    val dir = manifestDirPath(attGroup)
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
-      .filter(p => scala.util.Try(p.getName.stripSuffix(".json").toLong)
-        .toOption.exists(_ <= committed - ManifestRetention))
-      .foreach(p => fs.delete(p, false))
+    // prune manifests past the retention window — but never the
+    // snapshot base (or intermediate deltas) the window's oldest
+    // version still needs to resolve
+    val versions = manifestVersions(attGroup)
+    val minRetained = math.max(1L, committed - ManifestRetention + 1)
+    val base = versions.filter(v => v <= minRetained && isSnapshotVersion(attGroup, v))
+      .maxOption
+    base.foreach { b =>
+      versions.filter(_ < b).foreach { v =>
+        fs.delete(new Path(manifestDirPath(attGroup), manifestName(v)), false)
+        kindCache.remove(s"$attGroup#$v")
+      }
+    }
   }
 
   /** Stage-and-commit shared by every write path: materialize `df`
@@ -557,14 +677,23 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * this refuses them with a clear error instead of failing
     * mid-query. Some(empty) semantics mirror readGroup: None when the
     * version lists no files.
+    *
+    * The existence check is one recursive partition-dir listing (not a
+    * per-file exists RPC) and is BEST-EFFORT against versions already
+    * vacuumed when the call is made: a vacuum racing the lazy parquet
+    * scan AFTER this check can still fail the query mid-flight — the
+    * grace window ([[BucketCatalog.VacuumGraceCommits]]) is what makes
+    * that race impossible for readers pinned within it; readers pinned
+    * beyond it get the clean refusal on their next readGroupAt.
     */
   def readGroupAt(attGroup: String, version: Long): Option[DataFrame] = {
     val p = new Path(manifestDirPath(attGroup), manifestName(version))
     if (!fs.exists(p))
       throw new IllegalArgumentException(
         s"no manifest v$version for $attGroup (retained: ${manifestVersions(attGroup).mkString(", ")})")
-    val (files, _, _) = readManifestVersion(attGroup, version)
-    val missing = files.filterNot(f => fs.exists(new Path(agPath(attGroup), f)))
+    val files = resolveVersion(attGroup, version)._1
+    val onDisk = listDataFilesOnDisk(attGroup).toSet
+    val missing = files.filterNot(onDisk)
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"manifest v$version of $attGroup is beyond the vacuum grace window: " +
@@ -740,6 +869,11 @@ object BucketCatalog {
   val VacuumGraceCommits = 2
   /** Manifest versions kept for the recovery sweep / debugging. */
   val ManifestRetention = 8
+  /** Commits between full-snapshot manifest checkpoints; the versions
+    * in between publish deltas, so per-commit manifest bytes are
+    * O(changed files) and a resolve folds at most this many deltas.
+    */
+  val ManifestCheckpointEvery = 8
   /** Commit-log records kept by the automatic rotation — sized so any
     * replica syncing within a reasonable lag tails incrementally; a
     * replica further behind full-resyncs (see [[BucketCatalog.pruneCommitLog]]).

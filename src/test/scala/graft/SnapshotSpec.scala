@@ -131,6 +131,95 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.readGroupAt("TRAVEL", 99L))
   }
 
+  test("incremental manifests: delta bytes stay flat as the file count grows") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    // 20 commits, each adding a NEW symbol partition: the live file
+    // count grows every commit, so a full-snapshot-per-commit design
+    // would write O(total files) JSON each time
+    (1 to 20).foreach { i =>
+      cat.write(TimeBucketKey.parse(f"S$i%03d/1Min/INC"),
+        Seq((60L, i.toDouble)).toDF("Epoch", "V"))
+    }
+    val dir = java.nio.file.Path.of(root, "INC", BucketCatalog.ManifestDir)
+    import scala.jdk.CollectionConverters._
+    val byVersion = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => p.getFileName.toString.stripSuffix(".json").toLong ->
+        java.nio.file.Files.size(p)).toMap
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def kindOf(v: Long): String = {
+      val n = om.readTree(java.nio.file.Files.readAllBytes(
+        dir.resolve(f"$v%015d.json"))).get("kind")
+      if (n == null) "snapshot" else n.asText()
+    }
+    val (snaps, deltas) = byVersion.keys.toSeq.sorted.partition(v => kindOf(v) == "snapshot")
+    assert(snaps.nonEmpty && deltas.nonEmpty, s"want both kinds, got snaps=$snaps")
+    // checkpoints at v = 1, 9, 17 with the default cadence
+    assert(snaps.forall(v => (v - 1) % BucketCatalog.ManifestCheckpointEvery == 0))
+    // a delta's bytes must NOT grow with the live file count: the
+    // newest delta (19 files live) stays within noise of the first
+    // (1 file live), while snapshots do grow
+    val firstDelta = byVersion(deltas.min)
+    val lastDelta = byVersion(deltas.max)
+    assert(lastDelta <= firstDelta * 2,
+      s"delta grew with file count: v${deltas.min}=$firstDelta B → v${deltas.max}=$lastDelta B")
+    assert(byVersion(snaps.max) > lastDelta,
+      "late snapshot should outweigh a delta on a grown corpus")
+    // resolution: live state covers all 20 symbols, and time travel
+    // works across the checkpoint boundary (v17 snapshot): a delta
+    // version before it, the checkpoint itself, and a delta after
+    assert(cat.listSymbols("INC").size == 20)
+    for (v <- Seq(16L, 17L, 18L)) {
+      val syms = cat.readGroupAt("INC", v).get
+        .select("symbol").distinct().count()
+      assert(syms == v, s"v$v resolved $syms symbols")
+    }
+  }
+
+  test("a reader pinned past the grace window is refused cleanly under concurrent vacuum") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("PIN/1Min/PINNED")
+    cat.create(tbk, schema, isVariable = false)
+    cat.write(tbk, Seq((60L, 0.0)).toDF("Epoch", "V"))
+    val failure = new AtomicReference[Throwable](null)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var writerDone = false
+    val reader = new Thread(() => {
+      try {
+        while (!writerDone && failure.get == null) {
+          val vs = cat.manifestVersions("PINNED")
+          if (vs.nonEmpty) {
+            // within-grace pin: materializes while the writer vacuums
+            cat.readGroupAt("PINNED", vs.max).foreach { df => df.collect(); () }
+            // a pin past the grace window must get the clean refusal
+            // (never a mid-query parquet FileNotFound): probe the
+            // OLDEST retained version once it is provably beyond
+            // grace (its replaced files vacuumed by now — the
+            // contract only promises safety within the window)
+            if (vs.max - vs.min > BucketCatalog.VacuumGraceCommits + 2) try {
+              cat.readGroupAt("PINNED", vs.min).foreach { df => df.count(); () }
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("vacuum grace window") =>
+                refusals.incrementAndGet()
+              case _: IllegalArgumentException => () // pruned between list and read
+            }
+          }
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    // every commit replaces the single key's file, so versions fall
+    // out of grace (and get vacuumed) as fast as commits land
+    (1 to 20).foreach(i => cat.write(tbk, Seq((60L, i.toDouble)).toDF("Epoch", "V")))
+    writerDone = true
+    reader.join(120000)
+    assert(failure.get == null, s"reader failed uncleanly: ${failure.get}")
+    assert(refusals.get > 0, "the past-grace refusal path never fired")
+  }
+
   test("destroy removes the bucket from the snapshot immediately") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
