@@ -57,11 +57,29 @@ object Dedup {
     * within-group expansion is inherently C(g,2) in the OUTPUT —
     * when clone groups are huge, [[exactGroups]] is the right tool
     * instead of pair enumeration.
+    *
+    * The collapse has a CONSTANT cost on clone-FREE corpora (an md5
+    * group pass plus two joins that change nothing — measured ~0.5 s
+    * on the sf0.1 bench corpus), so it is gated on a cheap probe: one
+    * (count, approx_count_distinct) scan of the normalized text. At a
+    * distinct ratio ≥ [[Dedup.CollapseDistinctRatio]] the corpus has
+    * too few clones for the collapse to pay and the pair op runs
+    * directly — the output is identical either way, only the plan
+    * changes. `collapseExact = false` at the call sites skips probe
+    * and collapse both (for inputs KNOWN deduplicated).
     */
+  private[ops] val CollapseDistinctRatio = 0.9
+
+  private[ops] def cloneHeavy(df: DataFrame, key: Column): Boolean = {
+    val r = df.agg(count(lit(1)).cast("double"), approx_count_distinct(key).cast("double")).head()
+    r.getDouble(0) > 0 && r.getDouble(1) / r.getDouble(0) < CollapseDistinctRatio
+  }
+
   private def collapsedPairs(
       df: DataFrame, id: String, text: String,
       selfExtras: Seq[(String, Column)], selfQualifies: Boolean)(
       pairFn: DataFrame => DataFrame): DataFrame = {
+    if (!cloneHeavy(df, lower(trim(col(text))))) return pairFn(df)
     val groups = df
       .select(col(id), col(text), md5(lower(trim(col(text)))).as("__ch"))
       .groupBy("__ch")

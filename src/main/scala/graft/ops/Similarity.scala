@@ -232,10 +232,15 @@ object Similarity {
     * Clone groups otherwise inflate the candidate stage quadratically
     * in the group size (g twins share EVERY band bucket / land in the
     * same blocks).
+    *
+    * Gated on the same cheap distinct-ratio probe as the text side
+    * ([[graft.ops.Dedup.cloneHeavy]]): a clone-free corpus skips the
+    * group pass entirely — identical output, cheaper plan.
     */
   private def collapsedVecPairs(
       df: DataFrame, threshold: Double, id: String, emb: String)(
       pairFn: DataFrame => DataFrame): DataFrame = {
+    if (!Dedup.cloneHeavy(df, col(emb))) return pairFn(df)
     val groups = df.select(col(id), col(emb))
       .groupBy(col(emb))
       .agg(min(col(id)).as("__rep"), sort_array(collect_list(col(id))).as("__ids"))
