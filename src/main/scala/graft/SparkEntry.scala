@@ -547,6 +547,28 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // PRUNED probe (nProbe=1 of 2 cells) under a full brute-force
+    // oracle, via a planted-cluster construction where pruning is
+    // PROVABLY exhaustive: vectors become elementwise |x| (even ids)
+    // or -|x| (odd ids) — exact float ops both engines reproduce — so
+    // within-cluster cosine > 0 >= cross-cluster cosine, and against
+    // the injected ±1⃗ quantizer every vector lands in its sign's cell
+    // with certainty. A query's single probed cell therefore contains
+    // its entire cluster and with >= k in-cluster candidates no
+    // opposite-sign vector (score <= 0) can enter the top-k: pruned
+    // IVF == global exhaustive top-k, no sampling or Lloyd
+    // nondeterminism anywhere in the path
+    "q_knn_ivf_pruned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val emb = e.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
+      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nCells = 2, nProbe = 1, centroids = Some(quantizer))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
 
     // ---- composite training-data pipeline ------------------------------
     // the ops composed the way a real corpus build chains them:
@@ -963,6 +985,22 @@ object SparkEntry {
               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
            FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
          WHERE s >= 0.9 ORDER BY id1, id2""",
+
+    // pruned-probe IVF == global brute force on the sign-planted
+    // clusters (see the queries-side proof sketch)
+    "q_knn_ivf_pruned" ->
+      """WITH c AS (SELECT vec_id,
+              CASE WHEN vec_id % 2 = 0 THEN list_transform(embedding, x -> abs(x))
+                   ELSE list_transform(embedding, x -> -abs(x)) END AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qe FROM c WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+              list_cosine_similarity(c.v::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM c, q WHERE c.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10""",
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

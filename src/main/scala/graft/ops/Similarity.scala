@@ -132,11 +132,16 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       id: String = "vec_id", emb: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
-    val centroids =
+      trainIters: Int = 0,
+      centroids: Option[Array[Seq[Float]]] = None): DataFrame = {
+    // an explicit `centroids` injects a PRETRAINED coarse quantizer —
+    // the production serving shape (train offline/elsewhere, assign +
+    // probe online); nCells then just caps nProbe and the quantizer is
+    // used as given
+    val cents = centroids.getOrElse(
       if (trainIters <= 0) sampledCentroids(corpus, nCells, id, emb)
-      else trainedCentroids(corpus, nCells, trainIters, id, emb)
-    def cellScores(v: Column): Column = Similarity.cellScores(v, centroids)
+      else trainedCentroids(corpus, nCells, trainIters, id, emb))
+    def cellScores(v: Column): Column = Similarity.cellScores(v, cents)
     val assigned = corpus
       .withColumn("cell", array_max(cellScores(col(emb))).getField("cell"))
       .select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
