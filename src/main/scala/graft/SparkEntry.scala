@@ -588,6 +588,12 @@ object SparkEntry {
       val d = TextAnalysis.withLangId(
         TextAnalysis.withQuality(TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE on cache lifetime: `d` and `canon` stay persisted after
+      // the returned aggregate materializes — an entry returning a
+      // lazy DataFrame cannot unpersist without defeating its own
+      // cache. Bench calls cacheManager.clearCache() per query; other
+      // repeated callers rely on ContextCleaner GC of the dropped
+      // plans, or should clearCache between invocations.
       // the gated corpus feeds exactGroups, the canonical semi-join and
       // the final anti-join — each re-filters the cached features (the
       // filter over materialized columns is sub-0.1s)

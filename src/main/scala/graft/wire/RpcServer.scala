@@ -59,16 +59,19 @@ class RpcServer(
     ex.close()
   })
   // liveness probe (frontend/utilities.go:30-77): JSON status payload,
-  // 200 while queryable, 503 otherwise — same body shape either way
+  // 200 while queryable, 503 otherwise — same body shape either way.
+  // uptime is a Go time.Duration string ("1m3.2s") — the reference
+  // serves time.Since(start).String() (utilities.go:50) and clients
+  // parse that format; git_hash comes from -Dgraft.git.hash (the
+  // packaging step's hook), empty when unset, matching the
+  // reference's unset-ldflags behavior
   http.createContext("/heartbeat", (ex: HttpExchange) => {
-    val uptimeSec = (System.nanoTime() - startNanos) / 1e9
     val ok = queryable.get()
     val body = json.writeValueAsBytes(toJava(Map(
       "status" -> (if (ok) "queryable" else "not queryable"),
       "version" -> ServerInfo.Version,
-      "git_hash" -> "",
-      "uptime" -> String.format(java.util.Locale.ROOT, "%.3fs",
-        Double.box(uptimeSec)))))
+      "git_hash" -> sys.props.getOrElse("graft.git.hash", ""),
+      "uptime" -> RpcServer.goDuration(System.nanoTime() - startNanos))))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(if (ok) 200 else 503, body.length.toLong)
     ex.getResponseBody.write(body)
@@ -397,4 +400,36 @@ object RpcServer {
     "f4" -> 0L, "i4" -> 1L, "f8" -> 2L, "i8" -> 3L, "i1" -> 5L,
     "i2" -> 9L, "u1" -> 10L, "u2" -> 11L, "u4" -> 12L, "u8" -> 13L,
     "U16" -> 14L)
+
+  /** Go `time.Duration.String()` for non-negative durations — the
+    * format the reference's heartbeat serves (utilities.go:50):
+    * `[Xh][Ym]Z(.f)s` with the fraction's trailing zeros trimmed for
+    * durations ≥ 1s; `ms`/`µs`/`ns` units below that; `"0s"` for zero.
+    */
+  private[graft] def goDuration(nanos: Long): String = {
+    require(nanos >= 0, s"negative duration: $nanos")
+    def trimFrac(units: Long, scale: Long): String = {
+      val whole = units / scale
+      val frac = units % scale
+      if (frac == 0) s"$whole"
+      else {
+        val digits = scale.toString.length - 1
+        val fs = s"%0${digits}d".format(frac).reverse.dropWhile(_ == '0').reverse
+        s"$whole.$fs"
+      }
+    }
+    if (nanos == 0L) "0s"
+    else if (nanos < 1000L) s"${nanos}ns"
+    else if (nanos < 1000000L) trimFrac(nanos, 1000L) + "µs"
+    else if (nanos < 1000000000L) trimFrac(nanos, 1000000L) + "ms"
+    else {
+      val totalSec = nanos / 1000000000L
+      val h = totalSec / 3600
+      val m = (totalSec % 3600) / 60
+      val secNanos = (totalSec % 60) * 1000000000L + nanos % 1000000000L
+      (if (h > 0) s"${h}h" else "") +
+        (if (h > 0 || m > 0) s"${m}m" else "") +
+        trimFrac(secNanos, 1000000000L) + "s"
+    }
+  }
 }

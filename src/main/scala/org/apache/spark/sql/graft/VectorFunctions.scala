@@ -169,7 +169,13 @@ case class LshBandBuckets(
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, a.numElements())
+    // a wrong-dimension embedding is a data problem — surface it
+    // instead of silently truncating/zero-padding into valid-looking
+    // buckets
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"lsh_band_buckets: vector length ${a.numElements()} != dim $dim")
+    val n = dim
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {
@@ -197,7 +203,11 @@ case class LshBandBuckets(
       val dot = ctx.freshName("dot"); val off = ctx.freshName("off")
       val bucket = ctx.freshName("bucket")
       s"""
-         |int $n = Math.min($dim, $a.numElements());
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_band_buckets: vector length " + $a.numElements() + " != dim $dim");
+         |}
+         |int $n = $dim;
          |int[] $out = new int[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  int $bucket = 0;
@@ -264,7 +274,12 @@ case class CentroidStructScores(
     * eval and the generated code.
     */
   def core(v: ArrayData): ArrayData = {
-    val n = math.min(dim, v.numElements())
+    // throw on dimension mismatch rather than clamp — a truncated dot
+    // product yields valid-looking scores that mask bad data
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_struct_scores: vector length ${v.numElements()} != dim $dim")
+    val n = dim
     var na = 0.0
     var k = 0
     while (k < n) { val x = v.getFloat(k).toDouble; na += x * x; k += 1 }

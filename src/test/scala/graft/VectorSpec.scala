@@ -92,6 +92,24 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("fused expressions throw on wrong-dimension vectors instead of clamping") {
+    // a truncated/zero-padded dot yields valid-looking buckets and
+    // scores that mask bad data — the expressions must surface it
+    val planes = graft.ops.Similarity.hyperplanes(4, 4, 16)
+    val cents: Array[Seq[Float]] = Array(Seq.fill(16)(1.0f))
+    for ((expr, name) <- Seq(
+        (VectorFunctions.lshBandBuckets(col("a"), planes), "lsh_band_buckets"),
+        (VectorFunctions.centroidStructScores(col("a"), cents), "centroid_struct_scores"))) {
+      val e = intercept[Exception] {
+        vecs.select(expr).collect() // vectors are 8-wide, dim is 16
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains(name) && m.contains("!= dim")),
+        s"$name did not surface the dimension mismatch: $e")
+    }
+  }
+
   test("centroid_struct_scores compiles strictly and is bit-identical to composed cosines") {
     val nCells = 5; val dim = 8
     val rnd = new scala.util.Random(7)

@@ -471,6 +471,18 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("goDuration renders Go time.Duration strings") {
+    import graft.wire.RpcServer.goDuration
+    assert(goDuration(0L) == "0s")
+    assert(goDuration(500L) == "500ns")
+    assert(goDuration(1500L) == "1.5µs")
+    assert(goDuration(842000000L) == "842ms")
+    assert(goDuration(1234000000L) == "1.234s")
+    assert(goDuration(63200000000L) == "1m3.2s")
+    assert(goDuration(3723000000000L) == "1h2m3s")
+    assert(goDuration(7200000000000L) == "2h0m0s")
+  }
+
   test("/heartbeat reports queryable status; gate refuses reads (frontend/utilities.go:30-77)") {
     val root = java.nio.file.Files.createTempDirectory("graft-hb").toString
     val cat = new BucketCatalog(spark, root)
@@ -488,6 +500,11 @@ class WireSpec extends SparkSpec {
       val (okCode, okBody) = beat()
       assert(okCode == 200 && okBody.contains("\"status\":\"queryable\""))
       assert(okBody.contains("\"version\"") && okBody.contains("\"uptime\""))
+      // uptime is a Go time.Duration string (utilities.go:50 serves
+      // time.Since(start).String()), e.g. "1.234s" / "1m3.2s" / "842ms"
+      val up = "\"uptime\":\"([^\"]+)\"".r.findFirstMatchIn(okBody).get.group(1)
+      assert(up.matches("""(\d+h)?(\d+m)?\d+(\.\d+)?s|\d+(\.\d+)?(ms|µs|ns)"""),
+        s"uptime '$up' is not a Go duration string")
 
       // flip off: heartbeat 503s and read endpoints refuse with the
       // reference's errNotQueryable message (frontend/server.go:21)
