@@ -405,6 +405,27 @@ object SparkEntry {
             col("Nanoseconds").cast("long").as("nanoseconds"),
             col("value"), col("event_id"))
           .orderBy("symbol", "epoch", "nanoseconds")
+      }),
+      // the reference's stated design target is ~16,384 symbols in one
+      // catalog (docs/design/file_format_design.txt): prove the
+      // wildcard query still answers in ONE job at that key
+      // cardinality. symbol = event_id mod 16000 — 10k distinct
+      // symbols at sf0.01 (one row each), the full 16k at sf0.1 —
+      // written through the same manifest-committed multi-symbol
+      // upsert, then LAST-2 per symbol through the query API
+      "q_queryservice_wide" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "wide")
+        cat.writeMulti("WEV", "1Sec", ev(s, dir).select(
+          concat(lit("W"), pmod(col("event_id"), lit(16000)).cast("string")).as("symbol"),
+          col("Epoch"), col("Nanoseconds"), col("value"), col("event_id")))
+        val qs = new graft.api.QueryService(cat)
+        qs.queryMulti(graft.api.QueryRequest("*/1Sec/WEV",
+            columns = Seq("value", "event_id"),
+            limit = Some(2), limitFromStart = false))
+          .select(col("symbol"), col("Epoch").as("epoch"),
+            col("Nanoseconds").cast("long").as("nanoseconds"),
+            col("value"), col("event_id"))
+          .orderBy("symbol", "epoch", "nanoseconds")
       }))
   }
 
@@ -864,7 +885,14 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY symbol ORDER BY tsu DESC) AS rk
                FROM e)
          SELECT symbol, tsu//1000000 AS epoch, (tsu%1000000)*1000 AS nanoseconds, value, event_id
-         FROM r WHERE rk <= 10 ORDER BY symbol, epoch, nanoseconds"""
+         FROM r WHERE rk <= 10 ORDER BY symbol, epoch, nanoseconds""",
+    "q_queryservice_wide" ->
+      """WITH e AS (SELECT 'W' || (event_id % 16000) AS symbol, epoch_us(ts) AS tsu, value, event_id FROM events),
+         r AS (SELECT symbol, tsu, value, event_id,
+                 row_number() OVER (PARTITION BY symbol ORDER BY tsu DESC) AS rk
+               FROM e)
+         SELECT symbol, tsu//1000000 AS epoch, (tsu%1000000)*1000 AS nanoseconds, value, event_id
+         FROM r WHERE rk <= 2 ORDER BY symbol, epoch, nanoseconds"""
   )
 
   // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_knn_ivf are

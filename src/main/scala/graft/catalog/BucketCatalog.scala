@@ -69,6 +69,30 @@ import scala.util.control.NonFatal
 class BucketCatalog(spark: SparkSession, root: String) {
   import BucketCatalog._
 
+  // Manifest-resolved reads hand Spark an EXPLICIT path per live file;
+  // at the reference's ~16k-symbol design target the default parallel
+  // file-listing job spawns one task per path (parallelism 10000) and
+  // pure task-scheduling overhead dominates the wildcard read
+  // (measured ~20 s for a 10k-file group locally). Batch the listing
+  // into defaultParallelism tasks instead; only the default is
+  // overridden so an operator's explicit setting wins.
+  if (spark.conf.getOption("spark.sql.sources.parallelPartitionDiscovery.parallelism")
+      .forall(_ == "10000"))
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+      spark.sparkContext.defaultParallelism.toString)
+
+  // Commit staged files task-side (committer algorithm 2) instead of
+  // the driver serially merging every output file at job commit —
+  // at ~7 ms per checksummed local rename, v1's merge alone costs
+  // minutes on a 16k-partition staged write. v2's weaker
+  // task-failure atomicity is immaterial here: tasks write into a
+  // throwaway per-commit staging dir, and anything a crashed job
+  // leaves there is swept by recoverOrphanedStaging.
+  if (spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.fileoutputcommitter.algorithm.version") == null)
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+
   private def agPath(attGroup: String) = s"$root/$attGroup"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val om = new ObjectMapper()
@@ -475,12 +499,23 @@ class BucketCatalog(spark: SparkSession, root: String) {
       clearIfUnstaged: Seq[String] = Nil): Unit = {
     val groupDir = agPath(attGroup)
     val staging = new Path(root, s"$StagingPrefix${attGroup}_${System.nanoTime()}")
-    df.write.mode("overwrite")
+    // repartition on the partition key so a wide-symbol batch spreads
+    // file creation across the executors: without it a dynamic
+    // partition write funnels through the input's few tasks and the
+    // ~25 ms/file parquet open/close constant serializes — 4 min for
+    // a 16k-symbol batch (the reference's design target). The
+    // EXPLICIT partition count matters: AQE coalesces a bare keyed
+    // repartition of a small-byte batch back to one partition (row
+    // bytes are tiny; the file-count cost AQE can't see is not), and
+    // user-numbered repartitions are exempt from coalescing.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("symbol"), col("timeframe"), col("year"))
+      .write.mode("overwrite")
       .partitionBy("symbol", "timeframe", "year")
       .parquet(staging.toString)
     try {
       val stagedParts = scala.collection.mutable.Set[String]()
-      val movedFiles = scala.collection.mutable.ArrayBuffer[String]()
+      val moves = scala.collection.mutable.ArrayBuffer[(String, Path)]()
       for {
         symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
         tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
@@ -488,24 +523,39 @@ class BucketCatalog(spark: SparkSession, root: String) {
       } {
         val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
         stagedParts += rel
-        val targetDir = new Path(groupDir, rel)
-        fs.mkdirs(targetDir)
         fs.listStatus(yearDir.getPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
             !f.getPath.getName.startsWith("_"))
-          .foreach { f =>
-            val name = f.getPath.getName
-            if (!fs.rename(f.getPath, new Path(targetDir, name)))
-              throw new IllegalStateException(
-                s"failed to move staged file $name into $targetDir")
-            movedFiles += s"$rel/$name"
-          }
+          .foreach(f => moves += ((rel, f.getPath)))
+      }
+      // the staged→live moves are independent renames into distinct
+      // targets: run them on a bounded pool — serial, the ~7 ms
+      // checksummed-rename constant is a minute-plus at the 16k-symbol
+      // design target (FileSystem instances are thread-safe; any
+      // failure rethrows via Future.get before the manifest flip)
+      val movedFiles: Seq[String] = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, Runtime.getRuntime.availableProcessors()))
+        try {
+          val tasks: Seq[java.util.concurrent.Callable[String]] =
+            moves.toSeq.map { case (rel, src) =>
+              (() => {
+                val targetDir = new Path(groupDir, rel)
+                fs.mkdirs(targetDir)
+                if (!fs.rename(src, new Path(targetDir, src.getName)))
+                  throw new IllegalStateException(
+                    s"failed to move staged file ${src.getName} into $targetDir")
+                s"$rel/${src.getName}"
+              }): java.util.concurrent.Callable[String]
+            }
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        } finally pool.shutdownNow()
       }
       // a rewrite keeps its buckets listed even when it emptied them
       // (trim semantics: the bucket exists with zero rows)
       commitManifest(attGroup,
         stagedParts.toSet ++ clearIfUnstaged,
-        movedFiles.toSeq,
+        movedFiles,
         logParts = stagedParts.toSeq.sorted ++
           clearIfUnstaged.filterNot(stagedParts).map(_ + ":cleared"),
         addBuckets = (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf))
