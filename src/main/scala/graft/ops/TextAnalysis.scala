@@ -100,14 +100,20 @@ object TextAnalysis {
     * pairwise. Documents shorter than a window contribute their
     * single minimum.
     *
-    * Hashes are md5 hex and minima are LEXICOGRAPHIC, so any SQL
-    * engine reproduces the selection bit-for-bit (the oracle does).
-    * Plan shape: one explode + one doc-keyed windowed min — a single
-    * shuffle on the document id, no pairwise work.
+    * The default gram hash is md5 hex with LEXICOGRAPHIC minima, so
+    * any SQL engine reproduces the selection bit-for-bit (the oracle
+    * does). `hash = "xxhash64"` swaps in the production knob: an
+    * 8-byte fixed-width hash with numeric minima — same selection
+    * algebra (a windowed min under a consistent total order; the
+    * shared-run guarantee holds for ANY gram hash), cheaper per gram
+    * and 8 bytes instead of 32 through the shuffle and the output.
+    * Plan shape either way: one explode + one doc-keyed windowed min —
+    * a single shuffle on the document id, no pairwise work.
     */
   def winnowingFingerprints(
       df: DataFrame, k: Int = 3, w: Int = 4,
-      id: String = "doc_id", textCol: String = "text"): DataFrame = {
+      id: String = "doc_id", textCol: String = "text",
+      hash: String = "md5"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(id), tokens(col(textCol)).as("__ts"))
       .withColumn("__n", size(col("__ts")))
@@ -118,9 +124,15 @@ object TextAnalysis {
     val gram = when(col("__n") >= k,
         concat_ws(" ", (0 until k).map(j => element_at(col("__ts"), col("__i") + j)): _*))
       .otherwise(concat_ws(" ", col("__ts")))
+    val gramHash = hash match {
+      case "md5" => md5(gram)
+      case "xxhash64" => xxhash64(gram)
+      case other => throw new IllegalArgumentException(
+        s"unknown winnowing hash '$other' (md5 | xxhash64)")
+    }
     val winMin = Window.partitionBy(col(id)).orderBy(col("__i"))
       .rowsBetween(Window.currentRow, w - 1)
-    idx.select(col(id), col("__i"), col("__g"), md5(gram).as("__h"))
+    idx.select(col(id), col("__i"), col("__g"), gramHash.as("__h"))
       .withColumn("__sel", min(col("__h")).over(winMin))
       // only FULL windows select (plus the single clipped window of a
       // short doc) — the winnowing paper's scheme

@@ -298,6 +298,46 @@ class OpsSpec extends SparkSpec {
     assert(byDoc(3L).size == 1)
   }
 
+  test("winnowing xxhash64 knob matches an independent reference selection") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val k = 3; val w = 4
+    // Spark's xxhash64 (seed 42) evaluated standalone, so the
+    // reference selection below is computed OUTSIDE the operator
+    def xx(s: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    def reference(text: String): Set[Long] = {
+      val ts = text.trim.toLowerCase.split(" ").toSeq
+      val grams =
+        if (ts.length >= k) (0 to ts.length - k).map(j => ts.slice(j, j + k).mkString(" "))
+        else Seq(ts.mkString(" "))
+      val hs = grams.map(xx)
+      (1 to math.max(hs.length - (w - 1), 1))
+        .map(i => hs.slice(i - 1, math.min(i - 1 + w, hs.length)).min).toSet
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val shared = "one two three four five six seven"
+    val docs = Seq(
+      1L -> s"aa bb cc $shared dd ee",
+      2L -> s"xx yy $shared zz ww qq rr",
+      3L -> "tiny doc") ++
+      (4L to 20L).map(i =>
+        i -> Seq.fill(2 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val got = TextAnalysis.winnowingFingerprints(docs.toDF("doc_id", "text"),
+        k, w, hash = "xxhash64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (i, text) =>
+      assert(got(i) == reference(text), s"doc $i selection diverged")
+    }
+    // the shared-run guarantee is hash-agnostic
+    assert((got(1L) & got(2L)).nonEmpty, "shared run selected no common fingerprint")
+  }
+
   test("clone-collapse equivalence holds on randomized clone-group structures") {
     import spark.implicits._
     // irregular shapes the structured corpus above can't produce:
