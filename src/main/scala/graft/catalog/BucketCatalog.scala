@@ -753,12 +753,28 @@ class BucketCatalog(spark: SparkSession, root: String) {
       .parquet(files.map(f => s"${agPath(attGroup)}/$f"): _*))
   }
 
+  // DataFrame per (group, manifest version): building a DataFrame over
+  // an explicit N-file list pays a file-index listing job (~3 s at the
+  // 16k-symbol design target) — a snapshot's file list is immutable,
+  // so the frame is reusable until the version advances (one entry per
+  // group; a new version replaces the old)
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
   private def readAg(attGroup: String): Option[DataFrame] =
-    liveFiles(attGroup) match {
-      case Some(files) =>
+    resolveCurrent(attGroup) match {
+      case Some((v, files, _)) =>
         if (files.isEmpty) None
-        else Some(spark.read.option("basePath", agPath(attGroup))
-          .parquet(files.map(f => s"${agPath(attGroup)}/$f"): _*))
+        else {
+          val cached = frameCache.get(attGroup)
+          if (cached != null && cached._1 == v) Some(cached._2)
+          else {
+            val df = spark.read.option("basePath", agPath(attGroup))
+              .parquet(files.map(f => s"${agPath(attGroup)}/$f"): _*)
+            frameCache.put(attGroup, (v, df))
+            Some(df)
+          }
+        }
       case None =>
         // pre-manifest root: directory listing (legacy behavior)
         val p = new Path(agPath(attGroup))

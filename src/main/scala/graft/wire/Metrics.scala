@@ -114,8 +114,15 @@ object Metrics {
     private val total = new AtomicLong(0L)
     private val sumAdder = new DoubleAdder
     def observe(seconds: Double): Unit = {
-      val i = buckets.indexWhere(seconds <= _)
-      if (i >= 0) perBucket.incrementAndGet(i)
+      // branchless upper-bound binary search (buckets are sorted
+      // ascending): first bucket with seconds <= bound
+      var lo = 0
+      var hi = buckets.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (seconds <= buckets(mid)) hi = mid else lo = mid + 1
+      }
+      if (lo < buckets.length) perBucket.incrementAndGet(lo)
       total.incrementAndGet()
       sumAdder.add(seconds)
     }
