@@ -2,7 +2,7 @@ package graft
 
 import graft.functions._
 import graft.operators.TimeSeries
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.core.CandleDuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -50,6 +50,12 @@ object SparkEntry {
   /** Synthetic corporate-action rate changes, derived deterministically
     * from the events table (so the DuckDB oracle can rebuild them).
     */
+  /** Per-source keep rates for q_sample_weighted — the mixing config a
+    * corpus build would carry; sources beyond the map get 0.3.
+    */
+  private val SampleRates = Map(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1)
+
   private def rateChanges(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).filter(col("event_type") === "error" && col("event_id") % 97 === 0)
       .select(col("Epoch"), (lit(1.0) + (col("event_id") % 7).cast("double") / 100.0).as("Rate"))
@@ -511,6 +517,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SemDeDup (cluster-then-pair) under a FULL brute-force oracle via
+    // the sign-planted construction: vectors become |x| (even ids) or
+    // -|x| (odd ids), so cross-cluster cosine ≤ 0 < τ and the injected
+    // ±1⃗ quantizer assigns each sign its own cell with certainty —
+    // within-cell pairs at τ therefore EQUAL global all-pairs at τ.
+    // The trained-quantizer path is OpsSpec's clustered-corpus check.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
+      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      Similarity.semanticDedupPairs(emb, threshold = 0.45, nCells = 2,
+          centroids = Some(quantizer))
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+        .orderBy("id1", "id2")
+    }),
+
     // ---- similarity search ---------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -632,6 +655,34 @@ object SparkEntry {
           round(avg(col("quality")), 6).as("avg_quality"),
           sum(col("n_tokens")).as("total_tokens"))
     }),
+
+    // ---- cluster formation / packing / mixing --------------------------
+    // near-dup pairs → connected components: the end stage of dedup,
+    // where A≈B, B≈C collapses {A,B,C} though A,C were never compared
+    "q_dedup_clusters" -> ((s, dir) =>
+      Cluster.fromJaccard(Tables.documents(s, dir), threshold = 0.4, n = 3)
+        .orderBy("doc_id")),
+    // concat-and-chunk sequence packing over the id-ordered corpus
+    "q_pack_manifest" -> ((s, dir) =>
+      Packing.manifest(Tables.documents(s, dir), budget = 256)
+        .orderBy("doc_id")),
+    "q_pack_chunks" -> ((s, dir) =>
+      Packing.chunks(Tables.documents(s, dir), budget = 256)
+        .orderBy("chunk_id", "doc_id")),
+    // stratified selection: best-5 docs per source by quality score
+    "q_select_quality" -> ((s, dir) => {
+      val scored = TextAnalysis.withQuality(
+        TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
+      Sampling.topKByDomain(scored, k = 5, score = "quality")
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy("doc_id")
+    }),
+    // deterministic per-source mixing: md5(seed:id) prefix vs rate
+    // thresholds — reproducible across engines, no corpus shuffle
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weighted(Tables.documents(s, dir), SampleRates, defaultRate = 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
@@ -1020,6 +1071,19 @@ object SparkEntry {
            FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
          WHERE s >= 0.9 ORDER BY id1, id2""",
 
+    // sign-planted corpus ⇒ SemDeDup's within-cell pairs equal global
+    // all-pairs at τ (cross-cell cosine ≤ 0); oracle is exhaustive
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN list_transform(embedding, x -> abs(x))
+                  ELSE list_transform(embedding, x -> -abs(x)) END AS embedding
+           FROM embeddings)
+         SELECT id1, id2, round(s, 6) AS score FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+           FROM e a, e b WHERE a.vec_id < b.vec_id)
+         WHERE s >= 0.45 ORDER BY id1, id2""",
+
     // pruned-probe IVF == global brute force on the sign-planted
     // clusters (see the queries-side proof sketch)
     "q_knn_ivf_pruned" ->
@@ -1114,6 +1178,78 @@ object SparkEntry {
          SELECT count(*)::BIGINT AS n_docs, round(avg(quality), 6) AS avg_quality,
            sum(n_tokens)::BIGINT AS total_tokens
          FROM survivors""",
+
+    // connected components over the q_dedup_jaccard edge set: DuckDB
+    // walks reachability with a recursive CTE; component id = min
+    // reachable doc id (singletons map to themselves)
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+         SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+         GROUP BY a ORDER BY doc_id""",
+
+    "q_pack_manifest" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+           FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+           start_offset // 256 AS chunk_first,
+           (start_offset + n_tokens - 1) // 256 AS chunk_last,
+           (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_chunks
+         FROM c ORDER BY doc_id""",
+
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+           FROM t),
+         m AS (SELECT doc_id, n_tokens, start_offset,
+             start_offset // 256 AS cf, (start_offset + n_tokens - 1) // 256 AS cl
+           FROM c)
+         SELECT r.chunk_id, doc_id,
+           greatest(r.chunk_id * 256, start_offset) - start_offset AS tok_start,
+           least((r.chunk_id + 1) * 256, start_offset + n_tokens) - start_offset AS tok_end
+         FROM m, LATERAL (SELECT unnest(range(cf, cl + 1)) AS chunk_id) r
+         ORDER BY chunk_id, doc_id""",
+
+    "q_select_quality" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         s AS (SELECT doc_id, source,
+             round(least(len(ts) / 100.0, 1.0) * 0.3
+               + (len(list_distinct(ts))::DOUBLE / len(ts)) * 0.4
+               + (1.0 - len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts)) * 0.3, 6) AS quality
+           FROM t),
+         r AS (SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+           FROM s)
+         SELECT doc_id, source, quality FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    "q_sample_weighted" -> {
+      val vals = SampleRates.toSeq.sortBy(_._1)
+        .map { case (d, r) => s"('$d', '${Sampling.hexThreshold(r)}')" }
+        .mkString(", ")
+      s"""WITH r(source, thr) AS (VALUES $vals)
+         SELECT d.doc_id, d.source FROM documents d LEFT JOIN r USING (source)
+         WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               < coalesce(thr, '${Sampling.hexThreshold(0.3)}')
+         ORDER BY d.doc_id"""
+    },
 
     "q_multimodal_features" ->
       """WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster formation: groups near-duplicate PAIRS (from any
+  * pair operator in [[Dedup]] / [[Similarity]]) into connected
+  * components and assigns every document its component's minimum id —
+  * the end stage of a dedup pipeline, where "A≈B, B≈C" must collapse
+  * {A, B, C} to one canonical document even though A and C were never
+  * directly compared. The reference has no equivalent; this is part of
+  * the LLM-training-pipeline extension surface.
+  *
+  * Algorithm: the alternating large-star / small-star method of
+  * Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+  * Components in MapReduce and Beyond" (ACM SoCC 2014). Each round is
+  * a constant number of hash-shuffles keyed on node id and converges
+  * in O(log² n) rounds (O(log n) observed); dedup graphs (clone
+  * cliques, banding stars) converge in 2-3.
+  *
+  * Scale design:
+  *  - No step materializes a neighborhood in one row: the per-node
+  *    min-neighbor is a groupBy aggregate (map-side partial combine
+  *    makes the million-member component's root skew-immune) joined
+  *    back on the grouping key — co-partitioned with the aggregation's
+  *    own exchange, and AQE broadcasts the min table when it is tiny.
+  *  - Edge relations are `localCheckpoint`ed every round, truncating
+  *    the iterative lineage so the plan does not grow with rounds.
+  *  - Convergence is detected from a (count, hash-sum) signature —
+  *    two scalar aggregates, no driver-side edge collection.
+  */
+object Cluster {
+
+  /** Both orientations of an undirected edge list. */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Per-node minimum over v (neighbors as listed in `e`), joined back
+    * onto `e` as `__mn`. groupBy-then-join rather than a window: the
+    * partial aggregation absorbs high-degree skew map-side, where a
+    * window would sort the whole component inside one partition.
+    */
+  private def withNbrMin(e: DataFrame): DataFrame =
+    e.join(e.groupBy("u").agg(min("v").as("__mn")), "u")
+
+  /** Large-star round: every neighbor v > u re-points to
+    * m = min(Γ(u) ∪ {u}). Processes each undirected edge from its
+    * smaller endpoint's side (the symmetrized view guarantees it).
+    */
+  private def largeStar(e: DataFrame): DataFrame =
+    withNbrMin(symmetrize(e))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("__mn"), col("u")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** Small-star round: orient edges (hi → lo); every smaller neighbor
+    * of hi, and hi itself, re-points to hi's minimum neighbor.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val m = withNbrMin(oriented)
+    m.select(col("v").as("u"), col("__mn").as("v"))
+      .union(m.select(col("u"), col("__mn").as("v")).distinct())
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Cluster assignment for every vertex: (doc_id, cluster_id) where
+    * cluster_id = the minimum doc id reachable through `pairs`;
+    * documents in no pair form singleton clusters of themselves.
+    *
+    * @param pairs    near-dup edges with `id1`/`id2` columns (any
+    *                 [[Dedup]]/[[Similarity]] pair output)
+    * @param vertices the full document set (so singletons appear)
+    */
+  def assignments(pairs: DataFrame, vertices: DataFrame,
+                  id: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    var e = pairs
+      .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prevSig: Option[(Long, Long)] = None
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val row = next.select(xxhash64(col("u"), col("v")).as("__h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      // a fixpoint reproduces itself, so an unchanged signature ends
+      // the loop (the xor over distinct edge hashes is order-free and
+      // overflow-free; collision odds are negligible, and the final
+      // groupBy-min below is safe either way)
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      e = next
+      it += 1
+    }
+    // at the fixpoint the edge set is a star forest (member → root);
+    // the min is a no-op there and a safety net on maxIter cutoffs
+    val stars = e.groupBy("u").agg(min("v").as("cluster_id"))
+      .withColumnRenamed("u", "doc_id")
+    vertices.select(col(id).cast("long").as("doc_id"))
+      .join(stars, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** End-to-end near-dup clustering: n-gram Jaccard pairs at
+    * `threshold` → connected components → (doc_id, cluster_id).
+    */
+  def fromJaccard(df: DataFrame, threshold: Double, n: Int,
+                  id: String = "doc_id", text: String = "text"): DataFrame =
+    assignments(
+      Dedup.jaccardPairs(df, threshold = threshold, n = n, id = id, text = text),
+      df, id = id)
+}

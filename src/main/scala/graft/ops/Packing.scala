@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines ("concat-and-chunk"):
+  * documents are concatenated in deterministic id order and the token
+  * stream is cut into fixed-`budget` chunks. [[manifest]] maps each
+  * document to its global token offset and chunk span; [[chunks]]
+  * inverts that into the per-chunk (doc, token-slice) fetch list a
+  * training loader consumes. Token counting matches
+  * [[TextAnalysis.withTokenCounts]]'s whitespace tokenizer so the two
+  * stages compose.
+  *
+  * Scale design: the global prefix sum is the textbook two-phase scan.
+  * Documents are range-sharded on id; each shard computes its local
+  * cumulative sum in parallel (window partitioned BY SHARD — never a
+  * global single-partition window); the per-shard totals (≤ numShards
+  * rows, the bounded-collect precedent set by the IVF centroids) are
+  * prefix-summed on the driver and broadcast-joined back. Shuffle
+  * volume is one window sort per shard plus a broadcast of numShards
+  * rows — no stage depends on total corpus size in one task.
+  */
+object Packing {
+
+  private def tokenCount(text: Column): Column =
+    size(split(lower(trim(text)), " ")).cast("long")
+
+  /** Per-document packing manifest: (doc_id, n_tokens, start_offset,
+    * chunk_first, chunk_last, n_chunks) under fixed-size chunks of
+    * `budget` tokens over the id-ordered concatenated token stream.
+    * Documents spanning a chunk boundary are split across chunks
+    * (GPT-style pretraining packing), so every chunk except the last
+    * is exactly full — no padding waste, no bin-packing heuristics.
+    */
+  def manifest(df: DataFrame, budget: Int,
+               id: String = "doc_id", text: String = "text",
+               numShards: Int = 1024): DataFrame = {
+    require(budget > 0, s"chunk budget must be positive, got $budget")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val toks = df.select(
+      col(id).cast("long").as("doc_id"), tokenCount(col(text)).as("n_tokens"))
+    val bounds = toks.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return toks.select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").as("start_offset"), col("n_tokens").as("chunk_first"),
+        col("n_tokens").as("chunk_last"), col("n_tokens").as("n_chunks"))
+    // contiguous id-range shards preserve global order across shards
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (mx - mn) / numShards + 1)
+    val sharded = toks.withColumn("__shard", ((col("doc_id") - mn) / width).cast("long"))
+    val local = sharded.withColumn("__cum",
+      sum("n_tokens").over(Window.partitionBy("__shard").orderBy("doc_id")))
+    val shardTotals = sharded.groupBy("__shard").agg(sum("n_tokens").as("__tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = shardTotals
+      .scanLeft((-1L, 0L, 0L)) { case ((_, acc, tot), (sh, t)) => (sh, acc + tot, t) }
+      .drop(1).map { case (sh, off, _) => (sh, off) }
+    local.join(broadcast(offsets.toSeq.toDF("__shard", "__off")), "__shard")
+      .withColumn("start_offset", col("__off") + col("__cum") - col("n_tokens"))
+      .withColumn("chunk_first", floor(col("start_offset") / budget))
+      .withColumn("chunk_last",
+        floor((col("start_offset") + col("n_tokens") - lit(1)) / budget))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") - col("chunk_first") + lit(1)).as("n_chunks"))
+  }
+
+  /** Chunk fetch list: one row per (chunk_id, doc) overlap with the
+    * doc-relative token slice [tok_start, tok_end) the chunk needs.
+    * Pure explode of the manifest — each doc expands to exactly the
+    * chunks it overlaps, so output size is N + (number of boundary
+    * crossings), never a blowup.
+    */
+  def chunks(df: DataFrame, budget: Int,
+             id: String = "doc_id", text: String = "text",
+             numShards: Int = 1024): DataFrame =
+    manifest(df, budget, id, text, numShards)
+      .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        (greatest(col("chunk_id") * budget, col("start_offset")) -
+          col("start_offset")).as("tok_start"),
+        (least((col("chunk_id") + lit(1)) * budget,
+          col("start_offset") + col("n_tokens")) -
+          col("start_offset")).as("tok_end"))
+}

@@ -347,6 +347,60 @@ object Similarity {
     pairs.select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.score").as("score"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas, Tirumala, Simig, Ganguli,
+    * Morcos — "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): partition the corpus
+    * with a coarse k-means quantizer (Lloyd-trained here, or injected
+    * pretrained), then emit cosine pairs ≥ threshold WITHIN cells
+    * only. The quadratic pair cost is bounded per cell — the
+    * algorithm's point: Σ|cell|² ≪ N² when the quantizer spreads the
+    * corpus — and cross-cell near-dups are the accepted recall loss.
+    *
+    * Scale design: cell pair enumeration reuses the blocked
+    * explode+equi-join shape of [[cosineDedupPairs]], keyed on
+    * (cell, blockL, blockR): the shuffle ships each vector O(B) times,
+    * nothing is broadcast, and a skewed giant cell fans out across its
+    * B² block pairs instead of serializing in one task.
+    */
+  def semanticDedupPairs(
+      df: DataFrame, threshold: Double, nCells: Int,
+      trainIters: Int = 2,
+      centroids: Option[Array[Seq[Float]]] = None,
+      id: String = "vec_id", emb: String = "embedding",
+      blocksPerCell: Int = 0): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(df, nCells, trainIters, id, emb))
+    val nb =
+      if (blocksPerCell > 0) blocksPerCell
+      else autoBlocks(math.max(1L,
+        df.select(col(id)).count() / math.max(1, cents.length)))
+    val blocks = df
+      .select(col(id), col(emb))
+      .withColumn("__cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
+      .groupBy("__cell", "__blk")
+      .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))
+    val L = blocks.select(col("__cell"), col("__blk").as("__bl"),
+      explode(sequence(col("__blk"), lit(nb - 1))).as("__br"),
+      col("__items").as("__L"))
+    val R = blocks.select(col("__cell"),
+      explode(sequence(lit(0), col("__blk"))).as("__bl"),
+      col("__blk").as("__br"),
+      col("__items").as("__R"))
+    L.hint("merge").join(R.hint("merge"), Seq("__cell", "__bl", "__br"))
+      .select(
+        explode(flatten(transform(col("__L"), a =>
+          filter(
+            transform(col("__R"), b =>
+              struct(
+                least(a("i"), b("i")).as("id1"),
+                greatest(a("i"), b("i")).as("id2"),
+                when(col("__bl") < col("__br") || a("i") < b("i"),
+                  VectorFunctions.cosineSim(a("v"), b("v"))).as("score"))),
+            s => s("score").isNotNull && s("score") >= lit(threshold))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.score").as("score"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold —
     * APPROXIMATE sub-quadratic path, the scale alternative to
     * [[cosineDedupPairs]] for true near-dup thresholds (≥ ~0.8):

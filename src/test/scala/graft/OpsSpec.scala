@@ -377,4 +377,172 @@ class OpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("zip_with") && !plan.toLowerCase.contains("lambdafunction"),
       "estimate projection should be scalar element_at folds, not lambda HOFs")
   }
+
+  test("trained semantic dedup equals brute-force pairs on separated clusters") {
+    import spark.implicits._
+    // same two-tight-clusters construction as the trained-IVF check:
+    // cross-cluster cosine is ≈ −1 (far below any threshold), so a
+    // converged quantizer loses NO pairs to cell boundaries and
+    // SemDeDup's within-cell output must equal global all-pairs
+    val dim = 8
+    def member(cluster: Int, i: Int): (Long, Seq[Float]) = {
+      val sign = if (cluster == 0) 1f else -1f
+      val v = (0 until dim).map(d => sign * (1f + 0.01f * ((i + d) % 5)))
+      (cluster * 1000L + i, v)
+    }
+    val corpus = (0 until 30).flatMap(i => Seq(member(0, i), member(1, i)))
+      .toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = pairSet(Similarity.semanticDedupPairs(corpus, threshold = 0.9,
+      nCells = 2, trainIters = 3))
+    val brute = pairSet(Similarity.cosineDedupPairs(corpus, threshold = 0.9))
+    assert(sem == brute,
+      s"semantic missing ${brute -- sem take 5}, extra ${sem -- brute take 5}")
+    assert(brute.nonEmpty && brute.forall { case (a, b) => a / 1000L == b / 1000L })
+    // per-cell sub-blocking engages without changing the output
+    val blocked = pairSet(Similarity.semanticDedupPairs(corpus, threshold = 0.9,
+      nCells = 2, trainIters = 3, blocksPerCell = 3))
+    assert(blocked == brute, "blocksPerCell changed the pair output")
+  }
+
+  // ---- connected components (Cluster) ---------------------------------
+
+  /** Reference union-find over an edge list, label = component min. */
+  private def unionFind(n: Seq[Long], e: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]() ++ n.map(v => v -> v)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    e.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    n.map(v => v -> find(v)).toMap
+  }
+
+  private def ccAssign(verts: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val pairs =
+      if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id1", "id2")
+      else edges.toDF("id1", "id2")
+    graft.ops.Cluster.assignments(pairs, verts.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components match union-find on random graphs, paths and cliques") {
+    // random sparse graphs at three seeds
+    Seq(1L, 42L, 99L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val verts = (0L until 200L).toSeq
+      val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccAssign(verts, edges) == unionFind(verts, edges),
+        s"random graph mismatch at seed $seed")
+    }
+    // a 60-node path: worst-case diameter for propagation algorithms —
+    // star-contraction must still converge inside the iteration cap
+    val path = (0L until 60L).toSeq
+    val pathEdges = path.sliding(2).map(s => (s(1), s.head)).toSeq
+    val pa = ccAssign(path, pathEdges)
+    assert(pa.values.toSet == Set(0L), s"path collapsed to $pa")
+    // two cliques + isolated vertices
+    val verts = (0L until 20L).toSeq
+    val cliques = (for (a <- 0 until 5; b <- a + 1 until 5) yield (a.toLong, b.toLong)) ++
+      (for (a <- 10 until 14; b <- a + 1 until 14) yield (a.toLong, b.toLong))
+    val ca = ccAssign(verts, cliques)
+    assert((0L until 5L).forall(ca(_) == 0L) && (10L until 14L).forall(ca(_) == 10L))
+    assert((5L until 10L).forall(v => ca(v) == v) && (14L until 20L).forall(v => ca(v) == v),
+      "isolated vertices must be singleton clusters")
+  }
+
+  test("end-to-end dup clustering glues transitive near-dup pairs") {
+    import spark.implicits._
+    // A≈B and B≈C by construction, A vs C well below threshold, D far off
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight and more"),
+      (3L, "fox jumps over the lazy dog tonight and more words here"),
+      (4L, "completely different content about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val a = graft.ops.Cluster.fromJaccard(corpus, threshold = 0.3, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(1L) == 1L && a(2L) == 1L && a(3L) == 1L, s"transitive cluster broke: $a")
+    assert(a(4L) == 4L)
+  }
+
+  // ---- sequence packing (Packing) -------------------------------------
+
+  test("packing manifest covers the token stream exactly, independent of shard count") {
+    import spark.implicits._
+    val budget = 64
+    Seq(1, 7, 1024).foreach { shards =>
+      val m = graft.ops.Packing.manifest(docs, budget, numShards = shards)
+        .orderBy("doc_id").collect()
+      // offsets are the id-ordered prefix sums: contiguous, no gaps
+      var expect = 0L
+      m.foreach { r =>
+        assert(r.getLong(2) == expect,
+          s"doc ${r.getLong(0)} start_offset ${r.getLong(2)} != $expect (shards=$shards)")
+        expect += r.getLong(1)
+        assert(r.getLong(3) == r.getLong(2) / budget)
+        assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / budget)
+      }
+    }
+  }
+
+  test("chunk fetch lists reassemble every document with no overlap or loss") {
+    import spark.implicits._
+    val budget = 64
+    val m = graft.ops.Packing.manifest(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ch = graft.ops.Packing.chunks(docs, budget)
+      .orderBy("doc_id", "chunk_id").collect()
+    // per doc: slices tile [0, n_tokens) in chunk order
+    ch.groupBy(_.getLong(1)).foreach { case (doc, rows) =>
+      var pos = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(2) == pos, s"doc $doc slice starts at ${r.getLong(2)}, want $pos")
+        pos = r.getLong(3)
+      }
+      assert(pos == m(doc), s"doc $doc slices end at $pos of ${m(doc)} tokens")
+    }
+    // per chunk: slice lengths sum to exactly the budget (except the tail)
+    val perChunk = ch.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(3) - r.getLong(2)).sum).toMap
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, tot) =>
+      if (c != lastChunk) assert(tot == budget, s"chunk $c holds $tot tokens")
+      else assert(tot > 0 && tot <= budget)
+    }
+  }
+
+  // ---- weighted sampling (Sampling) -----------------------------------
+
+  test("weighted sampling is deterministic, rate-accurate and seed-disjoint") {
+    import spark.implicits._
+    val corpus = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.0)
+    def ids(seed: String) =
+      graft.ops.Sampling.weighted(corpus, rates, defaultRate = 0.0, seed = seed,
+          domain = "source")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = ids("graft")
+    assert(s1 == ids("graft"), "same seed must reproduce the exact sample")
+    val bySrc = s1.groupBy(_._1).view.mapValues(_.size.toDouble / 1000).toMap
+    assert(bySrc("src0") == 1.0, "rate 1.0 keeps everything")
+    assert(!bySrc.contains("src3"), "rate 0.0 keeps nothing")
+    assert(math.abs(bySrc("src1") - 0.5) < 0.05 && math.abs(bySrc("src2") - 0.1) < 0.03,
+      s"sample rates off: $bySrc")
+    // another seed re-rolls membership but holds the rates
+    val s2 = ids("epoch2")
+    assert(s2 != s1, "different seeds must draw different samples")
+    val overlap = s1.intersect(s2).count(_._1 == "src1").toDouble / 1000
+    assert(math.abs(overlap - 0.25) < 0.05,
+      s"seed-disjoint samples should intersect at r² ≈ 0.25, got $overlap")
+  }
 }
