@@ -459,6 +459,13 @@ object SparkEntry {
     "q_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))
         .orderBy("doc_id", "fingerprint")),
+    // Gopher-style repetition filters: duplicate n-gram fractions and
+    // top-word share, with the composite keep flag
+    "q_text_gopher" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(Tables.documents(s, dir))
+        .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
+          col("top_word_ratio"), col("gopher_keep"))
+        .orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
@@ -979,6 +986,31 @@ object SparkEntry {
                      WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred,
                 count(*) AS cnt
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         g AS (SELECT doc_id, ts,
+             CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+               i -> array_to_string(ts[i:i+1], ' ')) ELSE [] END AS g2,
+             CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' ')) ELSE [] END AS g3
+           FROM t),
+         f AS (SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, w, count(*) AS c FROM (
+               SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2)
+           GROUP BY 1),
+         sig AS (SELECT g.doc_id,
+             CASE WHEN len(g2) > 0
+               THEN round((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 6)
+               ELSE 0.0 END AS dup_bigram_frac,
+             CASE WHEN len(g3) > 0
+               THEN round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
+               ELSE 0.0 END AS dup_trigram_frac,
+             round(f.topc::DOUBLE / len(ts), 6) AS top_word_ratio
+           FROM g JOIN f USING (doc_id))
+         SELECT doc_id, dup_bigram_frac, dup_trigram_frac, top_word_ratio,
+           (top_word_ratio <= 0.2 AND dup_trigram_frac <= 0.3) AS gopher_keep
+         FROM sig ORDER BY doc_id""",
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

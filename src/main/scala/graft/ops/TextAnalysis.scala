@@ -81,6 +81,47 @@ object TextAnalysis {
       .drop(langProfiles.map(p => s"__s_${p._1}"): _*)
   }
 
+  /** Repetition quality signals in the Gopher style (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, §A1.1 repetition filters): fraction of
+    * duplicate word bigrams/trigrams and the top single word's share
+    * of the document, plus a composite keep flag at the paper's
+    * spirit of thresholds (top word ≤ 20%, duplicate trigrams ≤ 30%).
+    * Boilerplate and looped generations light these up while normal
+    * prose stays low — the standard cheap pre-filter before any
+    * pairwise dedup.
+    *
+    * Scale: gram fractions are per-document projections (independent
+    * rows, no shuffle); the top-word share aggregates (doc, word)
+    * counts — two keyed shuffles whose keys are at least as fine as
+    * the document id, so no skew pile-up — and joins back on the id.
+    */
+  def withRepetitionSignals(df: DataFrame, id: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    def grams(n: Int): Column =
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column = {
+      val s = size(g)
+      when(s > 0, round((s - size(array_distinct(g))).cast("double") / s, 6))
+        .otherwise(lit(0.0))
+    }
+    val top = df.select(col(id), explode(ts).as("__w"))
+      .groupBy(id, "__w").agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(max("__c").as("__top"))
+    df.withColumn("dup_bigram_frac", dupFrac(grams(2)))
+      .withColumn("dup_trigram_frac", dupFrac(grams(3)))
+      .join(top, Seq(id))
+      .withColumn("top_word_ratio",
+        round(col("__top").cast("double") / size(ts), 6))
+      .withColumn("gopher_keep",
+        col("top_word_ratio") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+      .drop("__top")
+  }
+
   /** Content fingerprint: hash of the sorted distinct token set —
     * stable under token reordering (bag-of-words identity). md5 keeps
     * it reproducible in any SQL engine.

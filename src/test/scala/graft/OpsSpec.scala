@@ -475,6 +475,25 @@ class OpsSpec extends SparkSpec {
     assert(a(4L) == 4L)
   }
 
+  test("repetition signals flag looped text and keep normal prose") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "ab cd ab cd ab cd ab cd ab cd"),
+      (4L, "single")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionSignals(d).collect()
+      .map(x => x.getLong(0) ->
+        (x.getAs[Double]("dup_bigram_frac"), x.getAs[Double]("dup_trigram_frac"),
+         x.getAs[Double]("top_word_ratio"), x.getAs[Boolean]("gopher_keep"))).toMap
+    assert(r(1L) == ((0.888889, 0.875, 1.0, false)), s"loop doc: ${r(1L)}")
+    assert(r(2L) == ((0.0, 0.0, 0.1, true)), s"prose doc: ${r(2L)}")
+    assert(r(3L) == ((0.777778, 0.75, 0.5, false)), s"cycle doc: ${r(3L)}")
+    assert(r(4L) == ((0.0, 0.0, 1.0, false)), s"one-token doc: ${r(4L)}")
+  }
+
   // ---- sequence packing (Packing) -------------------------------------
 
   test("packing manifest covers the token stream exactly, independent of shard count") {
