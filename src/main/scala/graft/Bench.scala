@@ -64,10 +64,15 @@ object Bench {
     if (anyFailed) sys.exit(1)
   }
 
-  /** One timed pass over every query; returns (JSON line, anyFailed). */
+  /** One timed pass over every query; returns (JSON line, anyFailed).
+    * SPARK_GRAFT_BENCH_ONLY (regex over names) narrows the pass for
+    * targeted local scale runs; the driver never sets it.
+    */
   private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
     var failed = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", ".*")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(only)).map { case (name, fn) =>
       // drop persisted relations left by the previous query: operators
       // persist intermediates and rely on ContextCleaner GC, so across
       // a 48-query pass the block store otherwise accumulates dead

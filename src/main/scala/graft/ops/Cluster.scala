@@ -112,10 +112,34 @@ object Cluster {
 
   /** End-to-end near-dup clustering: n-gram Jaccard pairs at
     * `threshold` → connected components → (doc_id, cluster_id).
+    *
+    * Exact clones (identical normalized text) share a cluster by
+    * construction — their pairwise jaccard is 1 — so CC runs on the
+    * clone-group REPRESENTATIVES only and labels propagate through
+    * membership. Label-identical to clustering the expanded pair set:
+    * clones share the token stream, so representative edges carry
+    * exactly the content-level connectivity, and every member id is
+    * ≥ its group's canonical id, so the component min over reps IS
+    * the component min over documents. What it buys: a clone-heavy
+    * corpus expands candidate pairs quadratically in group size
+    * (Σ C(g,2) within groups alone); none of that expansion is built
+    * at all — membership is one md5 groupBy + join, and the iterative
+    * loop sees distinct content only.
     */
   def fromJaccard(df: DataFrame, threshold: Double, n: Int,
-                  id: String = "doc_id", text: String = "text"): DataFrame =
-    assignments(
-      Dedup.jaccardPairs(df, threshold = threshold, n = n, id = id, text = text),
-      df, id = id)
+                  id: String = "doc_id", text: String = "text"): DataFrame = {
+    val hashed = df.select(col(id).cast("long").as("__doc"),
+      md5(lower(trim(col(text)))).as("__ch"))
+    val membership = hashed.join(
+      hashed.groupBy("__ch").agg(min("__doc").as("__rep")), "__ch")
+    val reps = df.withColumn(id, col(id).cast("long"))
+      .join(membership.select(col("__rep").as(id)).distinct(), Seq(id), "left_semi")
+    // reps are distinct content: jaccardPairs' collapse probe will
+    // skip its (now redundant) internal clone gate
+    val repClusters = assignments(
+      Dedup.jaccardPairs(reps, threshold = threshold, n = n, id = id, text = text),
+      reps, id = id).withColumnRenamed("doc_id", "__rep")
+    membership.join(repClusters, Seq("__rep"))
+      .select(col("__doc").as("doc_id"), col("cluster_id"))
+  }
 }

@@ -367,7 +367,27 @@ object Similarity {
       trainIters: Int = 2,
       centroids: Option[Array[Seq[Float]]] = None,
       id: String = "vec_id", emb: String = "embedding",
-      blocksPerCell: Int = 0): DataFrame = {
+      blocksPerCell: Int = 0,
+      collapseExact: Boolean = true): DataFrame =
+    // identical vectors land in the same cell with the same scores, so
+    // the clone-collapse gate composes exactly as for the flat cosine
+    // op — without it a clone-heavy corpus (g copies each) inflates
+    // every cell quadratically in g (measured: OOM at the 50×-clone
+    // bench point; collapsed, the cells see distinct vectors only)
+    if (collapseExact)
+      collapsedVecPairs(df, threshold, id, emb)(reps =>
+        semanticDedupPairs(reps, threshold, nCells, trainIters, centroids,
+          id, emb, blocksPerCell, collapseExact = false))
+    else
+      semanticDedupPairsDistinct(df, threshold, nCells, trainIters, centroids,
+        id, emb, blocksPerCell)
+
+  private def semanticDedupPairsDistinct(
+      df: DataFrame, threshold: Double, nCells: Int,
+      trainIters: Int,
+      centroids: Option[Array[Seq[Float]]],
+      id: String, emb: String,
+      blocksPerCell: Int): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(df, nCells, trainIters, id, emb))
     val nb =
       if (blocksPerCell > 0) blocksPerCell

@@ -404,6 +404,14 @@ class OpsSpec extends SparkSpec {
     val blocked = pairSet(Similarity.semanticDedupPairs(corpus, threshold = 0.9,
       nCells = 2, trainIters = 3, blocksPerCell = 3))
     assert(blocked == brute, "blocksPerCell changed the pair output")
+    // clone-collapse gate is output-preserving on a twin-heavy corpus
+    val twins = corpus.unionByName(
+      corpus.select((col("vec_id") + 500).as("vec_id"), col("embedding")))
+    val gOn = pairSet(Similarity.semanticDedupPairs(twins, threshold = 0.9,
+      nCells = 2, trainIters = 3))
+    val gOff = pairSet(Similarity.semanticDedupPairs(twins, threshold = 0.9,
+      nCells = 2, trainIters = 3, collapseExact = false))
+    assert(gOn == gOff, s"semantic collapse diverged: ${(gOn diff gOff).take(5)} / ${(gOff diff gOn).take(5)}")
   }
 
   // ---- connected components (Cluster) ---------------------------------
@@ -458,6 +466,25 @@ class OpsSpec extends SparkSpec {
     assert((0L until 5L).forall(ca(_) == 0L) && (10L until 14L).forall(ca(_) == 10L))
     assert((5L until 10L).forall(v => ca(v) == v) && (14L until 20L).forall(v => ca(v) == v),
       "isolated vertices must be singleton clusters")
+  }
+
+  test("rep-level clustering equals clustering the expanded pair set under clones") {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), col("text"))
+    // every doc gains an exact twin (and the twin a twin), the
+    // clone-heavy regime the representative path optimizes for
+    val corpus = d
+      .unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(graft.ops.Cluster.fromJaccard(corpus, threshold = 0.4, n = 3))
+    val slow = toMap(graft.ops.Cluster.assignments(
+      Dedup.jaccardPairs(corpus, threshold = 0.4, n = 3), corpus))
+    assert(fast == slow, {
+      val diff = (fast.toSet diff slow.toSet).take(5)
+      s"representative CC diverged from expanded CC: $diff"
+    })
   }
 
   test("end-to-end dup clustering glues transitive near-dup pairs") {
