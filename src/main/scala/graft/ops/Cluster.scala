@@ -142,4 +142,18 @@ object Cluster {
     membership.join(repClusters, Seq("__rep"))
       .select(col("__doc").as("doc_id"), col("cluster_id"))
   }
+
+  /** The deduplicated corpus: every input column of the documents that
+    * are their own cluster's canonical (minimum id) under
+    * [[fromJaccard]] clustering — one survivor per near-dup component,
+    * singletons untouched. The join is a broadcast-unfriendly but
+    * id-keyed semi-join: one shuffle on the id, no row blowup.
+    */
+  def dedupedCorpus(df: DataFrame, threshold: Double, n: Int,
+                    id: String = "doc_id", text: String = "text"): DataFrame = {
+    val keep = fromJaccard(df, threshold, n, id, text)
+      .where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as(id))
+    df.withColumn(id, col(id).cast("long")).join(keep, Seq(id), "left_semi")
+  }
 }

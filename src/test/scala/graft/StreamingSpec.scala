@@ -16,6 +16,9 @@ case class Bar(symbol: String, Epoch: Long, Open: Double, High: Double,
 /** Tick row for the watermarked live-candle tests. */
 case class Tick(symbol: String, Epoch: Long, Price: Double, Size: Double)
 
+/** Streamed document for the streaming-dedup tests. */
+case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** Downsample-cascade semantics, mirroring the reference's ondiskagg
   * trigger tests (contrib/ondiskagg/aggtrigger): base-TF writes
   * produce/refresh coarser candles; a LATE out-of-order write
@@ -197,6 +200,43 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val news = spark.table("live_candles").collect().drop(before.toInt)
       assert(!news.exists(_.getAs[Double]("High") == 1000.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses replayed content within the watermark, reclaims state after") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val source = MemoryStream[StreamDoc]
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      source.toDF, eventTimeCol = "ts", lateness = "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts(t0), "the quick brown fox"),
+        StreamDoc(2L, ts(t0 + 10), "entirely different words"))
+      q.processAllAvailable()
+      // a replay under a NEW id (and stray whitespace) within the
+      // delay is suppressed; genuinely new content passes
+      source.addData(
+        StreamDoc(3L, ts(t0 + 60), "  The Quick Brown Fox "),
+        StreamDoc(4L, ts(t0 + 61), "third distinct document"))
+      q.processAllAvailable()
+      val out1 = spark.table("stream_dedup")
+      assert(out1.count() == 3, s"expected 3 survivors, got ${out1.collect().toSeq}")
+      assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+      // advance event time far past the watermark: hash state for the
+      // old window is reclaimed, so the same content passes again —
+      // the documented bounded-state trade (batch dedup remains the
+      // source of truth)
+      source.addData(StreamDoc(5L, ts(t0 + 7200), "watermark advancer"))
+      q.processAllAvailable()
+      source.addData(StreamDoc(6L, ts(t0 + 7210), "the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(6L),
+        s"state should have been reclaimed past the watermark; got $ids")
     } finally q.stop()
   }
 
