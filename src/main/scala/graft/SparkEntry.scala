@@ -47,15 +47,15 @@ object SparkEntry {
   private def dailyCandles(s: SparkSession, dir: String): DataFrame =
     AggRegistry.run(Seq("tickcandler('1D', value, Sum::value)"), purchases(s, dir))
 
-  /** Synthetic corporate-action rate changes, derived deterministically
-    * from the events table (so the DuckDB oracle can rebuild them).
-    */
   /** Per-source keep rates for q_sample_weighted — the mixing config a
     * corpus build would carry; sources beyond the map get 0.3.
     */
   private val SampleRates = Map(
     "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1)
 
+  /** Synthetic corporate-action rate changes, derived deterministically
+    * from the events table (so the DuckDB oracle can rebuild them).
+    */
   private def rateChanges(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).filter(col("event_type") === "error" && col("event_id") % 97 === 0)
       .select(col("Epoch"), (lit(1.0) + (col("event_id") % 7).cast("double") / 100.0).as("Rate"))
@@ -682,13 +682,11 @@ object SparkEntry {
       Packing.chunks(Tables.documents(s, dir), budget = 256)
         .orderBy("chunk_id", "doc_id")),
     // stratified selection: best-5 docs per source by quality score
-    "q_select_quality" -> ((s, dir) => {
-      val scored = TextAnalysis.withQuality(
-        TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
-      Sampling.topKByDomain(scored, k = 5, score = "quality")
+    "q_select_quality" -> ((s, dir) =>
+      Sampling.topKByDomain(
+          TextAnalysis.withQuality(Tables.documents(s, dir)), k = 5, score = "quality")
         .select(col("doc_id"), col("source"), col("quality"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // deterministic per-source mixing: md5(seed:id) prefix vs rate
     // thresholds — reproducible across engines, no corpus shuffle
     "q_sample_weighted" -> ((s, dir) =>

@@ -129,7 +129,7 @@ object Cluster {
   def fromJaccard(df: DataFrame, threshold: Double, n: Int,
                   id: String = "doc_id", text: String = "text"): DataFrame = {
     val hashed = df.select(col(id).cast("long").as("__doc"),
-      md5(lower(trim(col(text)))).as("__ch"))
+      Dedup.contentHash(col(text)).as("__ch"))
     val membership = hashed.join(
       hashed.groupBy("__ch").agg(min("__doc").as("__rep")), "__ch")
     val reps = df.withColumn(id, col(id).cast("long"))

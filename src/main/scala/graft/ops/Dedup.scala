@@ -17,6 +17,13 @@ object Dedup {
 
   private def toks(text: Column): Column = split(lower(trim(text)), " ")
 
+  /** Normalized content hash — THE clone identity every exact-dup
+    * consumer keys on (batch groups, collapse gates, cluster
+    * membership propagation, streaming suppression). One definition so
+    * the batch/stream division of labor cannot silently diverge.
+    */
+  def contentHash(text: Column): Column = md5(lower(trim(text)))
+
   /** Word n-gram shingles (distinct) of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val ts = toks(text)
@@ -31,7 +38,7 @@ object Dedup {
     * smallest id as canonical. One hash-shuffle on md5(text).
     */
   def exactGroups(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    df.select(col(id), md5(lower(trim(col(text)))).as("content_hash"))
+    df.select(col(id), contentHash(col(text)).as("content_hash"))
       .groupBy("content_hash")
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"),
         sort_array(collect_list(col(id))).as("ids"))
@@ -81,7 +88,7 @@ object Dedup {
       pairFn: DataFrame => DataFrame): DataFrame = {
     if (!cloneHeavy(df, lower(trim(col(text))))) return pairFn(df)
     val groups = df
-      .select(col(id), col(text), md5(lower(trim(col(text)))).as("__ch"))
+      .select(col(id), col(text), contentHash(col(text)).as("__ch"))
       .groupBy("__ch")
       // any member's raw text works: all normalize identically
       .agg(min(col(id)).as("__rep"), first(col(text)).as("__txt"),

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   private def tokenCount(text: Column): Column =
-    size(split(lower(trim(text)), " ")).cast("long")
+    size(TextAnalysis.tokens(text)).cast("long")
 
   /** Per-document packing manifest: (doc_id, n_tokens, start_offset,
     * chunk_first, chunk_last, n_chunks) under fixed-size chunks of
@@ -42,19 +42,26 @@ object Packing {
     import sp.implicits._
     val toks = df.select(
       col(id).cast("long").as("doc_id"), tokenCount(col(text)).as("n_tokens"))
-    val bounds = toks.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0))
-      return toks.select(col("doc_id"), col("n_tokens"),
-        col("n_tokens").as("start_offset"), col("n_tokens").as("chunk_first"),
-        col("n_tokens").as("chunk_last"), col("n_tokens").as("n_chunks"))
-    // contiguous id-range shards preserve global order across shards
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (mx - mn) / numShards + 1)
-    val sharded = toks.withColumn("__shard", ((col("doc_id") - mn) / width).cast("long"))
+    // contiguous-in-ORDER shards by rank, not by id value: range
+    // repartitioning samples split points, so sparse or outlier id
+    // spaces still spread evenly (value-width shards would collapse a
+    // corpus with one far-out id into a single shard — exactly the
+    // global one-partition window this design exists to avoid). The
+    // output is shard-independent — offsets derive from the global
+    // order alone — so sampled boundaries cannot affect determinism.
+    // The persist pins ONE materialization feeding both the
+    // shard-total collect and the windowed cumsum below (halving the
+    // corpus scan, and guaranteeing both jobs see identical shards);
+    // an operator returning a lazy frame cannot unpersist it — Bench
+    // clears caches per query, repeated callers rely on
+    // ContextCleaner.
+    val sharded = toks.repartitionByRange(math.max(1, numShards), col("doc_id"))
+      .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = sharded.withColumn("__cum",
       sum("n_tokens").over(Window.partitionBy("__shard").orderBy("doc_id")))
     val shardTotals = sharded.groupBy("__shard").agg(sum("n_tokens").as("__tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
     val offsets = shardTotals
       .scanLeft((-1L, 0L, 0L)) { case ((_, acc, tot), (sh, t)) => (sh, acc + tot, t) }
       .drop(1).map { case (sh, off, _) => (sh, off) }

@@ -389,13 +389,26 @@ object Similarity {
       id: String, emb: String,
       blocksPerCell: Int): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(df, nCells, trainIters, id, emb))
-    val nb =
-      if (blocksPerCell > 0) blocksPerCell
-      else autoBlocks(math.max(1L,
-        df.select(col(id)).count() / math.max(1, cents.length)))
-    val blocks = df
+    val assigned = df
       .select(col(id), col(emb))
       .withColumn("__cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // block count sized from the LARGEST cell, not the average:
+    // autoBlocks bounds the per-block collect_list row width, and a
+    // skewed quantizer (half the corpus in one cell) would overrun an
+    // average-based bound by the skew factor. One extra bounded agg
+    // (nCells rows) over the persisted assignment, which also feeds
+    // the lazy block build below — the operator cannot unpersist a
+    // relation under a frame it returns (same cache-lifetime contract
+    // as the pipeline entry: Bench clears caches per query, other
+    // repeated callers rely on ContextCleaner).
+    val nb =
+      if (blocksPerCell > 0) blocksPerCell
+      else autoBlocks(math.max(1L, {
+        val r = assigned.groupBy("__cell").count().agg(max("count")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0)
+      }))
+    val blocks = assigned
       .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
       .groupBy("__cell", "__blk")
       .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))

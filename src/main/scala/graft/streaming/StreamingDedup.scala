@@ -36,7 +36,7 @@ object StreamingDedup {
                   lateness: String = "10 minutes",
                   text: String = "text"): DataFrame =
     stream
-      .withColumn("content_hash", md5(lower(trim(col(text)))))
+      .withColumn("content_hash", graft.ops.Dedup.contentHash(col(text)))
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 }

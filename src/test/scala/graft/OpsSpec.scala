@@ -526,8 +526,12 @@ class OpsSpec extends SparkSpec {
   test("packing manifest covers the token stream exactly, independent of shard count") {
     import spark.implicits._
     val budget = 64
+    // incl. a far-outlier id: rank-based shards must stay balanced and
+    // the global order (outlier last) must hold
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.limit(1).select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
     Seq(1, 7, 1024).foreach { shards =>
-      val m = graft.ops.Packing.manifest(docs, budget, numShards = shards)
+      val m = graft.ops.Packing.manifest(corpus, budget, numShards = shards)
         .orderBy("doc_id").collect()
       // offsets are the id-ordered prefix sums: contiguous, no gaps
       var expect = 0L
@@ -538,6 +542,7 @@ class OpsSpec extends SparkSpec {
         assert(r.getLong(3) == r.getLong(2) / budget)
         assert(r.getLong(4) == (r.getLong(2) + r.getLong(1) - 1) / budget)
       }
+      assert(m.last.getLong(0) >= 1000000000000L, "outlier id must pack last")
     }
   }
 
