@@ -466,6 +466,26 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
           col("top_word_ratio"), col("gopher_keep"))
         .orderBy("doc_id")),
+    // redaction over planted deterministic PII (the synthetic corpus
+    // has none): every 10th doc gains an email + URL tail
+    "q_text_redact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or visit https://ex.org/p"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withRedaction(d)
+        .select(col("doc_id"), col("n_redactions"), col("text_redacted"))
+        .orderBy("doc_id")
+    }),
+    // exact per-source token-count quantiles (corpus length profile)
+    "q_stats_quantiles" -> ((s, dir) =>
+      TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .groupBy("source")
+        .agg(round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
+        .orderBy("source")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
@@ -989,6 +1009,29 @@ object SparkEntry {
                      WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred,
                 count(*) AS cnt
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_text_redact" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or visit https://ex.org/p' || CAST(doc_id AS VARCHAR)
+               ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, 'https?://[^\s]+')))::BIGINT AS n_redactions,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g') AS text_redacted
+         FROM d ORDER BY doc_id""",
+
+    "q_stats_quantiles" ->
+      """WITH t AS (SELECT source, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents)
+         SELECT source, round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+           max(n_tokens) AS max_tokens
+         FROM t GROUP BY source ORDER BY source""",
 
     "q_text_gopher" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),

@@ -122,6 +122,27 @@ object TextAnalysis {
       .drop("__top")
   }
 
+  /** PII-style pattern redaction: emails and URLs replaced with typed
+    * placeholders, with a per-document replacement count kept for
+    * audit. Patterns stay inside the RE2-compatible regex subset
+    * (character classes, bounded repetition — no lookaround), so any
+    * engine reproduces them verbatim; replacement is global in both.
+    * Counting runs against the ORIGINAL text for both patterns, so an
+    * email inside a URL counts twice by contract. Per-document
+    * projection — no shuffle, codegen'd regex built-ins.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_redactions",
+        (regexp_count(col(textCol), lit(EmailPattern)) +
+          regexp_count(col(textCol), lit(UrlPattern))).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"))
+
   /** Content fingerprint: hash of the sorted distinct token set —
     * stable under token reordering (bag-of-words identity). md5 keeps
     * it reproducible in any SQL engine.
