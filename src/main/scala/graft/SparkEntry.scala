@@ -707,6 +707,14 @@ object SparkEntry {
           TextAnalysis.withQuality(Tables.documents(s, dir)), k = 5, score = "quality")
         .select(col("doc_id"), col("source"), col("quality"))
         .orderBy("doc_id")),
+    // data-driven mixing: sample each source to a token budget (rates
+    // derived from per-source totals, then the same md5 rule)
+    "q_sample_budget" -> ((s, dir) =>
+      Sampling.toTokenBudget(
+          TextAnalysis.withTokenCounts(Tables.documents(s, dir)),
+          budgets = Map("src0" -> 1000000L, "src5" -> 600L, "src6" -> 300L))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
     // deterministic per-source mixing: md5(seed:id) prefix vs rate
     // thresholds — reproducible across engines, no corpus shuffle
     "q_sample_weighted" -> ((s, dir) =>
@@ -1339,6 +1347,22 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
            FROM s)
          SELECT doc_id, source, quality FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // the oracle re-derives the rates from the same totals and builds
+    // identical hex thresholds (printf '%08x' == the Scala helper; the
+    // double arithmetic is the same IEEE divide/min/multiply/floor)
+    "q_sample_budget" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents),
+         tot AS (SELECT source, sum(n_tokens)::BIGINT AS tt FROM t GROUP BY source),
+         b(source, budget) AS (VALUES ('src0', 1000000.0), ('src5', 600.0), ('src6', 300.0)),
+         r AS (SELECT b.source,
+             CASE WHEN least(1.0, budget / greatest(tt, 1)) >= 1.0 THEN 'g0000000'
+                  ELSE printf('%08x', CAST(floor(least(1.0, budget / greatest(tt, 1)) * 4294967296) AS BIGINT)) END AS thr
+           FROM b JOIN tot USING (source))
+         SELECT t.doc_id, t.source FROM t JOIN r USING (source)
+         WHERE substr(md5('graft:' || CAST(t.doc_id AS VARCHAR)), 1, 8) < r.thr
+         ORDER BY t.doc_id""",
 
     "q_sample_weighted" -> {
       val vals = SampleRates.toSeq.sortBy(_._1)

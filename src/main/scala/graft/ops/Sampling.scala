@@ -50,6 +50,27 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Sample each domain down to ≈ a TOKEN budget — the mixing shape a
+    * corpus build actually runs ("2B tokens of crawl, everything from
+    * curated"): keep-rate per domain = budget / total-domain-tokens
+    * (capped at 1), then the same deterministic md5-threshold rule as
+    * [[weighted]]. Rate derivation is one bounded aggregation
+    * (≤ #domains rows collected); domains without a budget are
+    * dropped. Expected token yield per domain is the budget within
+    * sampling noise (the hash is content-independent, so long and
+    * short documents are kept at the same rate).
+    */
+  def toTokenBudget(df: DataFrame, budgets: Map[String, Long],
+                    tokens: String = "n_tokens", seed: String = "graft",
+                    id: String = "doc_id", domain: String = "source"): DataFrame = {
+    val totals = df.groupBy(domain).agg(sum(col(tokens)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = budgets.map { case (d, b) =>
+      d -> math.min(1.0, b.toDouble / math.max(1L, totals.getOrElse(d, 0L)).toDouble)
+    }
+    weighted(df, rates, defaultRate = 0.0, seed = seed, id = id, domain = domain)
+  }
+
   /** Stratified selection: the top `k` rows of each domain by `score`
     * (ties broken by ascending id — deterministic). One window shuffle
     * partitioned by domain; the rank filter prunes before anything

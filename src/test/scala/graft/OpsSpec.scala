@@ -574,6 +574,24 @@ class OpsSpec extends SparkSpec {
 
   // ---- weighted sampling (Sampling) -----------------------------------
 
+  test("token-budget sampling hits the requested per-domain yield, drops unbudgeted") {
+    import spark.implicits._
+    val corpus = (0L until 8000L).map(i => (i, s"src${i % 4}", 50L + (i % 7)))
+      .toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("src0" -> 1000000L, "src1" -> 50000L, "src2" -> 10000L)
+    val yields = graft.ops.Sampling.toTokenBudget(corpus, budgets)
+      .groupBy("source").agg(sum("n_tokens").as("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrcTotal = 2000L * 53  // 2000 docs averaging 53 tokens
+    assert(yields("src0") == corpus.filter(col("source") === "src0")
+      .agg(sum("n_tokens")).head().getLong(0), "over-budget domain keeps everything")
+    assert(math.abs(yields("src1") - 50000L) < perSrcTotal * 0.08,
+      s"src1 yield ${yields("src1")} vs budget 50000")
+    assert(math.abs(yields("src2") - 10000L) < perSrcTotal * 0.08,
+      s"src2 yield ${yields("src2")} vs budget 10000")
+    assert(!yields.contains("src3"), "unbudgeted domain must be dropped")
+  }
+
   test("weighted sampling is deterministic, rate-accurate and seed-disjoint") {
     import spark.implicits._
     val corpus = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
