@@ -722,6 +722,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // the round-5 stages composed the way a pretraining corpus build
+    // chains them: repetition gate → near-dup cluster dedup (keep
+    // canonical) → weighted source mixing → concat-and-chunk packing,
+    // proven end-to-end by one aggregate oracle (the q_pipeline_corpus
+    // pattern applied to the assembly half of the pipeline)
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val gated = TextAnalysis.withRepetitionSignals(Tables.documents(s, dir))
+        .filter(col("gopher_keep"))
+      val kept = Cluster.dedupedCorpus(gated, threshold = 0.4, n = 3)
+      val mixed = Sampling.weighted(kept, SampleRates, defaultRate = 0.3)
+      Packing.manifest(mixed, budget = 256)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("chunk_last")) + 1).as("n_chunks"))
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -1373,6 +1389,54 @@ object SparkEntry {
          WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                < coalesce(thr, '${Sampling.hexThreshold(0.3)}')
          ORDER BY d.doc_id"""
+    },
+
+    "q_pipeline_pretrain" -> {
+      val vals = SampleRates.toSeq.sortBy(_._1)
+        .map { case (d, r) => s"('$d', '${Sampling.hexThreshold(r)}')" }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+         t0 AS (SELECT doc_id, source, text, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         g AS (SELECT doc_id, source, text, ts,
+             CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' ')) ELSE [] END AS g3
+           FROM t0),
+         topw AS (SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, w, count(*) AS c FROM (
+               SELECT doc_id, unnest(ts) AS w FROM t0) GROUP BY 1, 2)
+           GROUP BY 1),
+         f AS (SELECT g.doc_id, g.source, g.text, g.ts FROM g JOIN topw USING (doc_id)
+           WHERE round(topw.topc::DOUBLE / len(ts), 6) <= 0.2
+             AND (CASE WHEN len(g3) > 0
+                  THEN round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
+                  ELSE 0.0 END) <= 0.3),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM f),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM f
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         kept AS (SELECT f.doc_id, f.source, f.ts FROM f
+           JOIN lab ON lab.doc_id = f.doc_id AND lab.cluster_id = f.doc_id),
+         rates(source, thr) AS (VALUES $vals),
+         mixed AS (SELECT kept.doc_id, len(kept.ts)::BIGINT AS n_tokens
+           FROM kept LEFT JOIN rates USING (source)
+           WHERE substr(md5('graft:' || CAST(kept.doc_id AS VARCHAR)), 1, 8)
+                 < coalesce(thr, '${Sampling.hexThreshold(0.3)}')),
+         m AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS so
+           FROM mixed)
+         SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           (max((so + n_tokens - 1) // 256) + 1)::BIGINT AS n_chunks
+         FROM m"""
     },
 
     "q_multimodal_features" ->
