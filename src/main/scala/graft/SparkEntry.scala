@@ -728,8 +728,16 @@ object SparkEntry {
     // proven end-to-end by one aggregate oracle (the q_pipeline_corpus
     // pattern applied to the assembly half of the pipeline)
     "q_pipeline_pretrain" -> ((s, dir) => {
+      // persist the PRUNED gated corpus: clustering, membership,
+      // sampling and packing each re-scan it (~7 consumers), and
+      // without the cache every scan re-runs the repetition-signal
+      // tree including its (doc, word) aggregation join — measured
+      // 50s → 7s at sf0.1 (the q_pipeline_corpus lesson; same cache-
+      // lifetime contract: Bench clears per query)
       val gated = TextAnalysis.withRepetitionSignals(Tables.documents(s, dir))
         .filter(col("gopher_keep"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = Cluster.dedupedCorpus(gated, threshold = 0.4, n = 3)
       val mixed = Sampling.weighted(kept, SampleRates, defaultRate = 0.3)
       Packing.manifest(mixed, budget = 256)
