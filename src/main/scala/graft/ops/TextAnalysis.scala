@@ -98,28 +98,32 @@ object TextAnalysis {
     */
   def withRepetitionSignals(df: DataFrame, id: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    val ts = tokens(col(textCol))
-    def grams(n: Int): Column =
-      when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", slice(ts, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    def dupFrac(g: Column): Column = {
-      val s = size(g)
-      when(s > 0, round((s - size(array_distinct(g))).cast("double") / s, 6))
+    // one fused compiled pass over the token array (see
+    // TokenRepetitionStats for why the composed built-in form is
+    // O(tokens²) interpreted work the moment a FILTER references
+    // these columns — the quality-gate use case). The expression
+    // returns integer counts only; every fraction below is the same
+    // built-in arithmetic as the composed form, so values — and the
+    // DuckDB oracle — are bit-identical. The isNotNull filter
+    // preserves the previous form's inner-join-with-the-explode
+    // semantics (null-text rows produced no token rows and dropped).
+    val st = org.apache.spark.sql.graft.TextFunctions
+      .tokenRepetitionStats(tokens(col(textCol)))
+    def dupFrac(total: Column, distinct: Column): Column =
+      when(total > 0,
+        round((total - distinct).cast("double") / total, 6))
         .otherwise(lit(0.0))
-    }
-    val top = df.select(col(id), explode(ts).as("__w"))
-      .groupBy(id, "__w").agg(count(lit(1)).as("__c"))
-      .groupBy(id).agg(max("__c").as("__top"))
-    df.withColumn("dup_bigram_frac", dupFrac(grams(2)))
-      .withColumn("dup_trigram_frac", dupFrac(grams(3)))
-      .join(top, Seq(id))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__rs", st)
+      .withColumn("dup_bigram_frac",
+        dupFrac(col("__rs.bi_total"), col("__rs.bi_distinct")))
+      .withColumn("dup_trigram_frac",
+        dupFrac(col("__rs.tri_total"), col("__rs.tri_distinct")))
       .withColumn("top_word_ratio",
-        round(col("__top").cast("double") / size(ts), 6))
+        round(col("__rs.top_count").cast("double") / col("__rs.n_tokens"), 6))
       .withColumn("gopher_keep",
         col("top_word_ratio") <= 0.2 && col("dup_trigram_frac") <= 0.3)
-      .drop("__top")
+      .drop("__rs")
   }
 
   /** PII-style pattern redaction: emails and URLs replaced with typed

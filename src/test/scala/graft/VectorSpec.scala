@@ -136,4 +136,46 @@ class VectorSpec extends SparkSpec {
       }
     }
   }
+
+  test("token_repetition_stats compiles strictly and equals the composed gram construction") {
+    import org.apache.spark.sql.graft.TextFunctions
+    import spark.implicits._
+    // randomized corpus over a small vocabulary so gram repeats are
+    // common, plus degenerate shapes (empty, one- and two-token docs)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff")
+    val docs = (1L to 200L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val ts = graft.ops.TextAnalysis.tokens(col("text"))
+    def grams(n: Int) =
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val composed = docs.select(
+      col("doc_id"), size(ts).as("n_tokens"),
+      size(grams(2)).as("bi_total"), size(array_distinct(grams(2))).as("bi_distinct"),
+      size(grams(3)).as("tri_total"), size(array_distinct(grams(3))).as("tri_distinct"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+    val fused = withStrictCodegen {
+      docs.select(col("doc_id"),
+          TextFunctions.tokenRepetitionStats(ts).as("rs"))
+        .select(col("doc_id"), col("rs.n_tokens"),
+          col("rs.bi_total"), col("rs.bi_distinct"),
+          col("rs.tri_total"), col("rs.tri_distinct"), col("rs.top_count"))
+        .collect()
+    }
+    assert(fused.length == 200)
+    fused.foreach { r =>
+      val k = r.getLong(0)
+      // grams(n) yields max(0, len-n+1) entries (empty array below n)
+      assert(r.toSeq.slice(1, 6) == composed(k),
+        s"doc $k: fused ${r.toSeq.slice(1, 6)} != composed ${composed(k)}")
+      assert(r.getInt(6) >= 1 || r.getInt(1) == 0, s"doc $k: top_count sanity")
+    }
+  }
 }
