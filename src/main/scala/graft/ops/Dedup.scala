@@ -410,18 +410,18 @@ object Dedup {
     * per bit). One explode + one groupBy(id) with 64 sums.
     */
   def simhashSignatures(
-      df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val tokRows = df.select(col(id), explode(toks(col(text))).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val summed = tokRows.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    summed.select(col(id), packed.as("simhash"))
-  }
+      df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    // one fused compiled pass per document (see
+    // org.apache.spark.sql.graft.Simhash64) — bit-identical to the
+    // previous explode → groupBy(id) 64-sum form (pinned in
+    // VectorSpec) but shuffle-free: the composed form shuffled every
+    // token of the corpus for a per-document statistic. The
+    // isNotNull filter preserves the explode form's inner semantics
+    // (null-text docs produced no token rows and dropped).
+    df.filter(col(text).isNotNull)
+      .select(col(id),
+        org.apache.spark.sql.graft.TextFunctions.simhash64(toks(col(text)))
+          .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     * Banding on `chunks` equal bit slices of the 64-bit signature:

@@ -91,10 +91,10 @@ object TextAnalysis {
     * prose stays low — the standard cheap pre-filter before any
     * pairwise dedup.
     *
-    * Scale: gram fractions are per-document projections (independent
-    * rows, no shuffle); the top-word share aggregates (doc, word)
-    * counts — two keyed shuffles whose keys are at least as fine as
-    * the document id, so no skew pile-up — and joins back on the id.
+    * Scale: one shuffle-free projection — all counts (gram totals,
+    * distincts, top-word frequency) come from a single compiled pass
+    * over the token array ([[org.apache.spark.sql.graft.TokenRepetitionStats]]);
+    * rows stay independent, so the gate parallelizes trivially.
     */
   def withRepetitionSignals(df: DataFrame, id: String = "doc_id",
                             textCol: String = "text"): DataFrame = {

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -110,10 +110,73 @@ case class TokenRepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash (Charikar 2002) of a token array in one compiled
+  * pass — the per-document form of the frequency-weighted sign-sum:
+  * each token occurrence votes ±1 on every bit of its 64-bit hash;
+  * bit j of the output is set iff the sum is positive.
+  *
+  * Token hashes are `XXH64.hashUTF8String(tok, 42L)` — byte-identical
+  * to Spark's `xxhash64(col)` built-in on a string — so this equals
+  * the composed batch form (`explode → groupBy(id) with 64
+  * conditional sums → bit-pack`, [[graft.ops.Dedup.simhashSignatures]]'
+  * original shape) bit for bit. The composed form shuffles EVERY
+  * token of the corpus to compute a statistic that is per-document;
+  * fusing it makes the signature a narrow shuffle-free projection —
+  * and, because a projection (unlike an aggregation) is a valid
+  * streaming transform, the same expression powers
+  * [[graft.streaming.StreamingNearDedup]].
+  */
+case class Simhash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  /** One pass; ±1 votes accumulated in a 64-int array. Tokens are
+    * assumed non-null (the contract of `split` output).
+    */
+  def core(v: ArrayData): Long = {
+    val n = v.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(v.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
+  }
+
+  override def nullSafeEval(v: Any): Any = core(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("sh", this, classOf[Simhash64].getName)
+      s"${ev.value} = $ref.core($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   /** Struct of repetition counts over a token array — see
     * [[TokenRepetitionStats]].
     */
   def tokenRepetitionStats(tokens: Column): Column =
     GraftColumns.column(TokenRepetitionStats(GraftColumns.expr(tokens)))
+
+  /** 64-bit SimHash of a token array — see [[Simhash64]]. */
+  def simhash64(tokens: Column): Column =
+    GraftColumns.column(Simhash64(GraftColumns.expr(tokens)))
 }

@@ -240,6 +240,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup suppresses reordered/self-repeated replays exact dedup misses") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val base = "the quick brown fox jumps over the lazy dog"
+    val reordered = "dog lazy the over jumps fox brown quick the"
+    val doubled = base + " " + base
+    // precondition, batch-checked: the replays are near-dups by
+    // construction — same simhash (order-free, sign-invariant under
+    // vote doubling) but DIFFERENT md5s, so exact dedup passes them
+    val sigs = graft.ops.Dedup.simhashSignatures(
+      Seq((1L, base), (2L, reordered), (3L, doubled)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L),
+      s"test corpus must collide on simhash: $sigs")
+    val md5s = Seq(base, reordered, doubled).toDF("text")
+      .select(graft.ops.Dedup.contentHash(col("text"))).collect().map(_.getString(0))
+    assert(md5s.distinct.length == 3, "exact hashes must all differ")
+
+    val source = MemoryStream[StreamDoc]
+    val deduped = graft.streaming.StreamingNearDedup.nearDedupStream(
+      source.toDF, eventTimeCol = "ts", lateness = "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_near_dedup").outputMode("append").start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts(t0), base),
+        StreamDoc(2L, ts(t0 + 10), "entirely different words here"))
+      q.processAllAvailable()
+      source.addData(
+        StreamDoc(3L, ts(t0 + 60), reordered), // near-dup replay: suppressed
+        StreamDoc(4L, ts(t0 + 61), doubled), // self-concatenated replay: suppressed
+        StreamDoc(5L, ts(t0 + 62), "a third genuinely distinct document"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_near_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L), s"expected near-dup suppression, got $ids")
+      // state reclaimed past the watermark — the bounded-state trade
+      source.addData(StreamDoc(6L, ts(t0 + 7200), "watermark advancer text"))
+      q.processAllAvailable()
+      source.addData(StreamDoc(7L, ts(t0 + 7210), base))
+      q.processAllAvailable()
+      val after = spark.table("stream_near_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after.contains(7L),
+        s"fingerprint state should be reclaimed past the watermark; got $after")
+    } finally q.stop()
+  }
+
   test("isMarketOpen matches reference boundary semantics (calendar.go:107-137)") {
     import spark.implicits._
     val cal = MarketCalendar("UTC", "09:30:00", "16:00:00",

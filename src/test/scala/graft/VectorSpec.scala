@@ -178,4 +178,37 @@ class VectorSpec extends SparkSpec {
       assert(r.getInt(6) >= 1 || r.getInt(1) == 0, s"doc $k: top_count sanity")
     }
   }
+
+  test("simhash64 compiles strictly and is bit-identical to the composed explode/groupBy form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bb", "c", "dddd", "ee", "foxtrot", "g", "hh")
+    val docs = (1L to 150L).map { i =>
+      val n = 1 + rnd.nextInt(20) // ≥1 token: empty text still yields [""]
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // the pre-fusion formulation, verbatim: explode → 64 conditional
+    // sums per doc → bit-pack
+    val tokRows = docs.select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("__h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    val composed = tokRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val fused = withStrictCodegen {
+      graft.ops.Dedup.simhashSignatures(docs).collect()
+    }
+    assert(fused.length == 150)
+    fused.foreach { r =>
+      assert(r.getLong(1) == composed(r.getLong(0)),
+        s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != composed ${composed(r.getLong(0))}")
+    }
+  }
 }
