@@ -490,6 +490,31 @@ object SparkEntry {
       TextAnalysis.withFingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
         .orderBy("doc_id")),
+    // substring-level dedup: maximal per-doc spans covered by 10-token
+    // windows that occur more than once in the corpus (Lee et al. 2022
+    // re-expressed as a hashed-window shuffle + gaps-and-islands merge)
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10)
+        .orderBy("doc_id", "span_start")),
+    // benchmark decontamination: train docs sharing any trigram with
+    // the held-out eval slice (doc_id % 23 == 0 plays the benchmark
+    // suite); the eval gram set broadcasts, the corpus never shuffles
+    "q_text_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("doc_id") % 23 =!= 0),
+        d.filter(col("doc_id") % 23 === 0), n = 3)
+        .orderBy("doc_id")
+    }),
+    // pair-level attribution: WHICH eval doc leaked into which train
+    // doc (≥ 2 shared trigrams), the actionable decontamination output
+    "q_text_decontaminate_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.contaminationPairs(
+        d.filter(col("doc_id") % 23 =!= 0),
+        d.filter(col("doc_id") % 23 === 0), n = 3, minOverlap = 2)
+        .orderBy("doc_id", "eval_id")
+    }),
 
     // ---- dedup family --------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -637,6 +662,75 @@ object SparkEntry {
       val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           nCells = 2, nProbe = 1, centroids = Some(quantizer))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // product-quantization ANN, trained codebooks (2 Lloyd iterations
+    // of per-subspace L2 k-means) — the production compressed-corpus
+    // shape (m-byte codes + ADC scoring). Approximate by design (no
+    // oracle); the exactness of the ADC machinery itself is pinned by
+    // q_knn_pq_exact below, recall/reconstruction by OpsSpec
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          m = 8, ksub = 16, trainIters = 2)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // PQ under a FULL exhaustive oracle, via a planted-codeword
+    // construction: the codebook is the subvector grid of the 16
+    // lowest-id vectors (exact floats both engines read), and corpus
+    // vector v is the codeword concatenation selected by the nibbles
+    // of a Knuth multiplicative hash of v — injective, so every
+    // corpus vector is a distinct combination and scores are distinct
+    // (rank-boundary gaps ≥ 3e-4 at sf0.01). Encoding is then
+    // LOSSLESS (each subvector sits in the codebook at L2 distance 0,
+    // unique argmin), so ADC == dot(query, vector) exactly and
+    // encode → LUT → ADC → rank all sit under DuckDB's exhaustive
+    // dot-product top-k.
+    "q_knn_pq_exact" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val m = 8; val ksub = 16; val dsub = 8
+      val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1))
+      val cb = Array.tabulate(m, ksub)((j, k) =>
+        donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
+      // nibble j of h(v) = (v * 2654435761) mod 2^32 picks subspace
+      // j's donor — all integer ops, reproduced verbatim in the oracle
+      val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+      val planted = e.select(col("vec_id"),
+        concat((0 until m).map(j =>
+          element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
+            (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
+          .as("embedding"))
+      Similarity.pqTopK(planted, planted.filter(col("vec_id") < 5), k = 10,
+          m = m, ksub = ksub, codebooks = Some(cb))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // IVF-PQ (coarse cells routing + per-cell ADC over m-byte codes)
+    // under the same planted-codeword oracle: raw (non-residual)
+    // encoding is lossless, and probing EVERY cell scores every
+    // candidate exactly once whatever the quantizer — so the full
+    // assignment → probe → per-cell join → ADC → rank pipeline equals
+    // exhaustive dot top-k. Pruned-probe recall and the residual
+    // layout are OpsSpec's checks.
+    "q_knn_ivfpq_exact" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val m = 8; val ksub = 16; val dsub = 8
+      val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1))
+      val cb = Array.tabulate(m, ksub)((j, k) =>
+        donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
+      val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+      val planted = e.select(col("vec_id"),
+        concat((0 until m).map(j =>
+          element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
+            (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
+          .as("embedding"))
+      Similarity.ivfPqTopK(planted, planted.filter(col("vec_id") < 5), k = 10,
+          nCells = 8, nProbe = 8, m = m, ksub = ksub,
+          residual = false, codebooks = Some(cb))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -1008,13 +1102,17 @@ object SparkEntry {
          FROM r WHERE rk <= 2 ORDER BY symbol, epoch, nanoseconds"""
   )
 
-  // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_knn_ivf are
+  // q_dedup_simhash / q_knn_lsh / q_knn_ivf / q_knn_pq are
   // intentionally oracle-free (xxhash64 signatures are engine-specific;
-  // LSH/IVF are approximate by design) — driver records a rows-only
+  // LSH/IVF/PQ are approximate by design) — driver records a rows-only
   // check; their semantics are machine-checked in
   // src/test/scala/graft/OpsSpec.scala (minhash ⊇ exact-Jaccard pairs,
   // simhash banding == brute XOR popcount, LSH top-k recall >= 0.9 vs
-  // brute force, IVF full-probe == brute force).
+  // brute force, IVF full-probe == brute force, PQ ADC == dot with the
+  // codeword reconstruction + training shrinks reconstruction error),
+  // and each has a fully-oracled sibling exercising the same machinery
+  // (q_dedup_minhash, q_knn_lsh_twins, q_knn_ivf_full/pruned,
+  // q_knn_pq_exact).
   private def opsOracleSql: Map[String, String] = Map(
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS ts FROM documents)
@@ -1094,6 +1192,49 @@ object SparkEntry {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    // duplicated 10-token windows (count over window hash), merged per
+    // doc by the standard gaps-and-islands construction
+    "q_dedup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)),' ') AS ts FROM documents),
+         w AS (SELECT doc_id, r.i AS pos, md5(array_to_string(ts[r.i:r.i+9],' ')) AS h
+               FROM tok, LATERAL (SELECT unnest(range(1, len(ts)-8)) AS i) r
+               WHERE len(ts) >= 10),
+         d AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w) t
+               WHERE c > 1),
+         fl AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos, 1, -1000000) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                      THEN 1 ELSE 0 END AS brk FROM d),
+         isl AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+         FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // eval slice = doc_id % 23 == 0; a train doc is contaminated when
+    // it shares >= 1 distinct trigram with the eval gram set
+    "q_text_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM d WHERE doc_id % 23 = 0),
+         tr AS (SELECT doc_id, len(shs) AS train_grams, unnest(shs) AS gram FROM d
+                WHERE doc_id % 23 <> 0)
+         SELECT tr.doc_id, any_value(train_grams) AS train_grams,
+           count(*) AS hit_grams,
+           round(count(*)::DOUBLE / any_value(train_grams), 6) AS contaminated_frac
+         FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id ORDER BY doc_id""",
+
+    "q_text_decontaminate_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         ev AS (SELECT doc_id AS eval_id, unnest(shs) AS gram FROM d WHERE doc_id % 23 = 0),
+         tr AS (SELECT doc_id, unnest(shs) AS gram FROM d WHERE doc_id % 23 <> 0)
+         SELECT tr.doc_id, ev.eval_id, count(*) AS shared_grams
+         FROM tr JOIN ev USING (gram)
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY 1, 2""",
 
     // winnowing (k=3, w=4): md5 each word 3-gram, lexicographic min
     // per 4-gram window, distinct selected hashes; only full windows
@@ -1256,6 +1397,47 @@ object SparkEntry {
            FROM embeddings e, q WHERE e.vec_id != q.query_id),
          ranked AS (SELECT query_id, vec_id, s,
               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // planted-codeword PQ: reconstruct the same corpus (donor nibble
+    // selection is pure integer arithmetic) and rank by exact dot —
+    // lossless encoding makes ADC == dot, see the queries-side note
+    "q_knn_pq_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         donors AS (SELECT vec_id AS k, embedding FROM e WHERE vec_id < 16),
+         corpus AS (
+           SELECT v.vec_id, flatten(list(d.embedding[t.j*8+1 : t.j*8+8] ORDER BY t.j)) AS emb
+           FROM e v CROSS JOIN range(0, 8) t(j)
+           JOIN donors d ON d.k = (((v.vec_id * 2654435761) % 4294967296) >> (4*t.j)) & 15
+           GROUP BY v.vec_id),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM corpus WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_dot_product(c.emb::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM corpus c, q WHERE c.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // full-probe non-residual IVF-PQ on the lossless planted corpus ==
+    // exhaustive dot top-k — identical oracle to q_knn_pq_exact
+    "q_knn_ivfpq_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         donors AS (SELECT vec_id AS k, embedding FROM e WHERE vec_id < 16),
+         corpus AS (
+           SELECT v.vec_id, flatten(list(d.embedding[t.j*8+1 : t.j*8+8] ORDER BY t.j)) AS emb
+           FROM e v CROSS JOIN range(0, 8) t(j)
+           JOIN donors d ON d.k = (((v.vec_id * 2654435761) % 4294967296) >> (4*t.j)) & 15
+           GROUP BY v.vec_id),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM corpus WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_dot_product(c.emb::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM corpus c, q WHERE c.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
            FROM scored)
          SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
          ORDER BY query_id, vec_id""",

@@ -499,4 +499,183 @@ object Dedup {
       val rows = hashedShingleRows(df, id, text, n)
       verifyJaccard(cands, rows, id, threshold)
     }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM shape):
+    * report every training document sharing at least one word n-gram
+    * with an evaluation set, so a corpus build can drop or flag them
+    * before pretraining. Output per contaminated doc: its distinct
+    * gram count, the number of grams colliding with the eval set, and
+    * the contaminated fraction.
+    *
+    * Scale design — the asymmetry is the whole point: `evalSet` is a
+    * bounded benchmark suite (≤ millions of grams), so its distinct
+    * grams BROADCAST; the 100 TB training side is one linear
+    * projection whose exploded grams are consumed map-side by the
+    * broadcast hash join — the corpus's grams never shuffle. Only the
+    * surviving hits (corpus-tiny by construction) reach the per-doc
+    * aggregation, and that shuffle is keyed by doc_id with a map-side
+    * partial count. Raw gram strings (not hashes) are compared, so a
+    * reported collision is a real one.
+    */
+  def contaminationReport(
+      train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    // identical normalized texts have identical reports, so the clone
+    // gate applies here exactly as in the pair ops: the gram explosion
+    // and eval join run once per DISTINCT text, reports fan back out
+    // through membership. Measured: the 50× clone-scaled bench point
+    // fell 163 s → ~4 s while clone-free corpora skip the probe.
+    if (collapseExact && cloneHeavy(train, col(text))) {
+      val groups = train.select(col(id), col(text))
+        .groupBy(contentHash(col(text)).as("__ch"))
+        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
+          sort_array(collect_list(col(id))).as("__ids"))
+      val reps = contaminationDistinct(
+        groups.select(col("__rep").as(id), col(text)), evalSet, n, id, text)
+      reps.join(groups.select(col("__rep").as(id), col("__ids")), id)
+        .select(explode(col("__ids")).as(id), col("train_grams"),
+          col("hit_grams"), col("contaminated_frac"))
+    } else contaminationDistinct(train, evalSet, n, id, text)
+  }
+
+  /** Pair-level contamination attribution: (train doc, eval doc,
+    * shared distinct n-grams) for every pair sharing ≥ `minOverlap`
+    * grams — the actionable form of [[contaminationReport]] (which
+    * eval item leaked, not just that something did). Same asymmetric
+    * scale shape: the eval side broadcasts as (gram, eval_id) rows,
+    * the corpus-side gram stream never shuffles, and only matched
+    * (train, eval, gram) hits reach the pair aggregation.
+    */
+  def contaminationPairs(
+      train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      minOverlap: Long = 2,
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    if (collapseExact && cloneHeavy(train, col(text))) {
+      val groups = train.select(col(id), col(text))
+        .groupBy(contentHash(col(text)).as("__ch"))
+        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
+          sort_array(collect_list(col(id))).as("__ids"))
+      val reps = contaminationPairsDistinct(
+        groups.select(col("__rep").as(id), col(text)), evalSet, n, minOverlap, id, text)
+      reps.join(groups.select(col("__rep").as(id), col("__ids")), id)
+        .select(explode(col("__ids")).as(id), col("eval_id"), col("shared_grams"))
+    } else contaminationPairsDistinct(train, evalSet, n, minOverlap, id, text)
+  }
+
+  private def contaminationPairsDistinct(
+      train: DataFrame, evalSet: DataFrame, n: Int, minOverlap: Long,
+      id: String, text: String): DataFrame = {
+    val t = train.select(col(id), explode(shingles(col(text), n)).as("gram"))
+    val eg = evalSet
+      .select(col(id).as("eval_id"), explode(shingles(col(text), n)).as("gram"))
+    t.join(broadcast(eg), Seq("gram"))
+      .groupBy(col(id), col("eval_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minOverlap)
+  }
+
+  private def contaminationDistinct(
+      train: DataFrame, evalSet: DataFrame, n: Int,
+      id: String, text: String): DataFrame = {
+    val t = train
+      .select(col(id), shingles(col(text), n).as("__g"))
+      .select(col(id), size(col("__g")).cast("long").as("train_grams"),
+        explode(col("__g")).as("gram"))
+    val eg = evalSet.select(explode(shingles(col(text), n)).as("gram")).distinct()
+    t.join(broadcast(eg), Seq("gram"))
+      .groupBy(col(id))
+      .agg(max(col("train_grams")).as("train_grams"),
+        count(lit(1)).as("hit_grams"))
+      .withColumn("contaminated_frac",
+        round(col("hit_grams").cast("double") / col("train_grams"), 6))
+  }
+
+  /** Duplicated-passage spans (the substring-level dedup of Lee,
+    * Ippolito, Nystrom, Zhang, Eck, Callison-Burch, Carlini —
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): every k-token window occurring at more than one (doc,
+    * position) in the corpus marks its tokens duplicated; per doc,
+    * overlapping or touching duplicated windows merge into maximal
+    * spans (1-based token indices, inclusive). The reference
+    * implementation builds a single-machine suffix array; the
+    * distributed shape is a hashed-window equality join — one
+    * full-corpus shuffle keyed by window hash (the honest cost), then
+    * a doc-keyed sort of only the DUPLICATED windows for the
+    * gaps-and-islands merge.
+    *
+    * Clone-heavy corpora hit the same quadratic the pair ops did — g
+    * exact copies of a doc inflate every one of its windows g× through
+    * the hash shuffle — so the collapse gate applies here too: windows
+    * are computed once per distinct text with the group size as a
+    * weight (a window is duplicated iff Σ weight > 1 across its
+    * occurrences, which equals the uncollapsed count), and spans
+    * propagate to members through group membership (clones share the
+    * normalized token stream, hence identical spans).
+    */
+  def duplicatedSpans(
+      df: DataFrame, k: Int = 10,
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true,
+      hash: String = "md5"): DataFrame = {
+    if (collapseExact && cloneHeavy(df, col(text))) {
+      val groups = df.select(col(id), col(text))
+        .groupBy(contentHash(col(text)).as("__ch"))
+        // min(text) is deterministic and normalize-identical across the
+        // group, so the representative's spans are every member's spans
+        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
+          sort_array(collect_list(col(id))).as("__ids"))
+      val repSpans = spansOf(groups.select(col("__rep").as(id), col(text),
+        size(col("__ids")).cast("long").as("__w")), k, id, text, hash)
+      repSpans.join(groups.select(col("__rep").as(id), col("__ids")), id)
+        .select(explode(col("__ids")).as(id), col("span_start"), col("span_end"))
+    } else
+      spansOf(df.select(col(id), col(text), lit(1L).as("__w")), k, id, text, hash)
+  }
+
+  /** Span computation over (id, text, __w[eight]) rows — see
+    * [[duplicatedSpans]] for semantics and the weight's role. `hash`
+    * picks the window key for the op's one full-corpus shuffle:
+    * "md5" (the DuckDB-reproducible oracle default, 32-hex strings) or
+    * "xxhash64" (8-byte longs — the production knob, same selection
+    * semantics since only key equality matters; same trade as
+    * [[graft.ops.TextAnalysis.winnowingFingerprints]]).
+    */
+  private def spansOf(df: DataFrame, k: Int, id: String, text: String,
+      hash: String): DataFrame = {
+    def hashOf(c: Column): Column = hash match {
+      case "md5" => md5(c)
+      case "xxhash64" => xxhash64(c)
+      case other => throw new IllegalArgumentException(s"unknown hash: $other")
+    }
+    val ts = toks(col(text))
+    val windows = df
+      .filter(size(ts) >= k)
+      .select(col(id), col("__w"),
+        explode(transform(sequence(lit(1), size(ts) - (k - 1)),
+          i => struct(i.cast("long").as("pos"),
+            hashOf(concat_ws(" ", slice(ts, i, lit(k)))).as("h")))).as("__win"))
+      .select(col(id), col("__w"), col("__win.pos").as("pos"), col("__win.h").as("h"))
+    // Σ weight over identical windows == the uncollapsed occurrence
+    // count; boilerplate mega-windows are the skew case — they sort in
+    // one hash partition, which the clone collapse bounds for the
+    // dominant (exact-duplicate-doc) source of such windows
+    val dup = windows
+      .withColumn("__c", sum(col("__w")).over(Window.partitionBy("h")))
+      .filter(col("__c") > 1)
+      .select(col(id), col("pos"))
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    // gaps-and-islands: windows at pos and pos' ≤ pos + k overlap or
+    // touch (cover contiguous duplicated text), so a gap > k breaks
+    dup
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1, -1000000L).over(byDoc) > k, 1)
+          .otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(byDoc))
+      .groupBy(col(id), col("__g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong) - 1L).as("span_end"))
+      .select(col(id), col("span_start"), col("span_end"))
+  }
 }

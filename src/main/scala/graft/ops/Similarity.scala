@@ -492,6 +492,178 @@ object Similarity {
       .select("id1", "id2", "score")
   }
 
+  /** Deterministic PQ codebook init: subspace j's codewords are the
+    * j-th subvectors of the `ksub` lowest-xxhash64(id) corpus rows —
+    * the per-subspace analog of [[sampledCentroids]].
+    */
+  def sampledPqCodebooks(
+      corpus: DataFrame, m: Int, ksub: Int,
+      id: String = "vec_id", emb: String = "embedding"): Array[Array[Array[Float]]] = {
+    val rows = corpus.select(col(id), col(emb))
+      .orderBy(xxhash64(col(id)), col(id))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1))
+    require(rows.length == ksub, s"corpus has ${rows.length} rows < ksub $ksub")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m, ksub)((j, k) => rows(k).slice(j * dsub, (j + 1) * dsub).toArray)
+  }
+
+  /** PQ codebook training: `iters` Lloyd iterations of per-subspace
+    * L2 k-means, all m subspaces in one distributed pass per
+    * iteration — assignment is a single fused [[VectorFunctions.pqEncode]]
+    * projection over the corpus, the update one (subspace, code, dim)
+    * mean shuffle of corpusRows × d value rows, and the collect is
+    * m·ksub·dsub rows (the codebook itself), never corpus-sized. A
+    * codeword left empty by an iteration keeps its previous value.
+    * Same float-mean caveat as [[trainedCentroids]]: cell structure is
+    * stable run to run, the mean's last bits are not — exact-oracle
+    * consumers must not depend on trained codebook bits.
+    */
+  def trainedPqCodebooks(
+      corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+      id: String = "vec_id", emb: String = "embedding"): Array[Array[Array[Float]]] = {
+    var cb = sampledPqCodebooks(corpus, m, ksub, id, emb)
+    if (iters <= 0) return cb
+    val dsub = cb.head.head.length
+    val base = corpus.select(col(emb))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until iters).foreach { _ =>
+        val means = base
+          .select(col(emb),
+            posexplode(VectorFunctions.pqEncode(col(emb), cb, bytes = false))
+              .as(Seq("j", "code")))
+          .select(col("j"), col("code"),
+            posexplode(slice(col(emb), col("j") * lit(dsub) + lit(1), lit(dsub)))
+              .as(Seq("t", "v")))
+          .groupBy("j", "code", "t").agg(avg(col("v")).as("mv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+          .toMap
+        cb = Array.tabulate(m, ksub) { (j, k) =>
+          if (means.contains((j, k, 0)))
+            Array.tabulate(dsub)(t => means((j, k, t)).toFloat)
+          else cb(j)(k)
+        }
+      }
+      cb
+    } finally { base.unpersist(); () }
+  }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): encode the
+    * corpus to m-byte codes, score queries by asymmetric distance
+    * (dot with the codeword reconstruction) and take top-k. Same
+    * output shape as [[bruteForceTopK]], but the corpus side of the
+    * scan carries 4·d/m× less data (8 B vs 256 B at d=64, m=8) and
+    * each pair costs m table adds instead of a d-element dot — the
+    * memory-bound regime PQ exists for. At 100 TB the encoded corpus
+    * is what you'd persist; `codebooks` injects a pretrained
+    * quantizer (the serving shape), `trainIters` > 0 Lloyd-trains one
+    * here ([[trainedPqCodebooks]]), and the default is the sampled
+    * init. Scores are dot products (on unit-normalized corpora ≅
+    * cosine); approximate unless encoding is lossless — recall is
+    * OpsSpec's check, the exactness identity ADC == dot(q,
+    * reconstruction) is pinned by the planted-codeword oracle entry.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 0,
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val cb = codebooks.getOrElse(
+      if (trainIters <= 0) sampledPqCodebooks(corpus, m, ksub, id, emb)
+      else trainedPqCodebooks(corpus, m, ksub, trainIters, id, emb))
+    // the compressed corpus: (id, m-byte code) — at scale this is the
+    // stored/scanned relation, vectors never ride the scoring scan
+    val encoded = corpus.select(col(id).as("cand_id"),
+      VectorFunctions.pqEncode(col(emb), cb).as("__code"))
+    // queries are the bounded broadcast side (bruteForceTopK's
+    // contract); each carries its ADC table, computed once per query
+    val q = broadcast(queries.select(col(id).as("query_id"),
+      VectorFunctions.pqLut(col(emb), cb).as("__lut")))
+    val ksubN = cb.head.length
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    encoded.crossJoin(q)
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", VectorFunctions.pqAdcScore(col("__code"), col("__lut"), m, ksubN))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
+  /** IVF-PQ — the standard billion-scale ANN layout (Jégou et al.,
+    * TPAMI 2011 §V; the serving shape of FAISS-style indexes): a
+    * coarse quantizer routes each vector to a cell, PQ codes compress
+    * what's stored per cell, and a query probes its `nProbe` best
+    * cells scoring m-byte codes by ADC. Composition of the two
+    * shipped primitives: the cell-keyed shuffle of [[ivfTopK]] (each
+    * query touches ~nProbe/nCells of the corpus) over the compressed
+    * codes of [[pqTopK]] (8 B instead of 256 B per stored vector at
+    * d=64, m=8) — at 100 TB the per-cell code relation is ~1/32 the
+    * raw corpus and the probe scan is ADC table adds.
+    *
+    * `residual = true` (the paper's §V layout) encodes v − c(v): the
+    * score is dot(q, c) + ADC(code, LUT(q)) — reconstruction error
+    * drops because residuals concentrate near 0. `false` encodes raw
+    * vectors (score = ADC alone), which makes full-probe search on a
+    * lossless-codebook corpus EXACTLY exhaustive — the oracle
+    * configuration (`q_knn_ivfpq_exact`). Scores are dot products,
+    * directly comparable to [[pqTopK]]/[[bruteForceTopK]]-on-dots.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16,
+      trainIters: Int = 0, residual: Boolean = true,
+      centroids: Option[Array[Seq[Float]]] = None,
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val cents = centroids.getOrElse(
+      if (trainIters <= 0) sampledCentroids(corpus, nCells, id, emb)
+      else trainedCentroids(corpus, nCells, trainIters, id, emb))
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    def centOf(cell: Column): Column = element_at(centsLit, cell + 1)
+    def resid(v: Column, cell: Column): Column =
+      zip_with(v, centOf(cell), (x, c) => x - c)
+    val assigned = corpus
+      .withColumn("cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+      .withColumn("__enc",
+        if (residual) resid(col(emb), col("cell")) else col(emb))
+    val cb = codebooks.getOrElse(trainedPqCodebooks(
+      assigned.select(col(id), col("__enc").as(emb)), m, ksub,
+      math.max(trainIters, 1), id, emb))
+    // the stored relation: (cell, id, m-byte code) — nothing else
+    // rides the probe join
+    val encoded = assigned.select(col("cell"), col(id).as("cand_id"),
+      VectorFunctions.pqEncode(col("__enc"), cb).as("__code"))
+    // per query: nProbe probe rows; the ADC table is built from the
+    // FULL query vector (dot(q, c + r̂) = dot(q,c) + dot(q, r̂)), the
+    // centroid dot is the per-cell scalar correction
+    val probes = queries
+      .withColumn("__cells",
+        slice(reverse(array_sort(cellScores(col(emb), cents))), 1, nProbe))
+      .select(col(id).as("query_id"), col(emb).as("__q"),
+        explode(col("__cells").getField("cell")).as("cell"))
+      .withColumn("__lut", VectorFunctions.pqLut(col("__q"), cb))
+      .withColumn("__cdot",
+        if (residual) VectorFunctions.dotF(col("__q"), centOf(col("cell")))
+        else lit(0.0))
+      .select(col("query_id"), col("cell"), col("__lut"), col("__cdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", col("__cdot") +
+        VectorFunctions.pqAdcScore(col("__code"), col("__lut"), m, cb.head.length))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
   /** Cap on vectors collected into one block row of
     * [[cosineDedupPairs]] (~1 MB of f4 at d=64).
     */

@@ -311,6 +311,188 @@ case class CentroidStructScores(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encode (Jégou, Douze, Schmid — "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
+  * the vector into `m` subvectors of `dsub` dims, replace each with
+  * the index of its nearest (L2) codeword among `ksub` per-subspace
+  * centroids. Output is the m-byte code — the compressed corpus
+  * representation: at d=64 f4 a vector shrinks 32× (256 B → 8 B), so
+  * the ANN scan/cache/shuffle at 100 TB carries codes, not vectors.
+  *
+  * `bytes = false` emits array<int> instead (the training path needs
+  * posexplode over the assignments; binary has no generator).
+  *
+  * Same fused-expression rationale as [[CentroidStructScores]]: the
+  * codebook tensor rides along as ONE flattened float[] reference and
+  * the argmin loops live in this class's compiled [[core]], called
+  * from the generated code — O(1) codegen source in m·ksub·dsub.
+  * Ties break to the lowest codeword index; a wrong-dimension vector
+  * throws (never clamps).
+  */
+case class PqEncode(
+    child: Expression, codebooks: IndexedSeq[Float],
+    m: Int, ksub: Int, dsub: Int, bytes: Boolean = true)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.length == m * ksub * dsub,
+    s"codebook tensor length ${codebooks.length} != $m*$ksub*$dsub")
+  require(ksub >= 1 && ksub <= 256, s"ksub $ksub outside byte-code range 1..256")
+
+  override def prettyName: String = "pq_encode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    if (bytes) BinaryType else ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val flat: Array[Float] = codebooks.toArray
+
+  /** Compiled per-row argmin; called from eval and generated code. */
+  def core(v: ArrayData): Any = {
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${v.numElements()} != $m*$dsub")
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < ksub) {
+        var d2 = 0.0
+        val off = (j * ksub + k) * dsub
+        var t = 0
+        while (t < dsub) {
+          val diff = v.getFloat(j * dsub + t).toDouble - flat(off + t).toDouble
+          d2 += diff * diff
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = k }
+        k += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    if (bytes) {
+      val out = new Array[Byte](m)
+      var i = 0
+      while (i < m) { out(i) = codes(i).toByte; i += 1 }
+      out
+    } else new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(v: Any): Any = core(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqe", this, classOf[PqEncode].getName)
+      val jt = if (bytes) "byte[]"
+        else "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"${ev.value} = ($jt) $ref.core($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table: element j·ksub + k is the
+  * double-accumulated dot of the query's j-th subvector with codeword
+  * k of subspace j. Computed ONCE per query row (the bounded side);
+  * scoring a code is then m table adds ([[PqAdcScore]]) instead of a
+  * d-element dot — the asymmetric-distance trick that makes PQ scans
+  * d/m× cheaper in flops on top of the 4·d/m× smaller corpus.
+  */
+case class PqLut(
+    child: Expression, codebooks: IndexedSeq[Float],
+    m: Int, ksub: Int, dsub: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.length == m * ksub * dsub,
+    s"codebook tensor length ${codebooks.length} != $m*$ksub*$dsub")
+
+  override def prettyName: String = "pq_lut"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val flat: Array[Float] = codebooks.toArray
+
+  def core(v: ArrayData): ArrayData = {
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector length ${v.numElements()} != $m*$dsub")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < ksub) {
+        var dot = 0.0
+        val off = (j * ksub + k) * dsub
+        var t = 0
+        while (t < dsub) {
+          dot += v.getFloat(j * dsub + t).toDouble * flat(off + t).toDouble
+          t += 1
+        }
+        out(j * ksub + k) = dot
+        k += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = core(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pql", this, classOf[PqLut].getName)
+      s"${ev.value} = $ref.core($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric-distance score of an m-byte PQ code against a query's
+  * [[PqLut]] table: Σ_j lut[j·ksub + code[j]]. Equals the exact dot
+  * product of the query with the code's RECONSTRUCTION (the codeword
+  * concatenation) — lossless-encoding corpora therefore score
+  * exactly, which is what the planted-codeword oracle pins. The loop
+  * is m adds per pair, inlined into whole-stage codegen.
+  */
+case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "pq_adc_score"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val lut = r.asInstanceOf[ArrayData]
+    if (codes.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: code length ${codes.length} != m $m")
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + (codes(j) & 0xFF)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      s"""
+         |if ($a.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score: code length " + $a.length + " != m $m");
+         |}
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $b.getDouble($j * $ksub + ($a[$j] & 0xFF));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumns.column(CosineSimilarity(GraftColumns.expr(a), GraftColumns.expr(b)))
@@ -337,6 +519,33 @@ object VectorFunctions {
     GraftColumns.column(CentroidStructScores(GraftColumns.expr(v),
       centroids.flatten.toIndexedSeq, nCells, dim))
   }
+
+  /** m-byte PQ code of a vector against a (m)(ksub)(dsub) codebook
+    * tensor — see [[PqEncode]]; `bytes = false` gives array<int> for
+    * the training path's posexplode.
+    */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]],
+      bytes: Boolean = true): Column = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    GraftColumns.column(PqEncode(GraftColumns.expr(v),
+      codebooks.flatten.flatten.toIndexedSeq, m, ksub, dsub, bytes))
+  }
+  /** Per-query ADC lookup table (m·ksub dots) — see [[PqLut]]. */
+  def pqLut(v: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    GraftColumns.column(PqLut(GraftColumns.expr(v),
+      codebooks.flatten.flatten.toIndexedSeq, m, ksub, dsub))
+  }
+  /** ADC score of a code column against a LUT column — see
+    * [[PqAdcScore]].
+    */
+  def pqAdcScore(codes: Column, lut: Column, m: Int, ksub: Int): Column =
+    GraftColumns.column(PqAdcScore(GraftColumns.expr(codes),
+      GraftColumns.expr(lut), m, ksub))
 
   /** Register cosine_sim/dot_f/l2_norm for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

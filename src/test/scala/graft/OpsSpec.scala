@@ -614,4 +614,258 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(overlap - 0.25) < 0.05,
       s"seed-disjoint samples should intersect at r² ≈ 0.25, got $overlap")
   }
+
+  /** The q_knn_pq_exact construction: codebook = subvector grid of the
+    * 16 lowest-id vectors, corpus vector v = the codeword concatenation
+    * picked by the nibbles of knuth-hash(v) — encoding is lossless, so
+    * ADC == dot. Returns (planted corpus, codebooks).
+    */
+  private def plantedPqCorpus: (org.apache.spark.sql.DataFrame, Array[Array[Array[Float]]]) = {
+    val m = 8; val ksub = 16; val dsub = 8
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1))
+    val cb = Array.tabulate(m, ksub)((j, k) =>
+      donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
+    val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val planted = e.select(col("vec_id"),
+      concat((0 until m).map(j =>
+        element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
+          (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
+        .as("embedding"))
+    (planted, cb)
+  }
+
+  /** Exhaustive dot-product top-k pairs over `corpus` for queries
+    * (vec_id < 5), the reference ranking for the lossless-PQ checks.
+    */
+  private def bruteDotTop(corpus: org.apache.spark.sql.DataFrame, k: Int): Seq[(Long, Long)] = {
+    val q = corpus.filter(col("vec_id") < 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("s").desc, col("vec_id").asc)
+    corpus
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("s", org.apache.spark.sql.graft.VectorFunctions
+        .dotF(col("embedding"), col("qe")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "vec_id").select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("pq on a planted-codeword corpus equals exhaustive dot top-k") {
+    val (planted, cb) = plantedPqCorpus
+    val q = planted.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(planted, q, k = 10, m = 8, ksub = 16,
+        codebooks = Some(cb))
+      .orderBy("query_id", "vec_id").select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = bruteDotTop(planted, 10)
+    assert(pq.nonEmpty && pq == brute,
+      s"lossless PQ diverged from exhaustive dot top-k")
+  }
+
+  test("ivf-pq full probe on the planted corpus equals exhaustive dot top-k") {
+    // raw (non-residual) encoding is lossless on the planted corpus
+    // and full probing scores every candidate once whatever the
+    // quantizer — assignment, probe routing, per-cell join and ADC all
+    // sit under the exhaustive reference
+    val (planted, cb) = plantedPqCorpus
+    val q = planted.filter(col("vec_id") < 5)
+    val out = Similarity.ivfPqTopK(planted, q, k = 10, nCells = 8, nProbe = 8,
+        m = 8, ksub = 16, residual = false, codebooks = Some(cb))
+      .orderBy("query_id", "vec_id").select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.nonEmpty && out == bruteDotTop(planted, 10),
+      "full-probe ivf-pq diverged from exhaustive dot top-k")
+  }
+
+  test("ivf-pq residual scoring equals exact dot on a lattice-planted clustered corpus") {
+    import spark.implicits._
+    // Two clusters at ±8·1⃗ with residuals drawn from a dyadic 1/16
+    // lattice in [-1, 1]: 8 is a power of two and lattice values have
+    // tiny mantissas, so (±8 + x) - (±8) == x EXACTLY in float — the
+    // residual a member carries is bit-identical to its codeword, the
+    // encoding is lossless, and dot(q, c) + ADC must equal the exact
+    // dot(q, v) up to summation-order noise.
+    val m = 2; val ksub = 8; val dsub = 4; val dim = m * dsub
+    val rnd = new scala.util.Random(23)
+    val cb: Array[Array[Array[Float]]] =
+      Array.fill(m, ksub, dsub)((rnd.nextInt(33) - 16) / 16.0f)
+    val cents: Array[Seq[Float]] =
+      Array(Seq.fill(dim)(8.0f), Seq.fill(dim)(-8.0f))
+    val rows = (0 until 24).map { i =>
+      val cluster = i % 2
+      val codes = Array.tabulate(m)(j => (i * 7 + j * 3) % ksub)
+      val v = (0 until dim).map { t =>
+        cents(cluster)(t) + cb(t / dsub)(codes(t / dsub))(t % dsub)
+      }
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // k covers the whole corpus: every pair's score is checked, no
+    // rank-boundary sensitivity to lattice ties
+    val scored = Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 5),
+        k = 30, nCells = 2, nProbe = 2, m = m, ksub = ksub,
+        residual = true, centroids = Some(cents), codebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored.size == 5 * 23, s"expected all pairs, got ${scored.size}")
+    val byId = rows.toMap
+    scored.foreach { case ((qid, cid), s) =>
+      val exact = byId(qid).zip(byId(cid))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(math.abs(s - exact) < 1e-9,
+        s"pair ($qid,$cid): ivf-pq residual score $s != exact dot $exact")
+    }
+  }
+
+  test("pq training reduces quantization error and holds useful recall") {
+    val q = embs.filter(col("vec_id") < 5)
+    // reconstruction MSE of the whole corpus under sampled vs trained
+    // codebooks — Lloyd iterations must not increase it
+    def mse(cb: Array[Array[Array[Float]]]): Double = {
+      val m = cb.length; val dsub = cb.head.head.length
+      val rows = embs.select(col("embedding"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .pqEncode(col("embedding"), cb, bytes = false).as("code"))
+        .collect()
+      val errs = rows.map { r =>
+        val v = r.getSeq[Float](0); val code = r.getSeq[Int](1)
+        (0 until m).map { j =>
+          val cw = cb(j)(code(j))
+          (0 until dsub).map { t =>
+            val d = v(j * dsub + t).toDouble - cw(t).toDouble; d * d }.sum
+        }.sum
+      }
+      errs.sum / errs.length
+    }
+    val sampled = Similarity.sampledPqCodebooks(embs, m = 8, ksub = 16)
+    val trained = Similarity.trainedPqCodebooks(embs, m = 8, ksub = 16, iters = 2)
+    val (m0, m2) = (mse(sampled), mse(trained))
+    assert(m2 <= m0 * 1.0001, s"training increased reconstruction MSE: $m0 -> $m2")
+    assert(m2 < m0, s"two Lloyd iterations should strictly shrink MSE on this corpus")
+    // trained-PQ ANN keeps useful recall vs brute cosine on the raw
+    // corpus (isotropic worst case; scores are dots on raw vectors, so
+    // compare against dot-ranked exhaustive top-k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("s").desc, col("vec_id").asc)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(embs
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("s", org.apache.spark.sql.graft.VectorFunctions
+        .dotF(col("embedding"), col("qe")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("query_id"), col("vec_id")))
+    val pq = pairs(Similarity.pqTopK(embs, q, k = 20, m = 8, ksub = 16,
+      codebooks = Some(trained)))
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 8 subspaces × 16 codewords on 64-d isotropic gaussians is a
+    // coarse quantizer — demand the ranking carries real signal, not
+    // exactness
+    assert(recall >= 0.3, s"trained-PQ top-20 recall $recall vs dot brute force")
+  }
+
+  test("duplicated spans find planted cross-doc runs; clone gate preserves output") {
+    import spark.implicits._
+    // A and B share a 12-token run at different offsets; C is clean
+    val shared = (1 to 12).map(i => s"s$i")
+    val a = ((1 to 5).map(i => s"a$i") ++ shared ++ (1 to 5).map(i => s"az$i")).mkString(" ")
+    val b = ((1 to 7).map(i => s"b$i") ++ shared ++ (1 to 3).map(i => s"bz$i")).mkString(" ")
+    val c = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame, collapse: Boolean) =
+      Dedup.duplicatedSpans(df, k = 10, collapseExact = collapse).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // k=10 windows fully inside the shared run: A positions 6..8 →
+    // span tokens 6..17 (the run, exactly); B at 8..10 → 8..19
+    assert(spans(corpus, false) == Set((1L, 6L, 17L), (2L, 8L, 19L)),
+      s"got ${spans(corpus, false)}")
+    // two separated shared runs in one doc stay two islands
+    val r1 = (1 to 10).map(i => s"x$i"); val r2 = (1 to 10).map(i => s"y$i")
+    val d = (r1 ++ (1 to 11).map(i => s"g$i") ++ r2).mkString(" ")
+    val e = (r1 ++ (1 to 11).map(i => s"h$i") ++ r2).mkString(" ")
+    val two = Seq((10L, d), (11L, e)).toDF("doc_id", "text")
+    assert(spans(two, false) ==
+      Set((10L, 1L, 10L), (10L, 22L, 31L), (11L, 1L, 10L), (11L, 22L, 31L)))
+    // exact clones: every doc becomes one full-width span, and the
+    // collapse gate must not change the output
+    val cloned = corpus.unionByName(
+      corpus.select((col("doc_id") + 100).as("doc_id"), col("text")))
+    val gated = spans(cloned, true)
+    assert(gated == spans(cloned, false), "collapse gate changed span output")
+    assert(gated.contains((3L, 1L, 30L)) && gated.contains((103L, 1L, 30L)),
+      s"cloned docs should be fully duplicated: $gated")
+    // the xxhash64 production knob selects identical spans (only key
+    // equality matters) — checked on the real corpus too
+    val md5Spans = Dedup.duplicatedSpans(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val xxSpans = Dedup.duplicatedSpans(docs, k = 10, hash = "xxhash64").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(md5Spans == xxSpans, "hash knob changed the span selection")
+    assert(md5Spans.nonEmpty, "sf0.001 corpus should contain duplicated runs")
+  }
+
+  test("contamination report matches a literal per-doc gram intersection") {
+    val d = docs.select("doc_id", "text")
+    val report = Dedup.contaminationReport(
+        d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0), n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(report.nonEmpty, "synthetic corpus should contaminate")
+    // recompute from scratch: distinct trigram sets per doc, eval
+    // union, per-train-doc intersection size
+    def grams(text: String): Set[String] = {
+      val ts = text.trim.toLowerCase.split(" ", -1).toSeq
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    val all = d.collect().map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val evalGrams = all.filter(_._1 % 23 == 0).values.flatten.toSet
+    val expected = all.filter(_._1 % 23 != 0)
+      .map { case (id, g) => id -> (g.size.toLong, g.count(evalGrams).toLong) }
+      .filter(_._2._2 > 0)
+    assert(report.keySet == expected.keySet,
+      s"contaminated doc sets differ: ${report.keySet.diff(expected.keySet)} / ${expected.keySet.diff(report.keySet)}")
+    expected.foreach { case (id, (tg, hg)) =>
+      val (rtg, rhg, frac) = report(id)
+      assert(rtg == tg && rhg == hg, s"doc $id: got ($rtg,$rhg) want ($tg,$hg)")
+      assert(math.abs(frac - hg.toDouble / tg) < 1e-6)
+    }
+    // pair attribution: every (train, eval) pair's shared-gram count
+    val pairRep = Dedup.contaminationPairs(
+        d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0),
+        n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expectedPairs = (for {
+      (tid, tg) <- all.toSeq if tid % 23 != 0
+      (eid, eg) <- all.toSeq if eid % 23 == 0
+      shared = (tg & eg).size if shared >= 2
+    } yield (tid, eid) -> shared.toLong).toMap
+    assert(pairRep == expectedPairs, "pair attribution diverged from literal recompute")
+    // the clone gate must not change either output: clone-heavy train
+    // side (every doc twice) collapses to distinct texts, results fan
+    // back out through membership
+    val train = d.filter(col("doc_id") % 23 =!= 0)
+    val cloned = train.unionByName(train.select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    def rep(df: org.apache.spark.sql.DataFrame, collapse: Boolean) =
+      Dedup.contaminationReport(df, d.filter(col("doc_id") % 23 === 0), n = 3,
+          collapseExact = collapse)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(cloned, true) == rep(cloned, false),
+      "collapse gate changed the contamination report")
+    def pairs(df: org.apache.spark.sql.DataFrame, collapse: Boolean) =
+      Dedup.contaminationPairs(df, d.filter(col("doc_id") % 23 === 0), n = 3,
+          minOverlap = 2, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs(cloned, true) == pairs(cloned, false),
+      "collapse gate changed the pair attribution")
+  }
 }

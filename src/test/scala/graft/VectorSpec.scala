@@ -137,6 +137,78 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("pq encode/lut/adc compile strictly; adc equals dot with the reconstruction") {
+    // m=2 subspaces of 4 dims, ksub=3 codewords — small enough to
+    // recompute everything independently in Scala
+    val m = 2; val ksub = 3; val dsub = 4
+    val rnd = new scala.util.Random(11)
+    val cb: Array[Array[Array[Float]]] =
+      Array.fill(m, ksub, dsub)(rnd.nextGaussian().toFloat)
+    val out = withStrictCodegen {
+      vecs.select(
+        col("a"), col("b"),
+        VectorFunctions.pqEncode(col("a"), cb).as("code"),
+        VectorFunctions.pqEncode(col("a"), cb, bytes = false).as("codeInts"),
+        VectorFunctions.pqLut(col("b"), cb).as("lut"),
+        VectorFunctions.pqAdcScore(
+          VectorFunctions.pqEncode(col("a"), cb),
+          VectorFunctions.pqLut(col("b"), cb), m, ksub).as("adc")
+      ).collect()
+    }
+    assert(out.length == 49)
+    out.foreach { r =>
+      val a = r.getSeq[Float](r.fieldIndex("a"))
+      val b = r.getSeq[Float](r.fieldIndex("b"))
+      val code = r.getAs[Array[Byte]]("code")
+      val codeInts = r.getSeq[Int](r.fieldIndex("codeInts"))
+      // byte and int encodes agree
+      assert(code.toSeq.map(_ & 0xFF) == codeInts)
+      // each code is the argmin-L2 codeword (lowest index on ties)
+      (0 until m).foreach { j =>
+        val sub = a.slice(j * dsub, (j + 1) * dsub)
+        val dists = (0 until ksub).map { k =>
+          sub.zip(cb(j)(k)).map { case (x, c) =>
+            val d = x.toDouble - c.toDouble; d * d }.sum
+        }
+        assert(dists(codeInts(j)) == dists.min,
+          s"subspace $j: code ${codeInts(j)} is not the L2 argmin")
+      }
+      // ADC == dot(b, reconstruction(code(a))), the identity the
+      // planted-codeword oracle relies on
+      val recon = (0 until m).flatMap(j => cb(j)(codeInts(j)))
+      val expected = (0 until m).map { j =>
+        var dot = 0.0; var t = 0
+        while (t < dsub) {
+          dot += b(j * dsub + t).toDouble * recon(j * dsub + t).toDouble; t += 1 }
+        dot
+      }.sum
+      assert(math.abs(r.getAs[Double]("adc") - expected) < 1e-12,
+        s"adc ${r.getAs[Double]("adc")} != reconstruction dot $expected")
+    }
+  }
+
+  test("pq expressions throw on wrong-dimension vectors and codes") {
+    val cb: Array[Array[Array[Float]]] = Array.fill(2, 3, 16)(1.0f)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for ((c, name) <- Seq(
+        (VectorFunctions.pqEncode(col("a"), cb), "pq_encode"),
+        (VectorFunctions.pqLut(col("a"), cb), "pq_lut"))) {
+      val e = intercept[Exception] { vecs.select(c).collect() } // 8-wide vs 32
+      assert(messages(e).exists(m => m.contains(name)),
+        s"$name did not surface the dimension mismatch: $e")
+    }
+    // a code of the wrong width must throw, not index garbage
+    val cb8: Array[Array[Array[Float]]] = Array.fill(2, 3, 4)(1.0f)
+    val e = intercept[Exception] {
+      vecs.select(VectorFunctions.pqAdcScore(
+        VectorFunctions.pqEncode(col("a"), cb8),
+        VectorFunctions.pqLut(col("b"), cb8), 3, 3)).collect()
+    }
+    assert(messages(e).exists(_.contains("pq_adc_score")),
+      s"pq_adc_score did not surface the code-length mismatch: $e")
+  }
+
   test("token_repetition_stats compiles strictly and equals the composed gram construction") {
     import org.apache.spark.sql.graft.TextFunctions
     import spark.implicits._
