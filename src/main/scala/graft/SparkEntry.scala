@@ -551,6 +551,22 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
         .orderBy("id1", "id2")),
+    // ...but the FULL simhash pipeline (signature → pigeonhole banding
+    // → bucket join → exact verify) does sit under a complete oracle
+    // at τ = 1.0 via planted exact twins: normalize-identical twins
+    // share the token stream, hence the signature (Hamming 0 —
+    // proposed with certainty by lossless banding), the exact-set
+    // verify admits exactly jaccard = 1.0, and the fixtures contain no
+    // equal-shingle-set pairs besides the twins (checked), so recall's
+    // Hamming tail never enters
+    "q_dedup_simhash_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" ")).as("text")))
+      Dedup.simhashPairsVerified(corpus, threshold = 1.0)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineDedupPairs(Tables.embeddings(s, dir), threshold = 0.45)
         .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
@@ -1271,6 +1287,25 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2
          HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4
+         ORDER BY 1, 2""",
+
+    // planted-twin simhash at τ=1.0: the answer is exactly the pairs
+    // with equal shingle sets (jaccard == 1.0) — integer-exact, no
+    // Hamming tail (see the queries-side note)
+    "q_dedup_simhash_exact" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' ' FROM documents),
+         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM docs2),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 1.0
          ORDER BY 1, 2""",
 
     "q_dedup_clone_collapse" ->

@@ -54,14 +54,39 @@ class PlanSpec extends SparkSpec {
       (i.toLong, (0 until 8).map(d => ((i * 7 + d) % 13).toFloat))
     }.toDF("vec_id", "embedding")
     for (collapse <- Seq(true, false)) {
+      // sparkPlan, not executedPlan: AQE wraps the latter in an
+      // AdaptiveSparkPlanExec with no children, which silently makes
+      // any collect-based assertion vacuous
       val plan = graft.ops.Similarity
         .cosineDedupPairs(embs, threshold = 0.9, numBlocks = 5,
           collapseExact = collapse)
-        .queryExecution.executedPlan
+        .queryExecution.sparkPlan
       val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnlj.isEmpty,
         s"BroadcastNestedLoopJoin in cosineDedupPairs(collapse=$collapse):\n${bnlj.mkString("\n")}")
+      // the join nodes must actually be visible (guard against the
+      // vacuous-collect failure mode this comment describes)
+      assert(plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.nonEmpty,
+        "expected the merge-hinted block-pair join in the plan")
     }
+  }
+
+  test("decontamination joins corpus grams against a BROADCAST eval side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    // the whole scale design: the bounded benchmark side broadcasts,
+    // the 100 TB corpus's exploded grams are probed map-side and never
+    // shuffle — a sort-merge plan here would shuffle the corpus grams
+    val d = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.ops.Dedup.contaminationReport(
+        d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0),
+        n = 3, collapseExact = false)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"eval gram join did not plan as BroadcastHashJoin:\n$plan")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"corpus gram side shuffled through a SortMergeJoin:\n$smj")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -289,6 +289,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate flags eval-overlapping docs, passes clean ones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // eval set: two "benchmark" items; the bloom is built from their
+    // distinct trigrams by a distributed agg
+    val evalSet = Seq(
+      "what is the capital of france paris of course",
+      "solve for x in the equation above").toDF("text")
+    val bloom = graft.streaming.StreamingDecontaminate.evalGramBloom(evalSet)
+    assert(bloom.nonEmpty)
+    val source = MemoryStream[StreamDoc]
+    val flagged = graft.streaming.StreamingDecontaminate.flagStream(
+      source.toDF, bloom)
+    val q = flagged.writeStream
+      .format("memory").queryName("stream_decon").outputMode("append").start()
+    try {
+      source.addData(
+        // shares the trigram "the capital of" — MUST be flagged (the
+        // bloom has no false negatives)
+        StreamDoc(1L, ts(t0), "students often ask what the capital of france is"),
+        // entirely disjoint vocabulary — must pass
+        StreamDoc(2L, ts(t0 + 1), "zebras gallop across wide open savannas today"),
+        // exact eval item replayed verbatim — flagged
+        StreamDoc(3L, ts(t0 + 2), "solve for x in the equation above"))
+      q.processAllAvailable()
+      val out = spark.table("stream_decon")
+        .select("doc_id", "maybe_contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out(1L), "overlapping doc was not flagged — false negative is a gate leak")
+      assert(out(3L), "verbatim eval replay was not flagged")
+      assert(!out(2L), "clean doc was falsely flagged (bloom sized for ~0 FP here)")
+    } finally q.stop()
+    // the enforcing variant drops flagged docs in-stream
+    val source2 = MemoryStream[StreamDoc]
+    val gated = graft.streaming.StreamingDecontaminate.filterStream(
+      source2.toDF, bloom)
+    val q2 = gated.writeStream
+      .format("memory").queryName("stream_decon_gate").outputMode("append").start()
+    try {
+      source2.addData(
+        StreamDoc(1L, ts(t0), "students often ask what the capital of france is"),
+        StreamDoc(2L, ts(t0 + 1), "zebras gallop across wide open savannas today"))
+      q2.processAllAvailable()
+      val ids = spark.table("stream_decon_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L), s"gate should pass only the clean doc, got $ids")
+    } finally q2.stop()
+  }
+
   test("isMarketOpen matches reference boundary semantics (calendar.go:107-137)") {
     import spark.implicits._
     val cal = MarketCalendar("UTC", "09:30:00", "16:00:00",
