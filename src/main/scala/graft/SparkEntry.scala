@@ -705,22 +705,11 @@ object SparkEntry {
     // encode → LUT → ADC → rank all sit under DuckDB's exhaustive
     // dot-product top-k.
     "q_knn_pq_exact" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val m = 8; val ksub = 16; val dsub = 8
-      val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
-        .map(_.getSeq[Float](1))
-      val cb = Array.tabulate(m, ksub)((j, k) =>
-        donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
-      // nibble j of h(v) = (v * 2654435761) mod 2^32 picks subspace
-      // j's donor — all integer ops, reproduced verbatim in the oracle
-      val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
-      val planted = e.select(col("vec_id"),
-        concat((0 until m).map(j =>
-          element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
-            (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
-          .as("embedding"))
+      // Similarity.plantedPqCorpus holds the construction (and its
+      // donor-nibble arithmetic, mirrored verbatim in the oracle SQL)
+      val (planted, cb) = Similarity.plantedPqCorpus(Tables.embeddings(s, dir))
       Similarity.pqTopK(planted, planted.filter(col("vec_id") < 5), k = 10,
-          m = m, ksub = ksub, codebooks = Some(cb))
+          m = 8, ksub = 16, codebooks = Some(cb))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -732,20 +721,9 @@ object SparkEntry {
     // exhaustive dot top-k. Pruned-probe recall and the residual
     // layout are OpsSpec's checks.
     "q_knn_ivfpq_exact" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val m = 8; val ksub = 16; val dsub = 8
-      val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
-        .map(_.getSeq[Float](1))
-      val cb = Array.tabulate(m, ksub)((j, k) =>
-        donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
-      val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
-      val planted = e.select(col("vec_id"),
-        concat((0 until m).map(j =>
-          element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
-            (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
-          .as("embedding"))
+      val (planted, cb) = Similarity.plantedPqCorpus(Tables.embeddings(s, dir))
       Similarity.ivfPqTopK(planted, planted.filter(col("vec_id") < 5), k = 10,
-          nCells = 8, nProbe = 8, m = m, ksub = ksub,
+          nCells = 8, nProbe = 8, m = 8, ksub = 16,
           residual = false, codebooks = Some(cb))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")

@@ -526,11 +526,8 @@ object Dedup {
     // and eval join run once per DISTINCT text, reports fan back out
     // through membership. Measured: the 50× clone-scaled bench point
     // fell 163 s → ~4 s while clone-free corpora skip the probe.
-    if (collapseExact && cloneHeavy(train, col(text))) {
-      val groups = train.select(col(id), col(text))
-        .groupBy(contentHash(col(text)).as("__ch"))
-        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
-          sort_array(collect_list(col(id))).as("__ids"))
+    if (collapseExact && cloneHeavy(train, lower(trim(col(text))))) {
+      val groups = cloneGroups(train, id, text)
       val reps = contaminationDistinct(
         groups.select(col("__rep").as(id), col(text)), evalSet, n, id, text)
       reps.join(groups.select(col("__rep").as(id), col("__ids")), id)
@@ -538,6 +535,23 @@ object Dedup {
           col("hit_grams"), col("contaminated_frac"))
     } else contaminationDistinct(train, evalSet, n, id, text)
   }
+
+  /** Shared clone-group relation for the corpus-wide text gates
+    * (contamination, spans): one row per normalized-identical text
+    * with its representative, a member-id list, and a raw text any
+    * member's computation can run on (all normalize identically).
+    * Persisted because every caller references it twice (rep-side
+    * compute + membership fan-out) — same cache-lifetime contract as
+    * [[collapsedPairs]]. Probe the gate with lower(trim(text)), the
+    * normalization [[contentHash]] groups on — a raw-text probe misses
+    * case/whitespace clones entirely.
+    */
+  private def cloneGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), col(text))
+      .groupBy(contentHash(col(text)).as("__ch"))
+      .agg(min(col(id)).as("__rep"), first(col(text)).as(text),
+        sort_array(collect_list(col(id))).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Pair-level contamination attribution: (train doc, eval doc,
     * shared distinct n-grams) for every pair sharing ≥ `minOverlap`
@@ -552,11 +566,8 @@ object Dedup {
       minOverlap: Long = 2,
       id: String = "doc_id", text: String = "text",
       collapseExact: Boolean = true): DataFrame = {
-    if (collapseExact && cloneHeavy(train, col(text))) {
-      val groups = train.select(col(id), col(text))
-        .groupBy(contentHash(col(text)).as("__ch"))
-        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
-          sort_array(collect_list(col(id))).as("__ids"))
+    if (collapseExact && cloneHeavy(train, lower(trim(col(text))))) {
+      val groups = cloneGroups(train, id, text)
       val reps = contaminationPairsDistinct(
         groups.select(col("__rep").as(id), col(text)), evalSet, n, minOverlap, id, text)
       reps.join(groups.select(col("__rep").as(id), col("__ids")), id)
@@ -619,13 +630,10 @@ object Dedup {
       id: String = "doc_id", text: String = "text",
       collapseExact: Boolean = true,
       hash: String = "md5"): DataFrame = {
-    if (collapseExact && cloneHeavy(df, col(text))) {
-      val groups = df.select(col(id), col(text))
-        .groupBy(contentHash(col(text)).as("__ch"))
-        // min(text) is deterministic and normalize-identical across the
-        // group, so the representative's spans are every member's spans
-        .agg(min(col(id)).as("__rep"), min(col(text)).as(text),
-          sort_array(collect_list(col(id))).as("__ids"))
+    if (collapseExact && cloneHeavy(df, lower(trim(col(text))))) {
+      // any member's text gives the group's spans (all normalize
+      // identically); the weight is the group size
+      val groups = cloneGroups(df, id, text)
       val repSpans = spansOf(groups.select(col("__rep").as(id), col(text),
         size(col("__ids")).cast("long").as("__w")), k, id, text, hash)
       repSpans.join(groups.select(col("__rep").as(id), col("__ids")), id)

@@ -644,11 +644,14 @@ object Similarity {
     // FULL query vector (dot(q, c + r̂) = dot(q,c) + dot(q, r̂)), the
     // centroid dot is the per-cell scalar correction
     val probes = queries
+      // LUT ABOVE the probe explode: below it, the m·ksub·dsub-flop
+      // table would recompute once per probe row and broadcast nProbe
+      // copies per query
+      .withColumn("__lut", VectorFunctions.pqLut(col(emb), cb))
       .withColumn("__cells",
         slice(reverse(array_sort(cellScores(col(emb), cents))), 1, nProbe))
-      .select(col(id).as("query_id"), col(emb).as("__q"),
+      .select(col(id).as("query_id"), col(emb).as("__q"), col("__lut"),
         explode(col("__cells").getField("cell")).as("cell"))
-      .withColumn("__lut", VectorFunctions.pqLut(col("__q"), cb))
       .withColumn("__cdot",
         if (residual) VectorFunctions.dotF(col("__q"), centOf(col("cell")))
         else lit(0.0))
@@ -662,6 +665,42 @@ object Similarity {
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
+  /** Planted-codeword PQ oracle fixture: the codebook is the subvector
+    * grid of the `ksub` lowest-id vectors of `e` (exact floats both
+    * engines read), and corpus vector v is the codeword concatenation
+    * selected per subspace by the nibbles of a Knuth multiplicative
+    * hash of v — injective, so every corpus vector is a distinct
+    * combination and encoding is LOSSLESS (each subvector sits in the
+    * codebook at L2 distance 0). ADC then equals the exact dot
+    * product, putting the whole PQ/IVF-PQ pipeline under an
+    * exhaustive DuckDB oracle. ONE definition shared by the
+    * `q_knn_pq_exact` / `q_knn_ivfpq_exact` entries and the OpsSpec
+    * anchors: the construction must stay bit-identical to the oracle
+    * SQL that mirrors it (donor join on
+    * `((vec_id * 2654435761) % 2^32 >> 4j) & 15`), and three drifting
+    * copies were how that guarantee would die.
+    */
+  def plantedPqCorpus(
+      e: DataFrame, m: Int = 8, ksub: Int = 16,
+      id: String = "vec_id", emb: String = "embedding"): (DataFrame, Array[Array[Array[Float]]]) = {
+    val base = e.select(col(id), col(emb))
+    val donors = base.filter(col(id) < ksub).orderBy(id).collect()
+      .map(_.getSeq[Float](1))
+    require(donors.length == ksub, s"need $ksub donor rows, got ${donors.length}")
+    val dim = donors.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cb = Array.tabulate(m, ksub)((j, k) =>
+      donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
+    val h = pmod(col(id) * lit(2654435761L), lit(4294967296L))
+    val planted = base.select(col(id),
+      concat((0 until m).map(j =>
+        element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
+          (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
+        .as(emb))
+    (planted, cb)
   }
 
   /** Cap on vectors collected into one block row of

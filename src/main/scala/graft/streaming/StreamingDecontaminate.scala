@@ -38,13 +38,33 @@ object StreamingDecontaminate {
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
+    // BloomFilterAggregate silently clamps its sizing to the
+    // runtime-bloom-filter conf caps (Math.min in the 4.1.2 jar);
+    // raise them to the requested size so "FP bounded by numBits"
+    // actually holds for large eval suites instead of degrading
+    // orders of magnitude past 2^26 bits
+    val spark = evalSet.sparkSession
+    def raiseCap(key: String, want: Long): Unit = {
+      val cur = spark.conf.getOption(key).map(_.toLong)
+      if (cur.forall(_ < want)) spark.conf.set(key, want.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedGrams)
     val grams = evalSet.select(
       explode(graft.ops.Dedup.shingles(col(text), n)).as("gram"))
     val hashed = XxHash64(Seq(GraftColumns.expr(col("gram"))), 42L)
     val agg = GraftColumns.column(
       new BloomFilterAggregate(hashed, Literal(expectedGrams), Literal(numBits))
         .toAggregateExpression())
-    grams.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    val bf = grams.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    // zero grams → BloomFilterAggregate.eval returns null; a null
+    // literal downstream would turn filterStream's !maybe_contaminated
+    // into filter(null) and silently DROP the whole stream — fail
+    // loudly on the misconfiguration instead
+    if (bf == null)
+      throw new IllegalArgumentException(
+        "evalGramBloom: eval set produced no grams — empty or wrong column?")
+    bf
   }
 
   private def mightContain(bloom: Array[Byte], value: Column): Column = {
@@ -60,10 +80,13 @@ object StreamingDecontaminate {
     * Stateless — safe in any output mode, no watermark required.
     */
   def flagStream(stream: DataFrame, evalBloom: Array[Byte], n: Int = 3,
-      text: String = "text"): DataFrame =
+      text: String = "text"): DataFrame = {
+    require(evalBloom != null && evalBloom.nonEmpty,
+      "flagStream: evalBloom must be a non-empty serialized Bloom filter")
     stream.withColumn("maybe_contaminated",
       exists(graft.ops.Dedup.shingles(col(text), n),
         g => mightContain(evalBloom, g)))
+  }
 
   /** Drop flagged documents (the enforcing gate). */
   def filterStream(stream: DataFrame, evalBloom: Array[Byte], n: Int = 3,

@@ -467,6 +467,12 @@ case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
     if (codes.length != m)
       throw new IllegalArgumentException(
         s"pq_adc_score: code length ${codes.length} != m $m")
+    // an undersized LUT would read past the array end UNCHECKED on
+    // UnsafeArrayData (garbage scores, not an exception) — validate
+    // like the code side
+    if (lut.numElements() != m * ksub)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: lut length ${lut.numElements()} != $m*$ksub")
     var s = 0.0
     var j = 0
     while (j < m) { s += lut.getDouble(j * ksub + (codes(j) & 0xFF)); j += 1 }
@@ -480,6 +486,10 @@ case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
          |if ($a.length != $m) {
          |  throw new IllegalArgumentException(
          |    "pq_adc_score: code length " + $a.length + " != m $m");
+         |}
+         |if ($b.numElements() != $m * $ksub) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score: lut length " + $b.numElements() + " != $m*$ksub");
          |}
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {

@@ -615,26 +615,11 @@ class OpsSpec extends SparkSpec {
       s"seed-disjoint samples should intersect at r² ≈ 0.25, got $overlap")
   }
 
-  /** The q_knn_pq_exact construction: codebook = subvector grid of the
-    * 16 lowest-id vectors, corpus vector v = the codeword concatenation
-    * picked by the nibbles of knuth-hash(v) — encoding is lossless, so
-    * ADC == dot. Returns (planted corpus, codebooks).
+  /** The q_knn_pq_exact construction — shared with the entries via
+    * [[Similarity.plantedPqCorpus]] (one definition, zero drift).
     */
-  private def plantedPqCorpus: (org.apache.spark.sql.DataFrame, Array[Array[Array[Float]]]) = {
-    val m = 8; val ksub = 16; val dsub = 8
-    val e = embs.select(col("vec_id"), col("embedding"))
-    val donors = e.filter(col("vec_id") < ksub).orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1))
-    val cb = Array.tabulate(m, ksub)((j, k) =>
-      donors(k).slice(j * dsub, (j + 1) * dsub).toArray)
-    val h = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
-    val planted = e.select(col("vec_id"),
-      concat((0 until m).map(j =>
-        element_at(typedlit((0 until ksub).map(k => cb(j)(k).toSeq)),
-          (shiftright(h, 4 * j).bitwiseAND(lit(15)) + 1).cast("int"))): _*)
-        .as("embedding"))
-    (planted, cb)
-  }
+  private def plantedPqCorpus: (org.apache.spark.sql.DataFrame, Array[Array[Array[Float]]]) =
+    Similarity.plantedPqCorpus(embs)
 
   /** Exhaustive dot-product top-k pairs over `corpus` for queries
     * (vec_id < 5), the reference ranking for the lossless-PQ checks.
@@ -794,10 +779,11 @@ class OpsSpec extends SparkSpec {
     val two = Seq((10L, d), (11L, e)).toDF("doc_id", "text")
     assert(spans(two, false) ==
       Set((10L, 1L, 10L), (10L, 22L, 31L), (11L, 1L, 10L), (11L, 22L, 31L)))
-    // exact clones: every doc becomes one full-width span, and the
-    // collapse gate must not change the output
+    // clones that differ only in CASE (normalize-identical — the
+    // identity contentHash groups on): every doc becomes one
+    // full-width span, and the collapse gate must not change output
     val cloned = corpus.unionByName(
-      corpus.select((col("doc_id") + 100).as("doc_id"), col("text")))
+      corpus.select((col("doc_id") + 100).as("doc_id"), upper(col("text")).as("text")))
     val gated = spans(cloned, true)
     assert(gated == spans(cloned, false), "collapse gate changed span output")
     assert(gated.contains((3L, 1L, 30L)) && gated.contains((103L, 1L, 30L)),

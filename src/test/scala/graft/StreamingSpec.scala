@@ -300,6 +300,13 @@ class StreamingSpec extends SparkSpec {
       "solve for x in the equation above").toDF("text")
     val bloom = graft.streaming.StreamingDecontaminate.evalGramBloom(evalSet)
     assert(bloom.nonEmpty)
+    // an EMPTY eval relation must fail fast: BloomFilterAggregate
+    // yields null at cardinality 0, and a null bloom literal would
+    // make filterStream silently drop the entire stream
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDecontaminate.evalGramBloom(
+        evalSet.filter(org.apache.spark.sql.functions.lit(false)))
+    }
     val source = MemoryStream[StreamDoc]
     val flagged = graft.streaming.StreamingDecontaminate.flagStream(
       source.toDF, bloom)

@@ -207,6 +207,17 @@ class VectorSpec extends SparkSpec {
     }
     assert(messages(e).exists(_.contains("pq_adc_score")),
       s"pq_adc_score did not surface the code-length mismatch: $e")
+    // an undersized LUT must throw too — UnsafeArrayData.getDouble is
+    // UNCHECKED past the end, so without the guard a wrong ksub reads
+    // garbage scores instead of failing
+    val cbL: Array[Array[Array[Float]]] = Array.fill(2, 2, 4)(1.0f)
+    val e2 = intercept[Exception] {
+      vecs.select(VectorFunctions.pqAdcScore(
+        VectorFunctions.pqEncode(col("a"), cbL),
+        VectorFunctions.pqLut(col("b"), cbL), 2, 3)).collect()
+    }
+    assert(messages(e2).exists(_.contains("lut length")),
+      s"pq_adc_score did not surface the lut-length mismatch: $e2")
   }
 
   test("token_repetition_stats compiles strictly and equals the composed gram construction") {
