@@ -26,6 +26,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Local-mode-only: Hadoop's checksummed LocalFileSystem shadows
+      // every file with a .crc twin, doubling file ops — a pure
+      // emulation artifact (HDFS/S3 checksum server-side; this knob
+      // doesn't exist there). Measured on the 16k-file wide write:
+      // 142s -> 107s write, 17s -> 12s wildcard read (WideProbe).
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     // keep stdout clean for the JSON result lines
     spark.sparkContext.setLogLevel("ERROR")
