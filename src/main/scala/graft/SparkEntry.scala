@@ -478,6 +478,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_redactions"), col("text_redacted"))
         .orderBy("doc_id")
     }),
+    // CCNet-style unigram-LM quality score, self-trained with a
+    // 512-word vocabulary so the OOV floor path is exercised
+    "q_text_lm_quality" -> ((s, dir) =>
+      TextAnalysis.withUnigramLogProb(Tables.documents(s, dir), vocabSize = 512)
+        .orderBy("doc_id")),
+    // TF-IDF top-5 terms per doc (smoothed idf, deterministic ranks)
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 5)
+        .orderBy("doc_id", "term_rank")),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1148,6 +1157,34 @@ object SparkEntry {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              'https?://[^\s]+', '<URL>', 'g') AS text_redacted
          FROM d ORDER BY doc_id""",
+
+    "q_text_lm_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(ts) AS w FROM d),
+         cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+         vocab AS (SELECT w, ln(c::DOUBLE / (SELECT t FROM tot)) AS logp
+           FROM cnt ORDER BY c DESC, w LIMIT 512)
+         SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(avg(coalesce(v.logp, ln(0.5 / (SELECT t FROM tot)))), 6) AS avg_logprob
+         FROM tok LEFT JOIN vocab v USING (w)
+         GROUP BY tok.doc_id ORDER BY doc_id""",
+
+    "q_text_tfidf" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(ts) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*)::BIGINT AS dfc FROM tf GROUP BY term),
+         n AS (SELECT count(*)::BIGINT AS n FROM d),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * (ln(((SELECT n FROM n) + 1)::DOUBLE / (dfc + 1)) + 1), 6) AS score
+           FROM tf JOIN dfq USING (term)),
+         r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank FROM s)
+         SELECT doc_id, term_rank, term, tf, score FROM r
+         WHERE term_rank <= 5 ORDER BY doc_id, term_rank""",
 
     "q_stats_quantiles" ->
       """WITH t AS (SELECT source, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens

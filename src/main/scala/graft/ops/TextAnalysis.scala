@@ -206,4 +206,144 @@ object TextAnalysis {
       .select(col(id), col("__sel").as("fingerprint"))
       .distinct()
   }
+
+  /** Exact-clone groups with multiplicity, for the operators below:
+    * one row per distinct (lower/trim-normalized) text with its
+    * representative id, the sorted member-id list, and the member
+    * count `__m` — the weight that makes collapsed model statistics
+    * identical to the uncollapsed ones. Persisted because every
+    * caller reads it at least twice (model side + fan-out side);
+    * released by Bench's per-query clearCache / ContextCleaner GC
+    * outside it.
+    */
+  private def weightedCloneGroups(df: DataFrame, id: String, textCol: String): DataFrame =
+    df.groupBy(Dedup.contentHash(col(textCol)).as("__ch"))
+      .agg(min(col(id)).as("__rep"), first(col(textCol)).as(textCol),
+        sort_array(collect_list(col(id))).as("__ids"))
+      .withColumn("__m", size(col("__ids")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** CCNet-style language-model quality score (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2019 — there a KenLM 5-gram perplexity over Wikipedia;
+    * the in-engine analogue is a corpus-trained unigram model: the
+    * same head/tail quality signal without an external model
+    * artifact). Model: P(w) = count(w) / total over the training
+    * corpus (`reference` when given, else `df` itself), restricted to
+    * the `vocabSize` most frequent words (count desc, word asc — a
+    * deterministic cutoff); out-of-vocabulary tokens score at the
+    * floor log(0.5 / total). Per doc: n_tokens, n_oov, and
+    * avg_logprob (mean natural-log token probability, rounded 1e-6;
+    * perplexity = exp(-avg_logprob) is monotone in it, so filtering
+    * thresholds translate directly).
+    *
+    * Scale shape: the vocabulary is one token-keyed partial-aggregated
+    * shuffle + a TakeOrdered top-V (no global sort); `total` is a
+    * 1-row collect; scoring is explode → BROADCAST vocab join (≤
+    * vocabSize rows by construction) → one doc-keyed aggregation. The
+    * clone-collapse gate tokenizes each distinct text once and weights
+    * the model counts by clone multiplicity — bit-identical statistics
+    * to the uncollapsed form (OpsSpec-pinned), without re-paying
+    * tokenization for every copy in a clone-heavy crawl.
+    */
+  def withUnigramLogProb(
+      df: DataFrame, reference: Option[DataFrame] = None,
+      vocabSize: Int = 1 << 16,
+      id: String = "doc_id", textCol: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
+    val groups = if (gate) Some(weightedCloneGroups(base, id, textCol)) else None
+    val weightedCounts = reference match {
+      case Some(ref) =>
+        val m = ref.filter(col(textCol).isNotNull)
+        if (collapseExact && Dedup.cloneHeavy(m, lower(trim(col(textCol)))))
+          m.groupBy(lower(trim(col(textCol))).as("__t")).agg(count(lit(1)).as("__m"))
+            .select(explode(split(col("__t"), " ")).as("__w"), col("__m"))
+            .groupBy("__w").agg(sum("__m").as("__c"))
+        else
+          m.select(explode(tokens(col(textCol))).as("__w"))
+            .groupBy("__w").agg(count(lit(1)).as("__c"))
+      case None => groups match {
+        case Some(g) =>
+          g.select(explode(tokens(col(textCol))).as("__w"), col("__m"))
+            .groupBy("__w").agg(sum("__m").as("__c"))
+        case None =>
+          base.select(explode(tokens(col(textCol))).as("__w"))
+            .groupBy("__w").agg(count(lit(1)).as("__c"))
+      }
+    }
+    // two consumers (total + vocab); see weightedCloneGroups on release
+    val counts = weightedCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("__c"))).head.getLong(0)
+    require(total > 0, "unigram model corpus has no tokens")
+    val vocab = counts.orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
+      .select(col("__w"), log(col("__c").cast("double") / total.toDouble).as("__logp"))
+    val floor = math.log(0.5 / total.toDouble)
+    def score(d: DataFrame): DataFrame =
+      d.select(col(id), explode(tokens(col(textCol))).as("__w"))
+        .join(broadcast(vocab), Seq("__w"), "left")
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__logp").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(avg(coalesce(col("__logp"), lit(floor))), 6).as("avg_logprob"))
+    groups match {
+      case Some(g) =>
+        score(g.select(col("__rep").as(id), col(textCol)))
+          .join(g.select(col("__rep").as(id), col("__ids")), Seq(id))
+          .select(explode(col("__ids")).as(id),
+            col("n_tokens"), col("n_oov"), col("avg_logprob"))
+      case None => score(base)
+    }
+  }
+
+  /** TF-IDF top-k terms per document (Salton & Buckley's weighting,
+    * smoothed idf = ln((N+1)/(df+1)) + 1 — the scikit-learn
+    * formulation, always positive so rare-term docs still rank).
+    * Output: (id, term_rank, term, tf, score), `term_rank` by score
+    * desc then term asc — a deterministic order any engine
+    * reproduces on the rounded score.
+    *
+    * Scale shape: term frequencies are one (doc, term)-keyed
+    * partial-aggregated shuffle; document frequencies fold that same
+    * relation by term (clone multiplicities summed, so collapsed ==
+    * uncollapsed exactly); the idf join is a plain equi-join left to
+    * AQE (the dfreq side is distinct terms — broadcast when small,
+    * shuffled when a 100 TB vocabulary isn't); ranking is one
+    * doc-keyed window. The clone-collapse gate computes each distinct
+    * text's term vector once and fans the ranked rows back out.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, k: Int = 5,
+      id: String = "doc_id", textCol: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(textCol).isNotNull)
+    val nDocs = base.count()
+    val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
+    val (canon, fan) = if (gate) {
+      val g = weightedCloneGroups(base, id, textCol)
+      (g.select(col("__rep").as(id), col(textCol), col("__m")), Some(g))
+    } else (base.select(col(id), col(textCol)).withColumn("__m", lit(1L)), None)
+    val tf = canon
+      .select(col(id), col("__m"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__m")).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(sum("__m").as("__df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", round(col("tf") *
+        (log(lit((nDocs + 1).toDouble) / (col("__df").cast("double") + 1d)) + 1d), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("term").asc)
+    val top = scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(id), col("term_rank"), col("term"), col("tf"), col("score"))
+    fan match {
+      case Some(g) =>
+        top.join(g.select(col("__rep").as(id), col("__ids")), Seq(id))
+          .select(explode(col("__ids")).as(id),
+            col("term_rank"), col("term"), col("tf"), col("score"))
+      case None => top
+    }
+  }
 }

@@ -854,4 +854,64 @@ class OpsSpec extends SparkSpec {
     assert(pairs(cloned, true) == pairs(cloned, false),
       "collapse gate changed the pair attribution")
   }
+
+  test("unigram LM: OOV floor, vocab cutoff, and weighted-collapse equivalence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // 30 clones of common prose + singleton nonsense: the clone gate
+    // engages, the model head is the prose vocabulary, and the
+    // nonsense doc lands OOV at the floor
+    val prose = (0L until 30L).map(i => (i, "the cat sat on the mat"))
+    val corpus = (prose :+ (900L, "zyx qwv jkp"))
+      .toDF("doc_id", "text")
+    def rows(collapse: Boolean) =
+      TextAnalysis.withUnigramLogProb(corpus, vocabSize = 5, collapseExact = collapse)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val on = rows(true)
+    assert(on == rows(false), "weighted collapse changed LM scores")
+    assert(on.size == 31)
+    // vocabSize=5: prose has 5 distinct words, so nonsense words are
+    // all out-of-vocabulary
+    assert(on(900L)._2 == 3L, s"nonsense doc should be all-OOV: ${on(900L)}")
+    assert(on(0L)._2 == 0L, "prose doc should be fully in-vocabulary")
+    assert(on(900L)._3 < on(0L)._3,
+      "OOV-floor doc must score below in-vocab prose")
+    // hand-check one value: 'the' appears 60 times of 183 total tokens
+    val total = 30 * 6 + 3
+    val expected = (2 * math.log(60.0 / total) + 4 * math.log(30.0 / total)) / 6
+    assert(math.abs(on(0L)._3 - expected) < 1e-6, s"${on(0L)._3} vs $expected")
+  }
+
+  test("tfidf top terms: ranks, scores, and weighted-collapse equivalence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val bases = (0 until 20).map(_ =>
+      Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val rows = bases.zipWithIndex.flatMap { case (t, i) =>
+      (0 until (1 + rnd.nextInt(4))).map(c => (i * 100L + c, t))
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    def top(collapse: Boolean) =
+      TextAnalysis.tfidfTopTerms(corpus, k = 3, collapseExact = collapse)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    val on = top(true)
+    assert(on == top(false), "weighted collapse changed tfidf ranks/scores")
+    // clones must rank identically to their representative
+    val byDoc = on.keySet.groupBy(_._1)
+    rows.groupBy(_._2).values.filter(_.size > 1).foreach { clones =>
+      val ids = clones.map(_._1)
+      val ranks = ids.map(i => byDoc(i).toSeq.sorted.map(on))
+      assert(ranks.distinct.size == 1, s"clone group $ids ranked differently")
+    }
+    // hand-check the idf monotonicity: a term in every doc scores
+    // below a same-tf term in fewer docs for any shared doc
+    val n = rows.size
+    def idf(dfc: Long) = math.log((n + 1).toDouble / (dfc + 1)) + 1
+    assert(idf(n.toLong) < idf(1L))
+  }
 }
