@@ -32,9 +32,12 @@ object WideProbe {
       r
     }
 
+    // persisted so the phases are additive — without it writeMulti
+    // would silently re-pay the events read inside the write timing
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(concat(lit("W"), pmod(col("event_id"), lit(16000)).cast("string")).as("symbol"),
         col("Epoch"), col("Nanoseconds"), col("value"), col("event_id"))
+      .persist()
     phase("events materialize")(ev.count())
 
     val root = java.nio.file.Files.createTempDirectory("graft-wideprobe").toString

@@ -77,9 +77,17 @@ object Dedup {
     */
   private[ops] val CollapseDistinctRatio = 0.9
 
-  private[ops] def cloneHeavy(df: DataFrame, key: Column): Boolean = {
-    val r = df.agg(count(lit(1)).cast("double"), approx_count_distinct(key).cast("double")).head()
-    r.getDouble(0) > 0 && r.getDouble(1) / r.getDouble(0) < CollapseDistinctRatio
+  private[ops] def cloneHeavy(df: DataFrame, key: Column): Boolean =
+    cloneStats(df, key)._2
+
+  /** The probe's (row count, clone-heavy) in ONE scan, for callers
+    * that need the count anyway (tfidf's N) — a separate count()
+    * would be a second full pass over the corpus.
+    */
+  private[ops] def cloneStats(df: DataFrame, key: Column): (Long, Boolean) = {
+    val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
+    val n = r.getLong(0)
+    (n, n > 0 && r.getLong(1).toDouble / n < CollapseDistinctRatio)
   }
 
   private def collapsedPairs(

@@ -213,8 +213,10 @@ object TextAnalysis {
     * count `__m` — the weight that makes collapsed model statistics
     * identical to the uncollapsed ones. Persisted because every
     * caller reads it at least twice (model side + fan-out side);
-    * released by Bench's per-query clearCache / ContextCleaner GC
-    * outside it.
+    * cache-lifetime contract as in q_pipeline_corpus: CacheManager
+    * holds it until the session's caches are cleared (Bench clears
+    * per query); a long-lived service embedding these operators
+    * should clearCache between corpus builds.
     */
   private def weightedCloneGroups(df: DataFrame, id: String, textCol: String): DataFrame =
     df.groupBy(Dedup.contentHash(col(textCol)).as("__ch"))
@@ -254,31 +256,41 @@ object TextAnalysis {
     val base = df.filter(col(textCol).isNotNull)
     val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
     val groups = if (gate) Some(weightedCloneGroups(base, id, textCol)) else None
-    val weightedCounts = reference match {
+    // one weighted-count pipeline for every branch: (text-ish column,
+    // multiplicity) rows in, (token, weighted count) out — tokens()
+    // is lower/trim-idempotent, so feeding it pre-normalized group
+    // texts is identical to feeding raw ones
+    def tokenCounts(weighted: DataFrame): DataFrame =
+      weighted.select(explode(tokens(col(textCol))).as("__w"), col("__m"))
+        .groupBy("__w").agg(sum("__m").as("__c"))
+    val model = reference.map(_.filter(col(textCol).isNotNull)).getOrElse(base)
+    val counts = reference match {
       case Some(ref) =>
         val m = ref.filter(col(textCol).isNotNull)
         if (collapseExact && Dedup.cloneHeavy(m, lower(trim(col(textCol)))))
-          m.groupBy(lower(trim(col(textCol))).as("__t")).agg(count(lit(1)).as("__m"))
-            .select(explode(split(col("__t"), " ")).as("__w"), col("__m"))
-            .groupBy("__w").agg(sum("__m").as("__c"))
-        else
-          m.select(explode(tokens(col(textCol))).as("__w"))
-            .groupBy("__w").agg(count(lit(1)).as("__c"))
+          tokenCounts(m.groupBy(lower(trim(col(textCol))).as(textCol))
+            .agg(count(lit(1)).as("__m")))
+        else tokenCounts(m.withColumn("__m", lit(1L)))
       case None => groups match {
-        case Some(g) =>
-          g.select(explode(tokens(col(textCol))).as("__w"), col("__m"))
-            .groupBy("__w").agg(sum("__m").as("__c"))
-        case None =>
-          base.select(explode(tokens(col(textCol))).as("__w"))
-            .groupBy("__w").agg(count(lit(1)).as("__c"))
+        case Some(g) => tokenCounts(g)
+        case None => tokenCounts(base.withColumn("__m", lit(1L)))
       }
     }
-    // two consumers (total + vocab); see weightedCloneGroups on release
-    val counts = weightedCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum(col("__c"))).head.getLong(0)
+    // total tokens from a narrow scan of the model corpus itself (a
+    // column-pruned one-pass agg), so `counts` has exactly one
+    // consumer — the TakeOrdered vocabulary — and needs no persist
+    val totalRow = model.agg(sum(size(tokens(col(textCol)))).cast("long")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     require(total > 0, "unigram model corpus has no tokens")
-    val vocab = counts.orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
+    // the vocabulary is ≤ vocabSize rows BY CONSTRUCTION — collected
+    // like IVF centroids (bounded driver state), re-shipped as a
+    // local relation so scoring never re-runs the count job
+    val vocabRows = counts.orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
       .select(col("__w"), log(col("__c").cast("double") / total.toDouble).as("__logp"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val se = df.sparkSession
+    import se.implicits._
+    val vocab = vocabRows.toDF("__w", "__logp")
     val floor = math.log(0.5 / total.toDouble)
     def score(d: DataFrame): DataFrame =
       d.select(col(id), explode(tokens(col(textCol))).as("__w"))
@@ -319,12 +331,15 @@ object TextAnalysis {
       collapseExact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.filter(col(textCol).isNotNull)
-    val nDocs = base.count()
-    val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
+    // N and the clone probe come from ONE corpus scan
+    val (nDocs, heavy) = Dedup.cloneStats(base, lower(trim(col(textCol))))
+    val gate = collapseExact && heavy
     val (canon, fan) = if (gate) {
       val g = weightedCloneGroups(base, id, textCol)
       (g.select(col("__rep").as(id), col(textCol), col("__m")), Some(g))
     } else (base.select(col(id), col(textCol)).withColumn("__m", lit(1L)), None)
+    // two consumers (document frequencies + the idf join); cache-
+    // lifetime contract as in weightedCloneGroups
     val tf = canon
       .select(col(id), col("__m"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(id), col("term"))
@@ -335,7 +350,9 @@ object TextAnalysis {
       .withColumn("score", round(col("tf") *
         (log(lit((nDocs + 1).toDouble) / (col("__df").cast("double") + 1d)) + 1d), 6))
     val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("term").asc)
-    val top = scored.withColumn("term_rank", row_number().over(w))
+    // long rank: the repo's oracle convention (row_number is BIGINT
+    // in ANSI engines; an int32 column would dtype-mismatch the gate)
+    val top = scored.withColumn("term_rank", row_number().over(w).cast("long"))
       .filter(col("term_rank") <= k)
       .select(col(id), col("term_rank"), col("term"), col("tf"), col("score"))
     fan match {

@@ -881,6 +881,23 @@ class OpsSpec extends SparkSpec {
     val total = 30 * 6 + 3
     val expected = (2 * math.log(60.0 / total) + 4 * math.log(30.0 / total)) / 6
     assert(math.abs(on(0L)._3 - expected) < 1e-6, s"${on(0L)._3} vs $expected")
+    // reference-corpus path (clone-heavy reference engages the model-
+    // side gate): scored docs never touch the reference's ids
+    val ref = ((0L until 20L).map(i => (i, "the cat sat")) :+ (99L, "dog runs"))
+      .toDF("doc_id", "text")
+    val toScore = Seq((1L, "the dog"), (2L, "qqq www")).toDF("doc_id", "text")
+    def refRows(collapse: Boolean) =
+      TextAnalysis.withUnigramLogProb(toScore, reference = Some(ref),
+          vocabSize = 10, collapseExact = collapse)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val refOn = refRows(true)
+    assert(refOn == refRows(false), "reference-corpus collapse changed LM scores")
+    // reference totals 62 tokens: the/cat/sat ×20, dog/runs ×1
+    val d1 = (math.log(20.0 / 62) + math.log(1.0 / 62)) / 2
+    val fl = math.log(0.5 / 62)
+    assert(refOn(1L)._2 == 0L && math.abs(refOn(1L)._3 - d1) < 1e-6)
+    assert(refOn(2L)._2 == 2L && math.abs(refOn(2L)._3 - fl) < 1e-6)
   }
 
   test("tfidf top terms: ranks, scores, and weighted-collapse equivalence") {
@@ -897,7 +914,7 @@ class OpsSpec extends SparkSpec {
     def top(collapse: Boolean) =
       TextAnalysis.tfidfTopTerms(corpus, k = 3, collapseExact = collapse)
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
         .toMap
     val on = top(true)
     assert(on == top(false), "weighted collapse changed tfidf ranks/scores")
@@ -908,10 +925,22 @@ class OpsSpec extends SparkSpec {
       val ranks = ids.map(i => byDoc(i).toSeq.sorted.map(on))
       assert(ranks.distinct.size == 1, s"clone group $ids ranked differently")
     }
-    // hand-check the idf monotonicity: a term in every doc scores
-    // below a same-tf term in fewer docs for any shared doc
-    val n = rows.size
-    def idf(dfc: Long) = math.log((n + 1).toDouble / (dfc + 1)) + 1
-    assert(idf(n.toLong) < idf(1L))
+    // hand-computed corpus: every rank, tf, and smoothed-idf score
+    // checked against the production output (not a test-local restatement)
+    val tiny = Seq((1L, "apple apple banana"), (2L, "apple cherry"), (3L, "banana"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(tiny, k = 2, collapseExact = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def sc(tf: Long, dfc: Long) =
+      BigDecimal(tf * (math.log(4.0 / (dfc + 1)) + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      (1L, 1L) -> (("apple", 2L, sc(2, 2))),
+      (1L, 2L) -> (("banana", 1L, sc(1, 2))),
+      (2L, 1L) -> (("cherry", 1L, sc(1, 1))),
+      (2L, 2L) -> (("apple", 1L, sc(1, 2))),
+      (3L, 1L) -> (("banana", 1L, sc(1, 2)))), s"tfidf hand-check diverged: $got")
   }
 }
