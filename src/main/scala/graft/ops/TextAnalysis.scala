@@ -263,8 +263,7 @@ object TextAnalysis {
     def tokenCounts(weighted: DataFrame): DataFrame =
       weighted.select(explode(tokens(col(textCol))).as("__w"), col("__m"))
         .groupBy("__w").agg(sum("__m").as("__c"))
-    val model = reference.map(_.filter(col(textCol).isNotNull)).getOrElse(base)
-    val counts = reference match {
+    val counts0 = reference match {
       case Some(ref) =>
         val m = ref.filter(col(textCol).isNotNull)
         if (collapseExact && Dedup.cloneHeavy(m, lower(trim(col(textCol)))))
@@ -276,18 +275,24 @@ object TextAnalysis {
         case None => tokenCounts(base.withColumn("__m", lit(1L)))
       }
     }
-    // total tokens from a narrow scan of the model corpus itself (a
-    // column-pruned one-pass agg), so `counts` has exactly one
-    // consumer — the TakeOrdered vocabulary — and needs no persist
-    val totalRow = model.agg(sum(size(tokens(col(textCol)))).cast("long")).head()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    require(total > 0, "unigram model corpus has no tokens")
-    // the vocabulary is ≤ vocabSize rows BY CONSTRUCTION — collected
-    // like IVF centroids (bounded driver state), re-shipped as a
-    // local relation so scoring never re-runs the count job
-    val vocabRows = counts.orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
-      .select(col("__w"), log(col("__c").cast("double") / total.toDouble).as("__logp"))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // both consumers of the (distinct-token)-sized counts relation are
+    // DRIVER-SIDE actions (a 1-row total and the ≤vocabSize TakeOrdered
+    // collect — bounded driver state, like IVF centroids), so the
+    // persist lifecycle is fully contained here: populate, read twice,
+    // unpersist before returning. Re-deriving the total from the raw
+    // corpus instead would re-scan every text byte at 100 TB; the
+    // counts relation is vocabulary-distribution-sized.
+    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocabRows) =
+      try {
+        val totalRow = counts.agg(sum(col("__c")).cast("long")).head()
+        val t = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+        require(t > 0, "unigram model corpus has no tokens")
+        val v = counts.orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
+          .select(col("__w"), log(col("__c").cast("double") / t.toDouble).as("__logp"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        (t, v)
+      } finally { counts.unpersist(); () }
     val se = df.sparkSession
     import se.implicits._
     val vocab = vocabRows.toDF("__w", "__logp")

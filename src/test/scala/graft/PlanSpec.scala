@@ -89,6 +89,22 @@ class PlanSpec extends SparkSpec {
     assert(smj.isEmpty, s"corpus gram side shuffled through a SortMergeJoin:\n$smj")
   }
 
+  test("unigram-LM scoring joins the vocabulary as a BROADCAST local relation") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the scale contract: the ≤vocabSize vocabulary broadcasts and the
+    // corpus's exploded tokens are probed map-side; a sort-merge plan
+    // would shuffle every token of a 100 TB corpus on the word key
+    val d = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.ops.TextAnalysis
+      .withUnigramLogProb(d, vocabSize = 64, collapseExact = false)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"vocab join did not plan as BroadcastHashJoin:\n$plan")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"token stream shuffled through a SortMergeJoin:\n$smj")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
