@@ -487,6 +487,19 @@ object SparkEntry {
     "q_text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "term_rank")),
+    // CCNet composite: per-language LM-perplexity head/middle/tail
+    // buckets (exact ntile mode for oracle parity; the approx-
+    // threshold production path is OpsSpec-pinned against it)
+    "q_pipeline_ccnet" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TextAnalysis.withUnigramLogProb(d, vocabSize = 512)
+      val lang = TextAnalysis.withLangId(d).select(col("doc_id"), col("lang_pred"))
+      TextAnalysis.lmQualityBuckets(scored.join(lang, "doc_id"), nBuckets = 3)
+        .groupBy("lang_pred", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          round(avg("avg_logprob"), 6).as("mean_logprob"))
+        .orderBy("lang_pred", "bucket")
+    }),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1185,6 +1198,35 @@ object SparkEntry {
          r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank FROM s)
          SELECT doc_id, term_rank, term, tf, score FROM r
          WHERE term_rank <= 5 ORDER BY doc_id, term_rank""",
+
+    "q_pipeline_ccnet" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(ts) AS w FROM d),
+         cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+         vocab AS (SELECT w, ln(c::DOUBLE / (SELECT t FROM tot)) AS logp
+           FROM cnt ORDER BY c DESC, w LIMIT 512),
+         sc AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+             round(avg(coalesce(v.logp, ln(0.5 / (SELECT t FROM tot)))), 6) AS avg_logprob
+           FROM tok LEFT JOIN vocab v USING (w) GROUP BY tok.doc_id),
+         lang AS (SELECT doc_id,
+             CASE WHEN s_de > greatest(s_en, s_es) THEN 'de'
+                  WHEN s_es > s_en THEN 'es'
+                  WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred
+           FROM (SELECT doc_id,
+               len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS s_en,
+               len(list_filter(ts, x -> x IN ('el','la','de','que','y'))) AS s_es,
+               len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS s_de
+             FROM d)),
+         b AS (SELECT sc.doc_id, sc.n_tokens, sc.avg_logprob, lang.lang_pred,
+             ntile(3) OVER (PARTITION BY lang_pred
+               ORDER BY avg_logprob DESC, sc.doc_id)::BIGINT AS bucket
+           FROM sc JOIN lang USING (doc_id))
+         SELECT lang_pred, bucket, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           round(avg(avg_logprob), 6) AS mean_logprob
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_stats_quantiles" ->
       """WITH t AS (SELECT source, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens

@@ -368,4 +368,42 @@ object TextAnalysis {
       case None => top
     }
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2019 §4.3: per-
+    * language perplexity head/middle/tail — keep the head, usually
+    * drop the tail). Input: one row per doc with a group column and
+    * an LM score (higher = better, e.g. [[withUnigramLogProb]]'s
+    * avg_logprob); output adds `bucket` ∈ 1..nBuckets, 1 = head.
+    *
+    * `exact = true` ranks with a windowed ntile — bit-deterministic
+    * (ties broken by id) and reproducible in any SQL engine, but each
+    * group's rows sort through ONE partition: the oracle/test mode,
+    * and fine when groups are bounded (languages are). `exact =
+    * false` is the 100 TB path: per-group approx_percentile
+    * thresholds (one partial-aggregated shuffle; the thresholds
+    * relation is one row per group, broadcast back), bucket = 1 +
+    * #(thresholds ≥ score) — no per-group global sort, boundaries
+    * within percentile-sketch error of exact ntile (OpsSpec pins
+    * agreement away from bucket boundaries).
+    */
+  def lmQualityBuckets(
+      df: DataFrame, nBuckets: Int = 3,
+      by: String = "lang_pred", score: String = "avg_logprob",
+      id: String = "doc_id", exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    if (exact)
+      df.withColumn("bucket",
+        ntile(nBuckets).over(Window.partitionBy(col(by))
+          .orderBy(col(score).desc, col(id).asc)).cast("long"))
+    else {
+      val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      val th = df.groupBy(col(by))
+        .agg(percentile_approx(col(score), typedLit(qs), lit(10000)).as("__th"))
+      df.join(broadcast(th), Seq(by))
+        .withColumn("bucket",
+          (lit(1) + size(filter(col("__th"), t => col(score) <= t))).cast("long"))
+        .drop("__th")
+    }
+  }
 }

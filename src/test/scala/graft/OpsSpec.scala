@@ -943,4 +943,38 @@ class OpsSpec extends SparkSpec {
       (2L, 2L) -> (("apple", 1L, sc(1, 2))),
       (3L, 1L) -> (("banana", 1L, sc(1, 2)))), s"tfidf hand-check diverged: $got")
   }
+
+  test("lm quality buckets: approx thresholds agree with exact ntile away from boundaries") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    // 90 distinct scores per group (disjoint unit intervals, so the
+    // exact tertiles are ranks 30/60); three groups to exercise the
+    // per-group thresholds
+    val rows = for {
+      (g, gi) <- Seq("en", "es", "de").zipWithIndex; i <- 1 to 90
+    } yield (gi * 1000L + i, g, -i.toDouble - rnd.nextDouble() * 0.5)
+    val df = rows.toDF("doc_id", "lang_pred", "avg_logprob")
+    def buckets(exact: Boolean): Map[Long, Long] =
+      TextAnalysis.lmQualityBuckets(df, nBuckets = 3, exact = exact)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    val ex = buckets(true)
+    val ap = buckets(false)
+    // exact ntile: ranks 1-30 / 31-60 / 61-90 per group
+    Seq("en", "es", "de").zipWithIndex.foreach { case (_, gi) =>
+      (1 to 90).foreach { i =>
+        val want = 1L + (i - 1) / 30
+        assert(ex(gi * 1000L + i) == want, s"exact ntile rank $i -> ${ex(gi * 1000L + i)}")
+      }
+      // approx mode: same 30/30/30 split up to boundary fuzz (the
+      // percentile sketch is exact at this size; only the <=-vs-rank
+      // convention can move a doc at the exact threshold)
+      val diffs = (1 to 90).count(i => ap(gi * 1000L + i) != ex(gi * 1000L + i))
+      assert(diffs <= 2, s"group $gi: $diffs bucket disagreements (boundary fuzz > 1/threshold)")
+      // monotone: a better score never lands in a worse bucket
+      val byScore = (1 to 90).map(i => ap(gi * 1000L + i))
+      assert(byScore == byScore.sorted, s"group $gi approx buckets not monotone in score")
+    }
+  }
 }
