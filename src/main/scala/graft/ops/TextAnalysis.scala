@@ -382,9 +382,17 @@ object TextAnalysis {
     * false` is the 100 TB path: per-group approx_percentile
     * thresholds (one partial-aggregated shuffle; the thresholds
     * relation is one row per group, broadcast back), bucket = 1 +
-    * #(thresholds ≥ score) — no per-group global sort, boundaries
-    * within percentile-sketch error of exact ntile (OpsSpec pins
-    * agreement away from bucket boundaries).
+    * #(thresholds ≥ score) — no per-group global sort. On DISTINCT
+    * scores the two modes agree to within percentile-sketch error at
+    * the bucket boundaries (OpsSpec pins this); on TIED scores they
+    * genuinely diverge: ntile splits a tie group across buckets by
+    * id, while thresholds treat equal scores as indivisible and send
+    * the whole tie group to the lower bucket (OpsSpec pins that too).
+    * Rank-less bucketing cannot split ties — collapse exact clones
+    * before bucketing if tie groups are large. Null handling matches
+    * exact mode: null scores land in the LAST bucket (Spark's
+    * NULLS-LAST descending sort), null group keys keep their rows
+    * (null-safe join).
     */
   def lmQualityBuckets(
       df: DataFrame, nBuckets: Int = 3,
@@ -398,12 +406,16 @@ object TextAnalysis {
           .orderBy(col(score).desc, col(id).asc)).cast("long"))
     else {
       val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-      val th = df.groupBy(col(by))
+      val th = df.groupBy(col(by).as("__by"))
         .agg(percentile_approx(col(score), typedLit(qs), lit(10000)).as("__th"))
-      df.join(broadcast(th), Seq(by))
+      // null-safe group join (a plain equi-join would silently drop
+      // null-key rows that exact mode buckets in their own partition)
+      df.join(broadcast(th), col(by) <=> col("__by"), "left")
         .withColumn("bucket",
-          (lit(1) + size(filter(col("__th"), t => col(score) <= t))).cast("long"))
-        .drop("__th")
+          when(col(score).isNull, lit(nBuckets.toLong))
+            .otherwise(lit(1) + size(filter(col("__th"), t => col(score) <= t)))
+            .cast("long"))
+        .drop("__by", "__th")
     }
   }
 }

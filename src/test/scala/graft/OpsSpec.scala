@@ -976,5 +976,26 @@ class OpsSpec extends SparkSpec {
       val byScore = (1 to 90).map(i => ap(gi * 1000L + i))
       assert(byScore == byScore.sorted, s"group $gi approx buckets not monotone in score")
     }
+    // the documented TIE divergence: ntile splits a tie group by id,
+    // rank-less thresholds send the whole group to the lower bucket
+    val tied = (1 to 90).map(i => (9000L + i, "fr", -1.0)).toDF("doc_id", "lang_pred", "avg_logprob")
+    val exTied = TextAnalysis.lmQualityBuckets(tied, nBuckets = 3)
+      .collect().map(_.getAs[Long]("bucket")).sorted.toSeq
+    assert(exTied == Seq.fill(30)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(30)(3L))
+    val apTied = TextAnalysis.lmQualityBuckets(tied, nBuckets = 3, exact = false)
+      .collect().map(_.getAs[Long]("bucket")).toSeq
+    assert(apTied == Seq.fill(90)(3L),
+      s"tie group should be indivisible in approx mode: ${apTied.distinct}")
+    // null score lands in the LAST bucket in BOTH modes (Spark sorts
+    // nulls last descending; approx mode pins it explicitly)
+    val withNull = ((1 to 8).map(i => (100L + i, "en", Option(-i.toDouble))) :+
+      ((200L, "en", Option.empty[Double])))
+      .toDF("doc_id", "lang_pred", "avg_logprob")
+    Seq(true, false).foreach { mode =>
+      val b = TextAnalysis.lmQualityBuckets(withNull, nBuckets = 3, exact = mode)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+      assert(b(200L) == 3L, s"null score bucket in exact=$mode: ${b(200L)}")
+      assert(b.size == 9, s"exact=$mode dropped rows: $b")
+    }
   }
 }
