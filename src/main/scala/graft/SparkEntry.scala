@@ -831,6 +831,27 @@ object SparkEntry {
       Sampling.weighted(Tables.documents(s, dir), SampleRates, defaultRate = 0.3)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // diversity balancing: sign-cell LSH over embeddings, every cell
+    // capped at 8 rows by md5 priority — dense modes downsampled,
+    // sparse cells survive whole
+    "q_sample_cellcap" -> ((s, dir) =>
+      Sampling.cellCapped(Tables.embeddings(s, dir), bits = 5, cap = 8)
+        .select(col("vec_id"), col("cell"), col("label"))
+        .orderBy("vec_id")),
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // distributions fit on target = the English slice vs raw = the
+    // whole corpus; Gumbel top-100 = deterministic sampling ∝ weight
+    "q_sample_dsir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Sampling.dsirSample(d, d.filter(col("lang") === "en"), k = 100)
+        .select(col("doc_id"), col("n_features"),
+          round(col("logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
+    // corpus-level boilerplate: the 20 trigrams present in the most
+    // documents (distinct per doc), ties broken lexicographically
+    "q_text_heavy_ngrams" -> ((s, dir) =>
+      TextAnalysis.heavyNgrams(Tables.documents(s, dir), n = 3, k = 20)),
 
     // the round-5 stages composed the way a pretraining corpus build
     // chains them: repetition gate → near-dup cluster dedup (keep
@@ -1672,6 +1693,50 @@ object SparkEntry {
                < coalesce(thr, '${Sampling.hexThreshold(0.3)}')
          ORDER BY d.doc_id"""
     },
+
+    "q_sample_cellcap" -> {
+      val cellSql = (0 until 5)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, ($cellSql)::BIGINT AS cell FROM embeddings),
+         r AS (SELECT vec_id, cell, label, row_number() OVER (PARTITION BY cell
+             ORDER BY substr(md5('graft:' || CAST(vec_id AS VARCHAR)), 1, 16), vec_id) AS rk
+           FROM e)
+         SELECT vec_id, cell, label FROM r WHERE rk <= 8 ORDER BY vec_id"""
+    },
+
+    "q_sample_dsir" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         f0 AS (SELECT doc_id, unnest(ts) AS f FROM d
+           UNION ALL
+           SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+               i -> array_to_string(ts[i:i+1], ' ')) ELSE [] END) AS f FROM d),
+         feat AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b FROM f0),
+         ct AS (SELECT b, count(*)::BIGINT AS c FROM feat JOIN documents USING (doc_id)
+           WHERE lang = 'en' GROUP BY b),
+         cr AS (SELECT b, count(*)::BIGINT AS c FROM feat GROUP BY b),
+         tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM ct) AS tt, (SELECT sum(c) FROM cr) AS tr),
+         ratio AS (SELECT cr.b,
+             ln((coalesce(ct.c, 0) + 1)::DOUBLE / ((SELECT tt FROM tot) + 1024))
+           - ln((cr.c + 1)::DOUBLE / ((SELECT tr FROM tot) + 1024)) AS logr
+           FROM cr LEFT JOIN ct USING (b)),
+         sc AS (SELECT feat.doc_id, count(*)::BIGINT AS n_features, sum(logr) AS logw
+           FROM feat JOIN ratio USING (b) GROUP BY feat.doc_id),
+         sel AS (SELECT doc_id, n_features, logw FROM sc
+           ORDER BY logw - ln(-ln((('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0)) DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_features, round(logw, 6) AS logw FROM sel ORDER BY doc_id""",
+
+    "q_text_heavy_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))
+             ELSE [array_to_string(ts, ' ')] END)) AS gram FROM t)
+         SELECT gram, count(*)::BIGINT AS doc_freq FROM g GROUP BY gram
+         ORDER BY doc_freq DESC, gram LIMIT 20""",
 
     "q_pipeline_pretrain" -> {
       val vals = SampleRates.toSeq.sortBy(_._1)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,4 +83,122 @@ object Sampling {
         Window.partitionBy(domain).orderBy(col(score).desc, col(id))))
       .where(col("__rk") <= k)
       .drop("__rk")
+
+  /** Diversity-balancing subsample over an embedding column: assign
+    * each vector to a deterministic sign cell (bit i set iff dimension
+    * i+1 is ≥ 0 — a fixed axis-aligned LSH, no trained state), then
+    * cap every cell at `cap` rows, keeping the rows with the smallest
+    * content-independent md5(seed:id) priority. Dense regions of the
+    * embedding space are downsampled toward the cap while sparse cells
+    * survive whole — the cheap curation pass that stops one dominant
+    * mode (boilerplate, one language, one template) from flooding a
+    * training mix, without any pairwise similarity work.
+    *
+    * Scale: one shuffle on the cell key for the per-cell rank; the
+    * priority is a per-row hash, so re-runs and engines agree
+    * bit-for-bit. 2^bits cells bound the parallel width — keep `bits`
+    * ≥ log2(cluster cores) at scale; a skewed mega-cell costs one
+    * straggler sort of its rows, still O(cell · log cell).
+    */
+  def cellCapped(df: DataFrame, bits: Int = 5, cap: Int = 8,
+                 seed: String = "graft", id: String = "vec_id",
+                 vec: String = "embedding"): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    val cell = (0 until bits).map(i =>
+        when(element_at(col(vec), i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val pri = substring(
+      md5(concat(lit(seed), lit(":"), col(id).cast("string"))), 1, 16)
+    df.withColumn("cell", cell)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("cell").orderBy(pri.asc, col(id).asc)))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  // ---- DSIR importance resampling -----------------------------------
+
+  /** Word n-grams of a token array WITH multiplicity (bag-of-ngrams;
+    * [[graft.ops.Dedup.shingles]] is the distinct-set sibling).
+    */
+  private def ngramsBag(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array())
+
+  /** (id, bucket) rows: each unigram and bigram of the text hashed
+    * into `buckets` buckets via the first 8 md5 hex chars — the
+    * engine-portable hash (any SQL engine reproduces it), matching
+    * the md5 convention of [[weighted]] and the winnowing default.
+    */
+  private def hashedNgramBuckets(df: DataFrame, buckets: Int,
+                                 id: String, text: String): DataFrame = {
+    val ts = split(lower(trim(col(text))), " ")
+    df.filter(col(text).isNotNull)
+      .select(col(id), explode(concat(ngramsBag(ts, 1), ngramsBag(ts, 2))).as("__f"))
+      .select(col(id),
+        (conv(substring(md5(col("__f")), 1, 8), 16, 10).cast("long") % buckets).as("__b"))
+  }
+
+  /** DSIR importance scores (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): fit two
+    * bag-of-hashed-ngrams categorical distributions — over the TARGET
+    * corpus (the distribution you want more of, e.g. curated text) and
+    * the RAW corpus (what you have) — and score every raw document by
+    * its log importance weight Σ_f [ln p_target(bucket(f)) −
+    * ln p_raw(bucket(f))] over the doc's unigram+bigram features,
+    * add-one smoothed. High scores = looks like the target.
+    *
+    * Scale design: the two distributions are bounded aggregations
+    * (≤ `buckets` rows each — the paper uses 10⁴); their log-ratio
+    * table broadcasts back onto the feature stream, so the corpus
+    * pays one explode + one per-doc sum shuffle and nothing pairwise.
+    * Output: (id, n_features, logw), one row per raw doc with ≥ 1
+    * token.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val fr = hashedNgramBuckets(raw, buckets, id, text)
+    val ft = hashedNgramBuckets(target, buckets, id, text)
+    val cr = fr.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = ft.groupBy("__b").agg(count(lit(1)).as("__ct"))
+    // two scalar totals (bounded collects, like toTokenBudget's rates)
+    val tr = cr.agg(sum("__cr")).collect()(0).getLong(0)
+    val tt = ct.agg(coalesce(sum("__ct"), lit(0L))).collect()(0).getLong(0)
+    // every bucket reachable from a raw doc has cr ≥ 1, so the ratio
+    // table built FROM cr covers all raw features; target-only buckets
+    // can never be probed
+    val ratio = cr.join(ct, Seq("__b"), "left").select(col("__b"),
+      (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") / (tt + buckets).toDouble)
+        - log((col("__cr") + 1).cast("double") / (tr + buckets).toDouble)).as("__logr"))
+    fr.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_features"), sum("__logr").as("logw"))
+  }
+
+  /** DSIR selection: sample `k` raw documents without replacement with
+    * probability ∝ their importance weight, via Gumbel top-k over the
+    * [[dsirScores]] log weights (Xie et al. 2023 §2; the Gumbel-max
+    * trick makes top-k keys equivalent to weighted sampling). The
+    * Gumbel noise derives from md5(seed:id) — the same run, any
+    * engine, any cluster size picks the identical sample, and a new
+    * `seed` draws a fresh epoch.
+    *
+    * Scale: scoring as in [[dsirScores]], then one TakeOrdered top-k
+    * (per-partition heaps, no global sort).
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, k: Int,
+                 buckets: Int = 1024, seed: String = "graft",
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val u = (conv(substring(
+        md5(concat(lit(seed), lit(":"), col(id).cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    dsirScores(raw, target, buckets, id, text)
+      .withColumn("__key", col("logw") - log(-log(u)))
+      .orderBy(col("__key").desc, col(id).asc)
+      .limit(k)
+      .drop("__key")
+  }
 }

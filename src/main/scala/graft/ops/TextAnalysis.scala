@@ -418,4 +418,26 @@ object TextAnalysis {
         .drop("__by", "__th")
     }
   }
+
+  /** Corpus-level boilerplate detector: the `k` word n-grams present
+    * in the most DOCUMENTS (document frequency over distinct per-doc
+    * grams, so a doc repeating a gram internally counts once). Headers,
+    * footers, navigation chrome and licence blurbs dominate this list
+    * in a web crawl — the standard first look before writing removal
+    * rules, and the corpus-level complement of the per-doc repetition
+    * signals ([[withRepetitionSignals]]).
+    *
+    * Scale: one explode of distinct per-doc grams, one partial-
+    * aggregated count shuffle on the gram, then a TakeOrdered top-k
+    * (per-partition heaps; no global sort). Output is bounded at `k`
+    * rows; ties at the cut break lexicographically, so the result is
+    * deterministic in any engine.
+    */
+  def heavyNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
+                  textCol: String = "text"): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
 }

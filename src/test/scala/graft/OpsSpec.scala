@@ -615,6 +615,71 @@ class OpsSpec extends SparkSpec {
       s"seed-disjoint samples should intersect at r² ≈ 0.25, got $overlap")
   }
 
+  test("heavy ngrams count documents, not occurrences, and rank boilerplate first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x y z alpha beta gamma p q"),
+      (2L, "alpha beta gamma alpha beta gamma"), // repeats internally → 1
+      (3L, "alpha beta gamma r s t"),
+      (4L, "unrelated words only here today"),
+      (5L, "hi")                                 // short doc → whole-text gram
+    ).toDF("doc_id", "text")
+    val top = graft.ops.TextAnalysis.heavyNgrams(corpus, n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("alpha beta gamma", 3L),
+      s"boilerplate gram must rank first by DOCUMENT frequency, got ${top.head}")
+    assert(top(1)._2 == 1L && top(2)._2 == 1L && top(1)._1 < top(2)._1,
+      s"doc-freq ties must break lexicographically, got ${top.toSeq}")
+    val all = graft.ops.TextAnalysis.heavyNgrams(corpus, n = 3, k = 100)
+      .collect().map(_.getString(0))
+    assert(all.contains("hi"), "short docs contribute their whole text as one gram")
+  }
+
+  test("cell-capped sampling bounds dense cells, keeps sparse ones, reproduces") {
+    import spark.implicits._
+    // 20 vectors in sign-cell 11 (+,+,−,+ → 1+2+8), 3 in cell 0 (all −)
+    val dense = (0L until 20L).map(i => (i, Array(1f, 1f, -1f, 0.5f)))
+    val sparse = (100L until 103L).map(i => (i, Array(-1f, -1f, -1f, -1f)))
+    val df = (dense ++ sparse).toDF("vec_id", "embedding")
+    def run() = graft.ops.Sampling.cellCapped(df, bits = 4, cap = 5)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = run()
+    val byCell = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCell == Map(11L -> 5, 0L -> 3),
+      s"dense cell capped at 5, sparse kept whole; got $byCell")
+    assert(kept == run(), "md5 priority must reproduce the identical sample")
+    // dimension exactly 0 counts as non-negative (>= 0 sets the bit)
+    val zero = Seq((7L, Array(0f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    assert(graft.ops.Sampling.cellCapped(zero, bits = 4, cap = 1)
+      .select("cell").head().getLong(0) == 1L)
+  }
+
+  test("dsir ranks target-dialect docs above off-target and samples them") {
+    import spark.implicits._
+    val avocab = (0 until 20).map(i => s"alpha$i")
+    val bvocab = (0 until 20).map(i => s"beta$i")
+    val rnd = new scala.util.Random(7)
+    def sent(v: IndexedSeq[String]) = Seq.fill(30)(v(rnd.nextInt(v.size))).mkString(" ")
+    val aDocs = (0L until 40L).map(i => (i, sent(avocab)))
+    val bDocs = (100L until 140L).map(i => (i, sent(bvocab)))
+    val raw = (aDocs ++ bDocs).toDF("doc_id", "text")
+    val target = (1000L until 1020L).map(i => (i, sent(avocab))).toDF("doc_id", "text")
+    val scores = graft.ops.Sampling.dsirScores(raw, target, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 80, "one score per raw doc")
+    val aMin = aDocs.map(d => scores(d._1)).min
+    val bMax = bDocs.map(d => scores(d._1)).max
+    assert(aMin > bMax,
+      s"every target-dialect doc must outscore every off-target doc ($aMin vs $bMax)")
+    def sel(seed: String) = graft.ops.Sampling
+      .dsirSample(raw, target, k = 30, buckets = 256, seed = seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = sel("graft")
+    assert(s1.size == 30 && s1.count(_ < 100L) >= 28,
+      s"Gumbel top-k must draw (almost) only target-like docs, got $s1")
+    assert(s1 == sel("graft"), "same seed must reproduce the identical sample")
+  }
+
   /** The q_knn_pq_exact construction — shared with the entries via
     * [[Similarity.plantedPqCorpus]] (one definition, zero drift).
     */
