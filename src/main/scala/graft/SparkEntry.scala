@@ -565,6 +565,19 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairsVerified(Tables.documents(s, dir), threshold = 0.9)
         .orderBy("id1", "id2")),
+    // incremental ingest dedup: the batch (doc_id % 5 == 0) against the
+    // already-indexed corpus — batch-internal + batch-vs-corpus pairs
+    // only, the corpus never re-shingled (only candidate-touched docs);
+    // same banding recall argument as q_dedup_minhash, so the full
+    // exhaustive oracle restricted to batch-touching pairs applies
+    "q_dedup_minhash_delta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      Dedup.minhashDeltaPairsVerified(batch, corpus, threshold = 0.9,
+          oldIndex = Some(Dedup.minhashBandIndex(corpus)))
+        .orderBy("id1", "id2")
+    }),
     // simhash stays Hamming-defined and un-oracled: measured on this
     // corpus, jaccard-0.89..0.96 pairs can sit at Hamming 8-11, so no
     // banding depth gives a principled jaccard-recall guarantee (the
@@ -1413,6 +1426,21 @@ object SparkEntry {
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.9
+         ORDER BY 1, 2""",
+
+    // the exhaustive pair oracle restricted to pairs touching the
+    // batch slice — exactly the delta operator's contract
+    "q_dedup_minhash_delta" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
          GROUP BY 1, 2
          HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.9
          ORDER BY 1, 2""",

@@ -135,7 +135,7 @@ object Dedup {
     * branch (freq, prefix, sets) sits on the SAME exchange, so Spark
     * computes the scan+shingle once and reuses it (ReusedExchange).
     */
-  private def shingleRows(
+  private[ops] def shingleRows(
       df: DataFrame, id: String, text: String, n: Int,
       distinct: Boolean = true): DataFrame = {
     val base = df.select(col(id), toks(col(text)).as("__ts"))
@@ -303,12 +303,40 @@ object Dedup {
           collapseExact = false))
     else minhashPairsDistinct(df, threshold, k, bands, n, id, text)
 
+  /** (id, band, bucket) rows from a signature relation with mh_0..mh_{k-1}
+    * columns — ONE banding definition shared by the estimate path, the
+    * verified path and the persistable index, so an index written by
+    * one release is joinable by the others (same k/bands/hash ⇒ same
+    * buckets).
+    */
+  private def bandBuckets(sigs: DataFrame, k: Int, bands: Int,
+                          id: String): DataFrame = {
+    val r = k / bands
+    val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
+    sigs.select(col(id),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hash(slice(sigArr, b * r + 1, r)).as("bucket"))): _*)).as("bb"))
+      .select(col(id), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** The persistable LSH index of a corpus: (id, band, bucket), `bands`
+    * rows per document. A production pipeline materializes this once
+    * (e.g. parquet partitioned by band) and joins each day's batch
+    * against it via [[minhashDeltaPairsVerified]] — the whole corpus is
+    * never re-shingled, only the batch and the candidate-touched docs.
+    */
+  def minhashBandIndex(
+      df: DataFrame, k: Int = 64, bands: Int = 16, n: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    bandBuckets(minhashSignatures(df, k, n, id, text), k, bands, id)
+  }
+
   private def minhashPairsDistinct(
       df: DataFrame, threshold: Double,
       k: Int, bands: Int, n: Int,
       id: String, text: String): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // the signature relation feeds the banding AND the post-candidate
     // verify; persist so the shingle scan + k-min aggregation runs once
     val sigs = minhashSignatures(df, k, n, id, text)
@@ -321,10 +349,7 @@ object Dedup {
     // thousand docs, OOMs the candidate stage; measured at the 50×
     // scale point). Signatures rejoin per-candidate AFTER the pair
     // dedup, when each survives exactly once per side.
-    val banded = withSig.select(col(id),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), hash(slice(col("__sig"), b * r + 1, r)).as("bucket"))): _*)).as("bb"))
-      .select(col(id), col("bb.band"), col("bb.bucket"))
+    val banded = bandBuckets(sigs, k, bands, id)
     val a = banded.select(col(id).as("id1"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("id2"), col("band"), col("bucket"))
     val cands = a.join(b, Seq("band", "bucket"))
@@ -371,7 +396,6 @@ object Dedup {
           collapseExact = false))
     else {
       require(k % bands == 0, "bands must divide k")
-      val r = k / bands
       // one persisted hashed-shingle relation feeds BOTH the signature
       // aggregation and the verify sets — the text is scanned once
       val rows = hashedShingleRows(df, id, text, n)
@@ -384,10 +408,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
       // banding ships only (id, band, bucket) — see minhashPairsDistinct
-      val banded = sigs.select(col(id),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), hash(slice(sigArr, b * r + 1, r)).as("bucket"))): _*)).as("bb"))
-        .select(col(id), col("bb.band"), col("bb.bucket"))
+      val banded = bandBuckets(sigs, k, bands, id)
       val cands = banded.select(col(id).as("id1"), col("band"), col("bucket"))
         .join(banded.select(col(id).as("id2"), col("band"), col("bucket")),
           Seq("band", "bucket"))
@@ -413,6 +434,117 @@ object Dedup {
         .select("id1", "id2")
       verifyJaccard(prefiltered, rows, id, threshold)
     }
+
+  /** Incremental verified near-dup: every pair (jaccard ≥ τ) that
+    * TOUCHES a new batch — batch-internal pairs plus batch-vs-corpus
+    * pairs — without re-processing the corpus. This is the shape a
+    * growing 100 TB corpus actually runs daily: the full self-join
+    * re-shingles and re-bands everything on every run, while here
+    *
+    *  - the batch pays the full [[minhashPairsVerified]] machinery
+    *    (collapse gate, banding, estimate pre-filter, exact verify);
+    *  - the corpus side joins only its persisted (id, band, bucket)
+    *    index — pass `oldIndex` with a materialized
+    *    [[minhashBandIndex]]; omitted, it is computed from `oldDf`
+    *    (corpus cost returns, correctness unchanged);
+    *  - only the candidate-TOUCHED corpus docs are re-shingled for the
+    *    exact verify (one semi-join, then grams over those docs only).
+    *
+    * Id spaces must be disjoint (same-id rows would self-pair; they
+    * are filtered defensively). Output matches the full operator
+    * restricted to pairs with ≥ 1 batch side — recall is the same
+    * banding guarantee (a j ≥ τ pair shares a band bucket with
+    * probability 1 − (1 − j^(k/bands))^bands; exact clones always),
+    * precision 1 via the exact-set verify.
+    */
+  def minhashDeltaPairsVerified(
+      newDf: DataFrame, oldDf: DataFrame, threshold: Double,
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      id: String = "doc_id", text: String = "text",
+      oldIndex: Option[DataFrame] = None,
+      collapseExact: Boolean = true): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val within = minhashPairsVerified(newDf, threshold, k, bands, n, id, text)
+    // clone collapse on the CROSS side: g batch clones × h corpus
+    // clones of near-identical content propose g·h candidates and pay
+    // g·h verifies without it (measured 46 s vs the full op's ~7 s at
+    // the 50×-clone point). Rep-level propose/verify + membership
+    // expansion makes the verify count track DISTINCT content while
+    // the OUTPUT (inherently g·h pairs) is produced by a cheap explode
+    // — the collapsedPairs argument, two-sided. The probes are one
+    // (count, approx distinct) scan per side — cheap against regrams;
+    // production batches against a pre-deduplicated corpus index pass
+    // collapseExact = false and skip both probes.
+    val key = lower(trim(col(text)))
+    val cross =
+      if (!(collapseExact && (cloneHeavy(newDf, key) || cloneHeavy(oldDf, key))))
+        deltaCrossVerified(newDf, oldDf, threshold, k, bands, n, id, text,
+          oldIndex, oldIdToRep = None)
+          .select(least(col("id1"), col("id2")).as("id1"),
+            greatest(col("id1"), col("id2")).as("id2"), col("jaccard"))
+      else {
+        val ng = cloneGroups(newDf, id, text)
+        val og = cloneGroups(oldDf, id, text)
+        // a clone's band buckets equal its rep's, so a persisted
+        // PER-DOC index still serves: candidates map old id → old rep
+        // before the dedup; without a persisted index the rep-level
+        // corpus is banded directly (cheaper)
+        val mapping = oldIndex.map(_ =>
+          og.select(explode(col("__ids")).as("__xid"), col("__rep")))
+        val repPairs = deltaCrossVerified(
+          ng.select(col("__rep").as(id), col(text)),
+          og.select(col("__rep").as(id), col(text)),
+          threshold, k, bands, n, id, text, oldIndex, mapping)
+        repPairs
+          .join(ng.select(col("__rep").as("id1"), col("__ids").as("__ids1")), "id1")
+          .join(og.select(col("__rep").as("id2"), col("__ids").as("__ids2")), "id2")
+          .withColumn("__a", explode(col("__ids1")))
+          .withColumn("__b", explode(col("__ids2")))
+          .select(least(col("__a"), col("__b")).as("id1"),
+            greatest(col("__a"), col("__b")).as("id2"), col("jaccard"))
+      }
+    within.unionByName(cross)
+  }
+
+  /** Verified batch-vs-corpus pairs, ORIENTED: id1 = batch doc,
+    * id2 = corpus doc (callers normalize or expand). `oldIdToRep`,
+    * when set, maps index ids to collapse representatives between the
+    * bucket join and the candidate dedup.
+    */
+  private def deltaCrossVerified(
+      newDf: DataFrame, oldDf: DataFrame, threshold: Double,
+      k: Int, bands: Int, n: Int, id: String, text: String,
+      oldIndex: Option[DataFrame],
+      oldIdToRep: Option[DataFrame]): DataFrame = {
+    // the batch's shingle rows feed its signatures AND its verify sets
+    val newRows = hashedShingleRows(newDf, id, text, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
+    val newBanded = bandBuckets(
+      newRows.groupBy(col(id)).agg(mins.head, mins.tail: _*), k, bands, id)
+    val idx = oldIndex.getOrElse(minhashBandIndex(oldDf, k, bands, n, id, text))
+    val raw = newBanded
+      .select(col(id).as("__nid"), col("band"), col("bucket"))
+      .join(idx.select(col(id).as("__oid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("__nid", "__oid")
+    val mapped = oldIdToRep match {
+      case Some(m) => raw.join(m, raw("__oid") === m("__xid"))
+        .select(col("__nid"), col("__rep").as("__oid"))
+      case None => raw
+    }
+    // candidate pairs feed the touched-docs semi-join AND the verify
+    val crossCands = mapped
+      .filter(col("__nid") =!= col("__oid"))
+      .dropDuplicates("__nid", "__oid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touchedOld = oldDf.join(
+      crossCands.select(col("__oid").as(id)).dropDuplicates(id), Seq(id), "leftsemi")
+    val rows = newRows.unionByName(hashedShingleRows(touchedOld, id, text, n))
+    verifyJaccard(
+      crossCands.select(col("__nid").as("id1"), col("__oid").as("id2")),
+      rows, id, threshold)
+  }
 
   /** 64-bit SimHash from token hashes (frequency-weighted sign sums
     * per bit). One explode + one groupBy(id) with 64 sums.
@@ -554,7 +686,7 @@ object Dedup {
     * normalization [[contentHash]] groups on — a raw-text probe misses
     * case/whitespace clones entirely.
     */
-  private def cloneGroups(df: DataFrame, id: String, text: String): DataFrame =
+  private[ops] def cloneGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), col(text))
       .groupBy(contentHash(col(text)).as("__ch"))
       .agg(min(col(id)).as("__rep"), first(col(text)).as(text),

@@ -118,27 +118,33 @@ object Sampling {
 
   // ---- DSIR importance resampling -----------------------------------
 
-  /** Word n-grams of a token array WITH multiplicity (bag-of-ngrams;
-    * [[graft.ops.Dedup.shingles]] is the distinct-set sibling).
-    */
-  private def ngramsBag(ts: Column, n: Int): Column =
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-      .otherwise(array())
-
-  /** (id, bucket) rows: each unigram and bigram of the text hashed
-    * into `buckets` buckets via the first 8 md5 hex chars — the
-    * engine-portable hash (any SQL engine reproduces it), matching
-    * the md5 convention of [[weighted]] and the winnowing default.
+  /** (id, bucket) rows: each unigram and bigram of the text (WITH
+    * multiplicity — bag-of-ngrams) hashed into `buckets` buckets via
+    * the first 8 md5 hex chars — the engine-portable hash (any SQL
+    * engine reproduces it), matching the md5 convention of [[weighted]]
+    * and the winnowing default.
+    *
+    * Built as one position explode + scalar element_at (the
+    * codegen-friendly shape of Dedup.shingleRows): position i ≤ n is
+    * unigram i, position i > n is the bigram starting at i − n — a
+    * higher-order transform() lambda here runs INTERPRETED and
+    * measured ~2× slower over the scale corpus.
     */
   private def hashedNgramBuckets(df: DataFrame, buckets: Int,
-                                 id: String, text: String): DataFrame = {
-    val ts = split(lower(trim(col(text))), " ")
-    df.filter(col(text).isNotNull)
-      .select(col(id), explode(concat(ngramsBag(ts, 1), ngramsBag(ts, 2))).as("__f"))
-      .select(col(id),
-        (conv(substring(md5(col("__f")), 1, 8), 16, 10).cast("long") % buckets).as("__b"))
+                                 id: String, text: String,
+                                 carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(id) +: carry.map(col)
+    val base = df.filter(col(text).isNotNull)
+      .select(keep :+ split(lower(trim(col(text))), " ").as("__ts"): _*)
+      .withColumn("__n", size(col("__ts")))
+    val idx = base.withColumn("__i",
+      explode(sequence(lit(1), greatest(col("__n") * 2 - 1, lit(1)))))
+    val f = when(col("__i") <= col("__n"), element_at(col("__ts"), col("__i")))
+      .otherwise(concat_ws(" ",
+        element_at(col("__ts"), col("__i") - col("__n")),
+        element_at(col("__ts"), col("__i") - col("__n") + 1)))
+    idx.select(keep :+
+      (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets).as("__b"): _*)
   }
 
   /** DSIR importance scores (Xie et al., "Data Selection for Language
@@ -158,13 +164,51 @@ object Sampling {
     * token.
     */
   def dsirScores(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
-                 id: String = "doc_id", text: String = "text"): DataFrame = {
+                 id: String = "doc_id", text: String = "text",
+                 collapseExact: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val fr = hashedNgramBuckets(raw, buckets, id, text)
-    val ft = hashedNgramBuckets(target, buckets, id, text)
-    val cr = fr.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = ft.groupBy("__b").agg(count(lit(1)).as("__ct"))
-    // two scalar totals (bounded collects, like toTokenBudget's rates)
+    import graft.ops.Dedup
+    val key = lower(trim(col(text)))
+    // multiplicity-weighted clone collapse (the LM/TF-IDF pattern):
+    // distributions count each DISTINCT text weighted by its clone
+    // count — bit-identical to the uncollapsed fit — and scoring runs
+    // once per distinct text, then fans out to ids. Gated on the cheap
+    // distinct-ratio probe; clone-free corpora skip both probes' cost
+    // only when collapseExact = false.
+    if (collapseExact &&
+        (Dedup.cloneHeavy(raw, key) || Dedup.cloneHeavy(target, key))) {
+      val rg = Dedup.cloneGroups(raw, id, text)
+        .withColumn("__w", size(col("__ids")).cast("long"))
+      val tg = Dedup.cloneGroups(target, id, text)
+        .withColumn("__w", size(col("__ids")).cast("long"))
+      val repScores = dsirCore(
+        rg.select(col("__rep").as(id), col(text), col("__w")),
+        tg.select(col("__rep").as(id), col(text), col("__w")), buckets, id, text)
+      repScores
+        .join(rg.select(col("__rep").as(id), explode(col("__ids")).as("__xid")), id)
+        .select(col("__xid").as(id), col("n_features"), col("logw"))
+    } else
+      dsirCore(raw.withColumn("__w", lit(1L)),
+        target.withColumn("__w", lit(1L)), buckets, id, text)
+  }
+
+  private def dsirCore(raw: DataFrame, target: DataFrame, buckets: Int,
+                       id: String, text: String): DataFrame = {
+    val fr = hashedNgramBuckets(raw, buckets, id, text, carry = Seq("__w"))
+    val ft = hashedNgramBuckets(target, buckets, id, text, carry = Seq("__w"))
+    // the two distributions are ≤ `buckets` rows — persist them so the
+    // totals, the ratio table and nothing else re-runs the corpus
+    // explode (unpersisted, the raw corpus was scanned 3× and the
+    // target 3×: measured 19 s → 3 s at sf0.1). The corpus-sized
+    // feature stream itself is NOT persisted: caching tokens×2 rows
+    // trades a re-scan for far more memory than the counts are worth
+    // at 100 TB — so raw pays exactly two scans (fit + score), target
+    // one.
+    val cr = fr.groupBy("__b").agg(sum("__w").as("__cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = ft.groupBy("__b").agg(sum("__w").as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two scalar totals off the persisted counts (≤ buckets rows each)
     val tr = cr.agg(sum("__cr")).collect()(0).getLong(0)
     val tt = ct.agg(coalesce(sum("__ct"), lit(0L))).collect()(0).getLong(0)
     // every bucket reachable from a raw doc has cr ≥ 1, so the ratio
@@ -191,11 +235,12 @@ object Sampling {
     */
   def dsirSample(raw: DataFrame, target: DataFrame, k: Int,
                  buckets: Int = 1024, seed: String = "graft",
-                 id: String = "doc_id", text: String = "text"): DataFrame = {
+                 id: String = "doc_id", text: String = "text",
+                 collapseExact: Boolean = true): DataFrame = {
     val u = (conv(substring(
         md5(concat(lit(seed), lit(":"), col(id).cast("string"))), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    dsirScores(raw, target, buckets, id, text)
+    dsirScores(raw, target, buckets, id, text, collapseExact)
       .withColumn("__key", col("logw") - log(-log(u)))
       .orderBy(col("__key").desc, col(id).asc)
       .limit(k)

@@ -434,10 +434,34 @@ object TextAnalysis {
     * deterministic in any engine.
     */
   def heavyNgrams(df: DataFrame, n: Int = 3, k: Int = 20,
-                  textCol: String = "text"): DataFrame =
-    df.filter(col(textCol).isNotNull)
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
-      .orderBy(col("doc_freq").desc, col("gram"))
-      .limit(k)
+                  id: String = "doc_id", textCol: String = "text",
+                  collapseExact: Boolean = true): DataFrame = {
+    val filtered = df.filter(col(textCol).isNotNull)
+    // clone-heavy corpora: gram once per DISTINCT text, weight the
+    // document count by clone multiplicity — doc_freq is identical
+    // (every clone contains exactly its rep's grams) and the explode
+    // tracks distinct content (the LM/TF-IDF weighted-collapse
+    // pattern). Probe-gated as everywhere.
+    if (collapseExact && Dedup.cloneHeavy(filtered, lower(trim(col(textCol))))) {
+      val g = Dedup.cloneGroups(filtered, id, textCol)
+      Dedup.shingleRows(g.select(col("__rep").as(id), col(textCol)),
+          id, textCol, n, distinct = true)
+        .join(g.select(col("__rep").as(id),
+          size(col("__ids")).cast("long").as("__w")), id)
+        .groupBy(col("__sh").as("gram"))
+        .agg(sum("__w").as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("gram"))
+        .limit(k)
+    } else
+      // non-distinct gram rows in the codegen'd explode-position shape
+      // (Dedup.shingleRows); count_distinct's (gram, id)-keyed partial
+      // aggregation dedupes a doc's internal repeats MAP-SIDE, so the
+      // shuffle ships ~distinct (gram, doc) pairs — the array_distinct-
+      // per-row form paid an interpreted transform() lambda instead
+      Dedup.shingleRows(filtered, id, textCol, n, distinct = false)
+        .groupBy(col("__sh").as("gram"))
+        .agg(count_distinct(col(id)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("gram"))
+        .limit(k)
+  }
 }

@@ -615,6 +615,41 @@ class OpsSpec extends SparkSpec {
       s"seed-disjoint samples should intersect at r² ≈ 0.25, got $overlap")
   }
 
+  test("delta minhash equals the full operator restricted to batch-touching pairs") {
+    val d = docs.select(col("doc_id"), col("text"))
+    // exact twins keep parity (within-side clones); appended twins flip
+    // parity (guaranteed cross-boundary near-dups at j ≈ 0.99)
+    val corpus = d
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" ")).as("text")))
+      .unionByName(d.select((col("doc_id") + 2000001).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text")))
+    val batch = corpus.filter(col("doc_id") % 2 === 0)
+    val old = corpus.filter(col("doc_id") % 2 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.minhashPairsVerified(corpus, threshold = 0.9))
+    val expected = full.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)
+    val cross = expected.filter(p => p._1 % 2 != p._2 % 2)
+    assert(cross.nonEmpty, "construction must produce cross-boundary pairs")
+    val delta = pairs(Dedup.minhashDeltaPairsVerified(batch, old, threshold = 0.9))
+    assert(delta == expected,
+      s"delta missed ${expected -- delta}, extra ${delta -- expected}")
+    val viaIdx = pairs(Dedup.minhashDeltaPairsVerified(batch, old, threshold = 0.9,
+      oldIndex = Some(Dedup.minhashBandIndex(old))))
+    assert(viaIdx == expected, "precomputed-index path must be identical")
+    // a clone-free corpus takes the direct (non-collapsed) cross path —
+    // same restricted-equality contract
+    val batch0 = d.filter(col("doc_id") % 2 === 0)
+    val old0 = d.filter(col("doc_id") % 2 =!= 0)
+    val exp0 = pairs(Dedup.minhashPairsVerified(d, threshold = 0.9))
+      .filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)
+    val delta0 = pairs(Dedup.minhashDeltaPairsVerified(batch0, old0, threshold = 0.9))
+    assert(delta0 == exp0,
+      s"direct path missed ${exp0 -- delta0}, extra ${delta0 -- exp0}")
+  }
+
   test("heavy ngrams count documents, not occurrences, and rank boilerplate first") {
     import spark.implicits._
     val corpus = Seq(
@@ -652,6 +687,30 @@ class OpsSpec extends SparkSpec {
     val zero = Seq((7L, Array(0f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
     assert(graft.ops.Sampling.cellCapped(zero, bits = 4, cap = 1)
       .select("cell").head().getLong(0) == 1L)
+  }
+
+  test("dsir and heavy-ngram weighted collapse equal the direct path on clones") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = (0 until 3).map(i =>
+        d.select((col("doc_id") + i * 1000000).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val target = d.filter(col("doc_id") % 7 === 0)
+    def dsir(collapse: Boolean) = graft.ops.Sampling
+      .dsirScores(corpus, target, buckets = 256, collapseExact = collapse)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = dsir(false)
+    val collapsed = dsir(true)
+    assert(collapsed.keySet == direct.keySet)
+    collapsed.foreach { case (idv, (nf, lw)) =>
+      assert(nf == direct(idv)._1, s"n_features diverged for $idv")
+      assert(math.abs(lw - direct(idv)._2) < 1e-9,
+        s"logw diverged for $idv: $lw vs ${direct(idv)._2}")
+    }
+    def heavy(collapse: Boolean) = graft.ops.TextAnalysis
+      .heavyNgrams(corpus, n = 3, k = 25, collapseExact = collapse)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(heavy(true) == heavy(false),
+      "weighted doc_freq must equal count_distinct exactly, same tie order")
   }
 
   test("dsir ranks target-dialect docs above off-target and samples them") {
