@@ -2,7 +2,7 @@ package graft
 
 import graft.functions._
 import graft.operators.TimeSeries
-import graft.ops.{Cluster, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Cluster, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.core.CandleDuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -865,6 +865,19 @@ object SparkEntry {
     // documents (distinct per doc), ties broken lexicographically
     "q_text_heavy_ngrams" -> ((s, dir) =>
       TextAnalysis.heavyNgrams(Tables.documents(s, dir), n = 3, k = 20)),
+    // fastText-style quality gate trained IN-ENGINE: logistic
+    // regression over hashed-ngram buckets, 3 deterministic full-batch
+    // GD iterations (pos = the English slice), scored over the corpus;
+    // the oracle replays the identical unrolled iterations in SQL
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Classifier.quality(
+          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"), d,
+          buckets = 1024, iters = 3, lr = 1.0)
+        .select(col("doc_id"), col("n_features"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
 
     // the round-5 stages composed the way a pretraining corpus build
     // chains them: repetition gate → near-dup cluster dedup (keep
@@ -1755,6 +1768,49 @@ object SparkEntry {
            ORDER BY logw - ln(-ln((('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
              / 4294967296.0)) DESC, doc_id LIMIT 100)
          SELECT doc_id, n_features, round(logw, 6) AS logw FROM sel ORDER BY doc_id""",
+
+    // the classifier's 3 GD iterations unrolled: w0 = 0 ⇒ p = 0.5,
+    // then two (margin → residual → mean gradient) rounds; identical
+    // add-one-free logistic math to Classifier.trainQuality at lr = 1
+    "q_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         f0 AS (SELECT doc_id, unnest(ts) AS f FROM d
+           UNION ALL
+           SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+               i -> array_to_string(ts[i:i+1], ' ')) ELSE [] END) AS f FROM d),
+         feat AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b FROM f0),
+         cnt AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM feat GROUP BY 1, 2),
+         lbl AS (SELECT dd.doc_id, CASE WHEN dd.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents dd JOIN (SELECT DISTINCT doc_id FROM cnt) USING (doc_id)),
+         n AS (SELECT count(*)::DOUBLE AS n FROM lbl),
+         r1 AS (SELECT doc_id, y - 0.5 AS r FROM lbl),
+         w1 AS (SELECT b, sum(c * r) / (SELECT n FROM n) AS w
+           FROM cnt JOIN r1 USING (doc_id) GROUP BY b),
+         b1 AS (SELECT sum(r) / (SELECT n FROM n) AS bias FROM r1),
+         m2 AS (SELECT cnt.doc_id, (SELECT bias FROM b1) + sum(c * w1.w) AS mg
+           FROM cnt JOIN w1 USING (b) GROUP BY cnt.doc_id),
+         r2 AS (SELECT l.doc_id, l.y - 1 / (1 + exp(-m2.mg)) AS r
+           FROM lbl l JOIN m2 USING (doc_id)),
+         w2 AS (SELECT w1.b, w1.w + g.g AS w FROM w1 LEFT JOIN (
+             SELECT b, sum(c * r) / (SELECT n FROM n) AS g
+             FROM cnt JOIN r2 USING (doc_id) GROUP BY b) g USING (b)),
+         b2 AS (SELECT (SELECT bias FROM b1)
+             + (SELECT sum(r) / (SELECT n FROM n) FROM r2) AS bias),
+         m3 AS (SELECT cnt.doc_id, (SELECT bias FROM b2) + sum(c * w2.w) AS mg
+           FROM cnt JOIN w2 USING (b) GROUP BY cnt.doc_id),
+         r3 AS (SELECT l.doc_id, l.y - 1 / (1 + exp(-m3.mg)) AS r
+           FROM lbl l JOIN m3 USING (doc_id)),
+         w3 AS (SELECT w2.b, w2.w + g.g AS w FROM w2 LEFT JOIN (
+             SELECT b, sum(c * r) / (SELECT n FROM n) AS g
+             FROM cnt JOIN r3 USING (doc_id) GROUP BY b) g USING (b)),
+         b3 AS (SELECT (SELECT bias FROM b2)
+             + (SELECT sum(r) / (SELECT n FROM n) FROM r3) AS bias),
+         ms AS (SELECT cnt.doc_id, (SELECT bias FROM b3) + sum(c * w3.w) AS mg
+           FROM cnt JOIN w3 USING (b) GROUP BY cnt.doc_id),
+         nf AS (SELECT doc_id, count(*)::BIGINT AS n_features FROM feat GROUP BY 1)
+         SELECT nf.doc_id, nf.n_features, round(1 / (1 + exp(-ms.mg)), 6) AS score
+         FROM ms JOIN nf USING (doc_id) ORDER BY doc_id""",
 
     "q_text_heavy_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts

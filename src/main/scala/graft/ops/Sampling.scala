@@ -130,9 +130,9 @@ object Sampling {
     * higher-order transform() lambda here runs INTERPRETED and
     * measured ~2× slower over the scale corpus.
     */
-  private def hashedNgramBuckets(df: DataFrame, buckets: Int,
-                                 id: String, text: String,
-                                 carry: Seq[String] = Nil): DataFrame = {
+  private[ops] def hashedNgramBuckets(df: DataFrame, buckets: Int,
+                                      id: String, text: String,
+                                      carry: Seq[String] = Nil): DataFrame = {
     val keep = col(id) +: carry.map(col)
     val base = df.filter(col(text).isNotNull)
       .select(keep :+ split(lower(trim(col(text))), " ").as("__ts"): _*)

@@ -689,6 +689,56 @@ class OpsSpec extends SparkSpec {
       .select("cell").head().getLong(0) == 1L)
   }
 
+  test("quality classifier separates dialects, improves with iterations, collapses exactly") {
+    import spark.implicits._
+    val avocab = (0 until 20).map(i => s"alpha$i")
+    val bvocab = (0 until 20).map(i => s"beta$i")
+    val rnd = new scala.util.Random(11)
+    def sent(v: IndexedSeq[String]) = Seq.fill(25)(v(rnd.nextInt(v.size))).mkString(" ")
+    val pos = (0L until 30L).map(i => (i, sent(avocab))).toDF("doc_id", "text")
+    val neg = (100L until 130L).map(i => (i, sent(bvocab))).toDF("doc_id", "text")
+    val all = pos.unionByName(neg)
+    def train(p: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame,
+              iters: Int, collapse: Boolean = true) =
+      graft.ops.Classifier.trainQuality(p, n, buckets = 1024, iters = iters,
+        collapseExact = collapse)
+    val m3 = train(pos, neg, 3)
+    val s3 = graft.ops.Classifier.scoreQuality(all, m3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val aMin = (0L until 30L).map(s3).min
+    val bMax = (100L until 130L).map(s3).max
+    assert(aMin > 0.5 && bMax < 0.5 && aMin > bMax,
+      s"classifier must separate the dialects: aMin=$aMin bMax=$bMax")
+    def logLoss(m: graft.ops.Classifier.Model): Double = {
+      val sc = graft.ops.Classifier.scoreQuality(all, m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      (((0L until 30L).map(i => -math.log(sc(i) + 1e-12)) ++
+        (100L until 130L).map(i => -math.log(1 - sc(i) + 1e-12))).sum) / 60
+    }
+    assert(logLoss(m3) < logLoss(train(pos, neg, 1)),
+      "more GD iterations must reduce training log-loss")
+    // same data, same plan → same model (aggregation-order float
+    // noise bounded well under the oracle's rounding)
+    val m3b = train(pos, neg, 3)
+    assert(math.abs(m3b.bias - m3.bias) < 1e-12)
+    m3b.weights.zip(m3.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // weighted collapse == direct on a clone-tripled corpus
+    def clone3(df: org.apache.spark.sql.DataFrame) = (0 until 3).map(i =>
+      df.select((col("doc_id") + i * 10000).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val mc = train(clone3(pos), clone3(neg), 3)
+    val md = train(clone3(pos), clone3(neg), 3, collapse = false)
+    assert(math.abs(mc.bias - md.bias) < 1e-9)
+    mc.weights.zip(md.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"collapsed weight diverged: $a vs $b") }
+    // ...and cloning every doc equally leaves the MEAN-gradient model
+    // unchanged (the multiplicities cancel against N)
+    assert(math.abs(mc.bias - m3.bias) < 1e-9)
+    mc.weights.zip(m3.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("dsir and heavy-ngram weighted collapse equal the direct path on clones") {
     val d = docs.select(col("doc_id"), col("text"))
     val corpus = (0 until 3).map(i =>
