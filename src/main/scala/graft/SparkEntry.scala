@@ -644,6 +644,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // MMR diversity re-rank (Carbonell-Goldstein '98) over the
+    // brute-force top-10 candidates; input scores pre-rounded on BOTH
+    // sides so the greedy comparisons see bitwise-identical relevance
+    "q_knn_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cands = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      Similarity.mmrRerank(cands, k = 3, lambda = 0.5)
+        .orderBy("query_id", "mmr_rank")
+    }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -1515,6 +1526,42 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
          ORDER BY query_id, vec_id""",
+
+    // the 3 greedy MMR selections unrolled: candidate set = the
+    // q_knn_brute top-10 with rounded scores, then per step the
+    // (v DESC, score DESC, vec_id) argmax with
+    // v = λ·score − (1−λ)·max cos(c, selected), λ = 0.5
+    "q_knn_mmr" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s, e.embedding
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         cand AS (SELECT query_id, vec_id, round(s, 6) AS score, embedding FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+             FROM scored) WHERE rk <= 10),
+         s1 AS (SELECT query_id, vec_id, score, embedding FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS r
+             FROM cand) WHERE r = 1),
+         c2 AS (SELECT c.query_id, c.vec_id, c.score, c.embedding,
+             0.5 * c.score - 0.5 * list_cosine_similarity(c.embedding::DOUBLE[], s1.embedding::DOUBLE[]) AS v
+           FROM cand c JOIN s1 USING (query_id) WHERE c.vec_id != s1.vec_id),
+         s2 AS (SELECT query_id, vec_id, score, embedding FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY v DESC, score DESC, vec_id) AS r
+             FROM c2) WHERE r = 1),
+         c3 AS (SELECT c.query_id, c.vec_id, c.score,
+             0.5 * c.score - 0.5 * greatest(
+               list_cosine_similarity(c.embedding::DOUBLE[], s1.embedding::DOUBLE[]),
+               list_cosine_similarity(c.embedding::DOUBLE[], s2.embedding::DOUBLE[])) AS v
+           FROM cand c JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+           WHERE c.vec_id != s1.vec_id AND c.vec_id != s2.vec_id),
+         s3 AS (SELECT query_id, vec_id, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY v DESC, score DESC, vec_id) AS r
+             FROM c3) WHERE r = 1)
+         SELECT query_id, mmr_rank, vec_id, score FROM (
+           SELECT query_id, 1 AS mmr_rank, vec_id, score FROM s1
+           UNION ALL SELECT query_id, 2, vec_id, score FROM s2
+           UNION ALL SELECT query_id, 3, vec_id, score FROM s3)
+         ORDER BY query_id, mmr_rank""",
 
     "q_knn_lsh_twins" ->
       """WITH corpus AS (

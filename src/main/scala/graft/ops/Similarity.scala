@@ -715,4 +715,84 @@ object Similarity {
   private[graft] def autoBlocks(corpusRows: Long): Int =
     math.max(8L, (corpusRows + MaxRowsPerBlock - 1) / MaxRowsPerBlock)
       .min(Int.MaxValue).toInt
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): from a per-query candidate set with relevance scores,
+    * greedily select k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s ∈ selected} cos(d, s) — the standard
+    * diversity re-rank that stops near-duplicate hits from filling
+    * the top-k. The first pick is the pure-relevance argmax; ties
+    * break by (relevance desc, id asc).
+    *
+    * Scale shape: the greedy loop is inherently sequential in k but
+    * runs PER QUERY over a candidate set bounded by the upstream ANN
+    * fetch (contract: ≤ ~1k candidates/query); queries spread over
+    * the cluster as flatMapGroups groups — one shuffle on query_id,
+    * no driver involvement, O(fetch²·k·d) flops per query. All
+    * arithmetic is double IEEE over candidate-row order, so a SQL
+    * engine replaying the same unrolled selections agrees (the
+    * oracle does, with pre-rounded input scores).
+    *
+    * Input columns: (query_id, `id`, score, `emb`); output k rows per
+    * query: (query_id, mmr_rank, `id`, score).
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double = 0.5,
+                id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    val ds = candidates.select(col("query_id").cast("long").as("query_id"),
+        col(id).cast("long").as("vec_id"), col("score").cast("double").as("score"),
+        col(emb).as("embedding"))
+      .as(Encoders.product[MmrCand])
+    ds.groupByKey(_.query_id)(Encoders.scalaLong)
+      .flatMapGroups { (q: Long, it: Iterator[MmrCand]) =>
+        val cands = it.toArray.sortBy(c => (-c.score, c.vec_id))
+        val vecs = cands.map(_.embedding.toArray.map(_.toDouble))
+        val norms = vecs.map { v =>
+          var s = 0.0; var x = 0
+          while (x < v.length) { s += v(x) * v(x); x += 1 }
+          math.sqrt(s)
+        }
+        def cos(i: Int, j: Int): Double = {
+          val a = vecs(i); val b = vecs(j)
+          var s = 0.0; var x = 0; val n = math.min(a.length, b.length)
+          while (x < n) { s += a(x) * b(x); x += 1 }
+          if (norms(i) == 0.0 || norms(j) == 0.0) 0.0 else s / (norms(i) * norms(j))
+        }
+        val n = cands.length
+        val picked = new Array[Boolean](n)
+        val out = new scala.collection.mutable.ArrayBuffer[MmrRanked](math.min(k, n))
+        var r = 1
+        while (r <= math.min(k, n)) {
+          var best = -1; var bestV = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              var maxSim = Double.NegativeInfinity
+              var j = 0
+              while (j < n) {
+                if (picked(j)) { val cv = cos(i, j); if (cv > maxSim) maxSim = cv }
+                j += 1
+              }
+              // strict > keeps the first (score desc, id asc) candidate
+              // on exact value ties — the deterministic tie rule
+              val v = if (r == 1) cands(i).score
+                      else lambda * cands(i).score - (1 - lambda) * maxSim
+              if (v > bestV) { bestV = v; best = i }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += MmrRanked(q, r, cands(best).vec_id, cands(best).score)
+          r += 1
+        }
+        out.iterator
+      }(Encoders.product[MmrRanked])
+      .toDF()
+  }
 }
+
+private[ops] case class MmrCand(
+  query_id: Long, vec_id: Long, score: Double, embedding: Seq[Float])
+private[ops] case class MmrRanked(
+  query_id: Long, mmr_rank: Int, vec_id: Long, score: Double)

@@ -689,6 +689,30 @@ class OpsSpec extends SparkSpec {
       .select("cell").head().getLong(0) == 1L)
   }
 
+  test("mmr rerank demotes the near-duplicate hit in favor of the diverse one") {
+    import spark.implicits._
+    val rows = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),     // query
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // A: top relevance
+      (2L, Seq(0.98f, 0.12f, 0f, 0f)), // A': near-duplicate of A
+      (3L, Seq(0.6f, 0f, 0.8f, 0f))    // B: diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(rows, rows.filter(col("vec_id") === 100L), k = 2)
+      .orderBy(col("score").desc).collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-2 must be the near-dup pair, got $plain")
+    val cands = Similarity.bruteForceTopK(rows, rows.filter(col("vec_id") === 100L), k = 3)
+      .join(rows.select(col("vec_id"), col("embedding")), "vec_id")
+    val mmr = Similarity.mmrRerank(cands, k = 2, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L),
+      s"mmr must pick diverse B second, got ${mmr.toSeq}")
+    assert(mmr.map(_.getAs[Int]("mmr_rank")).toSeq == Seq(1, 2))
+    // λ = 1 degenerates to plain relevance ranking
+    val rel = Similarity.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must reproduce relevance order, got $rel")
+  }
+
   test("quality classifier separates dialects, improves with iterations, collapses exactly") {
     import spark.implicits._
     val avocab = (0 until 20).map(i => s"alpha$i")
