@@ -882,8 +882,10 @@ object SparkEntry {
     // the oracle replays the identical unrolled iterations in SQL
     "q_quality_classifier" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // null-safe split: a NULL-lang doc is a NEGATIVE (matches the
+      // oracle's CASE WHEN lang = 'en' THEN 1 ELSE 0 labeling)
       Classifier.quality(
-          d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"), d,
+          d.filter(col("lang") <=> "en"), d.filter(!(col("lang") <=> "en")), d,
           buckets = 1024, iters = 3, lr = 1.0)
         .select(col("doc_id"), col("n_features"),
           round(col("score"), 6).as("score"))

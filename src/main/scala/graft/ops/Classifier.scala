@@ -72,9 +72,12 @@ object Classifier {
     // iteration (same cache-lifetime contract as the pair ops)
     val counts = sideCounts(pos, 1.0).unionByName(sideCounts(neg, 0.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // N = weighted doc count (one bounded agg; docs with ≥ 1 token)
+    // N = weighted doc count (one bounded agg; docs with ≥ 1 token;
+    // null-guarded so an empty/token-free training set fails the
+    // require below instead of NPE-ing in the driver)
     val docs = counts.groupBy(col(id), col("__y"), col("__m")).agg(count(lit(1)))
-      .agg(sum("__m")).collect()(0).getDouble(0)
+      .agg(coalesce(sum("__m"), lit(0.0))).collect()(0).getDouble(0)
+    require(docs > 0, "trainQuality needs at least one document with tokens")
     var w = Array.fill(buckets)(0.0)
     var bias = 0.0
     for (_ <- 0 until iters) {

@@ -92,16 +92,22 @@ object Dedup {
 
   private def collapsedPairs(
       df: DataFrame, id: String, text: String,
-      selfExtras: Seq[(String, Column)], selfQualifies: Boolean)(
+      selfExtras: Seq[(String, Column)], selfQualifies: Boolean,
+      precomputedGroups: Option[DataFrame] = None)(
       pairFn: DataFrame => DataFrame): DataFrame = {
-    if (!cloneHeavy(df, lower(trim(col(text))))) return pairFn(df)
-    val groups = df
+    // a caller that already probed AND grouped (the delta op shares
+    // one cloneGroups between its within and cross halves) passes the
+    // groups in; the probe is skipped — collapse is output-preserving
+    // regardless of clone structure, the probe only gates its cost
+    if (precomputedGroups.isEmpty && !cloneHeavy(df, lower(trim(col(text)))))
+      return pairFn(df)
+    val groups = precomputedGroups.getOrElse(df
       .select(col(id), col(text), contentHash(col(text)).as("__ch"))
       .groupBy("__ch")
       // any member's raw text works: all normalize identically
       .agg(min(col(id)).as("__rep"), first(col(text)).as("__txt"),
         sort_array(collect_list(col(id))).as("__ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val repPairs = pairFn(
       groups.select(col("__rep").as(id), col("__txt").as(text)))
     val extraCols = repPairs.columns.filterNot(c => c == "id1" || c == "id2")
@@ -464,7 +470,6 @@ object Dedup {
       oldIndex: Option[DataFrame] = None,
       collapseExact: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val within = minhashPairsVerified(newDf, threshold, k, bands, n, id, text)
     // clone collapse on the CROSS side: g batch clones × h corpus
     // clones of near-identical content propose g·h candidates and pay
     // g·h verifies without it (measured 46 s vs the full op's ~7 s at
@@ -476,34 +481,48 @@ object Dedup {
     // production batches against a pre-deduplicated corpus index pass
     // collapseExact = false and skip both probes.
     val key = lower(trim(col(text)))
-    val cross =
-      if (!(collapseExact && (cloneHeavy(newDf, key) || cloneHeavy(oldDf, key))))
-        deltaCrossVerified(newDf, oldDf, threshold, k, bands, n, id, text,
+    if (!(collapseExact && (cloneHeavy(newDf, key) || cloneHeavy(oldDf, key)))) {
+      // forward collapseExact = false: either the caller opted out, or
+      // our probes just said clone-light — the inner op's own probe
+      // would only repeat the same scan and reach the same answer
+      val within = minhashPairsVerified(newDf, threshold, k, bands, n, id, text,
+        collapseExact = false)
+      val cross = deltaCrossVerified(newDf, oldDf, threshold, k, bands, n, id, text,
           oldIndex, oldIdToRep = None)
-          .select(least(col("id1"), col("id2")).as("id1"),
-            greatest(col("id1"), col("id2")).as("id2"), col("jaccard"))
-      else {
-        val ng = cloneGroups(newDf, id, text)
-        val og = cloneGroups(oldDf, id, text)
-        // a clone's band buckets equal its rep's, so a persisted
-        // PER-DOC index still serves: candidates map old id → old rep
-        // before the dedup; without a persisted index the rep-level
-        // corpus is banded directly (cheaper)
-        val mapping = oldIndex.map(_ =>
-          og.select(explode(col("__ids")).as("__xid"), col("__rep")))
-        val repPairs = deltaCrossVerified(
-          ng.select(col("__rep").as(id), col(text)),
-          og.select(col("__rep").as(id), col(text)),
-          threshold, k, bands, n, id, text, oldIndex, mapping)
-        repPairs
-          .join(ng.select(col("__rep").as("id1"), col("__ids").as("__ids1")), "id1")
-          .join(og.select(col("__rep").as("id2"), col("__ids").as("__ids2")), "id2")
-          .withColumn("__a", explode(col("__ids1")))
-          .withColumn("__b", explode(col("__ids2")))
-          .select(least(col("__a"), col("__b")).as("id1"),
-            greatest(col("__a"), col("__b")).as("id2"), col("jaccard"))
-      }
-    within.unionByName(cross)
+        .select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2"), col("jaccard"))
+      within.unionByName(cross)
+    } else {
+      // ONE cloneGroups per side, shared by the within-batch collapse
+      // (via collapsedPairs' precomputed-groups path) and the cross
+      // expansion — no double probe, no double md5 group pass
+      val ng = cloneGroups(newDf, id, text)
+      val og = cloneGroups(oldDf, id, text)
+      val within = collapsedPairs(newDf, id, text,
+        Seq("jaccard" -> lit(1.0)), selfQualifies = threshold <= 1.0,
+        precomputedGroups = Some(ng.select(col("__ch"), col("__rep"),
+          col(text).as("__txt"), col("__ids"))))(
+        reps => minhashPairsVerified(reps, threshold, k, bands, n, id, text,
+          collapseExact = false))
+      // a clone's band buckets equal its rep's, so a persisted
+      // PER-DOC index still serves: candidates map old id → old rep
+      // before the dedup; without a persisted index the rep-level
+      // corpus is banded directly (cheaper)
+      val mapping = oldIndex.map(_ =>
+        og.select(explode(col("__ids")).as("__xid"), col("__rep")))
+      val repPairs = deltaCrossVerified(
+        ng.select(col("__rep").as(id), col(text)),
+        og.select(col("__rep").as(id), col(text)),
+        threshold, k, bands, n, id, text, oldIndex, mapping)
+      val cross = repPairs
+        .join(ng.select(col("__rep").as("id1"), col("__ids").as("__ids1")), "id1")
+        .join(og.select(col("__rep").as("id2"), col("__ids").as("__ids2")), "id2")
+        .withColumn("__a", explode(col("__ids1")))
+        .withColumn("__b", explode(col("__ids2")))
+        .select(least(col("__a"), col("__b")).as("id1"),
+          greatest(col("__a"), col("__b")).as("id2"), col("jaccard"))
+      within.unionByName(cross)
+    }
   }
 
   /** Verified batch-vs-corpus pairs, ORIENTED: id1 = batch doc,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,8 +208,9 @@ object Sampling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ct = ft.groupBy("__b").agg(sum("__w").as("__ct"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // two scalar totals off the persisted counts (≤ buckets rows each)
-    val tr = cr.agg(sum("__cr")).collect()(0).getLong(0)
+    // two scalar totals off the persisted counts (≤ buckets rows each;
+    // both null-guarded — an empty side must yield 0, not a driver NPE)
+    val tr = cr.agg(coalesce(sum("__cr"), lit(0L))).collect()(0).getLong(0)
     val tt = ct.agg(coalesce(sum("__ct"), lit(0L))).collect()(0).getLong(0)
     // every bucket reachable from a raw doc has cr ≥ 1, so the ratio
     // table built FROM cr covers all raw features; target-only buckets

@@ -761,6 +761,10 @@ object Similarity {
         }
         val n = cands.length
         val picked = new Array[Boolean](n)
+        // running max_{s ∈ selected} cos(i, s), updated only against
+        // the NEWEST pick each round — identical maxima to rescanning
+        // all picks, O(n·k·d) instead of O(n·k²·d)
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
         val out = new scala.collection.mutable.ArrayBuffer[MmrRanked](math.min(k, n))
         var r = 1
         while (r <= math.min(k, n)) {
@@ -768,22 +772,21 @@ object Similarity {
           var i = 0
           while (i < n) {
             if (!picked(i)) {
-              var maxSim = Double.NegativeInfinity
-              var j = 0
-              while (j < n) {
-                if (picked(j)) { val cv = cos(i, j); if (cv > maxSim) maxSim = cv }
-                j += 1
-              }
               // strict > keeps the first (score desc, id asc) candidate
               // on exact value ties — the deterministic tie rule
               val v = if (r == 1) cands(i).score
-                      else lambda * cands(i).score - (1 - lambda) * maxSim
+                      else lambda * cands(i).score - (1 - lambda) * maxSim(i)
               if (v > bestV) { bestV = v; best = i }
             }
             i += 1
           }
           picked(best) = true
           out += MmrRanked(q, r, cands(best).vec_id, cands(best).score)
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) { val cv = cos(j, best); if (cv > maxSim(j)) maxSim(j) = cv }
+            j += 1
+          }
           r += 1
         }
         out.iterator
