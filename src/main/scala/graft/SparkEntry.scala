@@ -500,6 +500,13 @@ object SparkEntry {
           round(avg("avg_logprob"), 6).as("mean_logprob"))
         .orderBy("lang_pred", "bucket")
     }),
+    // interpolated Kneser–Ney bigram LM, self-trained — the KenLM-
+    // shaped step past the unigram entry; every scored bigram is in
+    // the model, so the floors stay untriggered and the oracle is
+    // exact (n_unseen = 0 by construction)
+    "q_text_lm_kn" -> ((s, dir) =>
+      TextAnalysis.withKneserNeyBigram(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1244,6 +1251,30 @@ object SparkEntry {
            round(avg(coalesce(v.logp, ln(0.5 / (SELECT t FROM tot)))), 6) AS avg_logprob
          FROM tok LEFT JOIN vocab v USING (w)
          GROUP BY tok.doc_id ORDER BY doc_id""",
+
+    // interpolated Kneser–Ney bigram LM: the probability expression
+    // mirrors the Spark side operation-for-operation (same
+    // parenthesization, so both engines round identically before ln)
+    "q_text_lm_kn" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+               i -> struct_pack(u := ts[i], w := ts[i+1]))) AS p FROM d),
+         b2 AS (SELECT doc_id, p.u AS u, p.w AS w FROM bg),
+         big AS (SELECT u, w, count(*)::BIGINT AS c FROM b2 GROUP BY u, w),
+         ctx AS (SELECT u, sum(c)::BIGINT AS cu, count(*)::BIGINT AS n1u
+           FROM big GROUP BY u),
+         cont AS (SELECT w, count(*)::BIGINT AS n1w FROM big GROUP BY w),
+         nb AS (SELECT count(*)::BIGINT AS nb FROM big),
+         sc AS (SELECT b2.doc_id,
+             ln((greatest(c - 0.75, 0)
+                 + 0.75 * n1u * (n1w::DOUBLE / (SELECT nb FROM nb))) / cu) AS logp
+           FROM b2 JOIN big USING (u, w) JOIN ctx USING (u) JOIN cont USING (w)),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             round(avg(logp), 6) AS avg_logprob FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+           0::BIGINT AS n_unseen, agg.avg_logprob
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
     "q_text_tfidf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts

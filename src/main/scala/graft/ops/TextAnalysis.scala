@@ -464,4 +464,129 @@ object TextAnalysis {
         .orderBy(col("doc_freq").desc, col("gram"))
         .limit(k)
   }
+
+  /** Consecutive-token bigrams of `textCol` as an array of
+    * (u, w) structs — zip_with over two equal-length slices, fully
+    * codegen'd; a 0/1-token document yields an empty array.
+    */
+  private def bigramsOf(text: Column): Column = {
+    val ts = tokens(text)
+    zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => struct(a.as("u"), b.as("w")))
+  }
+
+  /** Interpolated Kneser–Ney bigram language model score per document
+    * (Kneser & Ney 1995; the interpolated form of Chen & Goodman,
+    * "An Empirical Study of Smoothing Techniques for Language
+    * Modeling", 1998 §2.7) — the next step from
+    * [[withUnigramLogProb]] toward the KenLM-style n-gram scorer
+    * CCNet actually uses, still with no external model artifact:
+    *
+    *   P(w|u) = max(c(u,w) − D, 0)/c(u)
+    *          + D·N1+(u,·)/c(u) · N1+(·,w)/N1+(·,·)
+    *
+    * with fixed discount D and the continuation distribution
+    * N1+(·,w)/N1+(·,·) (how many distinct contexts precede w, over
+    * the number of distinct bigram types) — the smoothing that scores
+    * "francisco" low in fresh contexts no matter how frequent
+    * "san francisco" is. Σ_w P(w|u) = 1 exactly (pinned in OpsSpec).
+    *
+    * Model = three aggregated relations, all (key-partial-aggregated)
+    * one-shuffle folds of the weighted bigram stream: bigram counts
+    * (u, w, c), context marginals (u, c(u), N1+(u,·)), continuation
+    * counts (w, N1+(·,w)); N1+(·,·) is one scalar count over the
+    * bigram-type relation. UNLIKE the unigram model the relations are
+    * not vocab-bounded, so nothing is collected or broadcast by hand:
+    * scoring is three equi-joins on (u,w)/u/w left to AQE — broadcast
+    * when a model is small, shuffled when a 100 TB crawl's bigram
+    * table isn't. Scored docs not in the training corpus (`reference`
+    * mode) hit the left-join fallbacks: unseen bigram in a seen
+    * context keeps the interpolation weight on the continuation term
+    * (c = 0), an unseen continuation word gets the 0.5-type floor the
+    * unigram model uses, and a fully unseen context backs off to the
+    * continuation distribution alone — never −∞/NaN.
+    *
+    * Output: (id, n_bigrams, n_unseen, avg_logprob) — one row per
+    * input doc; 0/1-token docs have n_bigrams = 0 and null score.
+    * The clone-collapse gate (same probe as the other model ops)
+    * grams each distinct text once and weights model counts by clone
+    * multiplicity — identical statistics, identical scores.
+    */
+  def withKneserNeyBigram(
+      df: DataFrame, discount: Double = 0.75,
+      reference: Option[DataFrame] = None,
+      id: String = "doc_id", textCol: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0, 1), got $discount")
+    val base = df.filter(col(textCol).isNotNull)
+    val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
+    val groups = if (gate) Some(weightedCloneGroups(base, id, textCol)) else None
+    // weighted bigram-token counts: (u, w, Σ multiplicity)
+    def bigramCounts(weighted: DataFrame): DataFrame =
+      weighted.select(explode(bigramsOf(col(textCol))).as("__p"), col("__m"))
+        .select(col("__p.u").as("__u"), col("__p.w").as("__w"), col("__m"))
+        .groupBy("__u", "__w").agg(sum("__m").as("__c"))
+    val big0 = reference match {
+      case Some(ref) =>
+        val m = ref.filter(col(textCol).isNotNull)
+        if (collapseExact && Dedup.cloneHeavy(m, lower(trim(col(textCol)))))
+          bigramCounts(m.groupBy(lower(trim(col(textCol))).as(textCol))
+            .agg(count(lit(1)).as("__m")))
+        else bigramCounts(m.withColumn("__m", lit(1L)))
+      case None => groups match {
+        case Some(g) => bigramCounts(g)
+        case None => bigramCounts(base.withColumn("__m", lit(1L)))
+      }
+    }
+    // every model relation folds from this one aggregate; persist pins
+    // a single materialization across the marginal builds + the type
+    // count (same cache-lifetime contract as the other model ops)
+    val big = big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes =
+      try {
+        val nb = big.count()
+        require(nb > 0, "KN bigram model corpus has no bigrams")
+        nb
+      } catch { case e: Throwable => big.unpersist(); throw e }
+    val ctx = big.groupBy(col("__u"))
+      .agg(sum("__c").as("__cu"), count(lit(1)).as("__n1u"))
+    val cont = big.groupBy(col("__w")).agg(count(lit(1)).as("__n1w"))
+    val nbD = nTypes.toDouble
+    // ONE canonical probability expression, mirrored operation-for-
+    // operation by the DuckDB oracle (parenthesization fixed so both
+    // engines round identically before the final ln):
+    //   ln((greatest(c − D, 0) + D·n1u·(n1w / nb)) / cu)
+    val n1wEff = coalesce(col("__n1w").cast("double"), lit(0.5))
+    val pInterp = (greatest(coalesce(col("__c"), lit(0L)) - lit(discount), lit(0.0))
+      + lit(discount) * col("__n1u") * (n1wEff / lit(nbD))) / col("__cu")
+    val logp = log(coalesce(pInterp, n1wEff / lit(nbD)))
+    def score(d: DataFrame): DataFrame =
+      d.select(col(id), explode(bigramsOf(col(textCol))).as("__p"))
+        .select(col(id), col("__p.u").as("__u"), col("__p.w").as("__w"))
+        .join(big, Seq("__u", "__w"), "left")
+        .join(ctx, Seq("__u"), "left")
+        .join(cont, Seq("__w"), "left")
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          round(avg(logp), 6).as("avg_logprob"))
+    val scored = groups match {
+      case Some(g) =>
+        score(g.select(col("__rep").as(id), col(textCol)))
+          .join(g.select(col("__rep").as(id), col("__ids")), Seq(id))
+          .select(explode(col("__ids")).as(id),
+            col("n_bigrams"), col("n_unseen"), col("avg_logprob"))
+      case None => score(base)
+    }
+    // 0/1-token docs never enter the bigram stream; restore them with
+    // an explicit empty score so output rows == input docs
+    base.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("avg_logprob"))
+  }
 }

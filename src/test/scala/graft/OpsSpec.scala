@@ -1098,6 +1098,64 @@ class OpsSpec extends SparkSpec {
     assert(refOn(2L)._2 == 2L && math.abs(refOn(2L)._3 - fl) < 1e-6)
   }
 
+  test("KN bigram LM: hand values, normalization, fallbacks, collapse equivalence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // model corpus: bigram tokens (a,b)×2 (b,a) (a,c) → 3 bigram types
+    // ctx a: cu=3 n1u=2; ctx b: cu=1 n1u=1; cont n1w=1 each; D=0.75
+    val corpus = Seq((0L, "a b a c"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.withKneserNeyBigram(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(rows.size == 3)
+    val pBA = (1.25 + 1.5 * (1.0 / 3)) / 3 // P(b|a)
+    val pAB = (0.25 + 0.75 * (1.0 / 3)) / 1 // P(a|b)
+    val pCA = (0.25 + 1.5 * (1.0 / 3)) / 3 // P(c|a)
+    val d0 = (math.log(pBA) + math.log(pAB) + math.log(pCA)) / 3
+    assert(rows(0L)._1 == 3L && rows(0L)._2 == 0L)
+    assert(math.abs(rows(0L)._3.get - d0) < 1e-6, s"${rows(0L)._3} vs $d0")
+    assert(math.abs(rows(1L)._3.get - math.log(pBA)) < 1e-6)
+    // a 1-token doc has no bigrams and a null score
+    assert(rows(2L) == ((0L, 0L, None)), s"single-token doc: ${rows(2L)}")
+    // THE KN invariant: Σ_w P(w|u) = 1 over the vocab, including
+    // unseen continuations — scored via reference mode, one synthetic
+    // single-bigram doc per (context, word) pair
+    val vocab = Seq("a", "b", "c")
+    val pairDocs = (for {
+      (u, i) <- Seq("a", "b").zipWithIndex
+      (w, j) <- vocab.zipWithIndex
+    } yield (i * 10L + j, s"$u $w")).toDF("doc_id", "text")
+    val scored = TextAnalysis
+      .withKneserNeyBigram(pairDocs, reference = Some(corpus))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    Seq(0, 1).foreach { i =>
+      val mass = vocab.indices.map(j => math.exp(scored(i * 10L + j))).sum
+      // tolerance bounded by the output's round(logp, 6): ~5e-7
+      // relative per term, three terms
+      assert(math.abs(mass - 1.0) < 1e-5, s"context $i mass $mass != 1")
+    }
+    // unseen-word / unseen-context fallbacks stay finite
+    val oov = TextAnalysis.withKneserNeyBigram(
+        Seq((50L, "z q"), (51L, "b c")).toDF("doc_id", "text"),
+        reference = Some(corpus))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(oov(50L)._1 == 1L, "unseen bigram must count as unseen")
+    assert(math.abs(oov(50L)._2 - math.log(0.5 / 3)) < 1e-6,
+      s"unseen-context fallback: ${oov(50L)}")
+    assert(math.abs(oov(51L)._2 - math.log(0.25)) < 1e-6,
+      s"unseen bigram in seen context: ${oov(51L)}")
+    // clone-heavy corpus: the weighted collapse must not change scores
+    val cloned = ((0L until 30L).map(i => (i, "a b a c")) ++
+      Seq((100L, "a b"), (101L, "b c a"))).toDF("doc_id", "text")
+    def all(collapse: Boolean) =
+      TextAnalysis.withKneserNeyBigram(cloned, collapseExact = collapse)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(all(true) == all(false), "weighted collapse changed KN scores")
+  }
+
   test("tfidf top terms: ranks, scores, and weighted-collapse equivalence") {
     import spark.implicits._
     import graft.ops.TextAnalysis
