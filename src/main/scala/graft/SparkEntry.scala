@@ -830,6 +830,15 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Cluster.fromJaccard(Tables.documents(s, dir), threshold = 0.4, n = 3)
         .orderBy("doc_id")),
+    // leakage-safe split: every near-dup cluster lands whole in one
+    // of train/val/test (salted hash of the CLUSTER id), so eval
+    // contamination via duplicate straddle is impossible by
+    // construction
+    "q_split_leakage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Cluster.leakageSafeSplit(d, Dedup.jaccardPairs(d, threshold = 0.4, n = 3))
+        .orderBy("doc_id")
+    }),
     // the survivor set: one canonical doc per near-dup component
     "q_dedup_corpus" -> ((s, dir) =>
       Cluster.dedupedCorpus(Tables.documents(s, dir), threshold = 0.4, n = 3)
@@ -1726,6 +1735,32 @@ object SparkEntry {
            SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
          SELECT a AS doc_id, min(b) AS cluster_id FROM reach
          GROUP BY a ORDER BY doc_id""",
+
+    // cluster-level salted-hash split over the same component labels
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5('graft:' || cluster_id), 1, 8)
+                  < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+                WHEN substring(md5('graft:' || cluster_id), 1, 8)
+                  < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+         FROM lab ORDER BY doc_id""",
 
     // survivors = docs equal to their component's min reachable id
     "q_dedup_corpus" ->

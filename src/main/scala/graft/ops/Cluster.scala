@@ -156,4 +156,45 @@ object Cluster {
       .select(col("doc_id").as(id))
     df.withColumn(id, col(id).cast("long")).join(keep, Seq(id), "left_semi")
   }
+
+  /** Leakage-safe train/val/test split: each document receives the
+    * split of its near-duplicate CLUSTER — a salted hash of the
+    * cluster id against cumulative fraction boundaries — so two
+    * near-duplicates can never straddle a split boundary (the classic
+    * eval-contamination failure of splitting on the document id:
+    * train/test "generalization" that is really memorized dup leak).
+    * Deterministic in (seed, cluster structure): the same corpus
+    * splits identically on every run and every engine (md5 prefix
+    * compare, the [[Sampling.weighted]] mechanism one level up).
+    *
+    * Scale shape: cluster labels come from [[assignments]] (the
+    * large-star/small-star loop — hash shuffles only); the split
+    * itself is a codegen'd per-row hash against ≤ |fractions|
+    * boundary literals, no extra shuffle and nothing collected.
+    *
+    * Output: (doc_id, cluster_id, split). `fractions` must sum to 1
+    * (±1e-9); boundaries are cumulative, so a doc's split is the
+    * first label whose boundary exceeds its cluster hash.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, pairs: DataFrame,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "graft", id: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0),
+      s"fractions must be non-negative: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val bounds = fractions.map(_._1).zip(cum.map(Sampling.hexThreshold))
+    val h = substring(
+      md5(concat(lit(seed), lit(":"), col("cluster_id").cast("string"))), 1, 8)
+    // the last boundary is hexThreshold(1.0) = the above-all-hex
+    // sentinel, so the chain is total without an otherwise-null edge
+    val split = bounds.init.foldRight(lit(bounds.last._1)) {
+      case ((label, b), rest) => when(h < lit(b), lit(label)).otherwise(rest)
+    }
+    assignments(pairs, df, id = id)
+      .select(col("doc_id"), col("cluster_id"), split.as("split"))
+  }
 }

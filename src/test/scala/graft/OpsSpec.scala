@@ -1156,6 +1156,40 @@ class OpsSpec extends SparkSpec {
     assert(all(true) == all(false), "weighted collapse changed KN scores")
   }
 
+  test("leakage-safe split: clusters stay whole, fractions hold, deterministic") {
+    import spark.implicits._
+    import graft.ops.Cluster
+    val docs = (0L until 3000L).map(Tuple1(_)).toDF("doc_id")
+    // a 3-chain (0-1-2: 0 and 2 never directly compared), a pair, and
+    // a long-range edge — plus ~3000 singletons for the fraction check
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (500L, 2999L))
+      .toDF("id1", "id2")
+    val rows = Cluster.leakageSafeSplit(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 3000)
+    val byCluster = rows.groupBy(_._2).map { case (c, m) => c -> m.map(_._3).toSet }
+    assert(byCluster.values.forall(_.size == 1),
+      "a near-dup cluster straddled a split boundary")
+    val m = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(0L)._1 == 0L && m(2L)._1 == 0L && m(0L)._2 == m(2L)._2,
+      "transitive near-dups must share cluster and split")
+    assert(m(500L)._2 == m(2999L)._2)
+    // ~3000 independent cluster hashes: binomial(3000, .8) 4σ ≈ 0.03
+    val trainFrac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"train fraction $trainFrac")
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic across runs; the seed actually salts
+    val again = Cluster.leakageSafeSplit(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val other = Cluster.leakageSafeSplit(docs, pairs, seed = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.exists(r => other(r._1) != r._3), "seed had no effect")
+    intercept[IllegalArgumentException] {
+      Cluster.leakageSafeSplit(docs, pairs, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("tfidf top terms: ranks, scores, and weighted-collapse equivalence") {
     import spark.implicits._
     import graft.ops.TextAnalysis
