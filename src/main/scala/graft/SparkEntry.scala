@@ -871,6 +871,17 @@ object SparkEntry {
       Sampling.weighted(Tables.documents(s, dir), SampleRates, defaultRate = 0.3)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // temperature mixing (mT5/XLM-R q_d ∝ p_d^α): α = 0.5 flattens
+    // the domain distribution toward the tail; budget 15000 (about
+    // half the sf0.01 corpus) keeps every domain on the sampling
+    // branch of the rate rule
+    "q_sample_temperature" -> ((s, dir) => {
+      val d = TextAnalysis.withTokenCounts(Tables.documents(s, dir))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+      Sampling.temperatureMix(d, alpha = 0.5, totalBudget = 15000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // diversity balancing: sign-cell LSH over embeddings, every cell
     // capped at 8 rows by md5 priority — dense modes downsampled,
     // sparse cells survive whole
@@ -1836,6 +1847,29 @@ object SparkEntry {
                   ELSE printf('%08x', CAST(floor(least(1.0, budget / greatest(tt, 1)) * 4294967296) AS BIGINT)) END AS thr
            FROM b JOIN tot USING (source))
          SELECT t.doc_id, t.source FROM t JOIN r USING (source)
+         WHERE substr(md5('graft:' || CAST(t.doc_id AS VARCHAR)), 1, 8) < r.thr
+         ORDER BY t.doc_id""",
+
+    // temperature mixing: the α-power/normalization arithmetic is
+    // replayed in SQL with the same expression shape (share → pow →
+    // normalize → budget rate → hex threshold); the threshold
+    // discretization to 2^-32 absorbs sub-ulp engine differences
+    "q_sample_temperature" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents),
+         tot AS (SELECT source, sum(n_tokens)::BIGINT AS tt FROM t GROUP BY source),
+         g AS (SELECT sum(tt)::BIGINT AS gt FROM tot),
+         p AS (SELECT source, tt,
+             pow(tt::DOUBLE / (SELECT gt FROM g), 0.5) AS pw FROM tot),
+         z AS (SELECT sum(pw) AS z FROM p),
+         r AS (SELECT source,
+             CASE WHEN least(1.0, pw / (SELECT z FROM z) * 15000.0 / tt) >= 1.0
+                  THEN 'g0000000'
+                  ELSE printf('%08x', CAST(floor(least(1.0,
+                    pw / (SELECT z FROM z) * 15000.0 / tt) * 4294967296) AS BIGINT)) END AS thr
+           FROM p)
+         SELECT t.doc_id, t.source, t.n_tokens FROM t JOIN r USING (source)
          WHERE substr(md5('graft:' || CAST(t.doc_id AS VARCHAR)), 1, 8) < r.thr
          ORDER BY t.doc_id""",
 

@@ -71,6 +71,42 @@ object Sampling {
     weighted(df, rates, defaultRate = 0.0, seed = seed, id = id, domain = domain)
   }
 
+  /** Temperature-scaled domain mixing — the multilingual/multi-domain
+    * sampling rule of mT5 (Xue et al. 2021 §3.3) and XLM-R (Conneau
+    * et al. 2020 §3): mixture weight q_d ∝ p_d^α, where p_d is the
+    * domain's token share and α ∈ [0, 1] the temperature — α = 1
+    * keeps natural proportions, α = 0 is uniform across domains, and
+    * values between up-sample the tail without flattening the head.
+    * Each domain's keep-rate is min(1, q_d·budget / tokens_d), then
+    * the same deterministic md5-threshold rule as [[weighted]].
+    *
+    * Scale shape: one bounded (≤ #domains rows) aggregation collect
+    * for the totals — the [[toTokenBudget]] precedent — then a
+    * broadcast rate table and a codegen'd per-row hash; the corpus
+    * itself never shuffles. The α-power/normalization arithmetic runs
+    * driver-side over the DOMAIN-SORTED totals (deterministic fold
+    * order), mirrored expression-for-expression by the SQL oracle.
+    */
+  def temperatureMix(df: DataFrame, alpha: Double, totalBudget: Long,
+                     tokens: String = "n_tokens", seed: String = "graft",
+                     id: String = "doc_id", domain: String = "source"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val totals = df.groupBy(domain).agg(sum(col(tokens)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).sortBy(_._1)
+    val grand = totals.map(_._2).sum
+    require(grand > 0, "temperatureMix corpus has no tokens")
+    val pows = totals.map { case (d, t) =>
+      (d, t, math.pow(t.toDouble / grand.toDouble, alpha))
+    }
+    val z = pows.foldLeft(0.0)(_ + _._3)
+    val rates = pows.map { case (d, t, pw) =>
+      d -> math.min(1.0, pw / z * totalBudget.toDouble / t.toDouble)
+    }.toMap
+    weighted(df, rates, defaultRate = 0.0, seed = seed, id = id, domain = domain)
+  }
+
   /** Stratified selection: the top `k` rows of each domain by `score`
     * (ties broken by ascending id — deterministic). One window shuffle
     * partitioned by domain; the rank filter prunes before anything

@@ -1190,6 +1190,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: alpha endpoints, tail up-sampling, determinism") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // head domain 9000 tokens (900 docs), tail 1000 (100 docs):
+    // α=0.5 → q = (0.75, 0.25) → targets (3750, 1250) → tail rate
+    // caps at 1 (kept whole), head samples at 3750/9000
+    val docs = ((0L until 900L).map(i => (i, "head", 10L)) ++
+      (1000L until 1100L).map(i => (i, "tail", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.temperatureMix(docs, alpha = 0.5, totalBudget = 5000L)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    val tailKept = out.count(_._2 == "tail")
+    assert(tailKept == 100, s"tail domain must be kept whole, got $tailKept")
+    val headRate = out.count(_._2 == "head") / 900.0
+    // binomial(900, 0.4167) 4σ ≈ 0.066
+    assert(math.abs(headRate - 3750.0 / 9000) < 0.07, s"head rate $headRate")
+    // α = 1 degenerates to a single uniform rate budget/grandTotal
+    val nat = Sampling.temperatureMix(docs, alpha = 1.0, totalBudget = 5000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val uni = Sampling.weighted(docs, Map("head" -> 0.5, "tail" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(nat.sameElements(uni), "α=1 must equal the natural-proportion rate")
+    // α = 0 splits the budget uniformly across domains: tail target
+    // 2500 > 1000 caps, head samples at 2500/9000
+    val flat = Sampling.temperatureMix(docs, alpha = 0.0, totalBudget = 5000L)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(flat.count(_._2 == "tail") == 100)
+    assert(math.abs(flat.count(_._2 == "head") / 900.0 - 2500.0 / 9000) < 0.07)
+    // deterministic across runs
+    val again = Sampling.temperatureMix(docs, alpha = 0.5, totalBudget = 5000L)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, alpha = 1.5, totalBudget = 5000L)
+    }
+  }
+
   test("tfidf top terms: ranks, scores, and weighted-collapse equivalence") {
     import spark.implicits._
     import graft.ops.TextAnalysis
