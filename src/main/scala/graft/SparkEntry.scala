@@ -651,6 +651,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // Johnson–Lindenstrauss random projection 64 → 16 dims (Achlioptas
+    // sign matrix, exact ±0.25 floats): the store-less-scan-less
+    // first-pass retrieval representation; long form for the oracle
+    "q_vec_project" -> ((s, dir) => {
+      val planes = Similarity.jlPlanes(16, 64)
+      Similarity.projectEmbeddings(Tables.embeddings(s, dir), planes)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("p"), 6).as("proj"))
+        .orderBy("vec_id", "j")
+    }),
     // MMR diversity re-rank (Carbonell-Goldstein '98) over the
     // brute-force top-10 candidates; input scores pre-rounded on BOTH
     // sides so the greedy comparisons see bitwise-identical relevance
@@ -1630,6 +1641,18 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 1
          ORDER BY query_id, vec_id""",
+
+    // JL projection: the sign matrix is embedded as SQL literals
+    // (±0.25 exact dyadic floats, bit-identical in both engines)
+    "q_vec_project" -> {
+      val rows = Similarity.jlPlanes(16, 64).zipWithIndex.map { case (r, j) =>
+        s"($j, [${r.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH r(j, rv) AS (VALUES $rows)
+         SELECT e.vec_id, j::BIGINT AS j,
+           round(list_dot_product(e.embedding::DOUBLE[], rv), 6) AS proj
+         FROM embeddings e, r ORDER BY vec_id, j"""
+    },
 
     // full probe == exhaustive: same oracle as q_knn_brute
     "q_knn_ivf_full" ->

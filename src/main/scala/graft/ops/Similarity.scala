@@ -703,6 +703,46 @@ object Similarity {
     (planted, cb)
   }
 
+  /** Deterministic Johnson–Lindenstrauss projection matrix — the
+    * Achlioptas sign construction ("Database-friendly random
+    * projections", PODS 2001): k rows of dim entries, each ±1/√k with
+    * equal probability, seeded. With k = 16 the scale 1/√16 = 0.25 is
+    * an exact dyadic float, so the matrix round-trips bit-exactly
+    * through decimal literals (the oracle embeds it as SQL VALUES).
+    */
+  def jlPlanes(k: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    require(k > 0 && dim > 0, s"k and dim must be positive: $k, $dim")
+    val s = (1.0 / math.sqrt(k.toDouble)).toFloat
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k, dim)(if (rnd.nextBoolean()) s else -s)
+  }
+
+  /** Random-projection dimensionality reduction: maps each embedding
+    * to `planes.length` coordinates, proj_j = ⟨v, planes_j⟩ — the
+    * Johnson–Lindenstrauss lemma guarantees pairwise distances are
+    * preserved within ε with k = O(ln n / ε²) rows, independent of
+    * the source dimension. The 100 TB role: shrink the stored/scanned
+    * vector bytes (and every downstream dot product) by dim/k before
+    * brute-force or LSH search — the projected corpus is what you'd
+    * persist for first-pass retrieval, re-ranking survivors on the
+    * original vectors.
+    *
+    * Per-row map, no shuffle; each output coordinate is one codegen'd
+    * [[VectorFunctions.dotF]] against a literal plane (k reference
+    * objects — small enough to stay in whole-stage codegen at the
+    * default k=16, unlike the bands×rows LSH tensor that needed
+    * fusing). Double accumulation, so scores are bit-comparable
+    * across engines the same way the cosine operators are.
+    */
+  def projectEmbeddings(
+      df: DataFrame, planes: Array[Array[Float]],
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(planes.nonEmpty, "projection needs at least one plane")
+    df.select(col(id),
+      array(planes.map(row =>
+        VectorFunctions.dotF(col(emb), typedlit(row.toSeq))): _*).as("proj"))
+  }
+
   /** Cap on vectors collected into one block row of
     * [[cosineDedupPairs]] (~1 MB of f4 at d=64).
     */

@@ -1190,6 +1190,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("JL projection: determinism, distance preservation, projected recall") {
+    val planes = Similarity.jlPlanes(16, 64)
+    assert(planes.length == 16 && planes.forall(_.length == 64))
+    val flat = planes.flatMap(_.toSeq)
+    assert(flat.forall(v => v == 0.25f || v == -0.25f))
+    assert(Similarity.jlPlanes(16, 64).flatMap(_.toSeq).sameElements(flat),
+      "planes must be deterministic in the seed")
+    val orig = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = Similarity.projectEmbeddings(embs, planes).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.keySet == orig.keySet)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL lemma, sign matrix: E[‖Rx‖²] = ‖x‖², sd of the ratio
+    // ≈ √(2/k) ≈ 0.35 per pair — the MEAN over ~1k pairs concentrates
+    val ids = orig.keys.toArray.sorted.take(46)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      od = d2(orig(ids(i)), orig(ids(j))) if od > 1e-12
+    } yield d2(proj(ids(i)), proj(ids(j))) / od
+    val mean = ratios.sum / ratios.size
+    assert(ratios.size > 900)
+    assert(math.abs(mean - 1.0) < 0.1, s"mean distance ratio $mean")
+    assert(ratios.max < 3.0 && ratios.min > 0.2,
+      s"ratio tails [${ratios.min}, ${ratios.max}]")
+    // first-pass retrieval: a planted near-twin (v + 0.2·e1, cosine
+    // ≈ 0.98 vs ≈ 0 for random unit pairs) must stay the projected
+    // top-1 — on fully isotropic corpora neighbor RANKS are
+    // information-free (the same caveat as LSH/IVF pruning), so the
+    // retrieval claim is tested on structure, not noise
+    val twins = embs.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.2f)).otherwise(x)).as("embedding"))
+    val projDf = Similarity.projectEmbeddings(embs.select("vec_id", "embedding")
+        .unionByName(twins), planes)
+      .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+    val top1 = Similarity.bruteForceTopK(projDf,
+        projDf.filter(col("vec_id") < 5), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 5L).count(q => top1(q) == q + 10000L)
+    assert(hits >= 4, s"projected top-1 found only $hits/5 planted twins")
+  }
+
   test("temperature mix: alpha endpoints, tail up-sampling, determinism") {
     import spark.implicits._
     import graft.ops.Sampling
