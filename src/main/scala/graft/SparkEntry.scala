@@ -954,6 +954,34 @@ object SparkEntry {
           (max(col("chunk_last")) + 1).as("n_chunks"))
     }),
 
+    // JSONL round-trip: the training-data interchange format as a
+    // first-class sink + source — write the corpus as JSON lines,
+    // read it back under an explicit schema, and hand the driver the
+    // FULL row set (hash-level identity against the parquet
+    // original: quotes, escapes, nulls, and numeric widths all have
+    // to survive)
+    "q_io_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt"
+      Tables.documents(s, dir).write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    // per-source corpus report card: volume, clone rate, token mass,
+    // and language composition in one grouped pass
+    "q_report_sources" -> ((s, dir) => {
+      val d = TextAnalysis.withLangId(
+        TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(lower(trim(col("text")))).as("n_distinct_texts"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")
+    }),
+
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
@@ -1769,6 +1797,31 @@ object SparkEntry {
            SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
          SELECT a AS doc_id, min(b) AS cluster_id FROM reach
          GROUP BY a ORDER BY doc_id""",
+
+    // round-trip is identity, so the oracle is the original table
+    "q_io_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+
+    "q_report_sources" ->
+      """WITH d AS (SELECT doc_id, source, text,
+             string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         lang AS (SELECT doc_id,
+             CASE WHEN s_de > greatest(s_en, s_es) THEN 'de'
+                  WHEN s_es > s_en THEN 'es'
+                  WHEN s_en > 0 THEN 'en' ELSE 'und' END AS lang_pred
+           FROM (SELECT doc_id,
+               len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS s_en,
+               len(list_filter(ts, x -> x IN ('el','la','de','que','y'))) AS s_es,
+               len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS s_de
+             FROM d))
+         SELECT d.source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT lower(trim(text)))::BIGINT AS n_distinct_texts,
+           sum(len(ts))::BIGINT AS total_tokens,
+           round(avg(len(ts)), 6) AS avg_tokens,
+           sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+         FROM d JOIN lang USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
 
     // cluster-level salted-hash split over the same component labels
     "q_split_leakage" ->

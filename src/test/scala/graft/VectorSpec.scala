@@ -294,4 +294,24 @@ class VectorSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != composed ${composed(r.getLong(0))}")
     }
   }
+
+  test("JL projection (16 literal-plane dots in one scope) compiles strictly") {
+    // k=16 composed dotF columns must stay inside whole-stage codegen
+    // — the bands×rows=128 LSH tensor needed fusing, 16 must not
+    val planes = graft.ops.Similarity.jlPlanes(16, 8)
+    val out = withStrictCodegen {
+      graft.ops.Similarity.projectEmbeddings(vecs.select(col("id"),
+        col("a").as("embedding")), planes, id = "id").collect()
+    }
+    assert(out.length == 49)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // vecs fixture: a_i = (i · id) mod 7, i = 1..8
+      val v = (1 to 8).map(i => ((i * id) % 7).toDouble)
+      val p = r.getSeq[Double](r.fieldIndex("proj"))
+      assert(p.length == 16)
+      val exp = v.zip(planes(0).map(_.toDouble)).map { case (x, y) => x * y }.sum
+      assert(math.abs(p.head - exp) < 1e-9, s"id $id: ${p.head} vs $exp")
+    }
+  }
 }
