@@ -855,6 +855,19 @@ object SparkEntry {
       Cluster.dedupedCorpus(Tables.documents(s, dir), threshold = 0.4, n = 3)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
+    // quality-priority dedup survivors: keep the LONGEST doc of each
+    // near-dup component (the C4 policy), not the min-id canonical
+    "q_dedup_corpus_best" -> ((s, dir) =>
+      Cluster.dedupedCorpusBy(Tables.documents(s, dir), threshold = 0.4,
+          n = 3, priority = "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+    // token-balanced output shards: longest-first round robin over the
+    // distributed global rank (LPT bound: shard totals differ by at
+    // most one maximal document)
+    "q_pack_shards" -> ((s, dir) =>
+      Packing.assignShards(Tables.documents(s, dir), nShards = 8)
+        .orderBy("doc_id")),
     // concat-and-chunk sequence packing over the id-ordered corpus
     "q_pack_manifest" -> ((s, dir) =>
       Packing.manifest(Tables.documents(s, dir), budget = 256)
@@ -1822,6 +1835,41 @@ object SparkEntry {
            sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
          FROM d JOIN lang USING (doc_id)
          GROUP BY d.source ORDER BY d.source""",
+
+    // survivors = per-component argmax(n_chars), ties lowest id
+    "q_dedup_corpus_best" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         rk AS (SELECT doc.doc_id, doc.source, doc.n_chars,
+             row_number() OVER (PARTITION BY lab.cluster_id
+               ORDER BY doc.n_chars DESC, doc.doc_id) AS rk
+           FROM documents doc JOIN lab USING (doc_id))
+         SELECT doc_id, source, n_chars FROM rk WHERE rk = 1
+         ORDER BY doc_id""",
+
+    // distributed two-phase global rank == the plain window rank
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank FROM t)
+         SELECT doc_id, n_tokens, rank, (rank - 1) % 8 AS shard FROM r
+         ORDER BY doc_id""",
 
     // cluster-level salted-hash split over the same component labels
     "q_split_leakage" ->

@@ -157,6 +157,29 @@ object Cluster {
     df.withColumn(id, col(id).cast("long")).join(keep, Seq(id), "left_semi")
   }
 
+  /** The deduplicated corpus under a QUALITY priority: one survivor
+    * per near-dup component as in [[dedupedCorpus]], but the survivor
+    * maximizes `priority` (ties → lowest id) instead of being the
+    * minimum id — the production policy ("keep the longest / highest-
+    * quality duplicate", as C4 and most crawl pipelines do) rather
+    * than the arbitrary canonical. One extra cluster-keyed window
+    * over the labeled corpus; cluster sizes are near-dup components,
+    * so the window partitions are small by construction.
+    */
+  def dedupedCorpusBy(df: DataFrame, threshold: Double, n: Int,
+                      priority: String,
+                      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val labels = fromJaccard(df, threshold, n, id, text)
+      .withColumnRenamed("doc_id", id)
+    df.withColumn(id, col(id).cast("long"))
+      .join(labels, Seq(id))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col(priority).desc, col(id))))
+      .where(col("__rk") === 1)
+      .drop("__rk", "cluster_id")
+  }
+
   /** Leakage-safe train/val/test split: each document receives the
     * split of its near-duplicate CLUSTER — a salted hash of the
     * cluster id against cumulative fraction boundaries — so two

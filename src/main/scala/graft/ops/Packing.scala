@@ -75,6 +75,51 @@ object Packing {
         (col("chunk_last") - col("chunk_first") + lit(1)).as("n_chunks"))
   }
 
+  /** Deterministic token-balanced shard assignment — round-robin LPT:
+    * documents ranked by token count descending (ties by id), and a
+    * document's output shard is (rank − 1) mod `nShards`. Longest-
+    * first round robin places each "round" of the nShards next-largest
+    * documents one per shard, so shard token totals differ by at most
+    * one maximal document — the classic LPT balance bound without the
+    * sequential greedy loop, and deterministic in any engine.
+    *
+    * Scale shape: the global rank is the same two-phase scan as
+    * [[manifest]] — range repartition on the (tokens desc, id) sort
+    * key, a per-range local row_number, per-range COUNTS (≤ numShards
+    * rows, driver prefix-summed) broadcast back as offsets. No global
+    * single-partition window at any size.
+    *
+    * Output: (doc_id, n_tokens, rank, shard).
+    */
+  def assignShards(df: DataFrame, nShards: Int,
+                   id: String = "doc_id", text: String = "text",
+                   numShards: Int = 1024): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val toks = df.select(
+      col(id).cast("long").as("doc_id"), tokenCount(col(text)).as("n_tokens"))
+    // same persist contract as manifest: one materialization feeds the
+    // count collect and the windowed rank, and both jobs must see
+    // identical range shards (sampled split points are not replayable)
+    val sharded = toks
+      .repartitionByRange(math.max(1, numShards), col("n_tokens").desc, col("doc_id"))
+      .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = sharded.withColumn("__rk",
+      row_number().over(Window.partitionBy("__shard")
+        .orderBy(col("n_tokens").desc, col("doc_id"))))
+    val counts = sharded.groupBy("__shard").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).sortBy(_._1)
+    val offsets = counts
+      .scanLeft((-1L, 0L, 0L)) { case ((_, acc, n), (sh, c)) => (sh, acc + n, c) }
+      .drop(1).map { case (sh, off, _) => (sh, off) }
+    local.join(broadcast(offsets.toSeq.toDF("__shard", "__off")), "__shard")
+      .withColumn("rank", col("__off") + col("__rk"))
+      .withColumn("shard", ((col("rank") - 1) % nShards).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("rank"), col("shard"))
+  }
+
   /** Chunk fetch list: one row per (chunk_id, doc) overlap with the
     * doc-relative token slice [tok_start, tok_end) the chunk needs.
     * Pure explode of the manifest — each doc expands to exactly the

@@ -1190,6 +1190,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment: two-phase rank == plain window, LPT balance bound") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.assignShards(docs, nShards = 8, numShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500)
+    // the distributed rank must equal the single-ordering definition
+    val expRank = out.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    out.foreach { case (id, _, rank, shard) =>
+      assert(rank == expRank(id), s"doc $id rank $rank != ${expRank(id)}")
+      assert(shard == (rank - 1) % 8)
+    }
+    // LPT round-robin bound: shard token totals differ by at most one
+    // maximal document
+    val totals = out.groupBy(_._4).map { case (_, g) => g.map(_._2).sum }
+    val maxDoc = out.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc,
+      s"spread ${totals.max - totals.min} > max doc $maxDoc")
+  }
+
+  test("priority dedup survivors: per-component argmax, same components") {
+    import graft.ops.Cluster
+    val byLen = Cluster.dedupedCorpusBy(docs, threshold = 0.4, n = 3,
+        priority = "n_chars")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Cluster.fromJaccard(docs, threshold = 0.4, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = docs.select(col("doc_id").cast("long"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comps = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byLen.size == comps.size, "one survivor per component")
+    comps.foreach { case (_, members) =>
+      val best = members.maxBy(m => (chars(m), -m))
+      assert(byLen.contains(best), s"expected survivor $best missing")
+      assert(byLen(best) == chars(best))
+      members.filterNot(_ == best).foreach(m =>
+        assert(!byLen.contains(m), s"non-best member $m survived"))
+    }
+  }
+
   test("JL projection: determinism, distance preservation, projected recall") {
     val planes = Similarity.jlPlanes(16, 64)
     assert(planes.length == 16 && planes.forall(_.length == 64))
