@@ -974,7 +974,17 @@ object SparkEntry {
     // original: quotes, escapes, nulls, and numeric widths all have
     // to survive)
     "q_io_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt"
+      // per-invocation unique dir (a fixed path races concurrent
+      // Bench/Verify processes: one's overwrite deletes part files
+      // under the other's lazy read); a shutdown hook reclaims it
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_rt").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out))
+      }
       Tables.documents(s, dir).write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .json(out)
@@ -988,7 +998,9 @@ object SparkEntry {
         TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
       d.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          count_distinct(lower(trim(col("text")))).as("n_distinct_texts"),
+          // the clone identity every exact-dup consumer keys on: the
+          // distinct aggregate shuffles 32-char hashes, not text bodies
+          count_distinct(Dedup.contentHash(col("text"))).as("n_distinct_texts"),
           sum(col("n_tokens").cast("long")).as("total_tokens"),
           round(avg(col("n_tokens")), 6).as("avg_tokens"),
           sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
@@ -1010,6 +1022,34 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     })
   )
+
+  /** Shared DuckDB fragment for the four connected-component oracles
+    * (q_dedup_clusters / q_dedup_corpus / q_dedup_corpus_best /
+    * q_split_leakage): trigram-shingle jaccard >= 0.4 pairs with the
+    * engine's short-doc whole-text fallback (mirroring
+    * [[graft.ops.Dedup.shingles]]), symmetric edges, recursive
+    * reachability, and component labels lab(doc_id, cluster_id).
+    * ONE source of truth: a clustering-oracle fix lands in all four.
+    */
+  private val CcLabelCte: String =
+    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
+         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION ALL SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)"""
+
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_range_project" ->
@@ -1451,8 +1491,10 @@ object SparkEntry {
     // it shares >= 1 distinct trigram with the eval gram set
     "q_text_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          ev AS (SELECT DISTINCT unnest(shs) AS gram FROM d WHERE doc_id % 23 = 0),
          tr AS (SELECT doc_id, len(shs) AS train_grams, unnest(shs) AS gram FROM d
                 WHERE doc_id % 23 <> 0)
@@ -1463,8 +1505,10 @@ object SparkEntry {
 
     "q_text_decontaminate_pairs" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          ev AS (SELECT doc_id AS eval_id, unnest(shs) AS gram FROM d WHERE doc_id % 23 = 0),
          tr AS (SELECT doc_id, unnest(shs) AS gram FROM d WHERE doc_id % 23 <> 0)
          SELECT tr.doc_id, ev.eval_id, count(*) AS shared_grams
@@ -1499,8 +1543,10 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
@@ -1518,8 +1564,10 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 1000000, text || ' ' FROM documents),
          tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM docs2),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
@@ -1534,8 +1582,10 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 1000000, text || ' ' FROM documents),
          tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM docs2),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
@@ -1549,8 +1599,10 @@ object SparkEntry {
     // q_dedup_jaccard at the higher threshold
     "q_dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
@@ -1563,8 +1615,10 @@ object SparkEntry {
     // batch slice — exactly the delta operator's contract
     "q_dedup_minhash_delta" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM tok),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
             round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) AS jaccard
@@ -1777,8 +1831,10 @@ object SparkEntry {
          f AS (SELECT * FROM s WHERE lang = 'en' AND quality >= 0.6),
          canon AS (SELECT * FROM f WHERE doc_id IN (
              SELECT min(doc_id) FROM f GROUP BY md5(lower(trim(text))))),
-         tok AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-                 i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM canon),
+         tok AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                   i -> array_to_string(ts[i:i+2], ' ')))
+                 ELSE [array_to_string(ts, ' ')] END AS shs FROM canon),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS sng FROM tok),
          pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
            FROM sh a JOIN sh b ON a.sng = b.sng AND a.doc_id < b.doc_id
@@ -1793,23 +1849,9 @@ object SparkEntry {
     // walks reachability with a recursive CTE; component id = min
     // reachable doc id (singletons map to themselves)
     "q_dedup_clusters" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
-         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
-         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
-                   UNION ALL SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
-         SELECT a AS doc_id, min(b) AS cluster_id FROM reach
-         GROUP BY a ORDER BY doc_id""",
+      s"""WITH RECURSIVE
+         $CcLabelCte
+         SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""",
 
     // round-trip is identity, so the oracle is the original table
     "q_io_jsonl_roundtrip" ->
@@ -1829,7 +1871,7 @@ object SparkEntry {
                len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS s_de
              FROM d))
          SELECT d.source, count(*)::BIGINT AS n_docs,
-           count(DISTINCT lower(trim(text)))::BIGINT AS n_distinct_texts,
+           count(DISTINCT md5(lower(trim(text))))::BIGINT AS n_distinct_texts,
            sum(len(ts))::BIGINT AS total_tokens,
            round(avg(len(ts)), 6) AS avg_tokens,
            sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
@@ -1838,22 +1880,8 @@ object SparkEntry {
 
     // survivors = per-component argmax(n_chars), ties lowest id
     "q_dedup_corpus_best" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
-         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
-         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
-                   UNION ALL SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
-         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+      s"""WITH RECURSIVE
+         $CcLabelCte,
          rk AS (SELECT doc.doc_id, doc.source, doc.n_chars,
              row_number() OVER (PARTITION BY lab.cluster_id
                ORDER BY doc.n_chars DESC, doc.doc_id) AS rk
@@ -1874,21 +1902,7 @@ object SparkEntry {
     // cluster-level salted-hash split over the same component labels
     "q_split_leakage" ->
       s"""WITH RECURSIVE
-         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
-         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
-         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
-                   UNION ALL SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
-         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         $CcLabelCte
          SELECT doc_id, cluster_id,
            CASE WHEN substring(md5('graft:' || cluster_id), 1, 8)
                   < '${Sampling.hexThreshold(0.8)}' THEN 'train'
@@ -1899,22 +1913,8 @@ object SparkEntry {
 
     // survivors = docs equal to their component's min reachable id
     "q_dedup_corpus" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM tok),
-         sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-           HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.4),
-         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
-                   UNION ALL SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
-         lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      s"""WITH RECURSIVE
+         $CcLabelCte
          SELECT d.doc_id, d.source, d.n_chars FROM documents d
          JOIN lab ON lab.doc_id = d.doc_id AND lab.cluster_id = d.doc_id
          ORDER BY d.doc_id""",
@@ -1982,7 +1982,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, source,
              len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
            FROM documents),
-         tot AS (SELECT source, sum(n_tokens)::BIGINT AS tt FROM t GROUP BY source),
+         tot AS (SELECT source, sum(n_tokens)::BIGINT AS tt FROM t
+           GROUP BY source HAVING sum(n_tokens) > 0),
          g AS (SELECT sum(tt)::BIGINT AS gt FROM tot),
          p AS (SELECT source, tt,
              pow(tt::DOUBLE / (SELECT gt FROM g), 0.5) AS pw FROM tot),
@@ -2114,8 +2115,10 @@ object SparkEntry {
              AND (CASE WHEN len(g3) > 0
                   THEN round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6)
                   ELSE 0.0 END) <= 0.3),
-         d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
-               i -> array_to_string(ts[i:i+2], ' '))) AS shs FROM f),
+         d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+               THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(ts[i:i+2], ' ')))
+               ELSE [array_to_string(ts, ' ')] END AS shs FROM f),
          sh AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM d),
          pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -92,9 +92,14 @@ object Sampling {
                      id: String = "doc_id", domain: String = "source"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    // null-guarded: a domain whose token column aggregates to NULL
+    // (all-null inputs) is dropped like a zero-token one, not an NPE
     val totals = df.groupBy(domain).agg(sum(col(tokens)).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .filter(_._2 > 0).sortBy(_._1)
+      .collect()
+      .flatMap(r =>
+        if (r.isNullAt(1) || r.getLong(1) <= 0) None
+        else Some(r.getString(0) -> r.getLong(1)))
+      .sortBy(_._1)
     val grand = totals.map(_._2).sum
     require(grand > 0, "temperatureMix corpus has no tokens")
     val pows = totals.map { case (d, t) =>
