@@ -63,8 +63,13 @@ class QueryService(catalog: BucketCatalog) {
         }
       }
 
-    var df = catalog.readMulti(proto.attGroup, scanTf)
-      .filter(col("symbol").isin(symbols: _*))
+    // wildcard: one unfiltered scan (the manifest-live files ARE the
+    // symbol universe — a 16k-element In predicate would only cost).
+    // Explicit lists go through the doubly-pruned read: sbucket
+    // partition pruning down to ≤ |symbols| of the N physical buckets,
+    // then the pushed symbol predicate skips row groups inside them.
+    var df = (if (proto.symbol == "*") catalog.readMulti(proto.attGroup, scanTf)
+              else catalog.readMulti(proto.attGroup, scanTf, symbols))
       .drop("timeframe", "year")
     df = TimeSeries.rangeFilter(df, req.epochStart, req.startNanos, req.epochEnd, req.endNanos)
     if (req.columns.nonEmpty)

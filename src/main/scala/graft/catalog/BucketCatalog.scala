@@ -15,12 +15,34 @@ import scala.util.control.NonFatal
   *
   * Replaces the reference's on-disk catalog tree + year-file format
   * (catalog/catalog.go:18-116; file layout docs/design/
-  * file_format_design.txt) with one parquet dataset per AttributeGroup,
-  * partitioned by `symbol/timeframe/year` (SURVEY §7.1). The TBK
-  * resolves to partition predicates, so Catalyst's partition pruning
-  * replaces the reference's directory descent, and parquet min/max
-  * stats on Epoch replace the O(1) time-offset arithmetic
-  * (utils/io/timeindex.go:32-60).
+  * file_format_design.txt) with one parquet dataset per AttributeGroup
+  * (SURVEY §7.1). The TBK resolves to partition predicates, so
+  * Catalyst's partition pruning replaces the reference's directory
+  * descent, and parquet min/max stats on Epoch replace the O(1)
+  * time-offset arithmetic (utils/io/timeindex.go:32-60).
+  *
+  * == Physical layout: symbol-BUCKETED data files ==
+  * Directories are `timeframe=T/year=Y/sbucket=B` where
+  * B = crc32(symbol) mod N (N = `buckets=` in the group meta, default
+  * [[BucketCatalog.DefaultSymbolBuckets]]); `symbol` is an ordinary
+  * DATA column, SORTED within every file. This decouples the file
+  * count of a commit from the symbol cardinality: a batch touching all
+  * 16k symbols of the reference's design target
+  * (docs/design/file_format_design.txt) commits ≤ N×years files, not
+  * 16k — per-symbol directories would put a 1-minute ingest cadence at
+  * ~23M files/day on any store. Single-symbol reads stay pruned twice:
+  * partition pruning keeps 1/N of the files (the sbucket of the
+  * symbol), and the pushed symbol predicate skips parquet row groups
+  * via min/max stats on the sorted symbol column. The reference gets
+  * the same decoupling from preallocated year files written in place.
+  * Trade-off (documented, rare ops): destroy/deleteRange of one symbol
+  * rewrite the (timeframe, year, sbucket) slices holding it instead of
+  * unlinking a directory.
+  *
+  * Legacy roots written by earlier versions (`symbol=S/timeframe=T/
+  * year=Y` directories, no `buckets=` meta token) stay fully readable
+  * and writable through the same API — the layout is fixed per group
+  * at creation, never mixed within one.
   *
   * Record-type semantics (utils/io/datatypes.go:12-18):
   *  - FIXED  ⇒ at most one row per (symbol, timeframe, epoch): writes
@@ -110,12 +132,20 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private val kindCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def create(tbk: TimeBucketKey, schema: StructType, isVariable: Boolean): Unit =
+  /** Create an attribute group. `symbolBuckets` fixes the physical
+    * layout forever: N > 0 ⇒ symbol-bucketed files (see class doc;
+    * size it O(write parallelism) — more buckets = more files per
+    * commit but finer destroy/delete rewrites); 0 ⇒ the legacy
+    * per-symbol directory layout (only for compatibility tests).
+    */
+  def create(tbk: TimeBucketKey, schema: StructType, isVariable: Boolean,
+      symbolBuckets: Int = DefaultSymbolBuckets): Unit =
     mutate(tbk.attGroup) {
       val meta = new Path(agPath(tbk.attGroup), MetaFile)
       if (!fs.exists(meta)) {
         val out = fs.create(meta, true)
-        val kind = if (isVariable) "variable" else "fixed"
+        val kind = (if (isVariable) "variable" else "fixed") +
+          (if (symbolBuckets > 0) s" buckets=$symbolBuckets" else "")
         // schema as JSON: unlike DDL it round-trips field metadata
         // (char/varchar length caps for STRING16 enforcement)
         out.write(s"$kind\n${schema.json}\n".getBytes("UTF-8"))
@@ -125,7 +155,12 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   def isVariable(attGroup: String): Boolean = readMeta(attGroup)._1
 
-  private def readMeta(attGroup: String): (Boolean, StructType) = {
+  /** Some(N) ⇒ symbol-bucketed layout with N buckets; None ⇒ legacy
+    * per-symbol directories.
+    */
+  def layoutBuckets(attGroup: String): Option[Int] = readMeta(attGroup)._3
+
+  private def readMeta(attGroup: String): (Boolean, StructType, Option[Int]) = {
     val meta = new Path(agPath(attGroup), MetaFile)
     val in = fs.open(meta)
     val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -133,8 +168,18 @@ class BucketCatalog(spark: SparkSession, root: String) {
     val lines = txt.split("\n")
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines(1))
       .asInstanceOf[StructType]
-    (lines(0).trim == "variable", schema)
+    val tokens = lines(0).trim.split("\\s+")
+    val buckets = tokens.collectFirst {
+      case t if t.startsWith("buckets=") => t.stripPrefix("buckets=").toInt
+    }
+    (tokens(0) == "variable", schema, buckets)
   }
+
+  private def sbucketOf(symbol: String, n: Int): Int =
+    BucketCatalog.symbolBucket(symbol, n)
+
+  private def sbucketCol(n: Int) =
+    pmod(crc32(col("symbol").cast("binary")), lit(n.toLong)).cast("int")
 
   /** Upsert a batch of rows for one bucket. df must carry Epoch (long
     * seconds) + payload columns (+ Nanoseconds for variable buckets —
@@ -192,46 +237,83 @@ class BucketCatalog(spark: SparkSession, root: String) {
       require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
       if (!fs.exists(new Path(agPath(attGroup), MetaFile))) {
         val inferred = StructType(df.schema.fields.filterNot(f =>
-          Seq("symbol", "timeframe", "year").contains(f.name)))
+          Seq("symbol", "timeframe", "year", "sbucket").contains(f.name)))
         create(TimeBucketKey("__infer", timeframe, attGroup), inferred,
           isVariable = df.columns.contains(Uda.NanosCol))
       }
-      val (variable, declared) = readMeta(attGroup)
+      val (variable, declared, buckets) = readMeta(attGroup)
       val keyed0 = coerce(df, declared)
         .withColumn("timeframe", lit(timeframe))
         .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
-      val keyed =
+      val keyed1 =
         if (variable && !keyed0.columns.contains(Uda.NanosCol))
           keyed0.withColumn(Uda.NanosCol, lit(0))
         else keyed0
       val dedupKeys =
         Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
-      val merged = readAg(attGroup) match {
-        case Some(old) =>
-          val affected = keyed.select("symbol", "timeframe", "year").distinct()
-          val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
-          TimeSeries.unionKeepLast(
-            oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
-        case None => keyed
+      buckets match {
+        case Some(nb) =>
+          val keyed = keyed1.withColumn("sbucket", sbucketCol(nb))
+          // ONE metadata pass over the batch: distinct (symbol,
+          // timeframe, year) — bounded by the symbol cardinality the
+          // manifest's bucket registry lists anyway — yields both the
+          // logical buckets and (via the driver-side hash) the exact
+          // touched physical partitions for the merge semi-join.
+          val touched = keyed1.select("symbol", "timeframe", "year").distinct()
+            .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+          val logical = touched.map { case (s, t, _) => s"symbol=$s/timeframe=$t" }.toSet
+          val parts = touched.map { case (s, t, y) => (t, y, sbucketOf(s, nb)) }.distinct.toSeq
+          val merged = readAg(attGroup) match {
+            case Some(old) =>
+              val partsDf = spark.createDataFrame(parts).toDF("timeframe", "year", "sbucket")
+              val oldAffected = old.join(broadcast(partsDf),
+                Seq("timeframe", "year", "sbucket"), "left_semi")
+              TimeSeries.unionKeepLast(
+                oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
+            case None => keyed
+          }
+          stageSwap(merged, attGroup, bucketed = true, logicalBuckets = logical)
+        case None =>
+          val keyed = keyed1
+          val merged = readAg(attGroup) match {
+            case Some(old) =>
+              val affected = keyed.select("symbol", "timeframe", "year").distinct()
+              val oldAffected = old.join(broadcast(affected), Seq("symbol", "timeframe", "year"), "left_semi")
+              TimeSeries.unionKeepLast(
+                oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
+            case None => keyed
+          }
+          stageSwap(merged, attGroup)
       }
-      stageSwap(merged, attGroup)
     }
+
+  /** Recursive walk of `k=v` partition directories under `base`,
+    * yielding (leaf partition rel path, file) pairs — layout-agnostic:
+    * `symbol=S/timeframe=T/year=Y` (legacy) and
+    * `timeframe=T/year=Y/sbucket=B` (bucketed) both descend the same
+    * way. Engine dirs (`_graft_*`) and dot/underscore files never
+    * match.
+    */
+  private def walkPartitionFiles(base: Path): Seq[(String, Path)] = {
+    def rec(dir: Path, rel: String): Seq[(String, Path)] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.contains("="))
+          rec(s.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (s.isFile && rel.nonEmpty && !name.startsWith(".") && !name.startsWith("_"))
+          Seq((rel, s.getPath))
+        else Nil
+      }
+    if (!fs.exists(base)) Nil else rec(base, "")
+  }
 
   /** All data files on disk under a group's partition dirs, rel paths
     * — the bootstrap listing for pre-manifest roots (and the recovery
     * sweep's view of what physically exists).
     */
-  private def listDataFilesOnDisk(attGroup: String): Seq[String] = {
-    val p = new Path(agPath(attGroup))
-    if (!fs.exists(p)) Nil
-    else for {
-      symDir <- fs.listStatus(p).toSeq if symDir.getPath.getName.startsWith("symbol=")
-      tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
-      yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
-      f <- fs.listStatus(yearDir.getPath).toSeq
-      if f.isFile && !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")
-    } yield s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}/${f.getPath.getName}"
-  }
+  private def listDataFilesOnDisk(attGroup: String): Seq[String] =
+    walkPartitionFiles(new Path(agPath(attGroup)))
+      .map { case (rel, f) => s"$rel/${f.getName}" }
 
   // ------------------------------------------------------------ manifests
 
@@ -496,37 +578,44 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * set (a rewrite that emptied them).
     */
   private def stageSwap(df: DataFrame, attGroup: String,
-      clearIfUnstaged: Seq[String] = Nil): Unit = {
+      clearIfUnstaged: Seq[String] = Nil,
+      bucketed: Boolean = false,
+      logicalBuckets: Set[String] = Set.empty,
+      removeBuckets: Set[String] = Set.empty): Unit = {
     val groupDir = agPath(attGroup)
     val staging = new Path(root, s"$StagingPrefix${attGroup}_${System.nanoTime()}")
-    // repartition on the partition key so a wide-symbol batch spreads
+    // repartition on the partition key so the staged write spreads
     // file creation across the executors: without it a dynamic
     // partition write funnels through the input's few tasks and the
-    // ~25 ms/file parquet open/close constant serializes — 4 min for
-    // a 16k-symbol batch (the reference's design target). The
+    // ~25 ms/file parquet open/close constant serializes. The
     // EXPLICIT partition count matters: AQE coalesces a bare keyed
     // repartition of a small-byte batch back to one partition (row
     // bytes are tiny; the file-count cost AQE can't see is not), and
     // user-numbered repartitions are exempt from coalescing.
+    val partitionCols =
+      if (bucketed) Seq("timeframe", "year", "sbucket")
+      else Seq("symbol", "timeframe", "year")
+    // bucketed files keep rows (symbol, Epoch[, Nanoseconds])-sorted:
+    // parquet row-group min/max stats on the sorted symbol column are
+    // what keeps single-symbol reads skipping inside shared files. The
+    // sort leads with the partition columns, so FileFormatWriter sees
+    // its required partition ordering already satisfied and inserts no
+    // second sort of its own.
+    val sortCols = (partitionCols ++ Seq("symbol", Uda.EpochCol) ++
+      (if (df.columns.contains(Uda.NanosCol)) Seq(Uda.NanosCol) else Nil))
+      .distinct.map(col)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col("symbol"), col("timeframe"), col("year"))
+        partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
-      .partitionBy("symbol", "timeframe", "year")
+      .partitionBy(partitionCols: _*)
       .parquet(staging.toString)
     try {
       val stagedParts = scala.collection.mutable.Set[String]()
       val moves = scala.collection.mutable.ArrayBuffer[(String, Path)]()
-      for {
-        symDir <- fs.listStatus(staging).toSeq if symDir.getPath.getName.startsWith("symbol=")
-        tfDir <- fs.listStatus(symDir.getPath).toSeq if tfDir.getPath.getName.startsWith("timeframe=")
-        yearDir <- fs.listStatus(tfDir.getPath).toSeq if yearDir.getPath.getName.startsWith("year=")
-      } {
-        val rel = s"${symDir.getPath.getName}/${tfDir.getPath.getName}/${yearDir.getPath.getName}"
+      walkPartitionFiles(staging).foreach { case (rel, f) =>
         stagedParts += rel
-        fs.listStatus(yearDir.getPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
-            !f.getPath.getName.startsWith("_"))
-          .foreach(f => moves += ((rel, f.getPath)))
+        moves += ((rel, f))
       }
       // the staged→live moves are independent renames into distinct
       // targets: run them on a bounded pool — serial, the ~7 ms
@@ -552,13 +641,19 @@ class BucketCatalog(spark: SparkSession, root: String) {
         } finally pool.shutdownNow()
       }
       // a rewrite keeps its buckets listed even when it emptied them
-      // (trim semantics: the bucket exists with zero rows)
+      // (trim semantics: the bucket exists with zero rows). In the
+      // bucketed layout physical partition names carry no symbol, so
+      // the logical (symbol, timeframe) registry entries come from the
+      // caller; legacy derives them from the staged paths.
       commitManifest(attGroup,
         stagedParts.toSet ++ clearIfUnstaged,
         movedFiles,
         logParts = stagedParts.toSeq.sorted ++
           clearIfUnstaged.filterNot(stagedParts).map(_ + ":cleared"),
-        addBuckets = (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf))
+        addBuckets =
+          if (bucketed) logicalBuckets
+          else (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf),
+        removeBuckets = removeBuckets)
     } finally fs.delete(staging, true)
   }
 
@@ -776,10 +871,11 @@ class BucketCatalog(spark: SparkSession, root: String) {
           }
         }
       case None =>
-        // pre-manifest root: directory listing (legacy behavior)
+        // pre-manifest root (a replica, or a legacy store): directory
+        // listing — any `k=v` partition dir at the top level means data
         val p = new Path(agPath(attGroup))
         val hasData = fs.exists(p) &&
-          fs.listStatus(p).exists(s => s.getPath.getName.startsWith("symbol="))
+          fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.contains("="))
         if (hasData) Some(spark.read.parquet(agPath(attGroup))) else None
     }
 
@@ -787,17 +883,42 @@ class BucketCatalog(spark: SparkSession, root: String) {
     readAg(attGroup).getOrElse(throw new IllegalArgumentException(
       s"no data for attribute group '$attGroup' under $root"))
 
+  // the sbucket partition column is a layout detail — never surfaced
+  // to readers (its pruning filters are applied before the drop)
+  private def dropLayoutCols(df: DataFrame): DataFrame = df.drop("sbucket")
+
   /** Partition-pruned scan of ALL symbols of one attGroup/timeframe
     * (symbol column retained) — single scan for wildcard queries and
     * the downsample cascade.
     */
   def readMulti(attGroup: String, timeframe: String): DataFrame =
-    readAgOrFail(attGroup).filter(col("timeframe") === timeframe)
+    dropLayoutCols(readAgOrFail(attGroup).filter(col("timeframe") === timeframe))
+
+  /** Partition-pruned scan of an EXPLICIT symbol list of one
+    * attGroup/timeframe: in the bucketed layout the symbols' sbuckets
+    * prune partitions to ≤ |symbols| of the N physical buckets before
+    * the pushed symbol predicate skips row groups inside them.
+    */
+  def readMulti(attGroup: String, timeframe: String, symbols: Seq[String]): DataFrame = {
+    val base = readAgOrFail(attGroup).filter(col("timeframe") === timeframe)
+    val pruned = layoutBuckets(attGroup) match {
+      case Some(nb) =>
+        val sbs = symbols.map(sbucketOf(_, nb)).distinct
+        base.filter(col("sbucket").isin(sbs: _*))
+      case None => base
+    }
+    dropLayoutCols(pruned.filter(col("symbol").isin(symbols: _*)))
+  }
 
   /** Partition-pruned scan of one bucket, time-ordered. */
   def read(tbk: TimeBucketKey): DataFrame = {
-    val df = readAgOrFail(tbk.attGroup)
-      .filter(col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
+    val base = readAgOrFail(tbk.attGroup)
+    val prunedToBucket = layoutBuckets(tbk.attGroup) match {
+      case Some(nb) => base.filter(col("sbucket") === sbucketOf(tbk.symbol, nb))
+      case None => base
+    }
+    val df = dropLayoutCols(prunedToBucket
+      .filter(col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe))
     val ord =
       if (df.columns.contains(Uda.NanosCol)) Seq(col(Uda.EpochCol), col(Uda.NanosCol))
       else Seq(col(Uda.EpochCol))
@@ -815,8 +936,20 @@ class BucketCatalog(spark: SparkSession, root: String) {
     case None =>
       val p = new Path(agPath(attGroup))
       if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-        .filter(_.startsWith("symbol=")).map(_.stripPrefix("symbol=")).sorted
+      else {
+        val symDirs = fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+          .filter(_.startsWith("symbol="))
+        if (symDirs.nonEmpty) symDirs.map(_.stripPrefix("symbol=")).sorted
+        else
+          // bucketed pre-manifest root (a replica): symbol is a data
+          // column, not a path segment — one distinct scan. Replicas
+          // trade this scan for having no manifest of their own.
+          readAg(attGroup) match {
+            case Some(df) => df.select("symbol").distinct()
+              .collect().map(_.getString(0)).toIndexedSeq.sorted
+            case None => Nil
+          }
+      }
   }
 
   /** Attribute groups present under the catalog root (directory walk,
@@ -832,19 +965,30 @@ class BucketCatalog(spark: SparkSession, root: String) {
       .map(_.getPath.getName).sorted
   }
 
-  /** Most recent year partition of one bucket (GetInfo's LatestYear). */
-  def latestYear(tbk: TimeBucketKey): Option[Int] = liveFiles(tbk.attGroup) match {
-    case Some(files) =>
-      val prefix = s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/"
-      files.filter(_.startsWith(prefix))
-        .map(_.split("/")(2).stripPrefix("year=").toInt).maxOption
-    case None =>
-      val p = new Path(agPath(tbk.attGroup),
-        s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
-      if (!fs.exists(p)) None
-      else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-        .filter(_.startsWith("year=")).map(_.stripPrefix("year=").toInt).maxOption
-  }
+  /** Most recent year partition of one bucket (GetInfo's LatestYear).
+    * Legacy layout answers from path segments alone; the bucketed
+    * layout shares files across symbols, so the answer is a
+    * doubly-pruned (sbucket partition + pushed symbol predicate)
+    * max-aggregate scan of the symbol's single bucket slice.
+    */
+  def latestYear(tbk: TimeBucketKey): Option[Int] =
+    if (layoutBuckets(tbk.attGroup).isDefined) {
+      if (!listTimeframes(tbk.attGroup, tbk.symbol).contains(tbk.timeframe) ||
+          readAg(tbk.attGroup).isEmpty) None
+      else read(tbk).agg(max(col("year"))).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    } else liveFiles(tbk.attGroup) match {
+      case Some(files) =>
+        val prefix = s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/"
+        files.filter(_.startsWith(prefix))
+          .map(_.split("/")(2).stripPrefix("year=").toInt).maxOption
+      case None =>
+        val p = new Path(agPath(tbk.attGroup),
+          s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}")
+        if (!fs.exists(p)) None
+        else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+          .filter(_.startsWith("year=")).map(_.stripPrefix("year=").toInt).maxOption
+    }
 
   def listTimeframes(attGroup: String, symbol: String): Seq[String] =
     liveBuckets(attGroup) match {
@@ -852,26 +996,61 @@ class BucketCatalog(spark: SparkSession, root: String) {
         buckets.filter(_.startsWith(s"symbol=$symbol/"))
           .map(_.split("/")(1).stripPrefix("timeframe=")).distinct.sorted
       case None =>
-        val p = new Path(agPath(attGroup), s"symbol=$symbol")
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-          .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe=")).sorted
+        val legacy = new Path(agPath(attGroup), s"symbol=$symbol")
+        if (fs.exists(legacy))
+          fs.listStatus(legacy).toIndexedSeq.map(_.getPath.getName)
+            .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe=")).sorted
+        else {
+          // bucketed pre-manifest root (a replica): timeframe IS the
+          // top-level partition dir — list those, then keep the ones
+          // the symbol actually has rows in (pruned scans)
+          val p = new Path(agPath(attGroup))
+          if (!fs.exists(p)) Nil
+          else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+            .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe="))
+            .filter(tf => readAg(attGroup).exists(df =>
+              !df.filter(col("timeframe") === tf && col("symbol") === symbol).isEmpty))
+            .sorted
+        }
     }
 
   /** Drop one symbol/timeframe from a bucket (frontend Destroy,
-    * frontend/write.go:182-210) — a manifest commit that removes the
-    * bucket's partitions from the live set (physical files follow at
-    * vacuum).
+    * frontend/write.go:182-210). Legacy layout: a manifest commit that
+    * removes the symbol's partitions from the live set (physical files
+    * follow at vacuum). Bucketed layout: files are shared across
+    * symbols, so the symbol's (timeframe, year, sbucket) slices are
+    * REWRITTEN without its rows — bounded by 1/N of the group's years,
+    * through the same staged commit as every write.
     */
   def destroy(tbk: TimeBucketKey): Unit = mutate(tbk.attGroup) {
     val rel = s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}"
-    liveFiles(tbk.attGroup) match {
-      case Some(files) =>
+    (liveFiles(tbk.attGroup), layoutBuckets(tbk.attGroup)) match {
+      case (Some(_), Some(nb)) =>
+        val sb = sbucketOf(tbk.symbol, nb)
+        val old = readAg(tbk.attGroup)
+        val slice = old.map(_.filter(
+          col("timeframe") === tbk.timeframe && col("sbucket") === sb))
+        // years the symbol actually occupies — a small doubly-pruned
+        // metadata job bounding the rewrite to the slices that change
+        val years = slice.map(_.filter(col("symbol") === tbk.symbol)
+          .select("year").distinct().collect().map(_.getInt(0)).toSeq).getOrElse(Nil)
+        if (years.isEmpty)
+          commitManifest(tbk.attGroup, Set.empty, Nil, Seq(s"$rel:cleared"),
+            removeBuckets = Set(rel))
+        else {
+          val keep = slice.get.filter(col("year").isin(years: _*))
+            .filter(col("symbol") =!= tbk.symbol)
+          stageSwap(keep, tbk.attGroup,
+            clearIfUnstaged = years.map(y =>
+              s"timeframe=${tbk.timeframe}/year=$y/sbucket=$sb"),
+            bucketed = true, removeBuckets = Set(rel))
+        }
+      case (Some(files), None) =>
         def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
         val gone = files.filter(_.startsWith(rel + "/")).map(partOf).toSet
         commitManifest(tbk.attGroup, gone, Nil, Seq(s"$rel:cleared"),
           removeBuckets = Set(rel))
-      case None =>
+      case (None, _) =>
         val p = new Path(agPath(tbk.attGroup), rel)
         if (fs.exists(p)) fs.delete(p, true)
         val symDir = p.getParent
@@ -885,7 +1064,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * catalog/catalog.go:347).
     */
   def getInfo(attGroup: String): (StructType, Boolean) = {
-    val (variable, schema) = readMeta(attGroup)
+    val (variable, schema, _) = readMeta(attGroup)
     (schema, variable)
   }
 
@@ -901,19 +1080,41 @@ class BucketCatalog(spark: SparkSession, root: String) {
       endEpoch: Long = Long.MaxValue, endNanos: Int = 999999999): Unit =
     mutate(tbk.attGroup) {
       val existing = readAg(tbk.attGroup).getOrElse(return)
-      val mine = existing.filter(
-        col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
       val e = col(Uda.EpochCol)
       val n = if (existing.columns.contains(Uda.NanosCol)) col(Uda.NanosCol) else lit(0)
       val inRange = e >= startEpoch && e <= endEpoch &&
         !(e === startEpoch && n < startNanos) && !(e === endEpoch && n > endNanos)
-      val touchedYears = mine.filter(inRange)
-        .select("year").distinct().collect().map(_.getInt(0))
-      if (touchedYears.isEmpty) return
-      val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
-      stageSwap(keep, tbk.attGroup,
-        clearIfUnstaged = touchedYears.toSeq.map(y =>
-          s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y"))
+      layoutBuckets(tbk.attGroup) match {
+        case Some(nb) =>
+          // shared files: rewrite the symbol's (timeframe, year,
+          // sbucket) slices keeping every other symbol's rows — the
+          // doubly-pruned read bounds the rewrite to 1/N of the
+          // touched years
+          val sb = sbucketOf(tbk.symbol, nb)
+          val slice = existing.filter(
+            col("timeframe") === tbk.timeframe && col("sbucket") === sb)
+          val isMine = col("symbol") === tbk.symbol
+          val touchedYears = slice.filter(isMine && inRange)
+            .select("year").distinct().collect().map(_.getInt(0))
+          if (touchedYears.isEmpty) return
+          val keep = slice.filter(col("year").isin(touchedYears.toSeq: _*))
+            .filter(!(isMine && inRange))
+          stageSwap(keep, tbk.attGroup,
+            clearIfUnstaged = touchedYears.toSeq.map(y =>
+              s"timeframe=${tbk.timeframe}/year=$y/sbucket=$sb"),
+            bucketed = true,
+            logicalBuckets = Set(s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}"))
+        case None =>
+          val mine = existing.filter(
+            col("symbol") === tbk.symbol && col("timeframe") === tbk.timeframe)
+          val touchedYears = mine.filter(inRange)
+            .select("year").distinct().collect().map(_.getInt(0))
+          if (touchedYears.isEmpty) return
+          val keep = mine.filter(col("year").isin(touchedYears.toSeq: _*)).filter(!inRange)
+          stageSwap(keep, tbk.attGroup,
+            clearIfUnstaged = touchedYears.toSeq.map(y =>
+              s"symbol=${tbk.symbol}/timeframe=${tbk.timeframe}/year=$y"))
+      }
     }
 
   /** Zero all data on/after a date (CLI trim,
@@ -925,6 +1126,24 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
 object BucketCatalog {
   val MetaFile = "_graft_meta.txt"
+  /** Symbol buckets per (timeframe, year) for new groups: the per-
+    * commit file-count ceiling. Sized O(local cores); a 1000-executor
+    * deployment would create groups with a few hundred so commit
+    * parallelism and vacuum granularity scale with the cluster, while
+    * file count stays decoupled from symbol cardinality.
+    */
+  val DefaultSymbolBuckets = 32
+
+  /** crc32(symbol) mod N — the symbol's physical bucket. The driver-
+    * side and Column forms are the SAME function (Spark's `crc32` is
+    * java.util.zip.CRC32 over the UTF-8 bytes a string→binary cast
+    * yields), so read-side pruning always agrees with the write side.
+    */
+  def symbolBucket(symbol: String, n: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(symbol.getBytes("UTF-8"))
+    (c.getValue % n).toInt
+  }
   val CommitLog = "_graft_commits.jsonl"
   val ManifestDir = "_graft_manifest"
   val StagingPrefix = ".staging_"

@@ -55,11 +55,17 @@ object Integrity {
           case None => (spark.read.parquet(s"$root/$ag"), Seq.empty[String])
         }
         val scoped = df.filter(col("year") >= yearStart && col("year") <= yearEnd)
+        // layout-agnostic partition-segment parse: legacy paths carry
+        // symbol=S; bucketed paths don't (files are shared across
+        // symbols), so their foreign files report under symbol "*"
+        def seg(f: String, key: String): Option[String] =
+          f.split("/").find(_.startsWith(key + "=")).map(_.stripPrefix(key + "="))
         val foreignByPart: Map[(String, String, Int), Long] = foreign
-          .map { f =>
-            val parts = f.split("/")
-            (parts(0).stripPrefix("symbol="), parts(1).stripPrefix("timeframe="),
-              parts(2).stripPrefix("year=").toInt)
+          .flatMap { f =>
+            for {
+              tf <- seg(f, "timeframe")
+              y <- seg(f, "year").flatMap(s => scala.util.Try(s.toInt).toOption)
+            } yield (seg(f, "symbol").getOrElse("*"), tf, y)
           }
           .filter { case (_, _, y) => y >= yearStart && y <= yearEnd }
           .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
@@ -70,7 +76,7 @@ object Integrity {
             when(year(timestamp_seconds(col(Uda.EpochCol))) =!= col("year"), 1L).otherwise(0L))
           .groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__n"), sum(col("__ymm")).as("__ymm"))
-        perKey.groupBy("symbol", "timeframe", "year")
+        val aggRows = perKey.groupBy("symbol", "timeframe", "year")
           .agg(
             sum(col("__n")).as("n_rows"),
             sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L)).as("n_dup_keys"),
@@ -83,6 +89,15 @@ object Integrity {
             Row(ag, sym, tf, yr, r.getLong(3), r.getLong(4), r.getLong(5),
               nForeign, ok, null)
           }
+        // foreign keys with no data-row group of their own (bucketed
+        // layout's "*" rows, or an empty foreign partition) still
+        // surface — a violation must never vanish for lack of rows
+        val covered = aggRows.map(r => (r.getString(1), r.getString(2), r.getInt(3))).toSet
+        val orphanForeign = foreignByPart.collect {
+          case ((sym, tf, yr), n) if !covered((sym, tf, yr)) =>
+            Row(ag, sym, tf, yr, 0L, 0L, 0L, n, false, null)
+        }
+        aggRows ++ orphanForeign
       } catch {
         case NonFatal(e) =>
           Seq(Row(ag, null, null, null, null, null, null, null,

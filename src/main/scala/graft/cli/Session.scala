@@ -60,10 +60,16 @@ class Session(
       .flatMap(SqlService.parseDateLiteralNs)
     val start = times.headOption.getOrElse(0L)
     val end = times.drop(1).headOption.getOrElse(Long.MaxValue)
-    val df = queryService.queryMulti(QueryRequest(parts.head,
+    val raw = queryService.queryMulti(QueryRequest(parts.head,
       epochStart = start / 1000000000L, startNanos = (start % 1000000000L).toInt,
       epochEnd = end / 1000000000L,
       endNanos = if (end == Long.MaxValue) 999999999 else (end % 1000000000L).toInt))
+    // pinned display order regardless of the store's physical layout:
+    // the bucket's own columns first (Epoch-led, as declared), the
+    // engine's symbol key last — the reference's show prints the
+    // ColumnSeries columns (show.go:80-101)
+    val df = raw.select((raw.columns.filterNot(_ == "symbol") :+ "symbol")
+      .map(org.apache.spark.sql.functions.col): _*)
     if (toCsv) {
       // single local CSV file like the reference's writer (the rows
       // are the same bounded collect the print path does)

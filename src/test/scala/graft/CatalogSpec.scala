@@ -343,6 +343,54 @@ class CatalogSpec extends SparkSpec {
     assert(got.map(_.getAs[Double]("Open")).toSeq == Seq(1.5, 2.5))
   }
 
+  test("commit file count is decoupled from symbol cardinality (bucketed layout)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    // one multi-symbol batch at 2000 distinct symbols, one year: a
+    // per-symbol layout would commit 2000 files; the bucketed layout
+    // commits ≤ DefaultSymbolBuckets
+    cat.writeMulti("WIDE", "1Sec", (1 to 2000)
+      .map(i => (s"S$i", 1609459200L + i, i.toDouble)).toDF("symbol", "Epoch", "V"))
+    val live = cat.liveFiles("WIDE").get
+    assert(live.size <= BucketCatalog.DefaultSymbolBuckets,
+      s"${live.size} files committed for 2000 symbols")
+    assert(live.forall(_.startsWith("timeframe=1Sec/year=2021/sbucket=")))
+    assert(cat.listSymbols("WIDE").size == 2000)
+    // single-symbol read stays exact through the shared files
+    val one = cat.read(TimeBucketKey.parse("S777/1Sec/WIDE")).collect()
+    assert(one.map(r => (r.getAs[Long]("Epoch"), r.getAs[Double]("V"))).toSeq ==
+      Seq((1609459200L + 777, 777.0)))
+    // upsert of ONE symbol rewrites only its (timeframe, year, sbucket)
+    // slice — commit cost bounded by 1/N of the group, not the group
+    val before = live.toSet
+    cat.write(TimeBucketKey.parse("S777/1Sec/WIDE"),
+      Seq((1609459200L + 777, 99.0)).toDF("Epoch", "V"))
+    val after = cat.liveFiles("WIDE").get.toSet
+    val sb = BucketCatalog.symbolBucket("S777", BucketCatalog.DefaultSymbolBuckets)
+    assert((before -- after).forall(_.contains(s"sbucket=$sb")),
+      "an upsert of one symbol replaced files outside its bucket")
+    assert(cat.read(TimeBucketKey.parse("S777/1Sec/WIDE")).head().getAs[Double]("V") == 99.0)
+    // untouched symbol in ANOTHER bucket still intact
+    assert(cat.read(TimeBucketKey.parse("S778/1Sec/WIDE")).count() == 1)
+  }
+
+  test("legacy per-symbol layout (symbolBuckets = 0) stays readable and writable") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/LEG")
+    cat.create(tbk, ohlcv, isVariable = false, symbolBuckets = 0)
+    cat.write(tbk, Seq((60L, 1.0, 1.5), (120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    cat.write(tbk, Seq((120L, 9.0, 9.5)).toDF("Epoch", "Open", "Close")) // upsert
+    assert(cat.layoutBuckets("LEG").isEmpty)
+    // physical layout IS per-symbol directories
+    assert(cat.liveFiles("LEG").get.forall(_.startsWith("symbol=AAPL/timeframe=1Min/")))
+    val got = cat.read(tbk).orderBy("Epoch").collect()
+    assert(got.map(_.getAs[Double]("Open")).toSeq == Seq(1.0, 9.0))
+    assert(cat.latestYear(tbk).contains(1970))
+    cat.destroy(tbk)
+    assert(cat.listSymbols("LEG").isEmpty)
+  }
+
   test("orphaned staging dirs are recoverable; commits leave a durable trail (executor/wal.go role)") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
@@ -354,7 +402,9 @@ class CatalogSpec extends SparkSpec {
     val commits = cat.commitHistory()
     assert(commits.nonEmpty)
     assert(commits.last.contains("\"attGroup\":\"OHLCV\""))
-    assert(commits.last.contains("symbol=AAPL/timeframe=1Min/year=1970"))
+    // bucketed layout: commits name (timeframe, year, sbucket) slices
+    val sb = BucketCatalog.symbolBucket("AAPL", BucketCatalog.DefaultSymbolBuckets)
+    assert(commits.last.contains(s"timeframe=1Min/year=1970/sbucket=$sb"))
     // deleteRange commits through the same path and logs too
     cat.deleteRange(tbk, 100L)
     assert(cat.commitHistory().size > commits.size)

@@ -29,25 +29,32 @@ class IntegritySpec extends SparkSpec {
     assert(healthy.head.getAs[Long]("n_rows") == 2L)
 
     // inject: a duplicate key + a row misfiled into year=1999, written
-    // straight into the partition tree (bypassing the catalog's dedup)
-    Seq((1609459260L, 9.0)).toDF("Epoch", "Open")
+    // straight into the partition tree (bypassing the catalog's dedup).
+    // Bucketed layout: symbol is a data column; the paths name the
+    // (timeframe, year, sbucket) slice the out-of-band writer hit.
+    val sb = BucketCatalog.symbolBucket("AAPL", BucketCatalog.DefaultSymbolBuckets)
+    Seq(("AAPL", 1609459260L, 9.0)).toDF("symbol", "Epoch", "Open")
       .write.mode("append")
-      .parquet(s"$root/OHLCV/symbol=AAPL/timeframe=1Min/year=2021")
-    Seq((1609459500L, 3.0)).toDF("Epoch", "Open")
+      .parquet(s"$root/OHLCV/timeframe=1Min/year=2021/sbucket=$sb")
+    Seq(("AAPL", 1609459500L, 3.0)).toDF("symbol", "Epoch", "Open")
       .write.mode("append")
-      .parquet(s"$root/OHLCV/symbol=AAPL/timeframe=1Min/year=1999")
+      .parquet(s"$root/OHLCV/timeframe=1Min/year=1999/sbucket=$sb")
+    // bucketed layout: data violations report under the symbol, the
+    // foreign FILES under "*" (shared files carry no symbol path)
     val report = Integrity.check(spark, root).collect()
-      .map(r => (r.getAs[Int]("year"), r)).toMap
-    assert(!report(2021).getAs[Boolean]("ok"))
-    assert(report(2021).getAs[Long]("n_dup_keys") == 1L)
-    assert(!report(1999).getAs[Boolean]("ok"))
-    assert(report(1999).getAs[Long]("n_year_mismatch") == 1L)
+      .map(r => ((r.getAs[String]("symbol"), r.getAs[Int]("year")), r)).toMap
+    assert(!report(("AAPL", 2021)).getAs[Boolean]("ok"))
+    assert(report(("AAPL", 2021)).getAs[Long]("n_dup_keys") == 1L)
+    assert(!report(("AAPL", 1999)).getAs[Boolean]("ok"))
+    assert(report(("AAPL", 1999)).getAs[Long]("n_year_mismatch") == 1L)
+    assert(report(("*", 2021)).getAs[Long]("n_foreign_files") == 1L)
+    assert(!report(("*", 2021)).getAs[Boolean]("ok"))
     // year-range restriction skips the misfiled partition
     val scoped = Integrity.check(spark, root, yearStart = 2020, yearEnd = 2022).collect()
-    assert(scoped.map(_.getAs[Int]("year")).toSeq == Seq(2021))
+    assert(scoped.map(_.getAs[Int]("year")).toSet == Set(2021))
 
     // corrupt a data file: the group surfaces an error row, not a crash
-    val part = Paths.get(s"$root/OHLCV/symbol=AAPL/timeframe=1Min/year=2021")
+    val part = Paths.get(s"$root/OHLCV/timeframe=1Min/year=2021/sbucket=$sb")
     val dataFile = Files.list(part).filter(_.toString.endsWith(".parquet")).findFirst().get()
     Files.write(dataFile, Array.fill(32)(0x7f.toByte))
     val broken = Integrity.check(spark, root).collect()

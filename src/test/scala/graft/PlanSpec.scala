@@ -39,8 +39,37 @@ class PlanSpec extends SparkSpec {
     val readSchema = meta("ReadSchema")
     assert(readSchema.contains("Epoch") && readSchema.contains("Open") && !readSchema.contains("Close"),
       s"column pruning failed: $readSchema")
-    // partition pruning on the symbol/timeframe dirs
+    // partition pruning on the timeframe/sbucket dirs
     assert(scans.head.partitionFilters.nonEmpty)
+  }
+
+  test("single-symbol reads on the bucketed layout prune partitions AND push the symbol predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-bkt").toString
+    val cat = new graft.catalog.BucketCatalog(spark, root)
+    // 500 symbols across the default 32 buckets, all in one commit
+    cat.writeMulti("PRU", "1Min", (1 to 500)
+      .map(i => (s"S$i", i * 60L, i.toDouble)).toDF("symbol", "Epoch", "V"))
+    val q = cat.read(graft.core.TimeBucketKey.parse("S42/1Min/PRU"))
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the sbucket partition filter keeps 1/N of the files
+    val pf = scans.head.partitionFilters.mkString(";")
+    assert(pf.contains("sbucket"), s"no sbucket partition pruning: $pf")
+    val sb = graft.catalog.BucketCatalog.symbolBucket("S42",
+      graft.catalog.BucketCatalog.DefaultSymbolBuckets)
+    val wanted = scans.head.selectedPartitions.totalNumberOfFiles
+    val total = cat.liveFiles("PRU").get.size
+    assert(wanted < total, s"bucket pruning selected all $total files")
+    // every file the scan kept is in the symbol's bucket directory
+    assert(scans.head.selectedPartitions.toPartitionArray.forall(
+      _.urlEncodedPath.contains(s"sbucket=$sb")),
+      "selected partitions outside the symbol's bucket")
+    // and the symbol predicate reaches parquet for row-group skipping
+    // over the sorted symbol column
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo(symbol,S42)"),
+      s"symbol predicate not pushed: ${scans.head.metadata("PushedFilters")}")
   }
 
   test("cosineDedupPairs never broadcasts the blocked corpus (no BNLJ carrying block payloads)") {
