@@ -24,10 +24,18 @@ import org.apache.spark.sql.functions._
   *    makes the million-member component's root skew-immune) joined
   *    back on the grouping key — co-partitioned with the aggregation's
   *    own exchange, and AQE broadcasts the min table when it is tiny.
-  *  - Edge relations are `localCheckpoint`ed every round, truncating
-  *    the iterative lineage so the plan does not grow with rounds.
-  *  - Convergence is detected from a (count, hash-sum) signature —
-  *    two scalar aggregates, no driver-side edge collection.
+  *  - Edge relations are checkpointed every round, truncating the
+  *    iterative lineage so the plan does not grow with rounds. The
+  *    default is `localCheckpoint` (right for local mode and fast on a
+  *    cluster, but non-replicated: an executor loss mid-fixpoint kills
+  *    the job); pass `checkpointDir` for RELIABLE checkpoints to
+  *    shared storage on deployments where that matters.
+  *  - Convergence is detected structurally: the fixpoint edge set is a
+  *    star forest (every edge points larger→smaller and no node is
+  *    both a source and a target), whose roots are provably the
+  *    component minima — one semi-join emptiness probe per round, one
+  *    round EARLIER than waiting for the edge set to reproduce itself,
+  *    and no driver-side edge collection either way.
   */
 object Cluster {
 
@@ -77,26 +85,36 @@ object Cluster {
     * @param vertices the full document set (so singletons appear)
     */
   def assignments(pairs: DataFrame, vertices: DataFrame,
-                  id: String = "doc_id", maxIter: Int = 25): DataFrame = {
-    var e = pairs
+                  id: String = "doc_id", maxIter: Int = 25,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir — only (re)set
+        // when the current one isn't already under the requested root
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    var e = ckpt(pairs
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    var prevSig: Option[(Long, Long)] = None
+      .distinct())
     var it = 0
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val row = next.select(xxhash64(col("u"), col("v")).as("__h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(__h)"), lit(0L))).head()
-      val sig = (row.getLong(0), row.getLong(1))
-      // a fixpoint reproduces itself, so an unchanged signature ends
-      // the loop (the xor over distinct edge hashes is order-free and
-      // overflow-free; collision odds are negligible, and the final
-      // groupBy-min below is safe either way)
-      converged = prevSig.contains(sig)
-      prevSig = Some(sig)
+      val next = ckpt(smallStar(largeStar(e)))
+      // star-forest probe: both star ops only emit (larger → smaller)
+      // edges, so once no node is both a source and a target the edge
+      // set is a star forest — and its roots are the component minima
+      // (a root is every star edge's target; a member with a smaller
+      // id than its root would be pointed AT, contradiction). A star
+      // forest is also a fixpoint of both ops, so this is exactly the
+      // loop's termination state, detected without the extra
+      // self-reproducing round a signature comparison needs.
+      converged = next.select("u")
+        .join(next.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
       e = next
       it += 1
     }

@@ -468,6 +468,24 @@ class OpsSpec extends SparkSpec {
       "isolated vertices must be singleton clusters")
   }
 
+  test("reliable-checkpoint knob yields identical labels (cluster durability path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val verts = (0L until 120L).toSeq
+    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = graft.ops.Cluster.assignments(
+        edges.toDF("id1", "id2"), verts.toDF("doc_id"),
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == unionFind(verts, edges))
+    // the checkpoint files actually landed under the requested root
+    // (replicated-storage durability is what the knob buys a cluster)
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).count() > 1,
+      "no reliable checkpoint data written")
+  }
+
   test("rep-level clustering equals clustering the expanded pair set under clones") {
     import spark.implicits._
     val d = docs.select(col("doc_id"), col("text"))
