@@ -412,6 +412,41 @@ object SparkEntry {
             col("value"), col("event_id"))
           .orderBy("symbol", "epoch", "nanoseconds")
       }),
+      // the on-disk downsample CASCADE under the correctness oracle:
+      // deterministic multi-symbol 1Min bars ingested through the
+      // trigger path in three OUT-OF-ORDER batches (minutes 4.. of
+      // each 5-minute window arrive last, landing in windows whose
+      // 5Min/1H candles were already written — the recompute-and-
+      // overwrite semantics of contrib/ondiskagg/aggtrigger/
+      // aggtrigger.go:110-293), then both destination tables read
+      // back and compared to DuckDB's aggregation over ALL bars. A
+      // cascade that dropped late rows, kept first-writes, or missed
+      // a touched window hash-mismatches.
+      "q_cascade_ohlcv" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "casc")
+        val bars = graft.functions.Candler.candle(
+            ev(s, dir).select(col("event_type").as("symbol"), col("Epoch"),
+              col("Nanoseconds"), col("value")),
+            graft.core.CandleDuration.parse("1Min"),
+            openOf = col("value"), closeOf = col("value"),
+            highOf = col("value"), lowOf = col("value"),
+            sums = Seq("value"), avgs = Nil, groupCols = Seq("symbol"))
+          .withColumnRenamed("value_SUM", "Volume")
+          .persist() // three batch filters below; Bench clears per query
+        val casc = new graft.streaming.DownsampleCascade(
+          cat, "CSC", "1Min", destinations = Seq("5Min", "1H"), sums = Seq("Volume"))
+        val m = pmod((col("Epoch") / 60).cast("long"), lit(5))
+        casc.ingest(bars.filter(m < 2))
+        casc.ingest(bars.filter(m >= 2 && m < 4))
+        casc.ingest(bars.filter(m >= 4)) // late: re-derives closed windows
+        val out = Seq("5Min", "1H").map { tf =>
+          cat.readMulti("CSC", tf).drop("timeframe", "year").withColumn("tf", lit(tf))
+        }.reduce(_ unionByName _)
+        out.select(col("tf"), col("symbol"), col("Epoch").as("epoch"),
+            col("Open").as("open"), col("High").as("high"), col("Low").as("low"),
+            col("Close").as("close"), round(col("Volume"), 6).as("volume"))
+          .orderBy("tf", "symbol", "epoch")
+      }),
       // the reference's stated design target is ~16,384 symbols in one
       // catalog (docs/design/file_format_design.txt): prove the
       // wildcard query still answers in ONE job at that key
@@ -1294,7 +1329,28 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY symbol ORDER BY tsu DESC) AS rk
                FROM e)
          SELECT symbol, tsu//1000000 AS epoch, (tsu%1000000)*1000 AS nanoseconds, value, event_id
-         FROM r WHERE rk <= 2 ORDER BY symbol, epoch, nanoseconds"""
+         FROM r WHERE rk <= 2 ORDER BY symbol, epoch, nanoseconds""",
+    // the cascade's end state must equal the aggregation over ALL
+    // bars regardless of ingest order — the recompute-and-overwrite
+    // contract (aggtrigger.go:110-293)
+    "q_cascade_ohlcv" ->
+      """WITH bars AS (
+           SELECT event_type AS symbol, (epoch_us(ts)//1000000)//60*60 AS epoch,
+              arg_min(value, epoch_us(ts)) AS open, max(value) AS high,
+              min(value) AS low, arg_max(value, epoch_us(ts)) AS close,
+              sum(value) AS volume
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT '5Min' AS tf, symbol, epoch//300*300 AS epoch,
+              arg_min(open, epoch) AS open, max(high) AS high, min(low) AS low,
+              arg_max(close, epoch) AS close, round(sum(volume), 6) AS volume
+           FROM bars GROUP BY 2, 3
+           UNION ALL
+           SELECT '1H', symbol, epoch//3600*3600,
+              arg_min(open, epoch), max(high), min(low),
+              arg_max(close, epoch), round(sum(volume), 6)
+           FROM bars GROUP BY 2, 3)
+         SELECT * FROM c ORDER BY tf, symbol, epoch"""
   )
 
   // q_dedup_simhash / q_knn_lsh / q_knn_ivf / q_knn_pq are
