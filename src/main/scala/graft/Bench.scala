@@ -74,23 +74,36 @@ object Bench {
     * SPARK_GRAFT_BENCH_ONLY (regex over names) narrows the pass for
     * targeted local scale runs; the driver never sets it.
     */
+  /** Entries dominated by local-FS file churn (catalog write phases):
+    * run-to-run variance on the shared builder box is ±30% (documented
+    * in BENCH_NOTES), so a single draw over- or under-states the floor
+    * — these report the MEDIAN of 3 runs inside one process.
+    */
+  private val FsVarianceProne = Set("q_queryservice_wide", "q_cascade_ohlcv")
+
   private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
     var failed = List.empty[(String, String)]
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", ".*")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.matches(only)).map { case (name, fn) =>
-      // drop persisted relations left by the previous query: operators
-      // persist intermediates and rely on ContextCleaner GC, so across
-      // a 48-query pass the block store otherwise accumulates dead
-      // caches whose eviction churn bleeds into later measurements
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
-          failed ::= (name, msg)
+      def once(): Double = {
+        // drop persisted relations left by the previous query: operators
+        // persist intermediates and rely on ContextCleaner GC, so across
+        // a 48-query pass the block store otherwise accumulates dead
+        // caches whose eviction churn bleeds into later measurements
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+            failed ::= (name, msg)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t =
+        if (FsVarianceProne(name)) Seq(once(), once(), once()).sorted.apply(1)
+        else once()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -845,7 +845,7 @@ object SparkEntry {
       // not recompute regex features per consumer).
       val d = TextAnalysis.withLangId(
         TextAnalysis.withQuality(TextAnalysis.withTokenCounts(Tables.documents(s, dir))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.CacheScope.scopedPersist)
       // NOTE on cache lifetime: `d` and `canon` stay persisted after
       // the returned aggregate materializes — an entry returning a
       // lazy DataFrame cannot unpersist without defeating its own
@@ -858,7 +858,7 @@ object SparkEntry {
       val f = d.filter(col("lang_pred") === "en" && col("quality") >= 0.6)
       val canonIds = Dedup.exactGroups(f).select(col("canonical_id").as("doc_id"))
       val canon = f.join(canonIds, Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.CacheScope.scopedPersist)
       // canon is exact-deduped already — skip jaccardPairs' internal
       // clone-collapse gate, it would be a pure extra pass here
       val losers = Dedup.jaccardPairs(canon, threshold = 0.4, n = 3,
@@ -993,7 +993,7 @@ object SparkEntry {
       val gated = TextAnalysis.withRepetitionSignals(Tables.documents(s, dir))
         .filter(col("gopher_keep"))
         .select(col("doc_id"), col("source"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.CacheScope.scopedPersist)
       val kept = Cluster.dedupedCorpus(gated, threshold = 0.4, n = 3)
       val mixed = Sampling.weighted(kept, SampleRates, defaultRate = 0.3)
       Packing.manifest(mixed, budget = 256)

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import scala.util.control.NonFatal
+
+/** Lifetime management for OPERATOR-HELD persisted intermediates.
+  *
+  * Several operators persist an intermediate their RETURNED lazy frame
+  * references (clone-group relations, sharded rank relations, pipeline
+  * corpora) — the operator cannot unpersist it without defeating the
+  * cache, so the contract has been: Bench/Verify clear the cache per
+  * query; any other embedder relies on ContextCleaner GC. That is fine
+  * for batch drivers but lets a LONG-LIVED session (the RPC front, a
+  * notebook) accumulate dead cached relations.
+  *
+  * [[withPinnedCaches]] closes the gap: every operator intermediate
+  * persisted inside the scope (operators route through
+  * [[scopedPersist]]) is unpersisted when the scope exits. The caller
+  * must MATERIALIZE the result inside the scope — the frames returned
+  * are lazy, and computing them after exit recomputes the unpersisted
+  * intermediates (correct, just slower).
+  *
+  * Outside any scope, [[scopedPersist]] is a plain
+  * MEMORY_AND_DISK persist — exactly the previous behavior.
+  * Scopes are per-thread (operators register from the driver thread
+  * that builds the plan) and nest; each scope releases only its own
+  * registrations.
+  */
+object CacheScope {
+
+  private val stack = new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+  }
+
+  /** Persist an operator intermediate (MEMORY_AND_DISK) and, when a
+    * [[withPinnedCaches]] scope is active on this thread, register it
+    * for release at scope exit. Used via `.transform(CacheScope.scopedPersist)`.
+    */
+  def scopedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    stack.get() match {
+      case head :: _ => head += p
+      case Nil =>
+    }
+    p
+  }
+
+  /** Run `body`, then unpersist every operator intermediate it
+    * registered. Returns body's result (materialize it INSIDE the
+    * scope).
+    */
+  def withPinnedCaches[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    stack.set(buf :: stack.get())
+    try body
+    finally {
+      stack.set(stack.get().tail)
+      buf.foreach { df =>
+        try { df.unpersist(blocking = false); () }
+        catch { case NonFatal(_) => () }
+      }
+    }
+  }
+}

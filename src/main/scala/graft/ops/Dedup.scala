@@ -107,7 +107,7 @@ object Dedup {
       // any member's raw text works: all normalize identically
       .agg(min(col(id)).as("__rep"), first(col(text)).as("__txt"),
         sort_array(collect_list(col(id))).as("__ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .transform(graft.ops.CacheScope.scopedPersist))
     val repPairs = pairFn(
       groups.select(col("__rep").as(id), col("__txt").as(text)))
     val extraCols = repPairs.columns.filterNot(c => c == "id1" || c == "id2")
@@ -219,7 +219,7 @@ object Dedup {
     // — persist it once (Spark's ContextCleaner drops the cache when
     // the plan is garbage-collected, same pattern as MLlib LSH)
     val rows = hashedShingleRows(df, id, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val freq0 = rows.groupBy("__h").agg(count(lit(1)).as("__df"))
     val freq = maxDocFreq.map(f => freq0.filter(col("__df") <= f)).getOrElse(freq0)
     // one keyed window stage (single shuffle+sort on id) yields both
@@ -234,7 +234,7 @@ object Dedup {
       .filter(col("__rn") <=
         col("__size") - ceil(col("__size") * lit(threshold) - lit(1e-9)) + 1)
       .select(col(id), col("__size"), col("__rn"), col("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val a = prefix.select(col(id).as("id1"), col("__size").as("__s1"), col("__rn").as("__p1"), col("__h"))
     val b = prefix.select(col(id).as("id2"), col("__size").as("__s2"), col("__rn").as("__p2"), col("__h"))
     val cands = a.join(b, Seq("__h"))
@@ -346,7 +346,7 @@ object Dedup {
     // the signature relation feeds the banding AND the post-candidate
     // verify; persist so the shingle scan + k-min aggregation runs once
     val sigs = minhashSignatures(df, k, n, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
     val withSig = sigs.select(col(id), sigArr.as("__sig"))
     // banding ships ONLY (id, band, bucket) — a doc's 64-long signature
@@ -405,13 +405,13 @@ object Dedup {
       // one persisted hashed-shingle relation feeds BOTH the signature
       // aggregation and the verify sets — the text is scanned once
       val rows = hashedShingleRows(df, id, text, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.CacheScope.scopedPersist)
       val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
       // the signature relation feeds the banding (both self-join
       // sides) and the estimate pre-filter (both pair sides) — persist
       // or the k-min aggregation recomputes once per consumer
       val sigs = rows.groupBy(col(id)).agg(mins.head, mins.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.ops.CacheScope.scopedPersist)
       val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
       // banding ships only (id, band, bucket) — see minhashPairsDistinct
       val banded = bandBuckets(sigs, k, bands, id)
@@ -537,7 +537,7 @@ object Dedup {
       oldIdToRep: Option[DataFrame]): DataFrame = {
     // the batch's shingle rows feed its signatures AND its verify sets
     val newRows = hashedShingleRows(newDf, id, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
     val newBanded = bandBuckets(
       newRows.groupBy(col(id)).agg(mins.head, mins.tail: _*), k, bands, id)
@@ -556,7 +556,7 @@ object Dedup {
     val crossCands = mapped
       .filter(col("__nid") =!= col("__oid"))
       .dropDuplicates("__nid", "__oid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val touchedOld = oldDf.join(
       crossCands.select(col("__oid").as(id)).dropDuplicates(id), Seq(id), "leftsemi")
     val rows = newRows.unionByName(hashedShingleRows(touchedOld, id, text, n))
@@ -710,7 +710,7 @@ object Dedup {
       .groupBy(contentHash(col(text)).as("__ch"))
       .agg(min(col(id)).as("__rep"), first(col(text)).as(text),
         sort_array(collect_list(col(id))).as("__ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
 
   /** Pair-level contamination attribution: (train doc, eval doc,
     * shared distinct n-grams) for every pair sharing ≥ `minOverlap`

@@ -57,7 +57,7 @@ object Packing {
     // ContextCleaner.
     val sharded = toks.repartitionByRange(math.max(1, numShards), col("doc_id"))
       .withColumn("__shard", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val local = sharded.withColumn("__cum",
       sum("n_tokens").over(Window.partitionBy("__shard").orderBy("doc_id")))
     val shardTotals = sharded.groupBy("__shard").agg(sum("n_tokens").as("__tot"))
@@ -105,7 +105,7 @@ object Packing {
     val sharded = toks
       .repartitionByRange(math.max(1, numShards), col("n_tokens").desc, col("doc_id"))
       .withColumn("__shard", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val local = sharded.withColumn("__rk",
       row_number().over(Window.partitionBy("__shard")
         .orderBy(col("n_tokens").desc, col("doc_id"))))

@@ -246,9 +246,9 @@ object Sampling {
     // at 100 TB — so raw pays exactly two scans (fit + score), target
     // one.
     val cr = fr.groupBy("__b").agg(sum("__w").as("__cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val ct = ft.groupBy("__b").agg(sum("__w").as("__ct"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     // two scalar totals off the persisted counts (≤ buckets rows each;
     // both null-guarded — an empty side must yield 0, not a driver NPE)
     val tr = cr.agg(coalesce(sum("__cr"), lit(0L))).collect()(0).getLong(0)

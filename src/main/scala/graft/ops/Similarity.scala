@@ -249,7 +249,7 @@ object Similarity {
     val groups = df.select(col(id), col(emb))
       .groupBy(col(emb))
       .agg(min(col(id)).as("__rep"), sort_array(collect_list(col(id))).as("__ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val repPairs = pairFn(groups.select(col("__rep").as(id), col(emb)))
     val m1 = groups.select(col("__rep").as("id1"), col("__ids").as("__ids1"))
     val m2 = groups.select(col("__rep").as("id2"), col("__ids").as("__ids2"))
@@ -392,7 +392,7 @@ object Similarity {
     val assigned = df
       .select(col(id), col(emb))
       .withColumn("__cell", array_max(cellScores(col(emb), cents)).getField("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     // block count sized from the LARGEST cell, not the average:
     // autoBlocks bounds the per-block collect_list row width, and a
     // skewed quantizer (half the corpus in one cell) would overrun an

@@ -223,7 +223,7 @@ object TextAnalysis {
       .agg(min(col(id)).as("__rep"), first(col(textCol)).as(textCol),
         sort_array(collect_list(col(id))).as("__ids"))
       .withColumn("__m", size(col("__ids")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
 
   /** CCNet-style language-model quality score (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
@@ -282,7 +282,7 @@ object TextAnalysis {
     // unpersist before returning. Re-deriving the total from the raw
     // corpus instead would re-scan every text byte at 100 TB; the
     // counts relation is vocabulary-distribution-sized.
-    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = counts0.transform(graft.ops.CacheScope.scopedPersist)
     val (total, vocabRows) =
       try {
         val totalRow = counts.agg(sum(col("__c")).cast("long")).head()
@@ -349,7 +349,7 @@ object TextAnalysis {
       .select(col(id), col("__m"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("__m")).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.CacheScope.scopedPersist)
     val dfreq = tf.groupBy("term").agg(sum("__m").as("__df"))
     val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", round(col("tf") *
@@ -543,7 +543,7 @@ object TextAnalysis {
     // every model relation folds from this one aggregate; persist pins
     // a single materialization across the marginal builds + the type
     // count (same cache-lifetime contract as the other model ops)
-    val big = big0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = big0.transform(graft.ops.CacheScope.scopedPersist)
     val nTypes =
       try {
         val nb = big.count()

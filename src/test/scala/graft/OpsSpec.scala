@@ -468,6 +468,30 @@ class OpsSpec extends SparkSpec {
       "isolated vertices must be singleton clusters")
   }
 
+  test("withPinnedCaches releases operator-held persists after a scoped run") {
+    spark.sharedState.cacheManager.clearCache()
+    val out = graft.ops.CacheScope.withPinnedCaches {
+      // two leaky-by-contract operators: the packing rank relation and
+      // the jaccard clone-group relation both persist intermediates
+      // their returned frames reference
+      val chunks = graft.ops.Packing.chunks(docs, budget = 128).collect()
+      val pairs = Dedup.jaccardPairs(docs, threshold = 0.4, n = 3).collect()
+      // the scope must actually have something registered, or the
+      // outer emptiness assert is vacuous
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "expected operator intermediates cached inside the scope")
+      (chunks, pairs)
+    }
+    assert(out._1.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator-held caches leaked past withPinnedCaches")
+    // outside any scope the previous contract stands: plain persist,
+    // Bench/ContextCleaner own the lifetime
+    val again = Dedup.jaccardPairs(docs, threshold = 0.4, n = 3).collect()
+    assert(again.length == out._2.length)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("reliable-checkpoint knob yields identical labels (cluster durability path)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -346,6 +346,69 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming composite ingest→decontaminate→dedup→append equals the batch operators, out of order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val evalSet = Seq(
+      "what is the capital of france paris of course",
+      "solve for x in the equation above").toDF("text")
+    val bloom = graft.streaming.StreamingDecontaminate.evalGramBloom(evalSet)
+
+    // the corpus: clean docs, exact replays under new ids (stray case/
+    // whitespace), and eval-overlapping docs — delivered across three
+    // micro-batches with OUT-OF-ORDER event times inside the lateness
+    val docs = Seq(
+      StreamDoc(1L, ts(t0 + 30), "alpha beta gamma delta epsilon"),
+      StreamDoc(2L, ts(t0 + 10), "zebras gallop across wide open savannas"),
+      StreamDoc(3L, ts(t0 + 50), "students ask what the capital of france is"), // contaminated
+      StreamDoc(4L, ts(t0 + 20), "  Alpha Beta GAMMA delta epsilon "), // replay of 1
+      StreamDoc(5L, ts(t0 + 5), "completely novel fifth document body"),
+      StreamDoc(6L, ts(t0 + 40), "solve for x in the equation above"), // eval verbatim
+      StreamDoc(7L, ts(t0 + 15), "zebras gallop across wide open savannas"), // replay of 2
+      StreamDoc(8L, ts(t0 + 55), "last distinct survivor text here"))
+    val batches = Seq(docs.slice(0, 3), docs.slice(3, 6), docs.slice(6, 8))
+
+    val root = Files.createTempDirectory("graft-stream-composite").toString
+    val cat = new BucketCatalog(spark, root)
+    val source = MemoryStream[StreamDoc]
+    // the composite: Bloom gate → watermarked exact dedup → catalog
+    // append; each doc's distinct event second is its Epoch key
+    val piped = graft.streaming.StreamingDedup.dedupStream(
+      graft.streaming.StreamingDecontaminate.filterStream(source.toDF, bloom),
+      eventTimeCol = "ts", lateness = "10 minutes")
+    val q = piped.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-composite-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cat.writeMulti("SDOC", "1Sec", b.select(
+          lit("D").as("symbol"),
+          (col("ts").cast("long")).as("Epoch"),
+          col("doc_id"), col("text"), col("content_hash")))
+      }.start()
+    try {
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // batch truth over the SAME docs: exact dedup survivors (one per
+    // content) of the decontamination-clean slice
+    val all = docs.toDF()
+    val contaminated = graft.ops.Dedup.contaminationReport(all, evalSet, n = 3)
+      .filter(col("hit_grams") > 0).select("doc_id")
+    val clean = all.join(contaminated, Seq("doc_id"), "left_anti")
+    val batchContent = graft.ops.Dedup.exactGroups(clean)
+      .select("content_hash").collect().map(_.getString(0)).toSet
+
+    val streamed = cat.read(TimeBucketKey.parse("D/1Sec/SDOC"))
+      .select("content_hash").collect().map(_.getString(0))
+    // same surviving CONTENT set, exactly one row per content (the
+    // streaming path keeps first-arrival ids; batch keeps min-id — the
+    // content-level outcome is what both contracts share)
+    assert(streamed.toSet == batchContent,
+      s"streamed ${streamed.toSet} != batch $batchContent")
+    assert(streamed.length == streamed.toSet.size, "streaming appended a duplicate content")
+  }
+
   test("isMarketOpen matches reference boundary semantics (calendar.go:107-137)") {
     import spark.implicits._
     val cal = MarketCalendar("UTC", "09:30:00", "16:00:00",
