@@ -53,6 +53,10 @@ object SparkEntry {
   private val SampleRates = Map(
     "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1)
 
+  // current q_io_jsonl_roundtrip output dir (one per process; each new
+  // invocation reclaims the previous one's copy)
+  private val jsonlRtDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Synthetic corporate-action rate changes, derived deterministically
     * from the events table (so the DuckDB oracle can rebuild them).
     */
@@ -1011,14 +1015,19 @@ object SparkEntry {
     "q_io_jsonl_roundtrip" -> ((s, dir) => {
       // per-invocation unique dir (a fixed path races concurrent
       // Bench/Verify processes: one's overwrite deletes part files
-      // under the other's lazy read); a shutdown hook reclaims it
+      // under the other's lazy read). The PREVIOUS invocation's dir is
+      // reclaimed eagerly here — this process has moved past its lazy
+      // read — so repeated bench/verify iterations hold at most one
+      // corpus copy (and one shutdown hook for the last one) instead
+      // of accumulating one per iteration.
       val out = java.nio.file.Files
         .createTempDirectory("graft_jsonl_rt").toString
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(out))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      jsonlRtDir.getAndSet(out) match {
+        case null => sys.addShutdownHook { rm(new java.io.File(jsonlRtDir.get)) }
+        case prev => rm(new java.io.File(prev))
       }
       Tables.documents(s, dir).write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -1067,7 +1076,8 @@ object SparkEntry {
     * ONE source of truth: a clustering-oracle fix lands in all four.
     */
   private val CcLabelCte: String =
-    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+               FROM documents WHERE text IS NOT NULL),
          d AS (SELECT doc_id, CASE WHEN len(ts) >= 3
                THEN list_distinct(list_transform(range(1, len(ts) - 1),
                  i -> array_to_string(ts[i:i+2], ' ')))
@@ -2033,9 +2043,13 @@ object SparkEntry {
     // temperature mixing: the α-power/normalization arithmetic is
     // replayed in SQL with the same expression shape (share → pow →
     // normalize → budget rate → hex threshold); the threshold
-    // discretization to 2^-32 absorbs sub-ulp engine differences
+    // discretization to 2^-32 absorbs sub-ulp engine differences.
+    // z is an ORDERED left fold over source-sorted domains (recursive
+    // CTE), the exact summation order the engine's driver-side fold
+    // uses — an unordered sum(pw) could differ in the last ulp and
+    // flip a threshold sitting exactly on a 2^-32 grid boundary
     "q_sample_temperature" ->
-      """WITH t AS (SELECT doc_id, source,
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
              len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens
            FROM documents),
          tot AS (SELECT source, sum(n_tokens)::BIGINT AS tt FROM t
@@ -2043,7 +2057,12 @@ object SparkEntry {
          g AS (SELECT sum(tt)::BIGINT AS gt FROM tot),
          p AS (SELECT source, tt,
              pow(tt::DOUBLE / (SELECT gt FROM g), 0.5) AS pw FROM tot),
-         z AS (SELECT sum(pw) AS z FROM p),
+         p2 AS (SELECT source, tt, pw, row_number() OVER (ORDER BY source) AS i FROM p),
+         zrec AS (
+           SELECT 0::BIGINT AS i, 0.0::DOUBLE AS acc
+           UNION ALL
+           SELECT p2.i, zrec.acc + p2.pw FROM zrec JOIN p2 ON p2.i = zrec.i + 1),
+         z AS (SELECT acc AS z FROM zrec ORDER BY i DESC LIMIT 1),
          r AS (SELECT source,
              CASE WHEN least(1.0, pw / (SELECT z FROM z) * 15000.0 / tt) >= 1.0
                   THEN 'g0000000'

@@ -146,8 +146,14 @@ object Cluster {
     */
   def fromJaccard(df: DataFrame, threshold: Double, n: Int,
                   id: String = "doc_id", text: String = "text"): DataFrame = {
-    val hashed = df.select(col(id).cast("long").as("__doc"),
-      Dedup.contentHash(col(text)).as("__ch"))
+    // null-text docs carry no comparable content: they are SINGLETON
+    // clusters (the pair ops drop them, and the clone membership must
+    // not glue them through their shared null content hash — the SQL
+    // oracle's NULL keys never join, so singletons are the agreed
+    // semantics on both engines)
+    val hashed = df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"),
+        Dedup.contentHash(col(text)).as("__ch"))
     val membership = hashed.join(
       hashed.groupBy("__ch").agg(min("__doc").as("__rep")), "__ch")
     val reps = df.withColumn(id, col(id).cast("long"))
@@ -159,6 +165,9 @@ object Cluster {
       reps, id = id).withColumnRenamed("doc_id", "__rep")
     membership.join(repClusters, Seq("__rep"))
       .select(col("__doc").as("doc_id"), col("cluster_id"))
+      .unionByName(df.filter(col(text).isNull)
+        .select(col(id).cast("long").as("doc_id"),
+          col(id).cast("long").as("cluster_id")))
   }
 
   /** The deduplicated corpus: every input column of the documents that

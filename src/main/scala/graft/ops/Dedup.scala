@@ -95,13 +95,21 @@ object Dedup {
       selfExtras: Seq[(String, Column)], selfQualifies: Boolean,
       precomputedGroups: Option[DataFrame] = None)(
       pairFn: DataFrame => DataFrame): DataFrame = {
+    // null-text docs never pair: they have no shingle content, and the
+    // SQL oracles' NULL join keys can never match — without this
+    // filter the Spark side's otherwise-branch shingle ("") would pair
+    // null docs with each other, a divergence on general data (the
+    // shipped fixtures carry no null text). Applied HERE so every pair
+    // family inherits it ahead of both the probe and the clone gate
+    // (whose null content-hash group would otherwise glue null docs).
+    val df0 = df.filter(col(text).isNotNull)
     // a caller that already probed AND grouped (the delta op shares
     // one cloneGroups between its within and cross halves) passes the
     // groups in; the probe is skipped — collapse is output-preserving
     // regardless of clone structure, the probe only gates its cost
-    if (precomputedGroups.isEmpty && !cloneHeavy(df, lower(trim(col(text)))))
-      return pairFn(df)
-    val groups = precomputedGroups.getOrElse(df
+    if (precomputedGroups.isEmpty && !cloneHeavy(df0, lower(trim(col(text)))))
+      return pairFn(df0)
+    val groups = precomputedGroups.getOrElse(df0
       .select(col(id), col(text), contentHash(col(text)).as("__ch"))
       .groupBy("__ch")
       // any member's raw text works: all normalize identically
@@ -464,12 +472,17 @@ object Dedup {
     * precision 1 via the exact-set verify.
     */
   def minhashDeltaPairsVerified(
-      newDf: DataFrame, oldDf: DataFrame, threshold: Double,
+      newDf0: DataFrame, oldDf0: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16, n: Int = 3,
       id: String = "doc_id", text: String = "text",
       oldIndex: Option[DataFrame] = None,
       collapseExact: Boolean = true): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // pair semantics: null-text docs never pair (see collapsedPairs) —
+    // filtered here too because the cross half bands newDf/oldDf
+    // directly, outside collapsedPairs' own guard
+    val newDf = newDf0.filter(col(text).isNotNull)
+    val oldDf = oldDf0.filter(col(text).isNotNull)
     // clone collapse on the CROSS side: g batch clones × h corpus
     // clones of near-identical content propose g·h candidates and pay
     // g·h verifies without it (measured 46 s vs the full op's ~7 s at

@@ -712,6 +712,14 @@ object Similarity {
     */
   def jlPlanes(k: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     require(k > 0 && dim > 0, s"k and dim must be positive: $k, $dim")
+    // bit-exact-oracle precondition: only when k is a power of 4 is
+    // 1/√k an exact dyadic float, so the matrix survives a decimal
+    // SQL-literal round trip (q_vec_project embeds it as VALUES).
+    // Other k are mathematically fine but would drift sub-ulp between
+    // engines behind the oracle's round(…, 6) guard — refuse loudly
+    // rather than flake silently.
+    require((java.lang.Integer.bitCount(k) == 1) && (java.lang.Integer.numberOfTrailingZeros(k) % 2 == 0),
+      s"k must be a power of 4 (1/sqrt(k) exactly representable), got $k")
     val s = (1.0 / math.sqrt(k.toDouble)).toFloat
     val rnd = new scala.util.Random(seed)
     Array.fill(k, dim)(if (rnd.nextBoolean()) s else -s)

@@ -468,6 +468,37 @@ class OpsSpec extends SparkSpec {
       "isolated vertices must be singleton clusters")
   }
 
+  test("null-text docs never pair and cluster as singletons (SQL NULL-join parity)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared words here exactly matching text"),
+      (2L, "shared words here exactly matching text"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // pair families: the exact-clone pair (1,2) and NOTHING involving
+    // the null docs — a SQL oracle's NULL join keys can never match,
+    // so Spark must not pair them either
+    val jp = Dedup.jaccardPairs(corpus, threshold = 0.4, n = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jp == Set((1L, 2L)), s"jaccard paired null docs: $jp")
+    val mh = Dedup.minhashPairsVerified(corpus, threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)), s"minhash paired null docs: $mh")
+    val delta = Dedup.minhashDeltaPairsVerified(
+        corpus.filter(col("doc_id") >= 3), corpus.filter(col("doc_id") < 3),
+        threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta.isEmpty, s"delta paired null docs: $delta")
+    // clustering: null docs are SINGLETONS (not glued through their
+    // shared null content hash), and they survive dedup untouched
+    val labels = graft.ops.Cluster.fromJaccard(corpus, threshold = 0.4, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), s"$labels")
+    val kept = graft.ops.Cluster.dedupedCorpus(corpus, threshold = 0.4, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"$kept")
+  }
+
   test("withPinnedCaches releases operator-held persists after a scoped run") {
     spark.sharedState.cacheManager.clearCache()
     val out = graft.ops.CacheScope.withPinnedCaches {
