@@ -546,6 +546,13 @@ object SparkEntry {
     "q_text_lm_kn" -> ((s, dir) =>
       TextAnalysis.withKneserNeyBigram(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // interpolated Kneser–Ney TRIGRAM LM with the full recursive
+    // backoff chain (middle order on continuation counts) — the
+    // KenLM-shaped depth the bigram can't exercise; self-trained, so
+    // every scored trigram is in the model and the oracle is exact
+    "q_text_lm_kn3" -> ((s, dir) =>
+      TextAnalysis.withKneserNeyTrigram(Tables.documents(s, dir))
+        .orderBy("doc_id")),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1451,6 +1458,42 @@ object SparkEntry {
          agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
              round(avg(logp), 6) AS avg_logprob FROM sc GROUP BY doc_id)
          SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+           0::BIGINT AS n_unseen, agg.avg_logprob
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // interpolated Kneser–Ney trigram LM: the three-layer probability
+    // chain mirrors the Spark side operation-for-operation (same
+    // parenthesization at every level, so both engines round
+    // identically before the final ln); every lower order is
+    // estimated from continuation-type counts of the order above
+    "q_text_lm_kn3" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         tg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+               i -> struct_pack(u := ts[i], v := ts[i+1], w := ts[i+2]))) AS p FROM d),
+         t3 AS MATERIALIZED (SELECT doc_id, p.u AS u, p.v AS v, p.w AS w FROM tg),
+         tri AS MATERIALIZED (SELECT u, v, w, count(*)::BIGINT AS c FROM t3 GROUP BY u, v, w),
+         ctx AS (SELECT u, v, sum(c)::BIGINT AS cuv, count(*)::BIGINT AS n1uv
+           FROM tri GROUP BY u, v),
+         c2 AS MATERIALIZED (SELECT v, w, count(*)::BIGINT AS n1vw FROM tri GROUP BY v, w),
+         mid AS (SELECT v, sum(n1vw)::BIGINT AS tv, count(*)::BIGINT AS n2v
+           FROM c2 GROUP BY v),
+         c1 AS (SELECT w, count(*)::BIGINT AS n1w FROM c2 GROUP BY w),
+         nb AS (SELECT count(*)::BIGINT AS nb FROM c2),
+         -- nb rides the join tree as a 1-row cross join, and the
+         -- shared deep CTEs above are MATERIALIZED: with 7 inlined
+         -- copies of the unnest pipeline in one join tree, DuckDB's
+         -- planner goes pathological (minutes at sf0.01 vs 0.1 s
+         -- this way; measured — the Spark side is unaffected)
+         sc AS (SELECT t3.doc_id,
+             ln((greatest(c - 0.75, 0)
+                 + 0.75 * n1uv * ((greatest(n1vw - 0.75, 0)
+                     + 0.75 * n2v * (n1w::DOUBLE / nb.nb)) / tv)) / cuv) AS logp
+           FROM t3 JOIN tri USING (u, v, w) JOIN ctx USING (u, v)
+                JOIN c2 USING (v, w) JOIN mid USING (v) JOIN c1 USING (w), nb),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+             round(avg(logp), 6) AS avg_logprob FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_trigrams, 0)::BIGINT AS n_trigrams,
            0::BIGINT AS n_unseen, agg.avg_logprob
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 

@@ -1060,6 +1060,58 @@ class BucketCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Migrate a LEGACY per-symbol-directory group to the symbol-
+    * bucketed layout in ONE manifest flip — the maintenance path for
+    * stores created before bucketed layouts (or with
+    * `symbolBuckets = 0`): the group's per-symbol smallfiles merge
+    * into ≤ buckets × timeframes × years sorted files, so every
+    * subsequent wide commit stages O(buckets) files instead of
+    * O(symbols) — the compaction answer to the 16k-files-per-commit
+    * trajectory the reference avoids with preallocated year files
+    * written in place (docs/design/file_format_design.txt).
+    *
+    * Safety: the rewrite is one ordinary [[stageSwap]] commit —
+    * readers pinned at pre-compaction manifest versions keep reading
+    * the legacy files for the vacuum grace window, and the logical
+    * (symbol, timeframe) registry is carried over unchanged. The meta
+    * flips to `buckets=N` only AFTER the manifest flip; a reader
+    * planning in between reads the bucketed files correctly, just
+    * without sbucket partition pruning (the symbol predicate still
+    * row-group-skips via the sorted column's min/max stats).
+    *
+    * Returns true if the group was migrated, false if already
+    * bucketed. Idempotent; a no-data group just flips its meta.
+    */
+  def compactToBuckets(attGroup: String,
+      symbolBuckets: Int = DefaultSymbolBuckets): Boolean = mutate(attGroup) {
+    require(symbolBuckets > 0, s"symbolBuckets must be > 0, got $symbolBuckets")
+    val (variable, schema, buckets) = readMeta(attGroup)
+    if (buckets.isDefined) false
+    else {
+      readAg(attGroup).foreach { old =>
+        def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+        // the partitions whose files must leave the live set: the
+        // manifest's when there is one, the disk listing for a
+        // pre-manifest root (where commitManifest bootstraps its
+        // previous file list from the same walk)
+        val legacyParts = liveFiles(attGroup)
+          .getOrElse(listDataFilesOnDisk(attGroup))
+          .map(partOf).distinct
+        val registry = liveBuckets(attGroup)
+          .getOrElse(legacyParts.map(bucketOf).distinct).toSet
+        val keyed = old.withColumn("sbucket", sbucketCol(symbolBuckets))
+        stageSwap(keyed, attGroup, clearIfUnstaged = legacyParts,
+          bucketed = true, logicalBuckets = registry)
+      }
+      val meta = new Path(agPath(attGroup), MetaFile)
+      val kind = (if (variable) "variable" else "fixed") + s" buckets=$symbolBuckets"
+      val out = fs.create(meta, true)
+      out.write(s"$kind\n${schema.json}\n".getBytes("UTF-8"))
+      out.close()
+      true
+    }
+  }
+
   /** Schema + record type for a bucket (GetInfo / GetDataShapes,
     * catalog/catalog.go:347).
     */

@@ -589,4 +589,145 @@ object TextAnalysis {
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         col("avg_logprob"))
   }
+
+  /** Consecutive-token trigrams of `textCol` as an array of
+    * (u, v, w) structs — two nested zip_with folds over three
+    * equal-length slices, fully codegen'd; a ≤2-token document
+    * yields an empty array (the `greatest(·,0)` keeps the slice
+    * length legal on short docs, where `size − 2` goes negative).
+    */
+  private def trigramsOf(text: Column): Column = {
+    val ts = tokens(text)
+    val n = greatest(size(ts) - 2, lit(0))
+    zip_with(
+      zip_with(slice(ts, lit(1), n), slice(ts, lit(2), n),
+        (a, b) => struct(a.as("u"), b.as("v"))),
+      slice(ts, lit(3), n),
+      (uv, c) => struct(uv.getField("u").as("u"),
+        uv.getField("v").as("v"), c.as("w")))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM language model with the full
+    * recursive backoff chain (Chen & Goodman 1998 §2.7) — the
+    * structural step [[withKneserNeyBigram]] can't exercise: the
+    * middle order is estimated from CONTINUATION counts, not raw
+    * counts, and each order interpolates into the one below it.
+    * The actual CCNet scorer is a 5-gram KenLM; the trigram has the
+    * same recursive shape (top order on raw counts, every lower
+    * order on type counts), so the three-layer chain here is the
+    * faithful in-engine miniature:
+    *
+    *   P3(w|u,v) = max(c(uvw)−D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P2(w|v)
+    *   P2(w|v)   = max(N1+(·vw)−D,0)/N1+(·v·) + D·N2(v)/N1+(·v·) · P1(w)
+    *   P1(w)     = N1+(··w) / N1+(···)
+    *
+    * where N1+(·vw) = #distinct u with c(u,v,w)>0, N1+(·v·) = Σ_w of
+    * those, N2(v) = #distinct w with N1+(·vw)>0, N1+(··w) = #distinct
+    * v with N1+(·vw)>0, and N1+(···) = #continuation bigram types.
+    * Σ_w P3(w|u,v) = 1 exactly for every observed context (each
+    * layer's discount mass D·(#types) is exactly what the max(·−D,0)
+    * subtraction removes — pinned in OpsSpec).
+    *
+    * Model = four aggregated relations, all folds of ONE trigram
+    * aggregate: trigram counts (u,v,w,c), top contexts (u,v → c(uv·),
+    * N1+(uv·)), continuation types (v,w → N1+(·vw)) with its own
+    * marginals (v → N1+(·v·), N2(v)) and (w → N1+(··w)); N1+(···) is
+    * one scalar count. As in the bigram model nothing is collected or
+    * broadcast by hand — scoring is five equi-joins left to AQE
+    * (broadcast for small models, shuffled when a 100 TB crawl's
+    * trigram table isn't). Reference-mode fallbacks cascade one order
+    * at a time, mirroring Katz-style backoff at score time: unseen
+    * trigram in a seen context keeps the interpolation weight on
+    * P2 (c = 0); unseen middle context backs off to P1; an unseen
+    * continuation word takes the 0.5-type floor — never −∞/NaN.
+    *
+    * Output: (id, n_trigrams, n_unseen, avg_logprob); ≤2-token docs
+    * have n_trigrams = 0 and null score. The clone-collapse gate
+    * weights the trigram TOKEN counts by clone multiplicity; every
+    * type-level count (all the N1+ relations) is multiplicity-
+    * invariant by construction, so collapsed scores are identical.
+    */
+  def withKneserNeyTrigram(
+      df: DataFrame, discount: Double = 0.75,
+      reference: Option[DataFrame] = None,
+      id: String = "doc_id", textCol: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0, 1), got $discount")
+    val base = df.filter(col(textCol).isNotNull)
+    val gate = collapseExact && Dedup.cloneHeavy(base, lower(trim(col(textCol))))
+    val groups = if (gate) Some(weightedCloneGroups(base, id, textCol)) else None
+    def triCounts(weighted: DataFrame): DataFrame =
+      weighted.select(explode(trigramsOf(col(textCol))).as("__p"), col("__m"))
+        .select(col("__p.u").as("__u"), col("__p.v").as("__v"),
+          col("__p.w").as("__w"), col("__m"))
+        .groupBy("__u", "__v", "__w").agg(sum("__m").as("__c"))
+    val tri0 = reference match {
+      case Some(ref) =>
+        val m = ref.filter(col(textCol).isNotNull)
+        if (collapseExact && Dedup.cloneHeavy(m, lower(trim(col(textCol)))))
+          triCounts(m.groupBy(lower(trim(col(textCol))).as(textCol))
+            .agg(count(lit(1)).as("__m")))
+        else triCounts(m.withColumn("__m", lit(1L)))
+      case None => groups match {
+        case Some(g) => triCounts(g)
+        case None => triCounts(base.withColumn("__m", lit(1L)))
+      }
+    }
+    // both pinned relations feed ≥2 downstream folds each (tri → top
+    // contexts + continuation types + the scoring join; cont → its two
+    // marginals + the type count + the scoring join)
+    val tri = tri0.transform(graft.ops.CacheScope.scopedPersist)
+    val cont = tri.groupBy(col("__v"), col("__w"))
+      .agg(count(lit(1)).as("__n1vw"))
+      .transform(graft.ops.CacheScope.scopedPersist)
+    val nTypes =
+      try {
+        val nb = cont.count()
+        require(nb > 0, "KN trigram model corpus has no trigrams")
+        nb
+      } catch { case e: Throwable => tri.unpersist(); cont.unpersist(); throw e }
+    val ctx = tri.groupBy(col("__u"), col("__v"))
+      .agg(sum("__c").as("__cuv"), count(lit(1)).as("__n1uv"))
+    val mid = cont.groupBy(col("__v"))
+      .agg(sum("__n1vw").as("__tv"), count(lit(1)).as("__n2v"))
+    val c1 = cont.groupBy(col("__w")).agg(count(lit(1)).as("__n1w"))
+    val nbD = nTypes.toDouble
+    // ONE canonical probability chain, mirrored operation-for-
+    // operation (same parenthesization) by the DuckDB oracle
+    val p1 = coalesce(col("__n1w").cast("double"), lit(0.5)) / lit(nbD)
+    val p2 = coalesce(
+      (greatest(coalesce(col("__n1vw"), lit(0L)) - lit(discount), lit(0.0))
+        + lit(discount) * col("__n2v") * p1) / col("__tv"), p1)
+    val p3 = coalesce(
+      (greatest(coalesce(col("__c"), lit(0L)) - lit(discount), lit(0.0))
+        + lit(discount) * col("__n1uv") * p2) / col("__cuv"), p2)
+    def score(d: DataFrame): DataFrame =
+      d.select(col(id), explode(trigramsOf(col(textCol))).as("__p"))
+        .select(col(id), col("__p.u").as("__u"), col("__p.v").as("__v"),
+          col("__p.w").as("__w"))
+        .join(tri, Seq("__u", "__v", "__w"), "left")
+        .join(ctx, Seq("__u", "__v"), "left")
+        .join(cont, Seq("__v", "__w"), "left")
+        .join(mid, Seq("__v"), "left")
+        .join(c1, Seq("__w"), "left")
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          round(avg(log(p3)), 6).as("avg_logprob"))
+    val scored = groups match {
+      case Some(g) =>
+        score(g.select(col("__rep").as(id), col(textCol)))
+          .join(g.select(col("__rep").as(id), col("__ids")), Seq(id))
+          .select(explode(col("__ids")).as(id),
+            col("n_trigrams"), col("n_unseen"), col("avg_logprob"))
+      case None => score(base)
+    }
+    base.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("avg_logprob"))
+  }
 }

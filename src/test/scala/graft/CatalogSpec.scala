@@ -391,6 +391,50 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listSymbols("LEG").isEmpty)
   }
 
+  test("compactToBuckets migrates a legacy group to bucketed files under one manifest flip") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    // a legacy group: one directory (and one commit file) per symbol
+    val symbols = (1 to 40).map(i => s"L$i")
+    cat.create(TimeBucketKey.parse(s"${symbols.head}/1Min/MIG"), ohlcv,
+      isVariable = false, symbolBuckets = 0)
+    cat.writeMulti("MIG", "1Min", symbols.zipWithIndex
+      .map { case (s, i) => (s, 60L * (i + 1), i.toDouble, i + 0.5) }
+      .toDF("symbol", "Epoch", "Open", "Close"))
+    val preVersion = cat.manifestVersions("MIG").max
+    val preRows = cat.readMulti("MIG", "1Min")
+      .select("symbol", "Epoch", "Open").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cat.liveFiles("MIG").get.size >= symbols.size, "legacy: one file per symbol")
+    // migrate — idempotent, one commit
+    assert(cat.compactToBuckets("MIG", symbolBuckets = 8))
+    assert(!cat.compactToBuckets("MIG", symbolBuckets = 8), "second call must no-op")
+    assert(cat.layoutBuckets("MIG").contains(8))
+    val live = cat.liveFiles("MIG").get
+    assert(live.size <= 8, s"${live.size} files live after compaction to 8 buckets")
+    assert(live.forall(_.startsWith("timeframe=1Min/year=1970/sbucket=")))
+    // content, registry, and single-symbol reads survive unchanged
+    val postRows = cat.readMulti("MIG", "1Min")
+      .select("symbol", "Epoch", "Open").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(postRows == preRows, "compaction changed the data")
+    assert(cat.listSymbols("MIG") == symbols.sorted)
+    assert(cat.read(TimeBucketKey.parse("L7/1Min/MIG")).collect()
+      .map(_.getAs[Double]("Open")).toSeq == Seq(6.0))
+    // a reader pinned at the pre-compaction snapshot stays readable
+    // (legacy files survive the vacuum grace window)
+    val pinned = cat.readGroupAt("MIG", preVersion).get
+      .select("symbol", "Epoch", "Open").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pinned == preRows, "pinned pre-compaction reader diverged")
+    // subsequent wide writes commit O(buckets) files and upsert correctly
+    cat.writeMulti("MIG", "1Min", symbols.map(s => (s, 60L, 100.0, 100.5))
+      .toDF("symbol", "Epoch", "Open", "Close"))
+    assert(cat.liveFiles("MIG").get.size <= 8)
+    assert(cat.read(TimeBucketKey.parse("L7/1Min/MIG")).orderBy("Epoch").collect()
+      .map(_.getAs[Double]("Open")).toSeq == Seq(100.0, 6.0))
+  }
+
   test("orphaned staging dirs are recoverable; commits leave a durable trail (executor/wal.go role)") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)

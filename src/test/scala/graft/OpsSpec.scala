@@ -1229,6 +1229,72 @@ class OpsSpec extends SparkSpec {
     assert(all(true) == all(false), "weighted collapse changed KN scores")
   }
 
+  test("KN trigram LM: hand values, per-context normalization, backoff cascade, collapse equivalence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // trigram tokens: (a,b,a)×2, (b,a,c) → tri types 2; continuation
+    // types (v,w): (b,a), (a,c) → nb=2; ctx (a,b): cuv=2 n1uv=1,
+    // (b,a): cuv=1 n1uv=1; mid: tv=1 n2v=1 for both a and b;
+    // c1: n1w(a)=1, n1w(c)=1; D=0.75
+    val corpus = Seq((0L, "a b a c"), (1L, "a b a"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.withKneserNeyTrigram(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(rows.size == 3)
+    val p1a = 1.0 / 2; val p1c = 1.0 / 2
+    val p2aGivenB = (0.25 + 0.75 * 1 * p1a) / 1 // P2(a|b) = 0.625
+    val p2cGivenA = (0.25 + 0.75 * 1 * p1c) / 1 // P2(c|a) = 0.625
+    val p3abA = (1.25 + 0.75 * 1 * p2aGivenB) / 2 // P3(a|a,b) = 0.859375
+    val p3baC = (0.25 + 0.75 * 1 * p2cGivenA) / 1 // P3(c|b,a) = 0.71875
+    val d0 = (math.log(p3abA) + math.log(p3baC)) / 2
+    assert(rows(0L)._1 == 2L && rows(0L)._2 == 0L)
+    assert(math.abs(rows(0L)._3.get - d0) < 1e-6, s"${rows(0L)._3} vs $d0")
+    assert(math.abs(rows(1L)._3.get - math.log(p3abA)) < 1e-6)
+    // a 2-token doc has no trigrams and a null score
+    assert(rows(2L) == ((0L, 0L, None)), s"two-token doc: ${rows(2L)}")
+    // THE KN invariant, now at trigram depth: Σ_w P3(w|u,v) = 1 over
+    // the continuation vocab for every observed context — including
+    // the unseen-trigram path, whose mass rides the P2 backoff
+    val contVocab = Seq("a", "c") // words with N1+(··w) > 0
+    val pairDocs = (for {
+      ((u, v), i) <- Seq(("a", "b"), ("b", "a")).zipWithIndex
+      (w, j) <- contVocab.zipWithIndex
+    } yield (i * 10L + j, s"$u $v $w")).toDF("doc_id", "text")
+    val scored = TextAnalysis
+      .withKneserNeyTrigram(pairDocs, reference = Some(corpus))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    Seq(0, 1).foreach { i =>
+      val mass = contVocab.indices.map(j => math.exp(scored(i * 10L + j))).sum
+      assert(math.abs(mass - 1.0) < 1e-5, s"context $i mass $mass != 1")
+    }
+    // hand-check the unseen-trigram interpolation: P3(c|a,b) carries
+    // exactly the discount mass D·N1+(uv·)/c(uv·) times P2(c|b),
+    // itself backed off through an unseen continuation type
+    val p2cGivenB = (0.0 + 0.75 * 1 * p1c) / 1 // (b,c) unseen → 0.375
+    assert(math.abs(scored(1L) - math.log(0.75 * 1 * p2cGivenB / 2)) < 1e-6)
+    // backoff cascade stays finite order by order: fully unseen
+    // context → P1 floor; unseen context with a seen word → P1(w)
+    val oov = TextAnalysis.withKneserNeyTrigram(
+        Seq((50L, "z q x"), (51L, "x y a")).toDF("doc_id", "text"),
+        reference = Some(corpus))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(oov(50L)._1 == 1L && math.abs(oov(50L)._2 - math.log(0.5 / 2)) < 1e-6,
+      s"fully-unseen floor: ${oov(50L)}")
+    assert(math.abs(oov(51L)._2 - math.log(p1a)) < 1e-6,
+      s"unseen-context seen-word backoff: ${oov(51L)}")
+    // clone-heavy corpus: type counts are multiplicity-invariant, so
+    // the weighted collapse must not change scores
+    val cloned = ((0L until 30L).map(i => (i, "a b a c")) ++
+      Seq((100L, "a b a"), (101L, "b a c b"))).toDF("doc_id", "text")
+    def all3(collapse: Boolean) =
+      TextAnalysis.withKneserNeyTrigram(cloned, collapseExact = collapse)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(all3(true) == all3(false), "weighted collapse changed KN3 scores")
+  }
+
   test("leakage-safe split: clusters stay whole, fractions hold, deterministic") {
     import spark.implicits._
     import graft.ops.Cluster
