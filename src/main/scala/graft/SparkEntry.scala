@@ -571,6 +571,12 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10)
         .orderBy("doc_id", "span_start")),
+    // CCNet-style paragraph dedup: 20-token chunks hashed corpus-wide,
+    // every repeated chunk keeps only its first (doc_id, pos)
+    // occurrence, docs reassembled from their surviving chunks
+    "q_dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dedupParagraphs(Tables.documents(s, dir), paraTokens = 20)
+        .orderBy("doc_id")),
     // benchmark decontamination: train docs sharing any trigram with
     // the held-out eval slice (doc_id % 23 == 0 plays the benchmark
     // suite); the eval gram set broadcasts, the corpus never shuffles
@@ -1595,6 +1601,28 @@ object SparkEntry {
                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
          SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
          FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // paragraph-level dedup: 20-token chunks, corpus-wide first
+    // occurrence by (doc_id, pos), docs reassembled from survivors
+    "q_dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL),
+         par AS MATERIALIZED (
+           SELECT doc_id, pos,
+             array_to_string(ts[(pos*20+1):(pos*20+20)], ' ') AS para
+           FROM (SELECT doc_id, ts,
+               unnest(range(CAST(ceil(len(ts)/20.0) AS BIGINT))) AS pos FROM d)),
+         r AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM par),
+         kept AS (SELECT doc_id, pos, para FROM r WHERE rn = 1),
+         np AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM par GROUP BY doc_id),
+         ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(para, ' ' ORDER BY pos) AS text_dedup
+           FROM kept GROUP BY doc_id)
+         SELECT np.doc_id, np.n_paras, coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(ka.text_dedup, '') AS text_dedup
+         FROM np LEFT JOIN ka USING (doc_id) ORDER BY doc_id""",
 
     // eval slice = doc_id % 23 == 0; a train doc is contaminated when
     // it shares >= 1 distinct trigram with the eval gram set

@@ -858,4 +858,80 @@ object Dedup {
         (max(col("pos")) + lit(k.toLong) - 1L).as("span_end"))
       .select(col(id), col("span_start"), col("span_end"))
   }
+
+  /** CCNet-style PARAGRAPH-level exact dedup (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2019 §3: paragraphs are hashed corpus-wide and every
+    * repeated paragraph keeps only its FIRST occurrence — boilerplate
+    * headers/footers/navigation repeat across pages and vanish, while
+    * each page's unique prose survives). The synthetic corpus has no
+    * newline structure, so a "paragraph" here is a fixed
+    * `paraTokens`-token chunk of the normalized token stream — the
+    * corpus-wide hash → first-occurrence → reassemble machinery is
+    * the real thing. First = smallest (id, position), a total order
+    * both engines reproduce.
+    *
+    * Output: (id, n_paras, n_kept, text_dedup) — one row per non-null
+    * doc; a doc whose every paragraph appeared earlier reassembles to
+    * the empty string (CCNet then drops it — that filter is the
+    * caller's `n_kept > 0`).
+    *
+    * Scale shape: one explode over the corpus, one paragraph-keyed
+    * shuffle whose min(struct(id, pos)) winner is PARTIAL-aggregated
+    * map-side (clone-skewed hash groups combine before the shuffle),
+    * one equi-join back, one doc-keyed reassembly — never pairwise.
+    * Clone-heavy corpora collapse first (same gate as everywhere):
+    * an exact clone's paragraphs all lose to the group rep's at every
+    * position, so members reassemble to "" without touching the
+    * shuffle; OpsSpec pins collapsed == direct.
+    */
+  def dedupParagraphs(
+      df: DataFrame, paraTokens: Int = 20,
+      id: String = "doc_id", text: String = "text",
+      collapseExact: Boolean = true): DataFrame = {
+    require(paraTokens > 0, s"paraTokens must be > 0, got $paraTokens")
+    val base = df.filter(col(text).isNotNull)
+    if (collapseExact && cloneHeavy(base, lower(trim(col(text))))) {
+      // reps are the group-min ids, so the rep relation's winners are
+      // exactly the full corpus's winners (members only add strictly
+      // later occurrences of the same paragraphs at the same
+      // positions); members keep nothing by construction
+      val groups = cloneGroups(base, id, text)
+      val repOut = paragraphsDeduped(
+        groups.select(col("__rep").as(id), col(text)), paraTokens, id, text)
+      repOut.join(groups.select(col("__rep").as(id), col("__ids")), id)
+        .select(col(id).as("__rep"), col("n_paras"), col("n_kept"),
+          col("text_dedup"), explode(col("__ids")).as(id))
+        .select(col(id), col("n_paras"),
+          when(col(id) === col("__rep"), col("n_kept"))
+            .otherwise(lit(0L)).as("n_kept"),
+          when(col(id) === col("__rep"), col("text_dedup"))
+            .otherwise(lit("")).as("text_dedup"))
+    } else paragraphsDeduped(base, paraTokens, id, text)
+  }
+
+  private def paragraphsDeduped(
+      d: DataFrame, n: Int, id: String, text: String): DataFrame = {
+    val paras = d.select(col(id), toks(col(text)).as("__ts"))
+      .select(col(id), col("__ts"),
+        explode(sequence(lit(0),
+          ceil(size(col("__ts")).cast("double") / n).cast("int") - 1)).as("__pos"))
+      .select(col(id), col("__pos"),
+        concat_ws(" ", slice(col("__ts"), col("__pos") * n + 1, lit(n))).as("__para"))
+      .withColumn("__h", md5(col("__para")))
+      .transform(graft.ops.CacheScope.scopedPersist) // feeds winners, the join, and n_paras
+    val win = paras.groupBy(col("__h"))
+      .agg(min(struct(col(id).as("__wid"), col("__pos").as("__wpos"))).as("__w"))
+    val kept = paras.join(win, Seq("__h"))
+      .filter(col(id) === col("__w.__wid") && col("__pos") === col("__w.__wpos"))
+    val np = paras.groupBy(col(id)).agg(count(lit(1)).as("n_paras"))
+    val ka = kept.groupBy(col(id)).agg(count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("__pos"), col("__para")))),
+        x => x.getField("__para"))).as("text_dedup"))
+    np.join(ka, Seq(id), "left")
+      .select(col(id), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

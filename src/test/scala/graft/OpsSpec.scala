@@ -1069,6 +1069,39 @@ class OpsSpec extends SparkSpec {
     assert(md5Spans.nonEmpty, "sf0.001 corpus should contain duplicated runs")
   }
 
+  test("paragraph dedup keeps first (doc,pos) occurrence; collapse gate preserves output") {
+    import spark.implicits._
+    // paraTokens=2 chunks: doc0 = [a b][c d][e f], doc1 = [c d][e f][a b]
+    // (all seen in doc0), doc2 = [a b][c d][x y], doc3 = [a b] alone
+    val corpus = Seq((0L, "a b c d e f"), (1L, "c d e f a b"),
+      (2L, "a b c d x y"), (3L, "a b")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, collapse: Boolean) =
+      Dedup.dedupParagraphs(df, paraTokens = 2, collapseExact = collapse)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val out = run(corpus, false)
+    assert(out(0L) == ((3L, 3L, "a b c d e f")), s"doc0: ${out(0L)}")
+    assert(out(1L) == ((3L, 0L, "")), "doc1's every paragraph appeared in doc0")
+    assert(out(2L) == ((3L, 1L, "x y")), s"doc2 keeps only its unique tail: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, "")), "doc3's sole paragraph appeared in doc0")
+    // reassembly preserves ORIGINAL position order, not hash order
+    val perm = Seq((0L, "z z q q m m"), (1L, "m m q q z z")).toDF("doc_id", "text")
+    assert(run(perm, false)(1L)._3 == "", "permuted clone-of-chunks keeps nothing")
+    assert(run(perm, false)(0L)._3 == "z z q q m m")
+    // clone-heavy corpus: members keep nothing, reps keep exactly what
+    // the direct computation gives them — gate must not change output
+    val cloned = corpus.unionByName(
+      (0L until 30L).map(i => (100L + i, "a b c d e f")).toDF("doc_id", "text"))
+    assert(run(cloned, true) == run(cloned, false),
+      "collapse gate changed paragraph-dedup output")
+    // a clone with a smaller id than the original: the CLONE becomes
+    // the rep and keeps the text; the original keeps nothing
+    val flipped = Seq((5L, "p p w w"), (2L, "p p w w")).toDF("doc_id", "text")
+      .unionByName((0L until 25L).map(i => (200L + i, "p p w w")).toDF("doc_id", "text"))
+    val f = run(flipped, true)
+    assert(f(2L) == ((2L, 2L, "p p w w")) && f(5L) == ((2L, 0L, "")), s"$f")
+  }
+
   test("contamination report matches a literal per-doc gram intersection") {
     val d = docs.select("doc_id", "text")
     val report = Dedup.contaminationReport(
