@@ -725,6 +725,22 @@ object SparkEntry {
       Similarity.mmrRerank(cands, k = 3, lambda = 0.5)
         .orderBy("query_id", "mmr_rank")
     }),
+    // hard-negative mining: top-10 by cosine EXCLUDING the query's
+    // near-dup cluster. Planted exact twins (vec_id + 100000) are the
+    // only pairs at cosine ≥ 0.9 (base-corpus max non-self cosine is
+    // ~0.51), so the real machinery — LSH pair join → connected
+    // components → cluster anti-filter → top-k — runs against an
+    // analytically-known exclusion set {query, query + 100000}
+    "q_knn_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.hardNegatives(corpus, e.filter(col("vec_id") < 5),
+          k = 10, tau = 0.9)
+        .select(col("query_id"), col("neg_rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "neg_rank")
+    }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -1822,6 +1838,23 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
          ORDER BY query_id, vec_id""",
+
+    // hard negatives under the planted-twin construction: the only
+    // cosine-≥-0.9 pairs are (v, v+100000), so the query's near-dup
+    // cluster is exactly {query_id, query_id + 100000} and the
+    // cluster anti-filter reduces to two id exclusions
+    "q_knn_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+              list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM c, q WHERE c.vec_id != q.query_id AND c.vec_id != q.query_id + 100000),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, rk::BIGINT AS neg_rank, vec_id, round(s, 6) AS score
+         FROM ranked WHERE rk <= 10 ORDER BY query_id, neg_rank""",
 
     // the 3 greedy MMR selections unrolled: candidate set = the
     // q_knn_brute top-10 with rounded scores, then per step the

@@ -44,6 +44,55 @@ object Similarity {
       .select(col("query_id"), col(id), col("score"))
   }
 
+  /** Hard-negative mining for retrieval / contrastive training: per
+    * query, the top-k most similar corpus vectors EXCLUDING the
+    * query's own near-duplicate CLUSTER — the standard guard against
+    * false negatives (a near-duplicate of the query scored as a
+    * "negative" poisons the contrastive loss; cf. the dedup-filtered
+    * negative sampling of DPR/Contriever-style pipelines). Positives
+    * are transitive: the exclusion set is the query's connected
+    * component over cosine-≥-tau pairs, not just its direct
+    * neighbors, so chains of near-dups (A≈B≈C with cos(A,C) < tau)
+    * are excluded whole — the same leakage argument as
+    * [[graft.ops.Cluster.leakageSafeSplit]].
+    *
+    * Scale shape: the pair discovery is the LSH-banded near-dup join
+    * (never all-pairs), clustering is the skew-immune groupBy-min CC
+    * loop, and scoring is the bruteForceTopK broadcast pattern — the
+    * bounded query batch broadcasts, the corpus is scanned once, and
+    * the per-query top-k window partitions on query_id. Exclusion is
+    * a cluster-equality filter BEFORE ranking, so the returned k are
+    * exactly the best k true negatives (no post-hoc holes).
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int, tau: Double,
+      bands: Int = 16, rowsPerBand: Int = 0, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
+        id, emb, seed)
+      .select(col("id1"), col("id2"))
+    val asg = graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+    val c = corpus.select(col(id), col(emb).as("__cv"))
+      .join(asg.select(col("doc_id").as(id), col("cluster_id").as("__ccl")), id)
+    // left join: a query OUTSIDE the corpus has no cluster and
+    // excludes nothing (the sentinel never equals a real cluster id,
+    // which is always an existing vertex id)
+    val q = queries.select(col(id).as("query_id"), col(emb).as("__qv"))
+      .join(asg.select(col("doc_id").as("query_id"),
+        col("cluster_id").as("__qcl")), Seq("query_id"), "left")
+      .withColumn("__qcl", coalesce(col("__qcl"), lit(Long.MinValue)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__ccl") =!= col("__qcl"))
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("__rank").cast("long").as("neg_rank"),
+        col(id), col("score"))
+  }
+
   /** Deterministic random hyperplanes: bands × rows × dim, seeded. */
   def hyperplanes(bands: Int, rowsPerBand: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)

@@ -786,6 +786,32 @@ class OpsSpec extends SparkSpec {
     assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must reproduce relevance order, got $rel")
   }
 
+  test("hard negatives exclude the query's near-dup cluster TRANSITIVELY") {
+    import spark.implicits._
+    def ray(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    // chain A(0°)–B(15°)–C(30°) at cos 0.966 per link but
+    // cos(A,C) = 0.866 < τ = 0.9; D(60°) and E(90°) are clean
+    // (every other pair is ≤ 0.866)
+    val vecs = Seq(1L -> ray(0), 2L -> ray(15), 3L -> ray(30),
+      4L -> ray(60), 5L -> ray(90)).toDF("vec_id", "embedding")
+    val neg = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 1L),
+        k = 2, tau = 0.9, dim = 4)
+      .orderBy("neg_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // C scores 0.866 against A — higher than D's 0.5 — but is excluded
+    // through the A–B–C chain, not by its direct similarity to A
+    assert(neg == Seq((1L, 4L), (2L, 5L)),
+      s"expected D then E (B and C cluster-excluded), got $neg")
+    // a query in no cluster excludes only itself
+    val solo = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 4L),
+        k = 2, tau = 0.9, dim = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(solo == Set(3L, 5L), s"D's top-2 are its 30°-away flanks, got $solo")
+  }
+
   test("quality classifier separates dialects, improves with iterations, collapses exactly") {
     import spark.implicits._
     val avocab = (0 until 20).map(i => s"alpha$i")
