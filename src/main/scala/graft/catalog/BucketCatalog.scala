@@ -53,6 +53,16 @@ import scala.util.control.NonFatal
   * At cluster scale the upsert path rewrites only the
   * (symbol, timeframe, year) partitions present in the batch:
   * rewrite cost is bounded by touched partitions, not table size.
+  * Within a bucketed partition, steady FORWARD ingest is cheaper
+  * still: the manifest tracks each partition's max Epoch, and a batch
+  * whose min epoch strictly exceeds it APPENDS a new file without
+  * reading or rewriting the partition at all (no key can collide) —
+  * O(batch) per commit, the reference's in-place year-file append
+  * re-expressed. Late or overlapping data falls back to the merge
+  * rewrite, and a partition reaching [[BucketCatalog.CompactAtFiles]]
+  * live files is compacted by routing its next write through the
+  * merge path — bounded smallfiles, 1/CompactAtFiles-amortized
+  * rewrite amplification.
   *
   * == Snapshot isolation ==
   * Every commit is a MANIFEST flip: staged parquet files (unique
@@ -122,11 +132,13 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private def mutate[T](attGroup: String)(body: => T): T =
     writeLock(root, attGroup).synchronized(body)
 
-  // resolved (version, files, buckets) of each group's current
-  // manifest; versions are immutable once published, so entries are
-  // valid at their exact version and as fold bases for newer deltas
+  // resolved (version, files, buckets, partition→maxEpoch ranges) of
+  // each group's current manifest; versions are immutable once
+  // published, so entries are valid at their exact version and as
+  // fold bases for newer deltas
   private val resolvedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String], Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Seq[String], Seq[String], Map[String, Long])]()
   // "attGroup#version" → is-snapshot, so retention checks don't
   // re-read manifest bodies
   private val kindCache =
@@ -254,25 +266,57 @@ class BucketCatalog(spark: SparkSession, root: String) {
       buckets match {
         case Some(nb) =>
           val keyed = keyed1.withColumn("sbucket", sbucketCol(nb))
-          // ONE metadata pass over the batch: distinct (symbol,
-          // timeframe, year) — bounded by the symbol cardinality the
-          // manifest's bucket registry lists anyway — yields both the
-          // logical buckets and (via the driver-side hash) the exact
-          // touched physical partitions for the merge semi-join.
-          val touched = keyed1.select("symbol", "timeframe", "year").distinct()
-            .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
-          val logical = touched.map { case (s, t, _) => s"symbol=$s/timeframe=$t" }.toSet
-          val parts = touched.map { case (s, t, y) => (t, y, sbucketOf(s, nb)) }.distinct.toSeq
+          // ONE metadata pass over the batch: per-(symbol, timeframe,
+          // year) min Epoch — bounded by the symbol cardinality the
+          // manifest's bucket registry lists anyway — yields the
+          // logical buckets, the touched physical partitions, and the
+          // batch's min epoch per partition for append routing.
+          val touched = keyed1.groupBy("symbol", "timeframe", "year")
+            .agg(min(col(Uda.EpochCol)).as("__mn"))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+          val logical = touched.map { case (s, t, _, _) => s"symbol=$s/timeframe=$t" }.toSet
+          val batchMin: Map[String, Long] = touched
+            .map { case (s, t, y, mn) => (s"timeframe=$t/year=$y/sbucket=${sbucketOf(s, nb)}", mn) }
+            .groupBy(_._1).map { case (p, ms) => p -> ms.map(_._2).min }
+          // APPEND fast path per partition: when the batch's min epoch
+          // strictly exceeds the partition's manifest-tracked max, no
+          // key can collide — the batch's rows land as a NEW file and
+          // the partition's existing files are never read or
+          // rewritten. Steady forward ingest (the 1-minute-bar
+          // cadence) is then O(batch) per commit instead of
+          // O(accumulated partition) — the merge-rewrite
+          // amplification the reference avoids with in-place year
+          // files. Late/overlapping data, unknown ranges (pre-feature
+          // manifests, post-delete partitions), and partitions whose
+          // file count reached CompactAtFiles take the merge path,
+          // which rewrites the partition into fresh files (compaction
+          // and range healing in the same commit).
+          val stored = resolveCurrent(attGroup)
+            .map(r => (r._4, r._2)).getOrElse((Map.empty[String, Long], Nil))
+          val fileCount: Map[String, Int] = stored._2
+            .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+            .map { case (p, fsq) => p -> fsq.size }
+          val appendable = batchMin.keySet.filter { p =>
+            stored._1.get(p).exists(_ < batchMin(p)) &&
+              fileCount.getOrElse(p, 0) < CompactAtFiles
+          }
+          val mergeParts = (batchMin.keySet -- appendable).toSeq
+            .map { p =>
+              val Array(t, y, sb) = p.split("/").map(_.split("=")(1))
+              (t, y.toInt, sb.toInt)
+            }
           val merged = readAg(attGroup) match {
-            case Some(old) =>
-              val partsDf = spark.createDataFrame(parts).toDF("timeframe", "year", "sbucket")
+            case Some(old) if mergeParts.nonEmpty =>
+              val partsDf = spark.createDataFrame(mergeParts)
+                .toDF("timeframe", "year", "sbucket")
               val oldAffected = old.join(broadcast(partsDf),
                 Seq("timeframe", "year", "sbucket"), "left_semi")
               TimeSeries.unionKeepLast(
                 oldAffected.select(keyed.columns.map(col): _*), keyed, dedupKeys)
-            case None => keyed
+            case _ => keyed
           }
-          stageSwap(merged, attGroup, bucketed = true, logicalBuckets = logical)
+          stageSwap(merged, attGroup, bucketed = true, logicalBuckets = logical,
+            appendParts = appendable)
         case None =>
           val keyed = keyed1
           val merged = readAg(attGroup) match {
@@ -358,19 +402,36 @@ class BucketCatalog(spark: SparkSession, root: String) {
     kindCache.computeIfAbsent(s"$attGroup#$v",
       _ => isSnapshotNode(readManifestNode(attGroup, v)))
 
-  /** (files, buckets) of one manifest version: walk down to the
-    * nearest snapshot (or to `from`, an already-resolved lower version
-    * — the writer's cache), then fold the deltas back up. The walk is
-    * bounded by the checkpoint cadence.
+  /** Partition→maxEpoch map of one manifest node ("ranges" object;
+    * absent on pre-feature manifests → empty, which routes every
+    * partition through the merge path until its next rewrite heals
+    * the entry from staged-file footer stats).
+    */
+  private def rangesOf(node: JsonNode, k: String): Map[String, Long] = {
+    val o = node.get(k)
+    if (o == null) Map.empty
+    else {
+      val b = Map.newBuilder[String, Long]
+      val it = o.fieldNames()
+      while (it.hasNext) { val k2 = it.next(); b += (k2 -> o.get(k2).asLong()) }
+      b.result()
+    }
+  }
+
+  /** (files, buckets, ranges) of one manifest version: walk down to
+    * the nearest snapshot (or to `from`, an already-resolved lower
+    * version — the writer's cache), then fold the deltas back up. The
+    * walk is bounded by the checkpoint cadence.
     */
   private def resolveVersion(attGroup: String, v: Long,
-      from: Option[(Long, Seq[String], Seq[String])] = None): (Seq[String], Seq[String]) = {
+      from: Option[(Long, Seq[String], Seq[String], Map[String, Long])] = None)
+      : (Seq[String], Seq[String], Map[String, Long]) = {
     var deltas = List.empty[JsonNode]
     var w = v
-    var base: (Seq[String], Seq[String]) = null
+    var base: (Seq[String], Seq[String], Map[String, Long]) = null
     while (base == null) {
       from match {
-        case Some((cv, cf, cb)) if cv == w => base = (cf, cb)
+        case Some((cv, cf, cb, cr)) if cv == w => base = (cf, cb, cr)
         case _ =>
           if (w < 1) throw new IllegalStateException(
             s"no snapshot manifest at or below v$v for $attGroup")
@@ -382,34 +443,39 @@ class BucketCatalog(spark: SparkSession, root: String) {
                   s"(retained: ${manifestVersions(attGroup).mkString(", ")})")
             }
           kindCache.put(s"$attGroup#$w", isSnapshotNode(node))
-          if (isSnapshotNode(node)) base = (arr(node, "files"), arr(node, "buckets"))
+          if (isSnapshotNode(node))
+            base = (arr(node, "files"), arr(node, "buckets"), rangesOf(node, "ranges"))
           else { deltas ::= node; w -= 1 } // prepend ⇒ ascending fold order
       }
     }
     var files = base._1
     var buckets = base._2.toSet
+    var ranges = base._3
     deltas.foreach { d =>
       val removed = arr(d, "removed").toSet
       files = files.filterNot(removed) ++ arr(d, "added")
       buckets = buckets ++ arr(d, "addBuckets") -- arr(d, "removeBuckets")
+      ranges = ranges ++ rangesOf(d, "setRanges") -- arr(d, "clearRanges")
     }
-    (files, buckets.toSeq)
+    (files, buckets.toSeq, ranges)
   }
 
-  /** (version, files, buckets) of the current manifest through the
-    * instance cache. Published versions are immutable, so a cache hit
-    * at the exact current version is always valid; a cache at a lower
-    * version serves as the fold base for the newer deltas (saving the
-    * snapshot re-read on the single-writer's hot path).
+  /** (version, files, buckets, ranges) of the current manifest
+    * through the instance cache. Published versions are immutable, so
+    * a cache hit at the exact current version is always valid; a
+    * cache at a lower version serves as the fold base for the newer
+    * deltas (saving the snapshot re-read on the single-writer's hot
+    * path).
     */
-  private def resolveCurrent(attGroup: String): Option[(Long, Seq[String], Seq[String])] =
+  private def resolveCurrent(attGroup: String)
+      : Option[(Long, Seq[String], Seq[String], Map[String, Long])] =
     currentManifestVersion(attGroup).map { v =>
       val cached = Option(resolvedCache.get(attGroup)).filter(_._1 <= v)
-      val (files, buckets) = cached match {
-        case Some((cv, cf, cb)) if cv == v => (cf, cb)
+      val (files, buckets, ranges) = cached match {
+        case Some((cv, cf, cb, cr)) if cv == v => (cf, cb, cr)
         case _ => resolveVersion(attGroup, v, cached)
       }
-      val r = (v, files, buckets)
+      val r = (v, files, buckets, ranges)
       resolvedCache.put(attGroup, r)
       r
     }
@@ -460,22 +526,30 @@ class BucketCatalog(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"could not publish manifest v$v for $attGroup")
   }
 
+  private def rangesMap(ranges: Map[String, Long]): java.util.LinkedHashMap[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    ranges.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   private def writeSnapshot(
       attGroup: String, v: Long, files: Seq[String], removed: Seq[String],
-      buckets: Seq[String]): Unit = {
+      buckets: Seq[String], ranges: Map[String, Long]): Unit = {
     val map = new java.util.LinkedHashMap[String, Any]()
     map.put("version", v)
     map.put("kind", "snapshot")
     map.put("files", files.sorted.asJava)
     map.put("removed", removed.sorted.asJava)
     map.put("buckets", buckets.sorted.asJava)
+    map.put("ranges", rangesMap(ranges))
     publishManifest(attGroup, v, map)
     kindCache.put(s"$attGroup#$v", true)
   }
 
   private def writeDelta(
       attGroup: String, v: Long, added: Seq[String], removed: Seq[String],
-      addBuckets: Seq[String], removeBuckets: Seq[String]): Unit = {
+      addBuckets: Seq[String], removeBuckets: Seq[String],
+      setRanges: Map[String, Long], clearRanges: Seq[String]): Unit = {
     val map = new java.util.LinkedHashMap[String, Any]()
     map.put("version", v)
     map.put("kind", "delta")
@@ -483,6 +557,8 @@ class BucketCatalog(spark: SparkSession, root: String) {
     map.put("removed", removed.sorted.asJava)
     map.put("addBuckets", addBuckets.sorted.asJava)
     map.put("removeBuckets", removeBuckets.sorted.asJava)
+    map.put("setRanges", rangesMap(setRanges))
+    map.put("clearRanges", clearRanges.sorted.asJava)
     publishManifest(attGroup, v, map)
     kindCache.put(s"$attGroup#$v", false)
   }
@@ -500,29 +576,37 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private def commitManifest(
       attGroup: String, replacedParts: Set[String], addedFiles: Seq[String],
       logParts: Seq[String], addBuckets: Set[String] = Set.empty,
-      removeBuckets: Set[String] = Set.empty): Unit = {
+      removeBuckets: Set[String] = Set.empty,
+      setRanges: Map[String, Long] = Map.empty,
+      clearRanges: Set[String] = Set.empty): Unit = {
     // bootstrap a pre-manifest root from its directory listing —
     // minus the files this very commit just moved in
     val added = addedFiles.toSet
     def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
-    val (prevV, prev, prevBuckets) = resolveCurrent(attGroup) match {
-      case Some((pv, files, buckets)) => (pv, files, buckets)
+    val (prevV, prev, prevBuckets, prevRanges) = resolveCurrent(attGroup) match {
+      case Some((pv, files, buckets, ranges)) => (pv, files, buckets, ranges)
       case None =>
         val files = listDataFilesOnDisk(attGroup).filterNot(added)
-        (0L, files, files.map(f => bucketOf(partOf(f))).distinct)
+        (0L, files, files.map(f => bucketOf(partOf(f))).distinct,
+          Map.empty[String, Long])
     }
     val (dead, kept) = prev.partition(f => replacedParts.contains(partOf(f)))
     val v = prevV + 1
     val newFiles = kept ++ addedFiles
     val newBuckets = (prevBuckets.toSet ++ addBuckets -- removeBuckets).toSeq
+    val newRanges = prevRanges ++ setRanges -- clearRanges
     // snapshot checkpoints at v = 1, 1+E, 1+2E, …; every other commit
-    // publishes only its delta — O(changed files) manifest bytes
+    // publishes only its delta — O(changed files) manifest bytes. The
+    // delta's addBuckets subtracts already-registered entries: a wide
+    // steady-state commit re-touching every symbol would otherwise
+    // re-list the whole O(symbols) logical registry in every delta
     if ((v - 1) % ManifestCheckpointEvery == 0)
-      writeSnapshot(attGroup, v, newFiles, dead, newBuckets)
+      writeSnapshot(attGroup, v, newFiles, dead, newBuckets, newRanges)
     else
       writeDelta(attGroup, v, addedFiles, dead,
-        addBuckets.toSeq, removeBuckets.toSeq)
-    resolvedCache.put(attGroup, (v, newFiles, newBuckets))
+        (addBuckets -- prevBuckets.toSet).toSeq, removeBuckets.toSeq,
+        setRanges, clearRanges.toSeq)
+    resolvedCache.put(attGroup, (v, newFiles, newBuckets, newRanges))
     vacuum(attGroup, v)
     logCommit(attGroup, logParts)
   }
@@ -581,7 +665,8 @@ class BucketCatalog(spark: SparkSession, root: String) {
       clearIfUnstaged: Seq[String] = Nil,
       bucketed: Boolean = false,
       logicalBuckets: Set[String] = Set.empty,
-      removeBuckets: Set[String] = Set.empty): Unit = {
+      removeBuckets: Set[String] = Set.empty,
+      appendParts: Set[String] = Set.empty): Unit = {
     val groupDir = agPath(attGroup)
     val staging = new Path(root, s"$StagingPrefix${attGroup}_${System.nanoTime()}")
     // repartition on the partition key so the staged write spreads
@@ -617,6 +702,16 @@ class BucketCatalog(spark: SparkSession, root: String) {
         stagedParts += rel
         moves += ((rel, f))
       }
+      // per-partition max Epoch from the staged files' parquet footer
+      // stats — the manifest range registry the append fast-path
+      // consults. Exact in every path that reaches here: a MERGE
+      // partition's staged files are its complete new content, an
+      // APPEND partition's batch max exceeds the stored max by
+      // eligibility, and deleteRange/trim rewrites heal their entries
+      // to the kept rows' true max. ≤ files-per-commit footer reads.
+      val stagedRanges: Map[String, Long] = moves.toSeq
+        .flatMap { case (rel, f) => footerMaxEpoch(f).map(rel -> _) }
+        .groupBy(_._1).map { case (rel, ms) => rel -> ms.map(_._2).max }
       // the staged→live moves are independent renames into distinct
       // targets: run them on a bounded pool — serial, the ~7 ms
       // checksummed-rename constant is a minute-plus at the 16k-symbol
@@ -646,16 +741,46 @@ class BucketCatalog(spark: SparkSession, root: String) {
       // the logical (symbol, timeframe) registry entries come from the
       // caller; legacy derives them from the staged paths.
       commitManifest(attGroup,
-        stagedParts.toSet ++ clearIfUnstaged,
+        (stagedParts.toSet -- appendParts) ++ clearIfUnstaged,
         movedFiles,
         logParts = stagedParts.toSeq.sorted ++
           clearIfUnstaged.filterNot(stagedParts).map(_ + ":cleared"),
         addBuckets =
           if (bucketed) logicalBuckets
           else (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf),
-        removeBuckets = removeBuckets)
+        removeBuckets = removeBuckets,
+        setRanges = stagedRanges,
+        clearRanges = clearIfUnstaged.toSet -- stagedParts)
     } finally fs.delete(staging, true)
   }
+
+  /** Max value of the Epoch column across a parquet file's row-group
+    * footer stats — None if the file has no Epoch stats (never the
+    * case for catalog-written files; the guard keeps foreign files
+    * from failing a commit).
+    */
+  private def footerMaxEpoch(file: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(file, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val maxes = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == Uda.EpochCol)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case l: java.lang.Long => Some(l.longValue())
+                case i: java.lang.Integer => Some(i.longValue())
+                case _ => None
+              }
+            }
+        }
+        maxes.maxOption
+      } finally r.close()
+    } catch { case NonFatal(_) => None }
 
   /** Append one record per committed swap to the catalog's commit log —
     * the durable trail the reference keeps in its WAL transaction
@@ -858,7 +983,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
 
   private def readAg(attGroup: String): Option[DataFrame] =
     resolveCurrent(attGroup) match {
-      case Some((v, files, _)) =>
+      case Some((v, files, _, _)) =>
         if (files.isEmpty) None
         else {
           val cached = frameCache.get(attGroup)
@@ -1049,7 +1174,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
         def partOf(f: String) = f.substring(0, f.lastIndexOf('/'))
         val gone = files.filter(_.startsWith(rel + "/")).map(partOf).toSet
         commitManifest(tbk.attGroup, gone, Nil, Seq(s"$rel:cleared"),
-          removeBuckets = Set(rel))
+          removeBuckets = Set(rel), clearRanges = gone)
       case (None, _) =>
         val p = new Path(agPath(tbk.attGroup), rel)
         if (fs.exists(p)) fs.delete(p, true)
@@ -1185,6 +1310,18 @@ object BucketCatalog {
     * file count stays decoupled from symbol cardinality.
     */
   val DefaultSymbolBuckets = 32
+
+  /** Append-path file-count ceiling per (timeframe, year, sbucket)
+    * partition: forward-ingest commits ADD one file per touched
+    * partition (O(batch) commit cost, no rewrite); once a partition
+    * reaches this many live files the next write takes the merge path
+    * instead, compacting it back to one file per commit task — so
+    * per-partition file count is bounded and the rewrite
+    * amplification is amortized 1/CompactAtFiles. The LSM trade,
+    * sized so a read of a hot partition never opens more than this
+    * many smallfiles.
+    */
+  val CompactAtFiles = 16
 
   /** crc32(symbol) mod N — the symbol's physical bucket. The driver-
     * side and Column forms are the SAME function (Spark's `crc32` is

@@ -391,6 +391,66 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listSymbols("LEG").isEmpty)
   }
 
+  test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    cat.writeMulti("APP", "1Min",
+      Seq(("A", 60L, 1.0), ("B", 60L, 2.0)).toDF("symbol", "Epoch", "V"))
+    val after1 = cat.liveFiles("APP").get.toSet
+    // commit 2: strictly later epochs -> APPEND: every commit-1 file
+    // survives in the live set and new files join it
+    cat.writeMulti("APP", "1Min",
+      Seq(("A", 120L, 3.0), ("B", 120L, 4.0)).toDF("symbol", "Epoch", "V"))
+    val after2 = cat.liveFiles("APP").get.toSet
+    assert(after1.subsetOf(after2),
+      s"append must keep prior files live: ${after1 -- after2} vanished")
+    assert(after2.size > after1.size, "append must add files")
+    assert(cat.read(TimeBucketKey.parse("A/1Min/APP")).orderBy("Epoch").collect()
+      .map(_.getAs[Double]("V")).toSeq == Seq(1.0, 3.0))
+    // commit 3: an epoch EQUAL to an existing one -> merge path, slot
+    // overwrite wins, and the partition's old files leave the live set
+    cat.writeMulti("APP", "1Min",
+      Seq(("A", 120L, 9.0)).toDF("symbol", "Epoch", "V"))
+    val after3 = cat.liveFiles("APP").get.toSet
+    val sbA = BucketCatalog.symbolBucket("A", BucketCatalog.DefaultSymbolBuckets)
+    assert((after2 -- after3).forall(_.contains(s"sbucket=$sbA")),
+      "merge replaced files outside the late batch's partition")
+    assert((after2 -- after3).nonEmpty, "late data must take the merge path")
+    assert(cat.read(TimeBucketKey.parse("A/1Min/APP")).orderBy("Epoch").collect()
+      .map(_.getAs[Double]("V")).toSeq == Seq(1.0, 9.0))
+    // ranges survive a process restart (fresh catalog instance):
+    // strictly-later data still appends
+    val cat2 = new BucketCatalog(spark, root)
+    val before4 = cat2.liveFiles("APP").get.toSet
+    cat2.writeMulti("APP", "1Min",
+      Seq(("A", 180L, 5.0), ("B", 180L, 6.0)).toDF("symbol", "Epoch", "V"))
+    assert(before4.subsetOf(cat2.liveFiles("APP").get.toSet),
+      "manifest-persisted ranges must survive a restart and keep appending")
+    // sustained forward ingest: per-partition file count is bounded by
+    // CompactAtFiles (the merge path compacts when the ceiling hits)
+    (1 to BucketCatalog.CompactAtFiles + 4).foreach { i =>
+      cat2.writeMulti("APP", "1Min",
+        Seq(("A", 180L + i * 60L, i.toDouble)).toDF("symbol", "Epoch", "V"))
+    }
+    val perPart = cat2.liveFiles("APP").get
+      .groupBy(f => f.substring(0, f.lastIndexOf('/'))).view.mapValues(_.size)
+    assert(perPart.values.forall(_ <= BucketCatalog.CompactAtFiles),
+      s"file count must stay bounded, got $perPart")
+    // every row of the loop survives, time-ordered
+    val a = cat2.read(TimeBucketKey.parse("A/1Min/APP")).orderBy("Epoch").collect()
+    assert(a.length == 3 + BucketCatalog.CompactAtFiles + 4)
+    // variable records: same epoch, distinct nanos must MERGE (key is
+    // (Epoch, Nanoseconds); epoch equality alone forces the safe path)
+    val vt = TimeBucketKey.parse("T/1Sec/APPV")
+    cat2.create(vt, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("Bid", DoubleType))), isVariable = true)
+    cat2.write(vt, Seq((100L, 100, 1.0)).toDF("Epoch", "Nanoseconds", "Bid"))
+    cat2.write(vt, Seq((100L, 500, 2.0)).toDF("Epoch", "Nanoseconds", "Bid"))
+    assert(TimeSeries.limit(cat2.read(vt), 10, fromStart = true).collect()
+      .map(_.getAs[Double]("Bid")).toSeq == Seq(1.0, 2.0))
+  }
+
   test("compactToBuckets migrates a legacy group to bucketed files under one manifest flip") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
