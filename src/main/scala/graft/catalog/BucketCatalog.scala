@@ -263,9 +263,15 @@ class BucketCatalog(spark: SparkSession, root: String) {
         else keyed0
       val dedupKeys =
         Seq("symbol", "timeframe", Uda.EpochCol) ++ (if (variable) Seq(Uda.NanosCol) else Nil)
+      // collapse in-batch duplicate keys up front: the merge path's
+      // unionKeepLast used to absorb them as a side effect, but the
+      // append fast path (and group creation) write the batch as-is —
+      // the fixed-record "one row per key" contract must not depend
+      // on which route the batch takes
+      val keyedU = keyed1.dropDuplicates(dedupKeys)
       buckets match {
         case Some(nb) =>
-          val keyed = keyed1.withColumn("sbucket", sbucketCol(nb))
+          val keyed = keyedU.withColumn("sbucket", sbucketCol(nb))
           // ONE metadata pass over the batch: per-(symbol, timeframe,
           // year) min Epoch — bounded by the symbol cardinality the
           // manifest's bucket registry lists anyway — yields the
@@ -318,7 +324,7 @@ class BucketCatalog(spark: SparkSession, root: String) {
           stageSwap(merged, attGroup, bucketed = true, logicalBuckets = logical,
             appendParts = appendable)
         case None =>
-          val keyed = keyed1
+          val keyed = keyedU
           val merged = readAg(attGroup) match {
             case Some(old) =>
               val affected = keyed.select("symbol", "timeframe", "year").distinct()
@@ -587,8 +593,24 @@ class BucketCatalog(spark: SparkSession, root: String) {
       case Some((pv, files, buckets, ranges)) => (pv, files, buckets, ranges)
       case None =>
         val files = listDataFilesOnDisk(attGroup).filterNot(added)
-        (0L, files, files.map(f => bucketOf(partOf(f))).distinct,
-          Map.empty[String, Long])
+        // legacy paths carry the (symbol, timeframe) registry in their
+        // directory names; bucketed paths don't (symbol is a data
+        // column), so a pre-manifest BUCKETED root (a replica copy)
+        // pays a one-time distinct scan — deriving registry entries
+        // from bucketOf(path) there would mint garbage
+        // "timeframe=T/year=Y" entries and permanently drop every
+        // pre-existing symbol from listSymbols
+        val parts = files.map(partOf).distinct
+        val legacyReg = parts.filter(_.startsWith("symbol=")).map(bucketOf).distinct
+        val bucketedReg =
+          if (parts.forall(_.startsWith("symbol="))) Nil
+          else readAg(attGroup) match {
+            case Some(old) => old.select("symbol", "timeframe").distinct()
+              .collect().toSeq
+              .map(r => s"symbol=${r.getString(0)}/timeframe=${r.getString(1)}")
+            case None => Nil
+          }
+        (0L, files, (legacyReg ++ bucketedReg).distinct, Map.empty[String, Long])
     }
     val (dead, kept) = prev.partition(f => replacedParts.contains(partOf(f)))
     val v = prevV + 1
@@ -750,7 +772,13 @@ class BucketCatalog(spark: SparkSession, root: String) {
           else (stagedParts.toSet ++ clearIfUnstaged).map(bucketOf),
         removeBuckets = removeBuckets,
         setRanges = stagedRanges,
-        clearRanges = clearIfUnstaged.toSet -- stagedParts)
+        // a staged partition with NO readable footer max must DROP
+        // its range entry, not keep the stale one — a stale max would
+        // let a later overlapping batch take the append path and land
+        // duplicate keys silently; no entry routes it to the safe
+        // merge, which heals the entry
+        clearRanges = (clearIfUnstaged.toSet -- stagedParts) ++
+          (stagedParts.toSet -- stagedRanges.keySet))
     } finally fs.delete(staging, true)
   }
 
@@ -1127,15 +1155,17 @@ class BucketCatalog(spark: SparkSession, root: String) {
             .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe=")).sorted
         else {
           // bucketed pre-manifest root (a replica): timeframe IS the
-          // top-level partition dir — list those, then keep the ones
-          // the symbol actually has rows in (pruned scans)
+          // top-level partition dir; ONE symbol-pruned distinct scan
+          // answers all of them (a per-timeframe isEmpty probe would
+          // re-resolve the frame and launch one job per candidate)
           val p = new Path(agPath(attGroup))
           if (!fs.exists(p)) Nil
-          else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-            .filter(_.startsWith("timeframe=")).map(_.stripPrefix("timeframe="))
-            .filter(tf => readAg(attGroup).exists(df =>
-              !df.filter(col("timeframe") === tf && col("symbol") === symbol).isEmpty))
-            .sorted
+          else readAg(attGroup) match {
+            case Some(old) => old.filter(col("symbol") === symbol)
+              .select("timeframe").distinct()
+              .collect().map(_.getString(0)).toIndexedSeq.sorted
+            case None => Nil
+          }
         }
     }
 

@@ -91,8 +91,13 @@ object Cluster {
       case Some(dir) =>
         val sc = pairs.sparkSession.sparkContext
         // setCheckpointDir mints a fresh UUID subdir — only (re)set
-        // when the current one isn't already under the requested root
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        // when the current one isn't already under the requested
+        // root. Spark stores the RESOLVED URI ("file:/x/y/<uuid>"),
+        // so compare scheme-stripped paths — a raw-path startsWith
+        // never matches and would mint a new subdir per call.
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        if (!sc.getCheckpointDir.exists(d =>
+            new org.apache.hadoop.fs.Path(d).toUri.getPath.startsWith(want)))
           sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
@@ -105,16 +110,26 @@ object Cluster {
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
       val next = ckpt(smallStar(largeStar(e)))
-      // star-forest probe: both star ops only emit (larger → smaller)
-      // edges, so once no node is both a source and a target the edge
-      // set is a star forest — and its roots are the component minima
-      // (a root is every star edge's target; a member with a smaller
-      // id than its root would be pointed AT, contradiction). A star
-      // forest is also a fixpoint of both ops, so this is exactly the
-      // loop's termination state, detected without the extra
-      // self-reproducing round a signature comparison needs.
-      converged = next.select("u")
-        .join(next.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
+      // star-forest probe: the edge set is a star forest iff every
+      // source has exactly ONE target (out-degree 1) and no source
+      // is also a target. Both conditions are required: an
+      // intermediate state can have disjoint sources/targets while a
+      // node still points at two roots of a not-yet-merged component
+      // (e.g. {(3,1),(3,2)} — regression-pinned in OpsSpec), and
+      // stopping there splits the component. Once both hold, each
+      // connected component is exactly one star (the ops preserve
+      // connectivity, and a star forest with a component split
+      // across stars would be disconnected), and the root is the
+      // component minimum (every emitted edge points larger →
+      // smaller, so the root undercuts all members). Detected
+      // without the extra self-reproducing round a signature
+      // comparison needs; edges are distinct, so count(*) per
+      // source equals its distinct target count.
+      val multiTarget = next.groupBy("u")
+        .agg(count(lit(1)).as("__d")).where(col("__d") > 1)
+      converged = multiTarget.isEmpty &&
+        next.select("u")
+          .join(next.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
       e = next
       it += 1
     }

@@ -439,6 +439,13 @@ class CatalogSpec extends SparkSpec {
     // every row of the loop survives, time-ordered
     val a = cat2.read(TimeBucketKey.parse("A/1Min/APP")).orderBy("Epoch").collect()
     assert(a.length == 3 + BucketCatalog.CompactAtFiles + 4)
+    // in-batch duplicate keys down the APPEND path: the last-write
+    // contract must not depend on the route — exactly one row per key
+    cat2.writeMulti("APP", "1Min",
+      Seq(("B", 5000L, 7.0), ("B", 5000L, 8.0)).toDF("symbol", "Epoch", "V"))
+    val dupRead = cat2.read(TimeBucketKey.parse("B/1Min/APP"))
+      .filter(col("Epoch") === 5000L).collect()
+    assert(dupRead.length == 1, s"in-batch dup keys must collapse, got ${dupRead.length}")
     // variable records: same epoch, distinct nanos must MERGE (key is
     // (Epoch, Nanoseconds); epoch equality alone forces the safe path)
     val vt = TimeBucketKey.parse("T/1Sec/APPV")

@@ -452,6 +452,15 @@ class OpsSpec extends SparkSpec {
       assert(ccAssign(verts, edges) == unionFind(verts, edges),
         s"random graph mismatch at seed $seed")
     }
+    // regression: an intermediate state where sources and targets are
+    // DISJOINT but a node still points at two different roots
+    // ({(3,1),(3,2)} after round 1) — a source/target-disjointness
+    // probe alone declares this converged and splits the component;
+    // the out-degree check must keep iterating
+    val bridge = Seq((5L, 3L), (5L, 1L), (6L, 3L), (6L, 2L))
+    val ba = ccAssign((1L to 6L).toSeq, bridge)
+    assert(Seq(1L, 2L, 3L, 5L, 6L).forall(ba(_) == 1L),
+      s"bridged component must collapse to min 1, got $ba")
     // a 60-node path: worst-case diameter for propagation algorithms —
     // star-contraction must still converge inside the iteration cap
     val path = (0L until 60L).toSeq
