@@ -703,6 +703,14 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // chunk→document mean-pooling: groups of 10 consecutive vec_ids
+    // play a long document's chunk embeddings; element-wise mean in
+    // one (group, dim)-keyed partial-aggregated shuffle
+    "q_vec_pool" -> ((s, dir) =>
+      Similarity.meanPoolEmbeddings(
+        Tables.embeddings(s, dir).withColumn("group_id", expr("vec_id DIV 10")),
+        "group_id")
+        .orderBy("group_id", "j")),
     // Johnson–Lindenstrauss random projection 64 → 16 dims (Achlioptas
     // sign matrix, exact ±0.25 floats): the store-less-scan-less
     // first-pass retrieval representation; long form for the oracle
@@ -1909,6 +1917,16 @@ object SparkEntry {
 
     // JL projection: the sign matrix is embedded as SQL literals
     // (±0.25 exact dyadic floats, bit-identical in both engines)
+    // lockstep unnest pairs each element with its 0-based dimension;
+    // round(avg, 6) absorbs the engines' summation-order ulp
+    "q_vec_pool" ->
+      """WITH x AS (SELECT vec_id // 10 AS group_id,
+             unnest(range(len(embedding)))::BIGINT AS j,
+             unnest(embedding)::DOUBLE AS v
+           FROM embeddings)
+         SELECT group_id, j, round(avg(v), 6) AS mean_v, count(*)::BIGINT AS n_vecs
+         FROM x GROUP BY group_id, j ORDER BY group_id, j""",
+
     "q_vec_project" -> {
       val rows = Similarity.jlPlanes(16, 64).zipWithIndex.map { case (r, j) =>
         s"($j, [${r.mkString(", ")}]::DOUBLE[])"

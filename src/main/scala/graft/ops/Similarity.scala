@@ -93,6 +93,27 @@ object Similarity {
         col(id), col("score"))
   }
 
+  /** Element-wise mean-pooling of chunk embeddings into group
+    * (document) embeddings — the standard long-document retrieval
+    * representation: a document too long for one encoder pass is
+    * embedded per chunk and pooled, and downstream ANN/dedup runs on
+    * the pooled vectors. Long-form output (group, dimension j,
+    * mean_v rounded 1e-6, n_vecs) so the result is directly
+    * hash-comparable; callers wanting the array shape regroup with
+    * sort_array(collect_list(struct(j, mean_v))).
+    *
+    * Scale shape: one posexplode + ONE (group, dimension)-keyed
+    * partial-aggregated shuffle — sums combine map-side, nothing is
+    * collected, skew-immune (a group's rows spread over dimensions).
+    */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String,
+      emb: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(emb)).as(Seq("__j", "__x")))
+      .groupBy(col(groupCol), col("__j"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("__j").cast("long").as("j"),
+        round(col("__m"), 6).as("mean_v"), col("n_vecs"))
+
   /** Deterministic random hyperplanes: bands × rows × dim, seeded. */
   def hyperplanes(bands: Int, rowsPerBand: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)

@@ -795,6 +795,20 @@ class OpsSpec extends SparkSpec {
     assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must reproduce relevance order, got $rel")
   }
 
+  test("mean-pooling averages chunk embeddings element-wise per group") {
+    import spark.implicits._
+    val chunks = Seq(
+      (0L, Array(1f, 3f)), (0L, Array(3f, 5f)), // doc 0: mean [2, 4]
+      (1L, Array(7f, 9f))                        // doc 1: identity
+    ).toDF("group_id", "embedding")
+    val pooled = Similarity.meanPoolEmbeddings(chunks, "group_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(pooled == Map(
+      (0L, 0L) -> ((2.0, 2L)), (0L, 1L) -> ((4.0, 2L)),
+      (1L, 0L) -> ((7.0, 1L)), (1L, 1L) -> ((9.0, 1L))), s"$pooled")
+  }
+
   test("hard negatives exclude the query's near-dup cluster TRANSITIVELY") {
     import spark.implicits._
     def ray(deg: Double) = {
