@@ -749,6 +749,19 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "neg_rank")
     }),
+    // contrastive-triplet assembly over the same planted-twin corpus:
+    // positive = the query's twin (its only cluster-mate), negatives =
+    // the cluster-excluded top-10; pair discovery + CC shared
+    "q_pipeline_contrastive" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.contrastiveTriplets(corpus, e.filter(col("vec_id") < 5),
+          k = 10, tau = 0.9)
+        .select(col("query_id"), col("positive_id"), col("neg_rank"),
+          col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "neg_rank")
+    }),
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -1862,6 +1875,23 @@ object SparkEntry {
               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
            FROM scored)
          SELECT query_id, rk::BIGINT AS neg_rank, vec_id, round(s, 6) AS score
+         FROM ranked WHERE rk <= 10 ORDER BY query_id, neg_rank""",
+
+    // triplets: the planted twin IS each query's only cluster-mate,
+    // so positive_id = query_id + 100000 analytically; negatives are
+    // the q_knn_hard_negatives ranking verbatim
+    "q_pipeline_contrastive" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+              list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM c, q WHERE c.vec_id != q.query_id AND c.vec_id != q.query_id + 100000),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, query_id + 100000 AS positive_id,
+           rk::BIGINT AS neg_rank, vec_id, round(s, 6) AS score
          FROM ranked WHERE rk <= 10 ORDER BY query_id, neg_rank""",
 
     // the 3 greedy MMR selections unrolled: candidate set = the

@@ -68,11 +68,14 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, tau: Double,
       bands: Int = 16, rowsPerBand: Int = 0, dim: Int = 64,
       id: String = "vec_id", emb: String = "embedding",
-      seed: Long = 42L): DataFrame = {
-    val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
-        id, emb, seed)
-      .select(col("id1"), col("id2"))
-    val asg = graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+      seed: Long = 42L,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val asg = precomputedClusters.getOrElse {
+      val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
+          id, emb, seed)
+        .select(col("id1"), col("id2"))
+      graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+    }
     val c = corpus.select(col(id), col(emb).as("__cv"))
       .join(asg.select(col("doc_id").as(id), col("cluster_id").as("__ccl")), id)
     // left join: a query OUTSIDE the corpus has no cluster and
@@ -90,6 +93,43 @@ object Similarity {
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("__rank").cast("long").as("neg_rank"),
+        col(id), col("score"))
+  }
+
+  /** Contrastive-training triplet assembly — the retrieval-family
+    * composite: per query, ONE positive (its smallest near-dup
+    * cluster-mate — the deterministic pick among the query's
+    * semantic duplicates) and the top-k cluster-excluded hard
+    * negatives from [[hardNegatives]]. Queries with no cluster-mate
+    * produce no rows (a contrastive pair needs a positive); the
+    * pair discovery + connected components run ONCE and are shared
+    * between the positive lookup and the negative exclusion.
+    *
+    * Output: (query_id, positive_id, neg_rank, id, score) — k rows
+    * per trainable query, ready to feed an InfoNCE-style loss.
+    */
+  def contrastiveTriplets(
+      corpus: DataFrame, queries: DataFrame, k: Int, tau: Double,
+      bands: Int = 16, rowsPerBand: Int = 0, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
+        id, emb, seed)
+      .select(col("id1"), col("id2"))
+    val asg = graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+      .transform(graft.ops.CacheScope.scopedPersist) // positives + negative exclusion
+    val q = queries.select(col(id).as("query_id"))
+      .join(asg.select(col("doc_id").as("query_id"), col("cluster_id")),
+        Seq("query_id"))
+    val positives = q
+      .join(asg.select(col("cluster_id"), col("doc_id").as("__mate")),
+        Seq("cluster_id"))
+      .filter(col("__mate") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("__mate")).as("positive_id"))
+    positives
+      .join(hardNegatives(corpus, queries, k, tau, bands, rowsPerBand, dim,
+        id, emb, seed, precomputedClusters = Some(asg)), Seq("query_id"))
+      .select(col("query_id"), col("positive_id"), col("neg_rank"),
         col(id), col("score"))
   }
 

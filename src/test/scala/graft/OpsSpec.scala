@@ -833,6 +833,15 @@ class OpsSpec extends SparkSpec {
         k = 2, tau = 0.9, dim = 4)
       .collect().map(_.getLong(2)).toSet
     assert(solo == Set(3L, 5L), s"D's top-2 are its 30°-away flanks, got $solo")
+    // triplets: A's positive is its smallest cluster-mate B (the
+    // transitive mate C loses the min), negatives = the same D-then-E
+    // ranking; the singleton query D has no positive and emits nothing
+    val trip = Similarity.contrastiveTriplets(vecs,
+        vecs.filter(col("vec_id").isin(1L, 4L)), k = 2, tau = 0.9, dim = 4)
+      .orderBy("neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(trip.toSeq == Seq((1L, 2L, 1L, 4L), (1L, 2L, 2L, 5L)),
+      s"expected A's (positive B, negatives D,E) and nothing for D, got ${trip.toSeq}")
   }
 
   test("quality classifier separates dialects, improves with iterations, collapses exactly") {
