@@ -129,8 +129,19 @@ class BucketCatalog(spark: SparkSession, root: String) {
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val om = new ObjectMapper()
 
-  private def mutate[T](attGroup: String)(body: => T): T =
+  private def mutate[T](attGroup: String)(body: => T): T = {
+    // cross-PROCESS single-writer guard (the in-process writeLock
+    // below serializes same-JVM writers): the class doc's contract is
+    // one writer process per root — the reference enforces it with an
+    // exclusive WAL file lock; this is the same OS advisory lock on
+    // `_graft_writer.lock`, held for the JVM's lifetime once the
+    // first mutation runs and released automatically on process
+    // death (no stale-lockfile problem). Local filesystems only —
+    // an object-store root has no byte-range locks and keeps the
+    // documented external single-writer contract.
+    BucketCatalog.acquireProcessLock(root)
     writeLock(root, attGroup).synchronized(body)
+  }
 
   // resolved (version, files, buckets, partition→maxEpoch ranges) of
   // each group's current manifest; versions are immutable once
@@ -1395,4 +1406,49 @@ object BucketCatalog {
   // per-root commit sequence, seeded from the max existing commit name
   private val commitSeqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Name of the per-root cross-process writer lock file. */
+  val WriterLockFile = "_graft_writer.lock"
+
+  // per-root acquired state: the FileLock (held for the JVM's life),
+  // or NonLocalRoot for schemes with no byte-range locks. A FAILED
+  // acquisition stores nothing, so the next mutation retries — a
+  // root whose foreign writer exited becomes writable without a
+  // restart.
+  private case object NonLocalRoot
+  private val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private[catalog] def acquireProcessLock(root: String): Unit = {
+    val uri = new Path(root).toUri
+    if (uri.getScheme != null && uri.getScheme != "file") {
+      processLocks.putIfAbsent(root, NonLocalRoot)
+      return
+    }
+    processLocks.computeIfAbsent(root, _ => {
+      val dir = java.nio.file.Paths.get(
+        Option(uri.getPath).filter(_.nonEmpty).getOrElse(root))
+      java.nio.file.Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(WriterLockFile),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock =
+        try ch.tryLock()
+        catch {
+          // an overlapping lock from ANOTHER channel in this JVM is a
+          // foreign writer for our purposes too (catalog instances of
+          // this JVM share the map entry and never reach here twice)
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      if (lock == null) {
+        ch.close()
+        throw new IllegalStateException(
+          s"another writer process holds $root (${WriterLockFile} is locked); " +
+            "the catalog contract is a single writer per root — point this " +
+            "writer at its own root or stop the other process")
+      }
+      lock
+    })
+    ()
+  }
 }

@@ -391,6 +391,31 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listSymbols("LEG").isEmpty)
   }
 
+  test("cross-process single-writer guard refuses a locked root, recovers after release") {
+    val root = freshRoot()
+    // a "foreign process": an independent channel holding the lock
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(root, BucketCatalog.WriterLockFile),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val foreign = ch.tryLock()
+    assert(foreign != null)
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/LOCKED")
+    val e = intercept[IllegalStateException] {
+      cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    }
+    assert(e.getMessage.contains("another writer process"), e.getMessage)
+    // the foreign writer exits -> the next mutation acquires and works
+    foreign.release(); ch.close()
+    cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    assert(cat.read(tbk).count() == 1)
+    // a second catalog instance in the SAME process shares the lock
+    new BucketCatalog(spark, root)
+      .write(tbk, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    assert(cat.read(tbk).count() == 2)
+  }
+
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
