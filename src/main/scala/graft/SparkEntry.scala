@@ -488,6 +488,24 @@ object SparkEntry {
         col("mean_token_len"), col("quality"))
         .orderBy("doc_id")
     }),
+    // filter-threshold sweep: per source, docs/tokens surviving the
+    // composite quality gate at each candidate threshold — the tuning
+    // table a pipeline owner reads before fixing the cut; one scan,
+    // a 9× narrow fanout, one (source, threshold)-keyed partial agg
+    "q_report_thresholds" -> ((s, dir) => {
+      val d = TextAnalysis.withQuality(Tables.documents(s, dir))
+        .select(col("source"), col("n_tokens"), col("quality").as("q"))
+      d.select(col("source"), col("n_tokens"), col("q"),
+          explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("threshold"))
+        .groupBy("source", "threshold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= col("threshold"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("q") >= col("threshold"), col("n_tokens"))
+            .otherwise(0L)).as("tokens_keep"),
+          round(sum(when(col("q") >= col("threshold"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("keep_frac"))
+        .orderBy("source", "threshold")
+    }),
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(Tables.documents(s, dir))
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
@@ -1437,6 +1455,25 @@ object SparkEntry {
              + (len(list_distinct(ts))::DOUBLE / len(ts)) * 0.4
              + (1.0 - len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts)) * 0.3, 6) AS quality
          FROM t ORDER BY doc_id""",
+
+    // quality formula mirrored from the q_text_stats oracle; both
+    // engines compare the SAME round-6 score against double-cast
+    // thresholds, so boundary docs route identically
+    "q_report_thresholds" ->
+      """WITH t AS (SELECT source, text, string_split(lower(trim(text)), ' ') AS ts FROM documents),
+         s AS (SELECT source, len(ts)::BIGINT AS n_tokens,
+             round(least(len(ts) / 100.0, 1.0) * 0.3
+               + (len(list_distinct(ts))::DOUBLE / len(ts)) * 0.4
+               + (1.0 - len(list_filter(ts, x -> x IN ('the','a','of','and')))::DOUBLE / len(ts)) * 0.3, 6) AS q
+           FROM t),
+         x AS (SELECT source, n_tokens, q,
+             unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]::DOUBLE[]) AS threshold
+           FROM s)
+         SELECT source, threshold, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           sum(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END)::BIGINT AS tokens_keep,
+           round(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_frac
+         FROM x GROUP BY source, threshold ORDER BY source, threshold""",
 
     "q_text_langid" ->
       """WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS ts FROM documents),
