@@ -139,9 +139,15 @@ class BucketCatalog(spark: SparkSession, root: String) {
     // death (no stale-lockfile problem). Local filesystems only —
     // an object-store root has no byte-range locks and keeps the
     // documented external single-writer contract.
-    BucketCatalog.acquireProcessLock(root)
+    BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     writeLock(root, attGroup).synchronized(body)
   }
+
+  // local-ness of the root decided from the RESOLVED FileSystem (the
+  // same resolution every read/write uses), not the raw URI scheme —
+  // a scheme-less root under a non-local fs.defaultFS must NOT take
+  // a meaningless lock on the driver's local disk
+  private lazy val rootIsLocalFs = fs.getScheme == "file"
 
   // resolved (version, files, buckets, partition→maxEpoch ranges) of
   // each group's current manifest; versions are immutable once
@@ -913,6 +919,10 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * removed.
     */
   def pruneCommitLog(keepLast: Int = CommitLogRetention): Int = {
+    // deletes records other writers may be appending around — same
+    // cross-process lock as every other mutation (no-op when already
+    // held, which is the post-commit call path)
+    BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     val dir = new Path(root, CommitLog)
     if (!fs.exists(dir)) return 0
     val names = fs.listStatus(dir).toIndexedSeq.map(_.getPath)
@@ -938,6 +948,10 @@ class BucketCatalog(spark: SparkSession, root: String) {
     * directories removed.
     */
   def recoverOrphanedStaging(): Int = {
+    // destructive sweep — MUST hold the cross-process writer lock: a
+    // startup sweep racing another process's mid-commit moves would
+    // delete files whose manifest flip hasn't landed yet
+    BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     val p = new Path(root)
     if (!fs.exists(p)) return 0
     val orphans = fs.listStatus(p).toSeq
@@ -1410,26 +1424,26 @@ object BucketCatalog {
   /** Name of the per-root cross-process writer lock file. */
   val WriterLockFile = "_graft_writer.lock"
 
-  // per-root acquired state: the FileLock (held for the JVM's life),
-  // or NonLocalRoot for schemes with no byte-range locks. A FAILED
-  // acquisition stores nothing, so the next mutation retries — a
-  // root whose foreign writer exited becomes writable without a
-  // restart.
-  private case object NonLocalRoot
+  // per-canonical-lock-path acquired state: the FileLock (held for
+  // the JVM's life). A FAILED acquisition stores nothing, so the next
+  // mutation retries — a root whose foreign writer exited becomes
+  // writable without a restart. Keyed by the NORMALIZED lock-file
+  // path, not the raw root string: two same-JVM catalogs addressing
+  // one directory via different spellings ("/x" vs "file:/x" vs
+  // "/x/") must share the entry, or the second's tryLock would see
+  // this JVM's own lock and misreport a foreign writer forever.
   private val processLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.channels.FileLock]()
 
-  private[catalog] def acquireProcessLock(root: String): Unit = {
+  private[catalog] def acquireProcessLock(root: String, isLocalFs: Boolean): Unit = {
+    if (!isLocalFs) return // no byte-range locks off local disks
     val uri = new Path(root).toUri
-    if (uri.getScheme != null && uri.getScheme != "file") {
-      processLocks.putIfAbsent(root, NonLocalRoot)
-      return
-    }
-    processLocks.computeIfAbsent(root, _ => {
-      val dir = java.nio.file.Paths.get(
-        Option(uri.getPath).filter(_.nonEmpty).getOrElse(root))
-      java.nio.file.Files.createDirectories(dir)
-      val ch = java.nio.channels.FileChannel.open(dir.resolve(WriterLockFile),
+    val dir = java.nio.file.Paths.get(
+      Option(uri.getPath).filter(_.nonEmpty).getOrElse(root))
+    java.nio.file.Files.createDirectories(dir)
+    val lockPath = dir.resolve(WriterLockFile).toAbsolutePath.normalize()
+    processLocks.computeIfAbsent(lockPath.toString, _ => {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock =
@@ -1439,6 +1453,7 @@ object BucketCatalog {
           // foreign writer for our purposes too (catalog instances of
           // this JVM share the map entry and never reach here twice)
           case _: java.nio.channels.OverlappingFileLockException => null
+          case NonFatal(e) => ch.close(); throw e // no fd leak on odd filesystems
         }
       if (lock == null) {
         ch.close()

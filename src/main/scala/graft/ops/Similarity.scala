@@ -70,12 +70,8 @@ object Similarity {
       id: String = "vec_id", emb: String = "embedding",
       seed: Long = 42L,
       precomputedClusters: Option[DataFrame] = None): DataFrame = {
-    val asg = precomputedClusters.getOrElse {
-      val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
-          id, emb, seed)
-        .select(col("id1"), col("id2"))
-      graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
-    }
+    val asg = precomputedClusters.getOrElse(
+      nearDupClusters(corpus, tau, bands, rowsPerBand, dim, id, emb, seed))
     val c = corpus.select(col(id), col(emb).as("__cv"))
       .join(asg.select(col("doc_id").as(id), col("cluster_id").as("__ccl")), id)
     // left join: a query OUTSIDE the corpus has no cluster and
@@ -108,15 +104,25 @@ object Similarity {
     * Output: (query_id, positive_id, neg_rank, id, score) — k rows
     * per trainable query, ready to feed an InfoNCE-style loss.
     */
+  /** Shared pair-discovery + connected-components block of
+    * [[hardNegatives]] and [[contrastiveTriplets]] — one definition so
+    * the two ops' cluster semantics cannot diverge.
+    */
+  private def nearDupClusters(
+      corpus: DataFrame, tau: Double, bands: Int, rowsPerBand: Int,
+      dim: Int, id: String, emb: String, seed: Long): DataFrame = {
+    val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
+        id, emb, seed)
+      .select(col("id1"), col("id2"))
+    graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+  }
+
   def contrastiveTriplets(
       corpus: DataFrame, queries: DataFrame, k: Int, tau: Double,
       bands: Int = 16, rowsPerBand: Int = 0, dim: Int = 64,
       id: String = "vec_id", emb: String = "embedding",
       seed: Long = 42L): DataFrame = {
-    val pairs = cosineDedupPairsLsh(corpus, tau, bands, rowsPerBand, dim,
-        id, emb, seed)
-      .select(col("id1"), col("id2"))
-    val asg = graft.ops.Cluster.assignments(pairs, corpus.select(col(id)), id)
+    val asg = nearDupClusters(corpus, tau, bands, rowsPerBand, dim, id, emb, seed)
       .transform(graft.ops.CacheScope.scopedPersist) // positives + negative exclusion
     val q = queries.select(col(id).as("query_id"))
       .join(asg.select(col("doc_id").as("query_id"), col("cluster_id")),
@@ -126,8 +132,14 @@ object Similarity {
         Seq("cluster_id"))
       .filter(col("__mate") =!= col("query_id"))
       .groupBy(col("query_id")).agg(min(col("__mate")).as("positive_id"))
+      .transform(graft.ops.CacheScope.scopedPersist) // filters the scoring + final join
+    // only TRAINABLE queries (those with a positive) reach the
+    // broadcast scoring pass — singleton queries' negatives would be
+    // ranked and then discarded by the final inner join
+    val trainable = queries.join(
+      positives.select(col("query_id").as(id)), Seq(id), "left_semi")
     positives
-      .join(hardNegatives(corpus, queries, k, tau, bands, rowsPerBand, dim,
+      .join(hardNegatives(corpus, trainable, k, tau, bands, rowsPerBand, dim,
         id, emb, seed, precomputedClusters = Some(asg)), Seq("query_id"))
       .select(col("query_id"), col("positive_id"), col("neg_rank"),
         col(id), col("score"))
