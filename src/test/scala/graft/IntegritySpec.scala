@@ -16,6 +16,27 @@ class IntegritySpec extends SparkSpec {
   private val ohlcv = StructType(Seq(
     StructField("Epoch", LongType), StructField("Open", DoubleType)))
 
+  test("append-path partitions (multi-file, then compacted) stay integral") {
+    val root = Files.createTempDirectory("graft-integrity-app").toString
+    val cat = new BucketCatalog(spark, root)
+    // forward ingest: creation merge + two appends + one late merge
+    cat.writeMulti("OHLCV", "1Min",
+      Seq(("A", 1609459260L, 1.0), ("B", 1609459260L, 2.0)).toDF("symbol", "Epoch", "Open"))
+    cat.writeMulti("OHLCV", "1Min",
+      Seq(("A", 1609459320L, 3.0), ("B", 1609459320L, 4.0)).toDF("symbol", "Epoch", "Open"))
+    cat.writeMulti("OHLCV", "1Min",
+      Seq(("A", 1609459380L, 5.0)).toDF("symbol", "Epoch", "Open"))
+    cat.writeMulti("OHLCV", "1Min",
+      Seq(("A", 1609459320L, 9.0)).toDF("symbol", "Epoch", "Open")) // late: merge path
+    val report = Integrity.check(spark, root).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Boolean]("ok")),
+      s"append-path store must be integral: ${report.mkString("; ")}")
+    assert(report.map(_.getAs[Long]("n_dup_keys")).sum == 0L,
+      "append path must never land duplicate keys")
+    assert(report.map(_.getAs[Long]("n_rows")).sum == 5L)
+  }
+
   test("healthy catalog reports ok; injected violations are caught") {
     val root = Files.createTempDirectory("graft-integrity").toString
     val cat = new BucketCatalog(spark, root)
