@@ -525,6 +525,26 @@ class CatalogSpec extends SparkSpec {
     assert(cat.liveFiles("MIG").get.size <= 8)
     assert(cat.read(TimeBucketKey.parse("L7/1Min/MIG")).orderBy("Epoch").collect()
       .map(_.getAs[Double]("Open")).toSeq == Seq(100.0, 6.0))
+    // a VARIABLE legacy group migrates too: Nanoseconds key survives,
+    // reads stay (Epoch, Nanoseconds)-sorted, record type preserved
+    val vt = TimeBucketKey.parse("V1/1Sec/MIGV")
+    cat.create(vt, StructType(Seq(
+      StructField("Epoch", LongType), StructField("Nanoseconds", IntegerType),
+      StructField("Bid", DoubleType))), isVariable = true, symbolBuckets = 0)
+    cat.write(vt, Seq((100L, 900, 3.0), (100L, 100, 1.0), (99L, 500, 0.5))
+      .toDF("Epoch", "Nanoseconds", "Bid"))
+    cat.write(TimeBucketKey.parse("V2/1Sec/MIGV"),
+      Seq((100L, 200, 7.0)).toDF("Epoch", "Nanoseconds", "Bid"))
+    assert(cat.compactToBuckets("MIGV", symbolBuckets = 4))
+    assert(cat.isVariable("MIGV"), "record type must survive migration")
+    assert(cat.layoutBuckets("MIGV").contains(4))
+    assert(TimeSeries.limit(cat.read(vt), 10, fromStart = true).collect()
+      .map(_.getAs[Double]("Bid")).toSeq == Seq(0.5, 1.0, 3.0))
+    // same (Epoch, Nanoseconds) upsert still overwrites post-migration
+    cat.write(vt, Seq((100L, 100, 8.0)).toDF("Epoch", "Nanoseconds", "Bid"))
+    assert(TimeSeries.limit(cat.read(vt), 10, fromStart = true).collect()
+      .map(_.getAs[Double]("Bid")).toSeq == Seq(0.5, 8.0, 3.0))
+    assert(cat.listSymbols("MIGV") == Seq("V1", "V2"))
   }
 
   test("orphaned staging dirs are recoverable; commits leave a durable trail (executor/wal.go role)") {
