@@ -589,6 +589,19 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10)
         .orderBy("doc_id", "span_start")),
+    // exact cross-corpus delta dedup (the daily-ingest gate): a batch
+    // of planted corpus clones (+1e6 ids) plus genuinely-fresh docs
+    // (+2e6 ids, ' fresh'-suffixed) against the indexed corpus — the
+    // clone slice drops, the fresh slice survives at its min ids
+    "q_dedup_exact_delta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      Dedup.exactDeltaSurvivors(batch, d).orderBy("doc_id")
+    }),
     // CCNet-style paragraph dedup: 20-token chunks hashed corpus-wide,
     // every repeated chunk keeps only its first (doc_id, pos)
     // occurrence, docs reassembled from their surviving chunks
@@ -1675,6 +1688,19 @@ object SparkEntry {
                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
          SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
          FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // batch-internal clones collapse to min id; anything whose
+    // normalized text the corpus already has is dropped
+    "q_dedup_exact_delta" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' fresh' FROM d WHERE doc_id % 11 = 0),
+         b AS (SELECT doc_id, lower(trim(text)) AS t FROM batch),
+         fb AS (SELECT t, min(doc_id) AS doc_id FROM b GROUP BY t),
+         seen AS (SELECT DISTINCT lower(trim(text)) AS t FROM d)
+         SELECT fb.doc_id FROM fb LEFT JOIN seen USING (t)
+         WHERE seen.t IS NULL ORDER BY doc_id""",
 
     // paragraph-level dedup: 20-token chunks, corpus-wide first
     // occurrence by (doc_id, pos), docs reassembled from survivors

@@ -859,6 +859,31 @@ object Dedup {
       .select(col(id), col("span_start"), col("span_end"))
   }
 
+  /** Exact CROSS-corpus dedup — the daily-ingest gate: drop batch
+    * docs whose normalized content already exists in the indexed
+    * corpus, and collapse batch-internal clones to their smallest id
+    * in the same pass. The near-dup sibling is
+    * [[minhashDeltaPairsVerified]]; this is the cheap first stage a
+    * pipeline runs before it. Scale shape: the corpus side reduces to
+    * a DISTINCT content-hash relation (at 100 TB that relation is the
+    * persisted dedup index — O(distinct docs) hashes, built once and
+    * appended to, never re-derived from text), the batch side is one
+    * hash groupBy; survivors come from a single anti-join keyed on
+    * the hash. Nothing pairwise, no text through the shuffle.
+    *
+    * Output: the surviving batch ids (one per novel content).
+    */
+  def exactDeltaSurvivors(
+      batch: DataFrame, corpus: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val firstInBatch = batch.filter(col(text).isNotNull)
+      .withColumn("__ch", contentHash(col(text)))
+      .groupBy(col("__ch")).agg(min(col(id)).as(id))
+    val seen = corpus.filter(col(text).isNotNull)
+      .select(contentHash(col(text)).as("__ch")).distinct()
+    firstInBatch.join(seen, Seq("__ch"), "left_anti").select(col(id))
+  }
+
   /** CCNet-style PARAGRAPH-level exact dedup (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", 2019 §3: paragraphs are hashed corpus-wide and every

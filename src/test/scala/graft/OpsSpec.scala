@@ -1127,6 +1127,20 @@ class OpsSpec extends SparkSpec {
     assert(md5Spans.nonEmpty, "sf0.001 corpus should contain duplicated runs")
   }
 
+  test("exact delta dedup drops corpus clones, collapses batch dups, keeps fresh docs") {
+    import spark.implicits._
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Seen Before"),          // corpus clone (normalize-equal) -> dropped
+      (11L, "brand new"),            // fresh -> survives
+      (12L, "brand new"),            // batch-internal dup -> collapses into 11
+      (13L, null.asInstanceOf[String]), // null text -> dropped
+      (14L, "also fresh")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exactDeltaSurvivors(batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 14L), s"survivors: $out")
+  }
+
   test("paragraph dedup keeps first (doc,pos) occurrence; collapse gate preserves output") {
     import spark.implicits._
     // paraTokens=2 chunks: doc0 = [a b][c d][e f], doc1 = [c d][e f][a b]
