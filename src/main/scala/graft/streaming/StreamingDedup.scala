@@ -39,4 +39,64 @@ object StreamingDedup {
       .withColumn("content_hash", graft.ops.Dedup.contentHash(col(text)))
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Distill the ALREADY-INGESTED corpus into a Bloom filter of its
+    * distinct content hashes — the streaming front of
+    * [[graft.ops.Dedup.exactDeltaSurvivors]]'s corpus index, built by
+    * one distributed aggregation (only the filter bytes reach the
+    * driver; at 100 TB the input is the persisted hash index, not
+    * text). Probing is STATELESS on the stream side, so the gate
+    * needs no watermark and no state store, and the filter is
+    * rebuilt/extended at the operator's cadence (e.g. per ingest
+    * day), not per micro-batch.
+    *
+    * One-sided like the decontamination gate: every true corpus
+    * duplicate is dropped (the gate never re-ingests known content);
+    * a fresh doc is falsely dropped with probability bounded by
+    * `numBits` sizing, and the batch exact operator remains the
+    * source of truth for audits.
+    */
+  def corpusHashBloom(corpus: DataFrame,
+      expectedDocs: Long = 1L << 20, numBits: Long = 1L << 23,
+      text: String = "text"): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.GraftColumns
+    val spark = corpus.sparkSession
+    def raiseCap(key: String, want: Long): Unit = {
+      val cur = spark.conf.getOption(key).map(_.toLong)
+      if (cur.forall(_ < want)) spark.conf.set(key, want.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedDocs)
+    val hashes = corpus.filter(col(text).isNotNull)
+      .select(graft.ops.Dedup.contentHash(col(text)).as("__ch"))
+    val agg = GraftColumns.column(
+      new BloomFilterAggregate(
+        XxHash64(Seq(GraftColumns.expr(col("__ch"))), 42L),
+        Literal(expectedDocs), Literal(numBits)).toAggregateExpression())
+    val bf = hashes.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bf == null)
+      throw new IllegalArgumentException(
+        "corpusHashBloom: corpus produced no content hashes — empty or wrong column?")
+    bf
+  }
+
+  /** Drop streamed documents whose normalized content the corpus
+    * Bloom already holds (stateless; compose with [[dedupStream]] for
+    * in-stream duplicate suppression).
+    */
+  def filterAgainstCorpus(stream: DataFrame, corpusBloom: Array[Byte],
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.GraftColumns
+    import org.apache.spark.sql.types.BinaryType
+    require(corpusBloom != null && corpusBloom.nonEmpty,
+      "filterAgainstCorpus: corpusBloom must be a non-empty serialized Bloom filter")
+    val probe = GraftColumns.column(BloomFilterMightContain(
+      Literal(corpusBloom, BinaryType),
+      XxHash64(Seq(GraftColumns.expr(graft.ops.Dedup.contentHash(col(text)))), 42L)))
+    stream.filter(col(text).isNotNull && !probe)
+  }
 }

@@ -240,6 +240,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus-index gate drops known content; composed with dedup it matches the batch delta op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val corpus = Seq((100L, "seen before"), (101L, "also indexed"))
+      .toDF("doc_id", "text")
+    val bloom = graft.streaming.StreamingDedup.corpusHashBloom(corpus)
+    val source = MemoryStream[StreamDoc]
+    // gate first (stateless), then in-stream dedup (watermarked) —
+    // the streaming front of exactDeltaSurvivors
+    val gated = graft.streaming.StreamingDedup.dedupStream(
+      graft.streaming.StreamingDedup.filterAgainstCorpus(source.toDF, bloom),
+      eventTimeCol = "ts", lateness = "10 minutes")
+    val q = gated.writeStream
+      .format("memory").queryName("stream_delta_gate").outputMode("append").start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts(t0), "Seen Before "),      // corpus clone -> dropped
+        StreamDoc(2L, ts(t0 + 5), "fresh content"), // survives
+        StreamDoc(3L, ts(t0 + 9), "also indexed"))  // corpus clone -> dropped
+      q.processAllAvailable()
+      source.addData(
+        StreamDoc(4L, ts(t0 + 20), "fresh content"),  // in-stream dup -> dropped
+        StreamDoc(5L, ts(t0 + 25), "another novelty")) // survives
+      q.processAllAvailable()
+      val ids = spark.table("stream_delta_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 5L), s"gate survivors: $ids")
+      // content-level batch equivalence: the same rows through the
+      // batch delta op keep exactly the same contents
+      val batch = Seq((1L, "Seen Before "), (2L, "fresh content"),
+        (3L, "also indexed"), (4L, "fresh content"), (5L, "another novelty"))
+        .toDF("doc_id", "text")
+      val batchIds = graft.ops.Dedup.exactDeltaSurvivors(batch, corpus)
+        .collect().map(_.getLong(0)).toSet
+      assert(batchIds == ids, s"stream $ids vs batch $batchIds")
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses reordered/self-repeated replays exact dedup misses") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
