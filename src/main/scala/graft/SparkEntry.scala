@@ -571,6 +571,26 @@ object SparkEntry {
     "q_text_lm_kn3" -> ((s, dir) =>
       TextAnalysis.withKneserNeyTrigram(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // BPE subword tokenizer trained IN-ENGINE (Sennrich '16, the
+    // tokenizer-fitting step of an LLM data pipeline): the ranked
+    // merge table from BpeMergeCount frequency-argmax iterations over
+    // the distinct-word relation; the oracle replays every iteration
+    // as a chained pair-count → argmax → fold-merge CTE block (the
+    // q_quality_classifier unrolled-training pattern)
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      seg.unpersist()
+      s.createDataset(merges).toDF().orderBy("rank")
+    }),
+    // the learned tokenizer applied back over the corpus: per doc the
+    // subword count and piece string — sequential rank-order
+    // application reproduces training segmentations exactly, so the
+    // oracle's final seg relation IS the expected encoding
+    "q_tokenize_bpe" -> ((s, dir) => {
+      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      graft.ops.Bpe.encode(Tables.documents(s, dir), seg).orderBy("doc_id")
+    }),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1176,6 +1196,46 @@ object SparkEntry {
            SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
          lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)"""
 
+  /** Merge-iteration count shared by the q_bpe_* queries and their
+    * generated oracles (each extra merge adds one CTE block below).
+    */
+  private val BpeMergeCount = 24
+
+  /** Generated BPE training replay: `n` chained (pairs → best → seg)
+    * CTE blocks mirroring [[graft.ops.Bpe.learn]]'s iterations —
+    * pair counts weighted by word frequency, argmax with the "a b"
+    * string tie-break, and the same append-or-fuse left fold
+    * (DuckDB `list_reduce` seeds with the first element, exactly
+    * Spark's `aggregate(slice(ts,2,…), ts[0], …)`). seg CTEs are
+    * MATERIALIZED so the chain stays linear work in DuckDB.
+    */
+  private def bpeChain(n: Int): String = {
+    val head = """WITH w AS MATERIALIZED (
+           SELECT tok AS word, count(*)::BIGINT AS freq FROM (
+             SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           WHERE regexp_full_match(tok, '[a-z0-9]+') GROUP BY tok),
+         seg0 AS MATERIALIZED (SELECT word, freq,
+           rtrim(regexp_replace(word, '(.)', '\1|', 'g'), '|') AS seg FROM w)"""
+    val blocks = (1 to n).map { i =>
+      val p = i - 1
+      s"""pairs$i AS (SELECT pr, sum(freq)::BIGINT AS cnt FROM (
+             SELECT freq, unnest(CASE WHEN len(ts) >= 2
+                 THEN list_transform(range(1, len(ts)), j -> array_to_string(ts[j:j+1], ' '))
+                 ELSE [] END) AS pr
+             FROM (SELECT freq, string_split(seg, '|') AS ts FROM seg$p)) GROUP BY pr),
+         best$i AS MATERIALIZED (SELECT string_split(pr, ' ')[1] AS a,
+             string_split(pr, ' ')[2] AS b, cnt
+           FROM pairs$i ORDER BY cnt DESC, pr LIMIT 1),
+         seg$i AS MATERIALIZED (SELECT word, freq,
+             CASE WHEN (SELECT count(*) FROM best$i) = 0 THEN seg ELSE
+               list_reduce(string_split(seg, '|'),
+                 (acc, x) -> CASE WHEN (acc = cj.a OR ends_with(acc, '|' || cj.a)) AND x = cj.b
+                                  THEN acc || cj.b ELSE acc || '|' || x END) END AS seg
+           FROM seg$p LEFT JOIN best$i cj ON true)"""
+    }
+    (head +: blocks).mkString(",\n         ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_range_project" ->
@@ -1589,6 +1649,24 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(agg.n_trigrams, 0)::BIGINT AS n_trigrams,
            0::BIGINT AS n_unseen, agg.avg_logprob
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    "q_bpe_merges" -> (bpeChain(BpeMergeCount) + ",\n         mg AS ("
+      + (1 to BpeMergeCount).map(i =>
+          s"SELECT $i AS rank, a AS left_sym, b AS right_sym, cnt FROM best$i")
+        .mkString("\n           UNION ALL ")
+      + ")\n         SELECT rank, left_sym, right_sym, cnt FROM mg ORDER BY rank"),
+
+    "q_tokenize_bpe" -> (bpeChain(BpeMergeCount) + s""",
+         tok AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS ord, unnest(ts) AS tok FROM (
+             SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL)),
+         enc AS (SELECT t.doc_id, t.ord, coalesce(s.seg, t.tok) AS piece,
+             CASE WHEN s.seg IS NULL THEN 1
+                  ELSE len(string_split(s.seg, '|')) END::BIGINT AS n
+           FROM tok t LEFT JOIN seg$BpeMergeCount s ON t.tok = s.word)
+         SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe,
+           string_agg(piece, ' ' ORDER BY ord) AS bpe_text
+         FROM enc GROUP BY doc_id ORDER BY doc_id"""),
 
     "q_text_tfidf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts

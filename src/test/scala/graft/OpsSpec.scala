@@ -1658,4 +1658,65 @@ class OpsSpec extends SparkSpec {
       assert(b.size == 9, s"exact=$mode dropped rows: $b")
     }
   }
+
+  test("BPE: engine merges == in-JVM reference, greedy fold, encode consistency") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    // independent reference implementation over a collected word-freq
+    // map: same argmax (count desc, then "a b" string asc) and same
+    // leftmost-greedy merge
+    def refLearn(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var segs = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to n) {
+        val counts = collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- segs; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.minBy { case ((x, y), c) => (-c, x + " " + y) }
+          out += ((a, b, c))
+          segs = segs.map { case (s, f) =>
+            val m = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { m += a + b; i += 2 }
+              else { m += s(i); i += 1 }
+            }
+            (m.result(), f)
+          }
+        }
+      }
+      out.result()
+    }
+    // fixture exercises the greedy-overlap edge ("aaaa" under (a,a)
+    // must fold to aa|aa) and passthrough of non-[a-z0-9] tokens
+    val corpus = Seq(
+      (1L, "aaaa aaaa aaaa the bank rank tank"),
+      (2L, "the the the bank bank ?! 42x"),
+      (3L, "rank tank thank aaaa"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.learn(corpus, nMerges = 6)
+    val wf = Bpe.wordFrequencies(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refLearn(wf, 6)
+    assert(merges.map(m => (m.left_sym, m.right_sym, m.cnt)) == expect,
+      s"engine ${merges} vs reference $expect")
+    // "aaaa" must segment with non-overlapping greedy (a,a) merges:
+    // first merge is (a,a) (count 3*4+1*... highest)
+    assert(merges.head.left_sym == "a" && merges.head.right_sym == "a")
+    val segMap = seg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(!segMap("aaaa").contains("a|a|a|a"), s"aaaa under-merged: ${segMap("aaaa")}")
+    // encode: trained words reproduce the training segmentation,
+    // untrained tokens pass through verbatim, null text drops
+    val enc = Bpe.encode(corpus, seg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(enc.size == 3, s"null-text doc not dropped: ${enc.keySet}")
+    val pieces2 = enc(2L)._2.split(" ")
+    assert(pieces2.contains("?!"), s"passthrough token lost: ${enc(2L)._2}")
+    assert(pieces2.count(_ == segMap("the")) == 3, s"doc2 'the' pieces: ${enc(2L)._2}")
+    val nTok1 = "aaaa aaaa aaaa the bank rank tank".split(" ")
+      .map(t => segMap.get(t).map(_.count(_ == '|') + 1).getOrElse(1)).sum
+    assert(enc(1L)._1 == nTok1, s"doc1 n_tokens_bpe ${enc(1L)._1} != $nTok1")
+    seg.unpersist()
+  }
 }
