@@ -591,6 +591,25 @@ object SparkEntry {
       val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
       graft.ops.Bpe.encode(Tables.documents(s, dir), seg).orderBy("doc_id")
     }),
+    // tokenizer-aware packing: the same concat-and-chunk manifest, but
+    // budgeted by REAL subword counts from the learned BPE tokenizer
+    // instead of the whitespace proxy — the composition a production
+    // pretrain pipeline runs (tokenize, then pack to context length)
+    "q_pack_bpe" -> ((s, dir) => {
+      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg)
+        .select(col("doc_id"), col("n_tokens_bpe"))
+      graft.ops.Packing.manifest(counts, budget = 256,
+          tokenCol = Some("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+    // deterministic multi-epoch training-order shuffle: per epoch an
+    // independent md5 permutation into loader shards with in-shard
+    // positions — the data-order artifact a Megatron-style loader
+    // consumes, reproducible bit-for-bit
+    "q_epoch_order" -> ((s, dir) =>
+      Sampling.epochOrder(Tables.documents(s, dir), epochs = 2, nShards = 8)
+        .orderBy("epoch", "shard", "pos")),
     // exact per-source token-count quantiles (corpus length profile)
     "q_stats_quantiles" -> ((s, dir) =>
       TextAnalysis.withTokenCounts(Tables.documents(s, dir))
@@ -1667,6 +1686,34 @@ object SparkEntry {
          SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe,
            string_agg(piece, ' ' ORDER BY ord) AS bpe_text
          FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+
+    "q_pack_bpe" -> (bpeChain(BpeMergeCount) + s""",
+         tok AS (SELECT doc_id, unnest(ts) AS tok FROM (
+             SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL)),
+         enc AS (SELECT t.doc_id,
+             CASE WHEN s.seg IS NULL THEN 1
+                  ELSE len(string_split(s.seg, '|')) END::BIGINT AS n
+           FROM tok t LEFT JOIN seg$BpeMergeCount s ON t.tok = s.word),
+         nt AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens FROM enc GROUP BY doc_id),
+         c AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+           FROM nt)
+         SELECT doc_id, n_tokens, start_offset,
+           start_offset // 256 AS chunk_first,
+           (start_offset + n_tokens - 1) // 256 AS chunk_last,
+           (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_chunks
+         FROM c ORDER BY doc_id"""),
+
+    "q_epoch_order" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+         p AS (SELECT doc_id, epoch,
+             md5('graft:e' || epoch::VARCHAR || ':' || doc_id::VARCHAR) AS pri FROM e),
+         s AS (SELECT doc_id, epoch, pri,
+             ('0x' || substr(pri, 1, 8))::BIGINT % 8 AS shard FROM p)
+         SELECT doc_id, epoch, shard,
+           row_number() OVER (PARTITION BY epoch, shard ORDER BY pri, doc_id) AS pos
+         FROM s ORDER BY epoch, shard, pos""",
 
     "q_text_tfidf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts

@@ -36,12 +36,18 @@ object Packing {
     */
   def manifest(df: DataFrame, budget: Int,
                id: String = "doc_id", text: String = "text",
-               numShards: Int = 1024): DataFrame = {
+               numShards: Int = 1024,
+               tokenCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
     val sp = df.sparkSession
     import sp.implicits._
-    val toks = df.select(
-      col(id).cast("long").as("doc_id"), tokenCount(col(text)).as("n_tokens"))
+    // tokenCol: pack by a PRECOMPUTED per-doc token count (e.g.
+    // Bpe.encode's n_tokens_bpe — real tokenizer budgets, the way a
+    // production pretrain pipeline packs) instead of the whitespace
+    // proxy derived from `text`.
+    val cnt = tokenCol.map(c => col(c).cast("long"))
+      .getOrElse(tokenCount(col(text)))
+    val toks = df.select(col(id).cast("long").as("doc_id"), cnt.as("n_tokens"))
     // contiguous-in-ORDER shards by rank, not by id value: range
     // repartitioning samples split points, so sparse or outlier id
     // spaces still spread evenly (value-width shards would collapse a

@@ -157,6 +157,35 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic multi-epoch training-order shuffle (the data-order
+    * step Megatron-style loaders consume): every epoch gets an
+    * independent seeded permutation — a document's priority is
+    * md5(seed:e{epoch}:{id}), its loader shard the first 8 hex chars
+    * mod `nShards`, its position the priority rank WITHIN that shard.
+    * Same reshuffled-each-epoch guarantee as an in-memory Fisher–Yates
+    * pass, but reproducible bit-for-bit across engines and runs, and
+    * with no global sort: the only shuffle is the (epoch, shard)
+    * window, whose partitions are corpus/nShards-sized by hash
+    * uniformity. Keep nShards ≥ cluster cores at 100 TB so no single
+    * shard sort dominates.
+    *
+    * Output: (doc_id, epoch, shard, pos) — one row per doc per epoch.
+    */
+  def epochOrder(df: DataFrame, epochs: Int, nShards: Int,
+                 seed: String = "graft", id: String = "doc_id"): DataFrame = {
+    require(epochs >= 1, s"epochs must be positive, got $epochs")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val pri = md5(concat(lit(seed), lit(":e"), col("epoch").cast("string"),
+      lit(":"), col(id).cast("string")))
+    df.select(col(id), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("__pri", pri)
+      .withColumn("shard",
+        conv(substring(col("__pri"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("__pri"), col(id))).cast("long"))
+      .drop("__pri")
+  }
+
   // ---- DSIR importance resampling -----------------------------------
 
   /** (id, bucket) rows: each unigram and bigram of the text (WITH

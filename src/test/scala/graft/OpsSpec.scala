@@ -1659,6 +1659,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("epoch order: per-epoch completeness, independent permutations, determinism") {
+    import graft.ops.Sampling
+    val out = Sampling.epochOrder(docs, epochs = 3, nShards = 4).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("doc_id")))
+    val nDocs = docs.count()
+    // every epoch holds every doc exactly once
+    (0 until 3).foreach { e =>
+      val rows = out.filter(_._1 == e)
+      assert(rows.length == nDocs && rows.map(_._4).distinct.length == nDocs,
+        s"epoch $e incomplete: ${rows.length} of $nDocs")
+      // positions within each shard are 1..k contiguous
+      rows.groupBy(_._2).foreach { case (sh, g) =>
+        assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+          s"epoch $e shard $sh positions not contiguous")
+      }
+    }
+    // epochs are DIFFERENT permutations: the (shard, pos) order of at
+    // least one doc differs between any two epochs
+    def orderOf(e: Int) = out.filter(_._1 == e).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(orderOf(0) != orderOf(1) && orderOf(1) != orderOf(2),
+      "epoch permutations should be independent")
+    // deterministic: re-run is identical
+    val again = Sampling.epochOrder(docs, epochs = 3, nShards = 4).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("doc_id")))
+    assert(out.toSet == again.toSet, "epochOrder not deterministic")
+  }
+
   test("BPE: engine merges == in-JVM reference, greedy fold, encode consistency") {
     import graft.ops.Bpe
     import spark.implicits._
