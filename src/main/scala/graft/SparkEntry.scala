@@ -603,6 +603,13 @@ object SparkEntry {
           tokenCol = Some("n_tokens_bpe"))
         .orderBy("doc_id")
     }),
+    // exact-k deterministic uniform sample (reservoir-equivalent):
+    // the k smallest md5(seed:id) priorities — fixed OUTPUT size,
+    // unlike the Bernoulli rate rules
+    "q_sample_exact_k" -> ((s, dir) =>
+      Sampling.exactK(Tables.documents(s, dir), k = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
     // deterministic multi-epoch training-order shuffle: per epoch an
     // independent md5 permutation into loader shards with in-shard
     // positions — the data-order artifact a Megatron-style loader
@@ -795,6 +802,19 @@ object SparkEntry {
     // MMR diversity re-rank (Carbonell-Goldstein '98) over the
     // brute-force top-10 candidates; input scores pre-rounded on BOTH
     // sides so the greedy comparisons see bitwise-identical relevance
+    // margin-based bitext mining (Artetxe & Schwenk '19): the ratio-
+    // margin "intersection" strategy across the even/odd vec_id halves
+    // — mutual best-margin pairs above threshold, k-NN averages folded
+    // in rank order so the oracle's doubles agree bit-for-bit
+    "q_mine_bitext" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMinePairs(
+          emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+          k = 4, threshold = 1.0)
+        .select(col("id1"), col("id2"),
+          round(col("score"), 6).as("score"), round(col("margin"), 6).as("margin"))
+        .orderBy("id1")
+    }),
     "q_knn_mmr" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cands = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -1705,6 +1725,12 @@ object SparkEntry {
            (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_chunks
          FROM c ORDER BY doc_id"""),
 
+    "q_sample_exact_k" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, md5('graft:' || doc_id::VARCHAR) AS pri
+           FROM documents ORDER BY pri, doc_id LIMIT 100)
+         ORDER BY doc_id""",
+
     "q_epoch_order" ->
       """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
          p AS (SELECT doc_id, epoch,
@@ -2086,6 +2112,40 @@ object SparkEntry {
     // q_knn_brute top-10 with rounded scores, then per step the
     // (v DESC, score DESC, vec_id) argmax with
     // v = λ·score − (1−λ)·max cos(c, selected), λ = 0.5
+    // margin replay: brute cross top-4 both directions, k-NN averages
+    // via rank-ordered list_reduce folds (first-element seed == the
+    // Spark side's 0.0 seed, IEEE-exact), mutual best-margin join
+    "q_mine_bitext" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         y AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         sc AS (SELECT x.vec_id AS xi, y.vec_id AS yi,
+             list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS s
+           FROM x, y),
+         fr AS (SELECT xi, yi, s,
+             row_number() OVER (PARTITION BY xi ORDER BY s DESC, yi) AS rk FROM sc),
+         fk AS (SELECT * FROM fr WHERE rk <= 4),
+         ax AS (SELECT xi, list_reduce(list(s ORDER BY rk), (a, b) -> a + b)
+             / count(*) AS avx FROM fk GROUP BY xi),
+         br AS (SELECT xi, yi, s,
+             row_number() OVER (PARTITION BY yi ORDER BY s DESC, xi) AS rk FROM sc),
+         bk AS (SELECT * FROM br WHERE rk <= 4),
+         ay AS (SELECT yi, list_reduce(list(s ORDER BY rk), (a, b) -> a + b)
+             / count(*) AS avy FROM bk GROUP BY yi),
+         cand AS (SELECT DISTINCT xi, yi, s FROM (
+             SELECT xi, yi, s FROM fk UNION ALL SELECT xi, yi, s FROM bk)),
+         mg AS (SELECT c.xi, c.yi, c.s, c.s / ((ax.avx + ay.avy) / 2) AS m
+           FROM cand c JOIN ax USING (xi) JOIN ay USING (yi)),
+         bx AS (SELECT xi, yi FROM (SELECT xi, yi,
+             row_number() OVER (PARTITION BY xi ORDER BY m DESC, yi) AS r FROM mg)
+           WHERE r = 1),
+         byy AS (SELECT xi, yi FROM (SELECT xi, yi,
+             row_number() OVER (PARTITION BY yi ORDER BY m DESC, xi) AS r FROM mg)
+           WHERE r = 1)
+         SELECT mg.xi AS id1, mg.yi AS id2,
+           round(mg.s, 6) AS score, round(mg.m, 6) AS margin
+         FROM mg JOIN bx USING (xi, yi) JOIN byy USING (xi, yi)
+         WHERE mg.m >= 1.0 ORDER BY id1""",
+
     "q_knn_mmr" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,

@@ -157,6 +157,26 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Exact-size uniform sample without replacement: the `k` rows with
+    * the smallest md5(seed:id) priority — a deterministic reservoir
+    * draw (every id's priority is an iid uniform hash, so the k
+    * smallest are a uniform k-subset). Unlike [[weighted]]'s Bernoulli
+    * rule the output size is EXACT — the shape eval sets and fixed-
+    * budget probes need. One TakeOrdered(k) (per-partition top-k then
+    * driver merge of numPartitions·k rows): no global sort, no
+    * shuffle; keep k ≲ 10⁶ at cluster scale or the driver merge
+    * becomes the bottleneck.
+    */
+  def exactK(df: DataFrame, k: Int, seed: String = "graft",
+             id: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.withColumn("__pri",
+        md5(concat(lit(seed), lit(":"), col(id).cast("string"))))
+      .orderBy(col("__pri"), col(id))
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Deterministic multi-epoch training-order shuffle (the data-order
     * step Megatron-style loaders consume): every epoch gets an
     * independent seeded permutation — a document's priority is

@@ -44,6 +44,174 @@ object Similarity {
       .select(col("query_id"), col(id), col("score"))
   }
 
+  /** Exact cross-corpus cosine top-k where BOTH sides are corpus-scale
+    * (neither fits a broadcast): for every x in `xs`, its `k`
+    * highest-cosine neighbors in `ys`. Output: (query_id, `id`,
+    * score, rank).
+    *
+    * Scale shape: both sides hash into payload blocks and every
+    * (x-block, y-block) pair meets through the explode + merge-hinted
+    * equi-join of [[cosineDedupPairs]] — nothing broadcasts. Inside a
+    * block pair each x keeps only its LOCAL top-k against that
+    * y-block (an array sort over ≤[[MaxRowsPerBlock]] scored structs),
+    * so the global window ranks |X|·B_y·k partial candidates, never
+    * the |X|·|Y| cross product. The flops are inherently O(|X|·|Y|·d)
+    * — use [[lshTopK]]/[[ivfTopK]] when approximate recall is
+    * acceptable.
+    */
+  def crossTopK(
+      xs: DataFrame, ys: DataFrame, k: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val bx = autoBlocks(xs.select(col(id)).count())
+    val by = autoBlocks(ys.select(col(id)).count())
+    def blocked(df: DataFrame, nb: Int, payload: String) = df
+      .select(col(id), col(emb))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
+      .groupBy("__blk")
+      .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as(payload))
+    val L = blocked(xs, bx, "__X").select(
+      col("__blk").as("__bl"),
+      explode(sequence(lit(0), lit(by - 1))).as("__br"),
+      col("__X"))
+    val R = blocked(ys, by, "__Y").select(
+      explode(sequence(lit(0), lit(bx - 1))).as("__bl"),
+      col("__blk").as("__br"),
+      col("__Y"))
+    val part = L.hint("merge").join(R.hint("merge"), Seq("__bl", "__br"))
+      .select(explode(transform(col("__X"), a =>
+        struct(a("i").as("qid"),
+          slice(array_sort(transform(col("__Y"), b =>
+            struct((-VectorFunctions.cosineSim(a("v"), b("v"))).as("negs"),
+              b("i").as("cid")))), 1, k).as("cands")))).as("p"))
+      .select(col("p.qid").as("query_id"),
+        explode(col("p.cands")).as("c"))
+      .select(col("query_id"), col("c.cid").as(id), (-col("c.negs")).as("score"))
+    part.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col(id).asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the CCMatrix/LASER bitext gate): a candidate pair
+    * (x, y) across the two corpora scores
+    * `margin = cos(x,y) / ((avgk(x) + avgk(y)) / 2)` where avgk(v) is
+    * the mean cosine of v to its k nearest cross-corpus neighbors —
+    * the ratio margin that normalizes away hubness. Kept pairs have
+    * margin ≥ `threshold` and, with `mutual = true` (the
+    * "intersection" strategy), are each other's best-margin match in
+    * both directions.
+    *
+    * Determinism: the k-NN averages fold in rank order (seeded at
+    * 0.0, which is IEEE-exact against a first-element seed), so the
+    * margins an engine replays are bit-identical; argmax ties break
+    * by partner id.
+    *
+    * Scale shape: two [[crossTopK]] passes (blocked, nothing
+    * broadcast), then everything downstream is keyed on single ids —
+    * the candidate set is ≤ (|X| + |Y|)·k rows.
+    *
+    * Output: (id1 = x, id2 = y, score, margin).
+    */
+  def marginMinePairs(
+      xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
+      mutual: Boolean = true,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    marginFromTopK(
+      crossTopK(xs, ys, k, id, emb)
+        .select(col("query_id").as("x"), col(id).as("y"), col("score"), col("rank")),
+      crossTopK(ys, xs, k, id, emb)
+        .select(col(id).as("x"), col("query_id").as("y"), col("score"), col("rank")),
+      threshold, mutual)
+
+  /** [[marginMinePairs]] with LSH-bucketed candidate discovery — the
+    * 100 TB path: both corpora band into (id, band, bucket) rows and
+    * candidates are bucket collisions (the [[crossTopKLsh]] join;
+    * nothing broadcasts, no |X|·|Y| flops). Margins are computed over
+    * the LSH top-k, so avgk is taken over a candidate subset —
+    * approximate-by-design (high-cosine true pairs collide with
+    * near-1 probability; sparse-collision vectors simply mine
+    * nothing), pinned against the exact path by OpsSpec.
+    */
+  def marginMinePairsLsh(
+      xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
+      mutual: Boolean = true, bands: Int = 16, rowsPerBand: Int = 8,
+      dim: Int = 64, id: String = "vec_id", emb: String = "embedding",
+      seed: Long = 42L): DataFrame =
+    marginFromTopK(
+      crossTopKLsh(xs, ys, k, bands, rowsPerBand, dim, id, emb, seed)
+        .select(col("query_id").as("x"), col(id).as("y"), col("score"), col("rank")),
+      crossTopKLsh(ys, xs, k, bands, rowsPerBand, dim, id, emb, seed)
+        .select(col(id).as("x"), col("query_id").as("y"), col("score"), col("rank")),
+      threshold, mutual)
+
+  /** Cross-corpus LSH top-k with NEITHER side broadcast (unlike
+    * [[lshTopK]]'s bounded-query contract): candidates are (band,
+    * bucket) collisions between the two banded relations — an
+    * equi-join shipping only (id, band, bucket) — and the exact
+    * cosine re-rank joins each side's vectors back per surviving
+    * candidate. Output: (query_id, `id`, score, rank).
+    */
+  def crossTopKLsh(
+      xs: DataFrame, ys: DataFrame, k: Int,
+      bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
+      id: String = "vec_id", emb: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands, rowsPerBand, dim, seed)
+    val qb = bandedRows(xs, id, "query_id", emb, planes)
+    val cb = bandedRows(ys, id, "cand_id", emb, planes)
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .select(col("query_id"), col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val scored = candidates
+      .join(ys.select(col(id).as("cand_id"), col(emb).as("__cv")), "cand_id")
+      .join(xs.select(col(id).as("query_id"), col(emb).as("__qv")), "query_id")
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id").as(id), col("score"), col("rank"))
+  }
+
+  /** Shared margin scoring of [[marginMinePairs]]/[[marginMinePairsLsh]]:
+    * `fwd`/`bwd` carry (x, y, score, rank) top-k rows per x / per y.
+    */
+  private def marginFromTopK(
+      fwd: DataFrame, bwd: DataFrame,
+      threshold: Double, mutual: Boolean): DataFrame = {
+    def rankedAvg(df: DataFrame, key: String) = df
+      .groupBy(key)
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("rank"), col("score")))),
+          s => s.getField("score")),
+        lit(0.0), (acc, s) => acc + s) / count(lit(1))).as(s"__avg_$key"))
+    val ax = rankedAvg(fwd, "x")
+    val ay = rankedAvg(bwd, "y")
+    val cand = fwd.select("x", "y", "score")
+      .union(bwd.select("x", "y", "score"))
+      .distinct()
+    val margins = cand
+      .join(ax, "x").join(ay, "y")
+      .withColumn("margin",
+        col("score") / ((col("__avg_x") + col("__avg_y")) / 2))
+      .select(col("x"), col("y"), col("score"), col("margin"))
+    val bestX = margins.withColumn("__r", row_number().over(
+        Window.partitionBy("x").orderBy(col("margin").desc, col("y"))))
+      .filter(col("__r") === 1).drop("__r")
+    val kept =
+      if (!mutual) bestX
+      else {
+        val bestY = margins.withColumn("__r", row_number().over(
+            Window.partitionBy("y").orderBy(col("margin").desc, col("x"))))
+          .filter(col("__r") === 1)
+          .select(col("x"), col("y"))
+        bestX.join(bestY, Seq("x", "y"), "left_semi")
+      }
+    kept.filter(col("margin") >= threshold)
+      .select(col("x").as("id1"), col("y").as("id2"), col("score"), col("margin"))
+  }
+
   /** Hard-negative mining for retrieval / contrastive training: per
     * query, the top-k most similar corpus vectors EXCLUDING the
     * query's own near-duplicate CLUSTER — the standard guard against

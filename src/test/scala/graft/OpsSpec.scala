@@ -1659,6 +1659,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("crossTopK == brute top-k; margin mining recovers planted cross-corpus twins") {
+    import graft.ops.Similarity
+    // disjoint id spaces: xs = base corpus, ys = ids + 100000
+    val xs = embs.select(col("vec_id"), col("embedding"))
+    val ys = embs.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    // blocked cross top-k must equal the broadcast brute path (which
+    // only skips same-id pairs — impossible across disjoint id spaces)
+    val blocked = Similarity.crossTopK(xs, ys, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Similarity.bruteForceTopK(ys, xs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked == brute, s"blocked/brute cross top-k diverge: " +
+      s"${(blocked.toSet -- brute.toSet).take(3)} vs ${(brute.toSet -- blocked.toSet).take(3)}")
+    // every x's planted twin (identical vector at id+100000) must be
+    // mined as a mutual best-margin pair with margin > 1
+    val mined = Similarity.marginMinePairs(xs, ys, k = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val twinPairs = mined.filter { case (a, b, _) => b == a + 100000 }
+    val nVecs = embs.count()
+    assert(twinPairs.length == nVecs,
+      s"${twinPairs.length} of $nVecs planted twins mined")
+    assert(twinPairs.forall(_._3 > 1.0), "twin margins should exceed 1")
+    assert(mined.length == nVecs,
+      s"non-twin mutual pairs leaked past the twins: ${mined.length} != $nVecs")
+    // the LSH-bucketed scale path: identical twins collide in every
+    // band, so all planted pairs are still mined, mutual, margin > 1
+    val minedLsh = Similarity.marginMinePairsLsh(xs, ys, k = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val lshTwins = minedLsh.filter { case (a, b, _) => b == a + 100000 }
+    assert(lshTwins.length == nVecs,
+      s"LSH mining lost planted twins: ${lshTwins.length} of $nVecs")
+    assert(lshTwins.forall(_._3 > 1.0), "LSH twin margins should exceed 1")
+  }
+
   test("epoch order: per-epoch completeness, independent permutations, determinism") {
     import graft.ops.Sampling
     val out = Sampling.epochOrder(docs, epochs = 3, nShards = 4).collect()

@@ -134,6 +134,33 @@ class PlanSpec extends SparkSpec {
     assert(smj.isEmpty, s"token stream shuffled through a SortMergeJoin:\n$smj")
   }
 
+  test("crossTopK joins block pairs without broadcasting either corpus (no BNLJ)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val mk = (off: Int) => (0 until 120).map { i =>
+      (off + i.toLong, (0 until 8).map(d => ((i * 7 + d) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plan = graft.ops.Similarity.crossTopK(mk(0), mk(1000), k = 3)
+      .queryExecution.sparkPlan
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      s"BroadcastNestedLoopJoin in crossTopK:\n${bnlj.mkString("\n")}")
+  }
+
+  test("exactK samples via TakeOrdered, never a global sort of the corpus") {
+    // per-partition top-k + driver merge; a SortExec-then-limit plan
+    // would globally sort 100 TB to keep 100 rows
+    val plan = graft.ops.Sampling.exactK(
+        graft.sources.Tables.documents(spark, sf), k = 100)
+      .queryExecution.sparkPlan
+    val topK = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(topK.nonEmpty, s"exactK did not plan as TakeOrderedAndProject:\n$plan")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s }
+    assert(sorts.isEmpty, s"exactK planned a global sort:\n$sorts")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
