@@ -635,6 +635,20 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10)
         .orderBy("doc_id", "span_start")),
+    // snapshot diff by content hash (dataset versioning report): b is
+    // a deterministically-mutated copy of the corpus — %7 ids dropped,
+    // %5 ids renumbered (+1e6), %11 contents edited into fresh docs
+    // (+2e6) — so every status class is exercised
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val b = d.filter(col("doc_id") % 7 =!= 0)
+        .select(when(col("doc_id") % 5 === 0, col("doc_id") + 1000000)
+          .otherwise(col("doc_id")).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      Dedup.corpusDiff(d, b).orderBy("doc_id", "status")
+    }),
     // exact cross-corpus delta dedup (the daily-ingest gate): a batch
     // of planted corpus clones (+1e6 ids) plus genuinely-fresh docs
     // (+2e6 ids, ' fresh'-suffixed) against the indexed corpus — the
@@ -1842,6 +1856,30 @@ object SparkEntry {
 
     // batch-internal clones collapse to min id; anything whose
     // normalized text the corpus already has is dropped
+    "q_corpus_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         a AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM base),
+         b0 AS (SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id + 1000000
+                  ELSE doc_id END AS doc_id, text
+             FROM base WHERE doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' fresh' FROM base WHERE doc_id % 11 = 0),
+         b AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM b0),
+         same AS (SELECT b.doc_id, 'same' AS status FROM b
+           WHERE EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id AND a.h = b.h)),
+         ns AS (SELECT * FROM b
+           WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.doc_id = b.doc_id AND a.h = b.h)),
+         moved AS (SELECT doc_id, 'moved' AS status FROM ns
+           WHERE EXISTS (SELECT 1 FROM a WHERE a.h = ns.h)),
+         newd AS (SELECT doc_id, 'new' AS status FROM ns
+           WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = ns.h)),
+         rem AS (SELECT a.doc_id, 'removed' AS status FROM a
+           WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.h = a.h))
+         SELECT doc_id, status FROM (
+           SELECT * FROM same UNION ALL SELECT * FROM moved
+           UNION ALL SELECT * FROM newd UNION ALL SELECT * FROM rem)
+         ORDER BY doc_id, status""",
+
     "q_dedup_exact_delta" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
          batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE doc_id % 5 = 0

@@ -884,6 +884,39 @@ object Dedup {
     firstInBatch.join(seen, Seq("__ch"), "left_anti").select(col(id))
   }
 
+  /** Snapshot diff by normalized content hash — the dataset-versioning
+    * report an ops team reads before promoting corpus `b` over corpus
+    * `a`: every doc of `b` is classified `same` (its (id, content)
+    * pair exists in `a`), `moved` (content exists in `a` under a
+    * different id only), or `new` (content unseen in `a`); docs of
+    * `a` whose content vanished from `b` report as `removed`. One row
+    * per doc, duplicate-content-safe: every classification is a
+    * semi/anti equi-join on (id, hash) or hash alone, so repeated
+    * hashes never multiply rows.
+    *
+    * Scale: four hash-keyed semi/anti joins over the two (id, md5)
+    * projections — no text past the hash, no pairwise work, AQE-sized
+    * shuffles. Output: (doc_id, status).
+    */
+  def corpusDiff(
+      a: DataFrame, b: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    def hashed(df: DataFrame) = df.filter(col(text).isNotNull)
+      .select(col(id), contentHash(col(text)).as("__ch"))
+    val ha = hashed(a)
+    val hb = hashed(b)
+    val same = hb.join(ha, Seq(id, "__ch"), "left_semi")
+      .select(col(id), lit("same").as("status"))
+    val notSame = hb.join(ha, Seq(id, "__ch"), "left_anti")
+    val moved = notSame.join(ha.select("__ch"), Seq("__ch"), "left_semi")
+      .select(col(id), lit("moved").as("status"))
+    val fresh = notSame.join(ha.select("__ch"), Seq("__ch"), "left_anti")
+      .select(col(id), lit("new").as("status"))
+    val removed = ha.join(hb.select("__ch"), Seq("__ch"), "left_anti")
+      .select(col(id), lit("removed").as("status"))
+    same.unionByName(moved).unionByName(fresh).unionByName(removed)
+  }
+
   /** CCNet-style PARAGRAPH-level exact dedup (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", 2019 §3: paragraphs are hashed corpus-wide and every

@@ -1659,6 +1659,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff: per-status hand values, duplicate content never multiplies rows") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "z"), (5L, "w"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "x"), (9L, "y"), (3L, "z"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // doc 4 of a ("z") is NOT removed: its content survives at id 3;
+    // with the duplicate "z" hash, semi/anti joins must still emit
+    // exactly one row per doc
+    assert(out.sorted.toSeq == Seq(1L -> "same", 3L -> "same", 4L -> "new",
+      5L -> "removed", 9L -> "moved"), s"diff: ${out.sorted.toSeq}")
+  }
+
   test("crossTopK == brute top-k; margin mining recovers planted cross-corpus twins") {
     import graft.ops.Similarity
     // disjoint id spaces: xs = base corpus, ys = ids + 100000
