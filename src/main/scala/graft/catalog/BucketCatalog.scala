@@ -147,7 +147,11 @@ class BucketCatalog(spark: SparkSession, root: String) {
   // same resolution every read/write uses), not the raw URI scheme —
   // a scheme-less root under a non-local fs.defaultFS must NOT take
   // a meaningless lock on the driver's local disk
-  private lazy val rootIsLocalFs = fs.getScheme == "file"
+  // via getUri, not FileSystem.getScheme(): the base-class getScheme
+  // THROWS UnsupportedOperationException for implementations that
+  // don't override it — RawLocalFileSystem among them, which Bench
+  // and the probes install for checksum-free local IO
+  private lazy val rootIsLocalFs = fs.getUri.getScheme == "file"
 
   // resolved (version, files, buckets, partition→maxEpoch ranges) of
   // each group's current manifest; versions are immutable once

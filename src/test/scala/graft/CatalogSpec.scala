@@ -575,4 +575,17 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(tbk).count() == 1)
     assert(cat.read(tbk).head().getAs[Long]("Epoch") == 60L)
   }
+
+  test("local-ness probe survives RawLocalFileSystem (getScheme is unimplemented there)") {
+    // Bench/the probes install fs.file.impl = RawLocalFileSystem for
+    // checksum-free local IO; Hadoop's BASE FileSystem.getScheme()
+    // throws UnsupportedOperationException and RawLocalFileSystem
+    // does not override it — the writer-lock local-ness probe must
+    // therefore read fs.getUri.getScheme (r6 regression: every
+    // catalog-write bench entry failed under the bench session)
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
+    intercept[UnsupportedOperationException](raw.getScheme)
+    assert(raw.getUri.getScheme == "file")
+  }
 }
