@@ -92,6 +92,10 @@ object Bench {
         // a 48-query pass the block store otherwise accumulates dead
         // caches whose eviction churn bleeds into later measurements
         spark.sharedState.cacheManager.clearCache()
+        // ... and RDD-level blocks too: localCheckpoint() (the CC
+        // fixpoint, the BPE merge loop) caches at the RDD layer,
+        // which clearCache() cannot reach
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

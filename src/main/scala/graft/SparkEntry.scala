@@ -588,16 +588,16 @@ object SparkEntry {
     // application reproduces training segmentations exactly, so the
     // oracle's final seg relation IS the expected encoding
     "q_tokenize_bpe" -> ((s, dir) => {
-      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
-      graft.ops.Bpe.encode(Tables.documents(s, dir), seg).orderBy("doc_id")
+      val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      graft.ops.Bpe.encode(Tables.documents(s, dir), seg, merges).orderBy("doc_id")
     }),
     // tokenizer-aware packing: the same concat-and-chunk manifest, but
     // budgeted by REAL subword counts from the learned BPE tokenizer
     // instead of the whitespace proxy — the composition a production
     // pretrain pipeline runs (tokenize, then pack to context length)
     "q_pack_bpe" -> ((s, dir) => {
-      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
-      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg)
+      val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg, merges)
         .select(col("doc_id"), col("n_tokens_bpe"))
       graft.ops.Packing.manifest(counts, budget = 256,
           tokenCol = Some("n_tokens_bpe"))
@@ -813,9 +813,6 @@ object SparkEntry {
           round(col("p"), 6).as("proj"))
         .orderBy("vec_id", "j")
     }),
-    // MMR diversity re-rank (Carbonell-Goldstein '98) over the
-    // brute-force top-10 candidates; input scores pre-rounded on BOTH
-    // sides so the greedy comparisons see bitwise-identical relevance
     // margin-based bitext mining (Artetxe & Schwenk '19): the ratio-
     // margin "intersection" strategy across the even/odd vec_id halves
     // — mutual best-margin pairs above threshold, k-NN averages folded
@@ -829,6 +826,9 @@ object SparkEntry {
           round(col("score"), 6).as("score"), round(col("margin"), 6).as("margin"))
         .orderBy("id1")
     }),
+    // MMR diversity re-rank (Carbonell-Goldstein '98) over the
+    // brute-force top-10 candidates; input scores pre-rounded on BOTH
+    // sides so the greedy comparisons see bitwise-identical relevance
     "q_knn_mmr" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cands = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)

@@ -99,16 +99,7 @@ object Bpe {
   def learn(df: DataFrame, nMerges: Int, textCol: String = "text",
             checkpointDir: Option[String] = None): (Seq[LearnedMerge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        if (!sc.getCheckpointDir.exists(d =>
-            new org.apache.hadoop.fs.Path(d).toUri.getPath.startsWith(want)))
-          sc.setCheckpointDir(dir)
-        d => d.checkpoint()
-      case None => d => d.localCheckpoint()
-    }
+    val ckpt = CacheScope.checkpointer(df.sparkSession, checkpointDir)
     var cur = ckpt(wordFrequencies(df, textCol)
       .withColumn("seg", initialSeg(col("word"))))
     val merges = Seq.newBuilder[LearnedMerge]
@@ -133,14 +124,56 @@ object Bpe {
     (merges.result(), cur)
   }
 
-  /** Tokenize each document with a learned segmentation relation
-    * (`word`, `seg` — [[learn]]'s second return): per doc the total
-    * subword count and the space-joined piece string (each trainable
-    * word as its '|'-delimited pieces, other tokens verbatim).
+  /** Apply an ordered merge list to a (word) relation → (word, seg):
+    * the same sequential rank-order fold as training, MATERIALIZED
+    * per merge — nesting the folds into one expression multiplies the
+    * tree ~4× per level (the `seg` subtree is referenced from the
+    * guard, the slice, and the seed), which is exponential in the
+    * merge count.
     */
-  def encode(df: DataFrame, segRel: DataFrame, textCol: String = "text",
+  private def segmentWords(words: DataFrame, merges: Seq[LearnedMerge],
+                           ckpt: DataFrame => DataFrame): DataFrame = {
+    var cur = ckpt(words.withColumn("seg", initialSeg(col("word"))))
+    merges.sortBy(_.rank).foreach { m =>
+      val next = ckpt(cur.withColumn("seg",
+        mergeFold(col("seg"), m.left_sym, m.right_sym)))
+      cur.unpersist()
+      cur = next
+    }
+    cur
+  }
+
+  /** Tokenize each document with a learned tokenizer: `segRel` is the
+    * (word, seg) relation and `merges` the ranked merge table —
+    * [[learn]]'s two returns. Per doc the total subword count and the
+    * space-joined piece string (each trainable word as its
+    * '|'-delimited pieces, other tokens verbatim).
+    *
+    * Trainable words ABSENT from `segRel` (encoding a different
+    * corpus than the training one — the production case) are
+    * segmented by applying `merges` in rank order, exactly as
+    * training would have; the extra fold loop runs only on the
+    * vocabulary-bounded miss set and is skipped entirely when the
+    * encode corpus introduces no new words. With `merges` empty,
+    * unseen words pass through as single opaque pieces.
+    */
+  def encode(df: DataFrame, segRel: DataFrame,
+             merges: Seq[LearnedMerge] = Nil, textCol: String = "text",
              idCol: String = "doc_id", broadcastVocab: Boolean = true): DataFrame = {
-    val vocab = segRel.select(col("word"), col("seg"))
+    val trained = segRel.select(col("word"), col("seg"))
+    val vocab =
+      if (merges.isEmpty) trained
+      else {
+        val misses = df.filter(col(textCol).isNotNull)
+          .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+          .filter(col("word").rlike(TrainableWord))
+          .distinct()
+          .join(trained.select("word"), Seq("word"), "left_anti")
+        if (misses.isEmpty) trained
+        else trained.unionByName(
+          segmentWords(misses, merges, _.localCheckpoint())
+            .select(col("word"), col("seg")))
+      }
     val tok = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("ord", "tok")))

@@ -33,6 +33,37 @@ object CacheScope {
     override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
   }
 
+  /** Checkpoint function for iterative operators (the CC fixpoint,
+    * BPE merge loop): `df.checkpoint()` rooted at `checkpointDir`
+    * (reliable — survives executor loss on a real cluster), or
+    * `df.localCheckpoint()` when None (fast, non-replicated — the
+    * local default).
+    *
+    * setCheckpointDir mints a fresh `<uuid>` subdir per call, so the
+    * dir is only (re)set when the CURRENT checkpoint dir is not
+    * already a direct child of the requested root. The comparison is
+    * exact-parent path equality (plus scheme, when the request names
+    * one): a prefix test would accept a sibling root ("/ckpt-old"
+    * for "/ckpt") or a same-path dir on a different filesystem and
+    * silently ignore the caller's durability request.
+    */
+  def checkpointer(spark: org.apache.spark.sql.SparkSession,
+                   checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        val want = new org.apache.hadoop.fs.Path(dir).toUri
+        val already = sc.getCheckpointDir.exists { d =>
+          Option(new org.apache.hadoop.fs.Path(d).getParent).exists { p =>
+            p.toUri.getPath == want.getPath &&
+              (want.getScheme == null || p.toUri.getScheme == want.getScheme)
+          }
+        }
+        if (!already) sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+
   /** Persist an operator intermediate (MEMORY_AND_DISK) and, when a
     * [[withPinnedCaches]] scope is active on this thread, register it
     * for release at scope exit. Used via `.transform(CacheScope.scopedPersist)`.

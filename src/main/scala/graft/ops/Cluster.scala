@@ -87,21 +87,8 @@ object Cluster {
   def assignments(pairs: DataFrame, vertices: DataFrame,
                   id: String = "doc_id", maxIter: Int = 25,
                   checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val sc = pairs.sparkSession.sparkContext
-        // setCheckpointDir mints a fresh UUID subdir — only (re)set
-        // when the current one isn't already under the requested
-        // root. Spark stores the RESOLVED URI ("file:/x/y/<uuid>"),
-        // so compare scheme-stripped paths — a raw-path startsWith
-        // never matches and would mint a new subdir per call.
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-        if (!sc.getCheckpointDir.exists(d =>
-            new org.apache.hadoop.fs.Path(d).toUri.getPath.startsWith(want)))
-          sc.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
+    val ckpt: DataFrame => DataFrame =
+      CacheScope.checkpointer(pairs.sparkSession, checkpointDir)
     var e = ckpt(pairs
       .select(col("id1").cast("long").as("u"), col("id2").cast("long").as("v"))
       .where(col("u") =!= col("v"))

@@ -34,46 +34,14 @@ object StreamingDecontaminate {
     */
   def evalGramBloom(evalSet: DataFrame, n: Int = 3,
       expectedGrams: Long = 1L << 20, numBits: Long = 1L << 23,
-      text: String = "text"): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    // BloomFilterAggregate silently clamps its sizing to the
-    // runtime-bloom-filter conf caps (Math.min in the 4.1.2 jar);
-    // raise them to the requested size so "FP bounded by numBits"
-    // actually holds for large eval suites instead of degrading
-    // orders of magnitude past 2^26 bits
-    val spark = evalSet.sparkSession
-    def raiseCap(key: String, want: Long): Unit = {
-      val cur = spark.conf.getOption(key).map(_.toLong)
-      if (cur.forall(_ < want)) spark.conf.set(key, want.toString)
-    }
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedGrams)
-    val grams = evalSet.select(
-      explode(graft.ops.Dedup.shingles(col(text), n)).as("gram"))
-    val hashed = XxHash64(Seq(GraftColumns.expr(col("gram"))), 42L)
-    val agg = GraftColumns.column(
-      new BloomFilterAggregate(hashed, Literal(expectedGrams), Literal(numBits))
-        .toAggregateExpression())
-    val bf = grams.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
-    // zero grams → BloomFilterAggregate.eval returns null; a null
-    // literal downstream would turn filterStream's !maybe_contaminated
-    // into filter(null) and silently DROP the whole stream — fail
-    // loudly on the misconfiguration instead
-    if (bf == null)
-      throw new IllegalArgumentException(
-        "evalGramBloom: eval set produced no grams — empty or wrong column?")
-    bf
-  }
+      text: String = "text"): Array[Byte] =
+    BloomGate.build(
+      evalSet.select(explode(graft.ops.Dedup.shingles(col(text), n)).as("gram")),
+      col("gram"), expectedGrams, numBits,
+      "evalGramBloom: eval set produced no grams — empty or wrong column?")
 
-  private def mightContain(bloom: Array[Byte], value: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.types.BinaryType
-    GraftColumns.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      XxHash64(Seq(GraftColumns.expr(value)), 42L)))
-  }
+  private def mightContain(bloom: Array[Byte], value: Column): Column =
+    BloomGate.mightContain(bloom, value)
 
   /** Add `maybe_contaminated` to a document stream: true iff any of
     * the doc's n-grams probes positive against the eval Bloom filter.

@@ -58,45 +58,19 @@ object StreamingDedup {
     */
   def corpusHashBloom(corpus: DataFrame,
       expectedDocs: Long = 1L << 20, numBits: Long = 1L << 23,
-      text: String = "text"): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.graft.GraftColumns
-    val spark = corpus.sparkSession
-    def raiseCap(key: String, want: Long): Unit = {
-      val cur = spark.conf.getOption(key).map(_.toLong)
-      if (cur.forall(_ < want)) spark.conf.set(key, want.toString)
-    }
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedDocs)
-    val hashes = corpus.filter(col(text).isNotNull)
-      .select(graft.ops.Dedup.contentHash(col(text)).as("__ch"))
-    val agg = GraftColumns.column(
-      new BloomFilterAggregate(
-        XxHash64(Seq(GraftColumns.expr(col("__ch"))), 42L),
-        Literal(expectedDocs), Literal(numBits)).toAggregateExpression())
-    val bf = hashes.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bf == null)
-      throw new IllegalArgumentException(
-        "corpusHashBloom: corpus produced no content hashes — empty or wrong column?")
-    bf
-  }
+      text: String = "text"): Array[Byte] =
+    BloomGate.build(
+      corpus.filter(col(text).isNotNull)
+        .select(graft.ops.Dedup.contentHash(col(text)).as("__ch")),
+      col("__ch"), expectedDocs, numBits,
+      "corpusHashBloom: corpus produced no content hashes — empty or wrong column?")
 
   /** Drop streamed documents whose normalized content the corpus
     * Bloom already holds (stateless; compose with [[dedupStream]] for
     * in-stream duplicate suppression).
     */
   def filterAgainstCorpus(stream: DataFrame, corpusBloom: Array[Byte],
-      text: String = "text"): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.graft.GraftColumns
-    import org.apache.spark.sql.types.BinaryType
-    require(corpusBloom != null && corpusBloom.nonEmpty,
-      "filterAgainstCorpus: corpusBloom must be a non-empty serialized Bloom filter")
-    val probe = GraftColumns.column(BloomFilterMightContain(
-      Literal(corpusBloom, BinaryType),
-      XxHash64(Seq(GraftColumns.expr(graft.ops.Dedup.contentHash(col(text)))), 42L)))
-    stream.filter(col(text).isNotNull && !probe)
-  }
+      text: String = "text"): DataFrame =
+    stream.filter(col(text).isNotNull &&
+      !BloomGate.mightContain(corpusBloom, graft.ops.Dedup.contentHash(col(text))))
 }

@@ -1795,6 +1795,28 @@ class OpsSpec extends SparkSpec {
     val nTok1 = "aaaa aaaa aaaa the bank rank tank".split(" ")
       .map(t => segMap.get(t).map(_.count(_ == '|') + 1).getOrElse(1)).sum
     assert(enc(1L)._1 == nTok1, s"doc1 n_tokens_bpe ${enc(1L)._1} != $nTok1")
+    // OOV path: encoding a DIFFERENT corpus applies the learned
+    // merges to unseen trainable words (never opaque-passthrough) —
+    // reference = the same sequential greedy fold in plain Scala
+    def refApply(word: String): Seq[String] =
+      merges.sortBy(_.rank).foldLeft(word.map(_.toString).toVector) { (s, m) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == m.left_sym && s(i + 1) == m.right_sym) {
+            out += m.left_sym + m.right_sym; i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+    val corpusB = Seq((10L, "aaaaaa thanks ?!")).toDF("doc_id", "text")
+    val encB = Bpe.encode(corpusB, seg, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val expPieces = Seq("aaaaaa", "thanks").map(w => refApply(w).mkString("|")) :+ "?!"
+    assert(encB(10L)._2 == expPieces.mkString(" "),
+      s"OOV encode ${encB(10L)._2} != ${expPieces.mkString(" ")}")
+    assert(encB(10L)._1 == expPieces.dropRight(1).map(_.count(_ == '|') + 1).sum + 1,
+      s"OOV token count ${encB(10L)._1}")
     seg.unpersist()
   }
 }
