@@ -591,6 +591,23 @@ object SparkEntry {
       val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
       graft.ops.Bpe.encode(Tables.documents(s, dir), seg, merges).orderBy("doc_id")
     }),
+    // tokenizer fertility report: per source, subwords per whitespace
+    // word under the learned BPE — the tokenizer-efficiency number a
+    // data team reads per domain before committing a vocab size
+    "q_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (merges, seg) = graft.ops.Bpe.learn(d, BpeMergeCount)
+      val enc = graft.ops.Bpe.encode(d, seg, merges)
+        .select(col("doc_id"), col("n_tokens_bpe"))
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"))
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"), sum("n_tokens_bpe").as("n_tokens_bpe"),
+          round(sum("n_tokens_bpe").cast("double") / sum("n_words"), 6).as("fertility"))
+        .orderBy("source")
+    }),
     // tokenizer-aware packing: the same concat-and-chunk manifest, but
     // budgeted by REAL subword counts from the learned BPE tokenizer
     // instead of the whitespace proxy — the composition a production
@@ -1720,6 +1737,23 @@ object SparkEntry {
          SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe,
            string_agg(piece, ' ' ORDER BY ord) AS bpe_text
          FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+
+    "q_bpe_fertility" -> (bpeChain(BpeMergeCount) + s""",
+         tok AS (SELECT doc_id, unnest(ts) AS tok FROM (
+             SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL)),
+         enc AS (SELECT t.doc_id,
+             CASE WHEN s.seg IS NULL THEN 1
+                  ELSE len(string_split(s.seg, '|')) END::BIGINT AS n
+           FROM tok t LEFT JOIN seg$BpeMergeCount s ON t.tok = s.word),
+         nt AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe FROM enc GROUP BY doc_id),
+         wc AS (SELECT doc_id, source,
+             len(string_split(lower(trim(text)), ' '))::BIGINT AS n_words
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source, sum(n_words)::BIGINT AS n_words,
+           sum(n_tokens_bpe)::BIGINT AS n_tokens_bpe,
+           round(sum(n_tokens_bpe)::DOUBLE / sum(n_words), 6) AS fertility
+         FROM wc JOIN nt USING (doc_id) GROUP BY source ORDER BY source"""),
 
     "q_pack_bpe" -> (bpeChain(BpeMergeCount) + s""",
          tok AS (SELECT doc_id, unnest(ts) AS tok FROM (

@@ -240,6 +240,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE tokenization equals the batch encoder on the trained vocabulary") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val train = Seq((1L, "aaaa aaaa bank rank"), (2L, "the bank the rank"))
+      .toDF("doc_id", "text")
+    val (merges, seg) = graft.ops.Bpe.learn(train, nMerges = 4)
+    val source = MemoryStream[StreamDoc]
+    val q = graft.streaming.StreamingTokenize
+      .encodeStream(source.toDF, seg, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("stream_bpe")
+      .outputMode("append").start()
+    try {
+      // doc 11 is all in-vocab; doc 12 mixes vocab, OOV ("zzz"), and
+      // a non-trainable token
+      source.addData(
+        StreamDoc(11L, ts(t0), "bank the aaaa"),
+        StreamDoc(12L, ts(t0 + 5), "rank zzz ?!"))
+      q.processAllAvailable()
+      // advance the watermark past the docs so the append-mode agg emits
+      source.addData(StreamDoc(99L, ts(t0 + 3600), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("stream_bpe")
+        .select("doc_id", "n_tokens_bpe", "bpe_text").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      // batch equivalence: stream output == Bpe.encode WITHOUT OOV
+      // merge application (the documented streaming contract)
+      val batch = Seq((11L, "bank the aaaa"), (12L, "rank zzz ?!"))
+        .toDF("doc_id", "text")
+      val exp = graft.ops.Bpe.encode(batch, seg).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got.view.filterKeys(_ != 99L).toMap == exp,
+        s"stream $got vs batch $exp")
+      // and the OOV word really is opaque on the stream (unlike the
+      // full batch encoder with merges)
+      assert(got(12L)._2.split(" ").contains("zzz"))
+      val full = graft.ops.Bpe.encode(batch, seg, merges).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(!full(12L).split(" ").contains("zzz"),
+        "batch encoder with merges should segment the OOV word")
+    } finally q.stop()
+    seg.unpersist()
+  }
+
   test("streaming corpus-index gate drops known content; composed with dedup it matches the batch delta op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
