@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** In-JVM reference BPE shared by [[BpePropSpec]] and OpsSpec's
+  * hand-value case: same argmax (count desc, then "a b" string asc)
+  * and the same leftmost-greedy non-overlapping merge as
+  * [[graft.ops.Bpe]] — independently implemented over plain
+  * collections.
+  */
+object BpeReference {
+  def mergeOnce(s: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Ranked merges from a word-frequency map. */
+  def learn(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var segs = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var stop = false
+    for (_ <- 1 to n if !stop) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- segs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), cc) => (-cc, x + " " + y) }
+        out += ((a, b, c))
+        segs = segs.map { case (s, f) => (mergeOnce(s, a, b), f) }
+      }
+    }
+    out.result()
+  }
+
+  /** Sequential rank-order application (the engine's encode contract). */
+  def apply(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (s, (a, b)) =>
+      mergeOnce(s, a, b)
+    }
+}
+
+/** Property checks for the in-engine BPE against [[BpeReference]]:
+  * for ANY small corpus over a 3-letter alphabet, the distributed
+  * trainer must reproduce the reference merge table exactly, every
+  * training segmentation must be the rank-order application of those
+  * merges, segment concatenation must reconstruct the word, and the
+  * OOV fold must equal the reference on unseen words.
+  */
+class BpePropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = for {
+    len <- Gen.chooseNum(1, 6)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val corpusGen: Gen[List[String]] = for {
+    nWords <- Gen.chooseNum(3, 9)
+    words <- Gen.listOfN(nWords, wordGen)
+    reps <- Gen.listOfN(nWords, Gen.chooseNum(1, 4))
+  } yield words.zip(reps).flatMap { case (w, r) => List.fill(r)(w) }
+
+  test("engine BPE == reference on random corpora (merges, segs, OOV fold, reconstruction)") {
+    val prop = Prop.forAll(corpusGen, wordGen) { (corpus, probe) =>
+      val df = corpus.grouped(3).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val (merges, seg) = graft.ops.Bpe.learn(df, nMerges = 4)
+      val wf = corpus.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val expMerges = BpeReference.learn(wf, 4)
+      val segMap = seg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      seg.unpersist()
+      val pairList = merges.map(m => (m.left_sym, m.right_sym))
+      val mergesOk = merges.map(m => (m.left_sym, m.right_sym, m.cnt)) == expMerges
+      // every trained word's seg = rank-order application of the merges
+      val segsOk = segMap.forall { case (w, s) =>
+        s.split("\\|").toVector == BpeReference.apply(w, pairList)
+      }
+      // pieces always reconstruct the word
+      val reconOk = segMap.forall { case (w, s) => s.replace("|", "") == w }
+      // the engine's OOV fold (via encode) equals the reference
+      val probeDf = Seq((999L, probe)).toDF("doc_id", "text")
+      val enc = graft.ops.Bpe.encode(probeDf, seg, merges).collect()
+      val encPieces = enc.head.getString(2).split(" ").head.split("\\|").toVector
+      val oovOk = encPieces == BpeReference.apply(probe, pairList)
+      Prop.all(
+        Prop(mergesOk) :| s"merges $merges != $expMerges for $wf",
+        Prop(segsOk) :| s"segs diverge for $wf: $segMap",
+        Prop(reconOk) :| s"reconstruction broken: $segMap",
+        Prop(oovOk) :| s"OOV '$probe' -> $encPieces != ${BpeReference.apply(probe, pairList)}")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+}

@@ -1740,32 +1740,10 @@ class OpsSpec extends SparkSpec {
   test("BPE: engine merges == in-JVM reference, greedy fold, encode consistency") {
     import graft.ops.Bpe
     import spark.implicits._
-    // independent reference implementation over a collected word-freq
-    // map: same argmax (count desc, then "a b" string asc) and same
-    // leftmost-greedy merge
-    def refLearn(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
-      var segs = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
-      val out = Seq.newBuilder[(String, String, Long)]
-      for (_ <- 1 to n) {
-        val counts = collection.mutable.Map.empty[(String, String), Long]
-        for ((s, f) <- segs; i <- 0 until s.length - 1)
-          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
-        if (counts.nonEmpty) {
-          val ((a, b), c) = counts.minBy { case ((x, y), c) => (-c, x + " " + y) }
-          out += ((a, b, c))
-          segs = segs.map { case (s, f) =>
-            val m = Vector.newBuilder[String]
-            var i = 0
-            while (i < s.length) {
-              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { m += a + b; i += 2 }
-              else { m += s(i); i += 1 }
-            }
-            (m.result(), f)
-          }
-        }
-      }
-      out.result()
-    }
+    // independent reference implementation ([[BpeReference]], shared
+    // with the property spec): same argmax (count desc, then "a b"
+    // string asc) and same leftmost-greedy merge
+    def refLearn(words: Map[String, Long], n: Int) = BpeReference.learn(words, n)
     // fixture exercises the greedy-overlap edge ("aaaa" under (a,a)
     // must fold to aa|aa) and passthrough of non-[a-z0-9] tokens
     val corpus = Seq(
@@ -1799,16 +1777,8 @@ class OpsSpec extends SparkSpec {
     // merges to unseen trainable words (never opaque-passthrough) —
     // reference = the same sequential greedy fold in plain Scala
     def refApply(word: String): Seq[String] =
-      merges.sortBy(_.rank).foldLeft(word.map(_.toString).toVector) { (s, m) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < s.length) {
-          if (i + 1 < s.length && s(i) == m.left_sym && s(i + 1) == m.right_sym) {
-            out += m.left_sym + m.right_sym; i += 2
-          } else { out += s(i); i += 1 }
-        }
-        out.result()
-      }
+      BpeReference.apply(word,
+        merges.sortBy(_.rank).map(m => (m.left_sym, m.right_sym)))
     val corpusB = Seq((10L, "aaaaaa thanks ?!")).toDF("doc_id", "text")
     val encB = Bpe.encode(corpusB, seg, merges).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
