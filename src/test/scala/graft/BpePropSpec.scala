@@ -99,4 +99,34 @@ class BpePropSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, s"property falsified: ${res.status}")
   }
+
+  // ---- blocked cross top-k ------------------------------------------
+
+  private val vecsGen: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.chooseNum(5, 40)
+    ids <- Gen.listOfN(n, Gen.chooseNum(0L, 1000000L)).map(_.distinct)
+    vs <- Gen.listOfN(ids.size,
+      Gen.listOfN(4, Gen.chooseNum(-3, 3).map(_.toFloat)).map(_.toSeq))
+    // a zero vector has no cosine; keep the generator in-domain
+    fixed = vs.map(v => if (v.forall(_ == 0f)) Seq(1f, 0f, 0f, 0f) else v)
+  } yield ids.zip(fixed)
+
+  test("crossTopK == broadcast brute top-k on random corpora (block pairing completeness)") {
+    // the blocked explode+equi-join path must agree with the simple
+    // broadcast path bit-for-bit — same cosine expression, so any
+    // divergence is a block-pairing or partial-top-k-merge bug
+    val prop = Prop.forAll(vecsGen, vecsGen, Gen.chooseNum(1, 4)) { (xs0, ys0, k) =>
+      val xs = xs0.toDF("vec_id", "embedding")
+      // disjoint id spaces so bruteForceTopK's self-id filter is vacuous
+      val ys = ys0.map { case (i, v) => (i + 2000000L, v) }.toDF("vec_id", "embedding")
+      val blocked = graft.ops.Similarity.crossTopK(xs, ys, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val brute = graft.ops.Similarity.bruteForceTopK(ys, xs, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      Prop(blocked == brute) :|
+        s"diverge: extra=${(blocked.toSet -- brute.toSet).take(3)} missing=${(brute.toSet -- blocked.toSet).take(3)}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
 }
