@@ -1235,6 +1235,21 @@ object SparkEntry {
         col("height").cast("long").as("height"))
         .orderBy("doc_id")
     }),
+    // codec-free media dedup: positional chunk hashing over the binary
+    // payloads — planted equal-length edited clones (%9 ids re-tagged
+    // at +1e6 with the last byte replaced) pair with 7 of 8 chunks;
+    // byte-identical payloads pair with 8
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val edited = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("~")).as("text"))
+      val media = d.select(col("doc_id"), col("text")).unionByName(edited)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.chunkDupPairs(media, chunks = 8, minMatch = 6)
+        .orderBy("id1", "id2")
+    }),
     "q_multimodal_frames" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, dir)))
       Multimodal.sampleFrames(feats, bytesPerFrame = 100)
@@ -2706,6 +2721,25 @@ object SparkEntry {
          SELECT doc_id, n_bytes, header_sum,
             64 + header_sum % 512 AS width, 64 + (header_sum // 2) % 512 AS height
          FROM f ORDER BY doc_id""",
+
+    "q_multimodal_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+         m AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, substring(text, 1, length(text) - 1) || '~'
+           FROM base WHERE doc_id % 9 = 0),
+         h AS (SELECT doc_id, i AS pos, md5(substring(text, 1 + i * cl, cl)) AS h
+           FROM (SELECT doc_id, text, length(text) AS n,
+                   CAST(ceil(length(text) / 8.0) AS INT) AS cl FROM m),
+                LATERAL (SELECT unnest(range(0, 8)) AS i) r
+           WHERE i * cl < n),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             count(*)::BIGINT AS matching_chunks
+           FROM h a JOIN h b ON a.pos = b.pos AND a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, matching_chunks FROM p
+         WHERE matching_chunks >= 6 ORDER BY id1, id2""",
 
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, length(text)::BIGINT AS n_bytes,

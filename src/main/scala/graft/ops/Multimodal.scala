@@ -53,4 +53,81 @@ object Multimodal {
       explode(sequence(lit(0), greatest((col("n_bytes") / bytesPerFrame).cast("int") - 1, lit(0)))))
       .select(col("doc_id"), col("frame_idx"),
         (col("header_sum") + col("frame_idx")).as("frame_sig"))
+
+  /** Codec-free media near-dup pairs by POSITIONAL chunk hashing: each
+    * payload splits into `chunks` equal byte slices, md5 per slice,
+    * and two media rows pair when ≥ `minMatch` of their same-position
+    * slice hashes agree. Catches exact duplicate payloads (all chunks
+    * match) and locally-edited equal-length duplicates (re-tagged
+    * copies, patched headers/trailers — only the touched chunks
+    * differ). It is NOT a perceptual hash: re-encoding or resizing
+    * changes every byte and honestly scores as different — decode-
+    * domain similarity belongs to the (stubbed) codec stage.
+    *
+    * Scale shape: one explode to (doc, pos, hash), one (pos, hash)-
+    * keyed equi self-join — the banding shuffle, never all pairs —
+    * then one pair-keyed count. A byte-identical boilerplate chunk
+    * shared by M equal-length payloads costs M²/2 candidate rows in
+    * its (pos, hash) group, the same inherent banding behavior (and
+    * the same collapse-gate escape) as the text simhash family.
+    *
+    * Output: (id1, id2, matching_chunks), id1 < id2.
+    */
+  def chunkDupPairs(media: DataFrame, chunks: Int = 8,
+                    minMatch: Int = 6, collapseExact: Boolean = true): DataFrame = {
+    require(chunks >= 1 && minMatch >= 1 && minMatch <= chunks,
+      s"need 1 <= minMatch <= chunks, got chunks=$chunks minMatch=$minMatch")
+    val base = media.filter(col("media").isNotNull && length(col("media")) > 0)
+    // exact-payload collapse gate, the binary analogue of the text
+    // family's: byte-identical payloads (the dominant duplication mode
+    // — same file ingested twice) pair quadratically inside every
+    // (pos, hash) group; collapsing to per-content representatives
+    // first makes the banding join run on distinct payloads and
+    // re-expands pairs through group membership. EXACT-byte md5 key —
+    // no text normalization. Probe-gated like everywhere else.
+    if (collapseExact && graft.ops.Dedup.cloneHeavy(base, md5(col("media")))) {
+      val groups = base
+        .select(col("doc_id"), col("media"), md5(col("media")).as("__ch"))
+        .groupBy("__ch")
+        .agg(min(col("doc_id")).as("__rep"), first(col("media")).as("__m"),
+          sort_array(collect_list(col("doc_id"))).as("__ids"))
+        .transform(graft.ops.CacheScope.scopedPersist)
+      val repPairs = chunkDupPairs(
+        groups.select(col("__rep").as("doc_id"), col("__m").as("media")),
+        chunks, minMatch, collapseExact = false)
+      val m1 = groups.select(col("__rep").as("id1"), col("__ids").as("__ids1"))
+      val m2 = groups.select(col("__rep").as("id2"), col("__ids").as("__ids2"))
+      val cross = repPairs.join(m1, "id1").join(m2, "id2")
+        .withColumn("__a", explode(col("__ids1")))
+        .withColumn("__b", explode(col("__ids2")))
+        .select(least(col("__a"), col("__b")).as("id1"),
+          greatest(col("__a"), col("__b")).as("id2"), col("matching_chunks"))
+      // clone self-pairs: identical payloads match at every EMITTED
+      // position — ceil(n / ceil(n / chunks)) of them
+      val nEmitted = ceil(length(col("__m")).cast("double") /
+        ceil(length(col("__m")).cast("double") / chunks)).cast("long")
+      val self = groups.filter(size(col("__ids")) >= 2)
+        .withColumn("matching_chunks", nEmitted)
+        .filter(col("matching_chunks") >= minMatch)
+        .withColumn("__a", explode(col("__ids")))
+        .withColumn("__b", explode(col("__ids")))
+        .filter(col("__a") < col("__b"))
+        .select(col("__a").as("id1"), col("__b").as("id2"), col("matching_chunks"))
+      return cross.unionByName(self)
+    }
+    val hashed = base
+      .withColumn("__n", length(col("media")))
+      .withColumn("__cl", ceil(col("__n").cast("double") / chunks).cast("int"))
+      .select(col("doc_id"), posexplode_outer(expr(
+        s"""transform(filter(sequence(0, $chunks - 1), i -> i * __cl < __n),
+                      i -> md5(substring(media, 1 + i * __cl, __cl)))"""))
+        .as(Seq("pos", "h")))
+    val l = hashed.select(col("doc_id").as("id1"), col("pos"), col("h"))
+    val r = hashed.select(col("doc_id").as("id2"), col("pos"), col("h"))
+    l.join(r, Seq("pos", "h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("matching_chunks"))
+      .filter(col("matching_chunks") >= minMatch)
+  }
 }

@@ -1659,6 +1659,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("media chunk-dup pairs: hand values; exact-payload collapse preserves output") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // 24-byte payloads, 8 chunks of 3: B edits one chunk of A (7/8),
+    // C is byte-identical to A (8/8), D shares nothing; clones of A
+    // and B (ids+100) force the collapse gate's probe on
+    val a = "aaabbbcccdddeeefffggghhh"
+    val b = "aaabbbcccdddXXXfffggghhh"
+    val d = "zzzyyyxxxwwwvvvuuutttsss"
+    val rows = Seq(1L -> a, 2L -> b, 3L -> a, 4L -> d) ++
+      (0 until 20).flatMap(i => Seq((101L + i) -> a, (201L + i) -> b))
+    val media = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    def run(collapse: Boolean) =
+      Multimodal.chunkDupPairs(media, chunks = 8, minMatch = 6, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = run(false)
+    assert(direct((1L, 3L)) == 8, s"identical payloads: ${direct.get((1L, 3L))}")
+    assert(direct((1L, 2L)) == 7, s"one-chunk edit: ${direct.get((1L, 2L))}")
+    assert(!direct.keySet.exists { case (x, y) => x == 4L || y == 4L },
+      "unrelated payload must not pair")
+    val collapsed = run(true)
+    assert(collapsed == direct,
+      s"collapse changed output: only-direct=${(direct.toSet -- collapsed.toSet).take(3)} " +
+        s"only-collapsed=${(collapsed.toSet -- direct.toSet).take(3)}")
+  }
+
   test("corpusDiff: per-status hand values, duplicate content never multiplies rows") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "z"), (5L, "w"))
