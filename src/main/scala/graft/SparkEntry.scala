@@ -589,7 +589,7 @@ object SparkEntry {
     // oracle's final seg relation IS the expected encoding
     "q_tokenize_bpe" -> ((s, dir) => {
       val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
-      graft.ops.Bpe.encode(Tables.documents(s, dir), seg, merges).orderBy("doc_id")
+      graft.ops.Bpe.encode(Tables.documents(s, dir), seg, Some(merges)).orderBy("doc_id")
     }),
     // tokenizer fertility report: per source, subwords per whitespace
     // word under the learned BPE — the tokenizer-efficiency number a
@@ -597,7 +597,7 @@ object SparkEntry {
     "q_bpe_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val (merges, seg) = graft.ops.Bpe.learn(d, BpeMergeCount)
-      val enc = graft.ops.Bpe.encode(d, seg, merges)
+      val enc = graft.ops.Bpe.encode(d, seg, Some(merges))
         .select(col("doc_id"), col("n_tokens_bpe"))
       d.filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
@@ -614,7 +614,7 @@ object SparkEntry {
     // pretrain pipeline runs (tokenize, then pack to context length)
     "q_pack_bpe" -> ((s, dir) => {
       val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
-      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg, merges)
+      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg, Some(merges))
         .select(col("doc_id"), col("n_tokens_bpe"))
       graft.ops.Packing.manifest(counts, budget = 256,
           tokenCol = Some("n_tokens_bpe"))

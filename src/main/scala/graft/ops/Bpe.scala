@@ -151,19 +151,22 @@ object Bpe {
     *
     * Trainable words ABSENT from `segRel` (encoding a different
     * corpus than the training one — the production case) are
-    * segmented by applying `merges` in rank order, exactly as
-    * training would have; the extra fold loop runs only on the
-    * vocabulary-bounded miss set and is skipped entirely when the
-    * encode corpus introduces no new words. With `merges` empty,
-    * unseen words pass through as single opaque pieces.
+    * segmented by applying `merges` in rank order starting from the
+    * character split, exactly as training would have — a zero-merge
+    * tokenizer therefore char-splits them, same as its trained
+    * words. The extra fold loop runs only on the vocabulary-bounded
+    * miss set and is skipped entirely when the encode corpus
+    * introduces no new words. With `merges = None` (the streaming
+    * contract, which cannot run the fold per micro-batch) unseen
+    * words pass through as single opaque pieces instead.
     */
   def encode(df: DataFrame, segRel: DataFrame,
-             merges: Seq[LearnedMerge] = Nil, textCol: String = "text",
+             merges: Option[Seq[LearnedMerge]] = None, textCol: String = "text",
              idCol: String = "doc_id", broadcastVocab: Boolean = true): DataFrame = {
     val trained = segRel.select(col("word"), col("seg"))
-    val vocab =
-      if (merges.isEmpty) trained
-      else {
+    val vocab = merges match {
+      case None => trained
+      case Some(ms) =>
         val misses = df.filter(col(textCol).isNotNull)
           .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
           .filter(col("word").rlike(TrainableWord))
@@ -171,9 +174,9 @@ object Bpe {
           .join(trained.select("word"), Seq("word"), "left_anti")
         if (misses.isEmpty) trained
         else trained.unionByName(
-          segmentWords(misses, merges, _.localCheckpoint())
+          segmentWords(misses, ms, _.localCheckpoint())
             .select(col("word"), col("seg")))
-      }
+    }
     val tok = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("ord", "tok")))

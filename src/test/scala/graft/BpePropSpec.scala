@@ -68,7 +68,7 @@ class BpePropSpec extends SparkSpec {
   } yield words.zip(reps).flatMap { case (w, r) => List.fill(r)(w) }
 
   test("engine BPE == reference on random corpora (merges, segs, OOV fold, reconstruction)") {
-    val prop = Prop.forAll(corpusGen, wordGen) { (corpus, probe) =>
+    val prop = Prop.forAllNoShrink(corpusGen, wordGen) { (corpus, probe) =>
       val df = corpus.grouped(3).zipWithIndex
         .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
         .toSeq.toDF("doc_id", "text")
@@ -87,7 +87,7 @@ class BpePropSpec extends SparkSpec {
       val reconOk = segMap.forall { case (w, s) => s.replace("|", "") == w }
       // the engine's OOV fold (via encode) equals the reference
       val probeDf = Seq((999L, probe)).toDF("doc_id", "text")
-      val enc = graft.ops.Bpe.encode(probeDf, seg, merges).collect()
+      val enc = graft.ops.Bpe.encode(probeDf, seg, Some(merges)).collect()
       val encPieces = enc.head.getString(2).split(" ").head.split("\\|").toVector
       val oovOk = encPieces == BpeReference.apply(probe, pairList)
       Prop.all(
@@ -115,7 +115,7 @@ class BpePropSpec extends SparkSpec {
     // the blocked explode+equi-join path must agree with the simple
     // broadcast path bit-for-bit — same cosine expression, so any
     // divergence is a block-pairing or partial-top-k-merge bug
-    val prop = Prop.forAll(vecsGen, vecsGen, Gen.chooseNum(1, 4)) { (xs0, ys0, k) =>
+    val prop = Prop.forAllNoShrink(vecsGen, vecsGen, Gen.chooseNum(1, 4)) { (xs0, ys0, k) =>
       val xs = xs0.toDF("vec_id", "embedding")
       // disjoint id spaces so bruteForceTopK's self-id filter is vacuous
       val ys = ys0.map { case (i, v) => (i + 2000000L, v) }.toDF("vec_id", "embedding")

@@ -1807,7 +1807,7 @@ class OpsSpec extends SparkSpec {
       BpeReference.apply(word,
         merges.sortBy(_.rank).map(m => (m.left_sym, m.right_sym)))
     val corpusB = Seq((10L, "aaaaaa thanks ?!")).toDF("doc_id", "text")
-    val encB = Bpe.encode(corpusB, seg, merges).collect()
+    val encB = Bpe.encode(corpusB, seg, Some(merges)).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     val expPieces = Seq("aaaaaa", "thanks").map(w => refApply(w).mkString("|")) :+ "?!"
     assert(encB(10L)._2 == expPieces.mkString(" "),
@@ -1815,5 +1815,17 @@ class OpsSpec extends SparkSpec {
     assert(encB(10L)._1 == expPieces.dropRight(1).map(_.count(_ == '|') + 1).sum + 1,
       s"OOV token count ${encB(10L)._1}")
     seg.unpersist()
+    // zero-merge tokenizer (single-char training corpus): OOV words
+    // must CHAR-SPLIT under Some(merges) — the r6 property-spec catch
+    // (empty merges used to mean "no merges supplied" and fell back
+    // to opaque passthrough)
+    val single = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val (m0, seg0) = Bpe.learn(single, nMerges = 4)
+    assert(m0.isEmpty, s"single-char corpus learned merges: $m0")
+    val enc0 = Bpe.encode(Seq((1L, "abc")).toDF("doc_id", "text"), seg0, Some(m0))
+      .collect().head
+    assert(enc0.getString(2) == "a|b|c" && enc0.getLong(1) == 3L,
+      s"zero-merge OOV should char-split: ${enc0.getString(2)}")
+    seg0.unpersist()
   }
 }

@@ -276,7 +276,7 @@ class StreamingSpec extends SparkSpec {
       // and the OOV word really is opaque on the stream (unlike the
       // full batch encoder with merges)
       assert(got(12L)._2.split(" ").contains("zzz"))
-      val full = graft.ops.Bpe.encode(batch, seg, merges).collect()
+      val full = graft.ops.Bpe.encode(batch, seg, Some(merges)).collect()
         .map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(!full(12L).split(" ").contains("zzz"),
         "batch encoder with merges should segment the OOV word")
