@@ -596,8 +596,11 @@ object SparkEntry {
     // data team reads per domain before committing a vocab size
     "q_bpe_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val (merges, seg) = graft.ops.Bpe.learn(d, BpeMergeCount)
-      val enc = graft.ops.Bpe.encode(d, seg, Some(merges))
+      val (_, seg) = graft.ops.Bpe.learn(d, BpeMergeCount)
+      // encoding the training corpus: the OOV miss set is empty by
+      // construction, so the default (None) skips encode's miss scan;
+      // output and oracle semantics are identical either way
+      val enc = graft.ops.Bpe.encode(d, seg)
         .select(col("doc_id"), col("n_tokens_bpe"))
       d.filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
@@ -613,8 +616,9 @@ object SparkEntry {
     // instead of the whitespace proxy — the composition a production
     // pretrain pipeline runs (tokenize, then pack to context length)
     "q_pack_bpe" -> ((s, dir) => {
-      val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
-      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg, Some(merges))
+      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      // self-encoding: default None skips the provably-empty miss scan
+      val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg)
         .select(col("doc_id"), col("n_tokens_bpe"))
       graft.ops.Packing.manifest(counts, budget = 256,
           tokenCol = Some("n_tokens_bpe"))
@@ -2208,8 +2212,10 @@ object SparkEntry {
     // via rank-ordered list_reduce folds (first-element seed == the
     // Spark side's 0.0 seed, IEEE-exact), mutual best-margin join
     "q_mine_bitext" ->
-      """WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-         y AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id < 5000),
+         y AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 1 AND vec_id < 5000),
          sc AS (SELECT x.vec_id AS xi, y.vec_id AS yi,
              list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS s
            FROM x, y),

@@ -78,8 +78,12 @@ object Multimodal {
     require(chunks >= 1 && minMatch >= 1 && minMatch <= chunks,
       s"need 1 <= minMatch <= chunks, got chunks=$chunks minMatch=$minMatch")
     val base = media.filter(col("media").isNotNull && length(col("media")) > 0)
-    // exact-payload collapse gate, the binary analogue of the text
-    // family's: byte-identical payloads (the dominant duplication mode
+    // exact-payload collapse gate, the binary analogue of
+    // [[Dedup.collapsedPairs]] (kept separate: that helper's key is
+    // the text-normalizing contentHash and its payload column is
+    // text-typed; both gates are pinned collapse ≡ direct by OpsSpec,
+    // which is the guard against their logic diverging):
+    // byte-identical payloads (the dominant duplication mode
     // — same file ingested twice) pair quadratically inside every
     // (pos, hash) group; collapsing to per-content representatives
     // first makes the banding join run on distinct payloads and
