@@ -73,4 +73,28 @@ object StreamingDedup {
       text: String = "text"): DataFrame =
     stream.filter(col(text).isNotNull &&
       !BloomGate.mightContain(corpusBloom, graft.ops.Dedup.contentHash(col(text))))
+
+  /** Binary-payload variant of the corpus gate for multimodal ingest:
+    * the index key is the EXACT-byte md5 of the media column (no text
+    * normalization — the same key as
+    * [[graft.ops.Multimodal.chunkDupPairs]]'s collapse gate), so a
+    * re-ingested identical file drops statelessly in-stream. Same
+    * one-sided contract as the text gate.
+    */
+  def mediaHashBloom(corpus: DataFrame,
+      expectedRows: Long = 1L << 20, numBits: Long = 1L << 23,
+      media: String = "media"): Array[Byte] =
+    BloomGate.build(
+      corpus.filter(col(media).isNotNull && length(col(media)) > 0)
+        .select(md5(col(media)).as("__mh")),
+      col("__mh"), expectedRows, numBits,
+      "mediaHashBloom: corpus produced no payload hashes — empty or wrong column?")
+
+  /** Drop streamed media rows whose exact payload the corpus Bloom
+    * already holds (stateless).
+    */
+  def filterMediaAgainstCorpus(stream: DataFrame, corpusBloom: Array[Byte],
+      media: String = "media"): DataFrame =
+    stream.filter(col(media).isNotNull &&
+      !BloomGate.mightContain(corpusBloom, md5(col(media))))
 }

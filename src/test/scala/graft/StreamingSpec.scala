@@ -240,6 +240,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media gate drops byte-identical payloads, passes fresh and edited ones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val corpus = Seq((100L, "payload-one"), (101L, "payload-two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val bloom = graft.streaming.StreamingDedup.mediaHashBloom(corpus)
+    val source = MemoryStream[StreamDoc]
+    val gated = graft.streaming.StreamingDedup.filterMediaAgainstCorpus(
+      source.toDF.select(col("doc_id"), col("ts"),
+        col("text").cast("binary").as("media")), bloom)
+    val q = gated.writeStream.format("memory").queryName("stream_media_gate")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts(t0), "payload-one"),      // exact clone -> dropped
+        StreamDoc(2L, ts(t0 + 1), "payload-onE"),  // edited byte -> passes (EXACT key, no normalization)
+        StreamDoc(3L, ts(t0 + 2), "fresh bytes"))  // fresh -> passes
+      q.processAllAvailable()
+      val ids = spark.table("stream_media_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 3L), s"media gate survivors: $ids")
+    } finally q.stop()
+  }
+
   test("streaming BPE tokenization equals the batch encoder on the trained vocabulary") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
