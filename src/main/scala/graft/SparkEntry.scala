@@ -583,12 +583,28 @@ object SparkEntry {
       seg.unpersist()
       s.createDataset(merges).toDF().orderBy("rank")
     }),
+    // the same training run at PRODUCTION merge count through the
+    // driver-local exact trainer (Bpe.learnLocal): BPE state is the
+    // O(distinct words) frequency table, so after the one corpus
+    // aggregation all merges learn locally — no per-merge cluster
+    // round-trip, which is what makes a ~32k-merge vocab feasible.
+    // The oracle replays every merge independently in DuckDB; on a
+    // corpus that exhausts earlier both engines stop at the same rank
+    "q_bpe_merges_local" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) =
+        graft.ops.Bpe.learnLocal(Tables.documents(s, dir), BpeLocalMergeCount)
+      s.createDataset(merges).toDF().orderBy("rank")
+    }),
     // the learned tokenizer applied back over the corpus: per doc the
     // subword count and piece string — sequential rank-order
     // application reproduces training segmentations exactly, so the
     // oracle's final seg relation IS the expected encoding
     "q_tokenize_bpe" -> ((s, dir) => {
-      val (merges, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      // learnLocal: bit-identical merges/segs to learn (BpePropSpec),
+      // without the per-merge driver round-trips
+      val (merges, seg) =
+        graft.ops.Bpe.learnLocal(Tables.documents(s, dir), BpeMergeCount)
       graft.ops.Bpe.encode(Tables.documents(s, dir), seg, Some(merges)).orderBy("doc_id")
     }),
     // tokenizer fertility report: per source, subwords per whitespace
@@ -596,7 +612,7 @@ object SparkEntry {
     // data team reads per domain before committing a vocab size
     "q_bpe_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val (_, seg) = graft.ops.Bpe.learn(d, BpeMergeCount)
+      val (_, seg) = graft.ops.Bpe.learnLocal(d, BpeMergeCount)
       // encoding the training corpus: the OOV miss set is empty by
       // construction, so the default (None) skips encode's miss scan;
       // output and oracle semantics are identical either way
@@ -616,7 +632,7 @@ object SparkEntry {
     // instead of the whitespace proxy — the composition a production
     // pretrain pipeline runs (tokenize, then pack to context length)
     "q_pack_bpe" -> ((s, dir) => {
-      val (_, seg) = graft.ops.Bpe.learn(Tables.documents(s, dir), BpeMergeCount)
+      val (_, seg) = graft.ops.Bpe.learnLocal(Tables.documents(s, dir), BpeMergeCount)
       // self-encoding: default None skips the provably-empty miss scan
       val counts = graft.ops.Bpe.encode(Tables.documents(s, dir), seg)
         .select(col("doc_id"), col("n_tokens_bpe"))
@@ -1295,6 +1311,27 @@ object SparkEntry {
     */
   private val BpeMergeCount = 24
 
+  /** Merge count for the learnLocal production-scale entry: past any
+    * per-merge-round-trip feasibility (the distributed trainer at 256
+    * would be 256 sequential driver syncs), still replayable by the
+    * generated DuckDB chain in tens of seconds. Corpora whose
+    * trainable vocab fuses completely earlier stop at the same rank
+    * in both engines.
+    */
+  private val BpeLocalMergeCount = 256
+
+  /** Ranked-merge-table oracle: the n-block training replay plus the
+    * rank-stamped union of every argmax row (empty blocks after
+    * exhaustion contribute no rows, matching the trainer's early
+    * stop).
+    */
+  private def bpeMergesSql(n: Int): String =
+    bpeChain(n) + ",\n         mg AS (" +
+      (1 to n).map(i =>
+        s"SELECT $i AS rank, a AS left_sym, b AS right_sym, cnt FROM best$i")
+        .mkString("\n           UNION ALL ") +
+      ")\n         SELECT rank, left_sym, right_sym, cnt FROM mg ORDER BY rank"
+
   /** Generated BPE training replay: `n` chained (pairs → best → seg)
     * CTE blocks mirroring [[graft.ops.Bpe.learn]]'s iterations —
     * pair counts weighted by word frequency, argmax with the "a b"
@@ -1744,11 +1781,8 @@ object SparkEntry {
            0::BIGINT AS n_unseen, agg.avg_logprob
          FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
-    "q_bpe_merges" -> (bpeChain(BpeMergeCount) + ",\n         mg AS ("
-      + (1 to BpeMergeCount).map(i =>
-          s"SELECT $i AS rank, a AS left_sym, b AS right_sym, cnt FROM best$i")
-        .mkString("\n           UNION ALL ")
-      + ")\n         SELECT rank, left_sym, right_sym, cnt FROM mg ORDER BY rank"),
+    "q_bpe_merges" -> bpeMergesSql(BpeMergeCount),
+    "q_bpe_merges_local" -> bpeMergesSql(BpeLocalMergeCount),
 
     "q_tokenize_bpe" -> (bpeChain(BpeMergeCount) + s""",
          tok AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS ord, unnest(ts) AS tok FROM (

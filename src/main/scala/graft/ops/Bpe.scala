@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -33,13 +35,32 @@ import org.apache.spark.sql.functions._
   * piece, the way production tokenizers byte-fallback.
   *
   * Scale: training state is O(distinct words), never corpus-sized —
-  * at 100 TB that is a ~10⁷-row relation. Each iteration
-  * `localCheckpoint`s the updated segmentation (the
-  * [[Cluster.assignments]] pattern, same reliable-`checkpointDir`
-  * knob for multi-executor durability). Encoding joins the bounded
-  * (word → segmentation) relation against corpus tokens — broadcast
-  * by default; pass `broadcastVocab = false` past ~1 GB of vocab and
-  * AQE plans the shuffle join.
+  * at 100 TB that is a ~10⁷-row relation. TWO trainers share that
+  * state shape and produce bit-identical merge tables
+  * (BpePropSpec pins the equivalence on random corpora):
+  *
+  *  - [[learn]] keeps the relation distributed. Each merge is one
+  *    vocabulary-bounded aggregation + a 1-row argmax `collect()` +
+  *    a `localCheckpoint` of the rewritten segmentation — i.e. ONE
+  *    DRIVER ROUND-TRIP PER MERGE. That synchronization bound, not
+  *    data volume, is the operator's ceiling: fine for the tens of
+  *    merges an oracle replays, hours of pure scheduling latency at
+  *    a production ~32k-merge vocab regardless of cluster size. Use
+  *    it when the distinct-word relation genuinely cannot fit one
+  *    machine.
+  *  - [[learnLocal]] is the production shape: BPE training state IS
+  *    the word-frequency table, so after the one corpus-scale
+  *    aggregation the table collects to the driver and a classic
+  *    incremental trainer (delta-maintained pair counts + a lazy
+  *    max-heap, the Sennrich reference algorithm) learns all merges
+  *    with zero further cluster work — 32k merges in seconds.
+  *    Driver memory is O(total characters across distinct words)
+  *    (~a few GB at a 10⁷-word vocab), guarded by
+  *    `maxDistinctWords`.
+  *
+  * Encoding joins the bounded (word → segmentation) relation against
+  * corpus tokens — broadcast by default; pass `broadcastVocab =
+  * false` past ~1 GB of vocab and AQE plans the shuffle join.
   */
 object Bpe {
 
@@ -122,6 +143,119 @@ object Bpe {
       }
     }
     (merges.result(), cur)
+  }
+
+  /** Learn `nMerges` merges with the driver-local exact trainer (see
+    * object doc): one corpus-scale aggregation, then the collected
+    * O(distinct words) table trains locally. Returns are contract-
+    * identical to [[learn]] — the ranked merge table and a (word,
+    * freq, seg) relation ready for [[encode]] — and bit-identical on
+    * the same corpus (BpePropSpec). Refuses corpora past
+    * `maxDistinctWords` distinct trainable words rather than
+    * silently truncating; fall back to [[learn]] there.
+    */
+  def learnLocal(df: DataFrame, nMerges: Int, textCol: String = "text",
+                 maxDistinctWords: Int = 50000000): (Seq[LearnedMerge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    val rows = wordFrequencies(df, textCol).limit(maxDistinctWords + 1).collect()
+    require(rows.length <= maxDistinctWords,
+      s"more than $maxDistinctWords distinct trainable words; use Bpe.learn " +
+        "(distributed) or raise maxDistinctWords")
+    val words = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    val (merges, segs) = trainLocal(words, freqs, nMerges)
+    import spark.implicits._
+    val segRel = words.indices
+      .map(i => (words(i), freqs(i), segs(i)))
+      .toDF("word", "freq", "seg")
+    (merges, segRel)
+  }
+
+  /** Incremental in-memory BPE trainer (Sennrich '16 reference
+    * algorithm): pair counts are delta-maintained per rewritten word
+    * and the argmax comes from a lazy max-heap (stale entries are
+    * re-validated against the live count on pop — every count change
+    * pushes a fresh entry, so the live value of every pair is always
+    * present). Per merge the work is O(affected words × word length),
+    * independent of vocab size and corpus size. Returns the ranked
+    * merges and each word's final '|'-joined segmentation, exactly
+    * [[learn]]'s semantics (same argmax tie-break, same
+    * leftmost-greedy fold).
+    */
+  private[graft] def trainLocal(words: Array[String], freqs: Array[Long],
+                                nMerges: Int): (Seq[LearnedMerge], Array[String]) = {
+    type Pair = (String, String)
+    val segs: Array[Array[String]] = words.map(_.map(_.toString).toArray)
+    val counts = mutable.HashMap.empty[Pair, Long]
+    val where = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
+    // (count desc, "a b" string asc) — identical to learn's argmax
+    val ord: Ordering[(Long, Pair)] = (x, y) => {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c
+      else (y._2._1 + " " + y._2._2).compareTo(x._2._1 + " " + x._2._2)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Pair)](ord)
+
+    def pairsOf(seg: Array[String]): Iterator[Pair] =
+      if (seg.length < 2) Iterator.empty
+      else (0 until seg.length - 1).iterator.map(j => (seg(j), seg(j + 1)))
+
+    for (i <- words.indices; p <- pairsOf(segs(i))) {
+      counts.updateWith(p)(c => Some(c.getOrElse(0L) + freqs(i)))
+      where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+    }
+    counts.foreach { case (p, c) => heap.enqueue((c, p)) }
+
+    def mergeOnce(s: Array[String], a: String, b: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val merges = Seq.newBuilder[LearnedMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // drop stale heap entries until the top reflects a live count
+      while (heap.nonEmpty && !counts.get(heap.head._2).contains(heap.head._1))
+        heap.dequeue()
+      if (heap.isEmpty) exhausted = true
+      else {
+        val (cnt, best @ (a, b)) = heap.dequeue()
+        merges += LearnedMerge(rank, a, b, cnt)
+        val affected = where.getOrElse(best, mutable.HashSet.empty).toArray
+        for (i <- affected) {
+          val before = segs(i)
+          val after = mergeOnce(before, a, b)
+          segs(i) = after
+          val delta = mutable.HashMap.empty[Pair, Long]
+          pairsOf(before).foreach(p =>
+            delta.updateWith(p)(c => Some(c.getOrElse(0L) - freqs(i))))
+          pairsOf(after).foreach(p =>
+            delta.updateWith(p)(c => Some(c.getOrElse(0L) + freqs(i))))
+          val beforeSet = pairsOf(before).toSet
+          val afterSet = pairsOf(after).toSet
+          (beforeSet diff afterSet).foreach(p => where.get(p).foreach(_ -= i))
+          (afterSet diff beforeSet).foreach(p =>
+            where.getOrElseUpdate(p, mutable.HashSet.empty) += i)
+          delta.foreach { case (p, d) =>
+            if (d != 0L) {
+              val nc = counts.getOrElse(p, 0L) + d
+              if (nc <= 0L) counts.remove(p)
+              else { counts(p) = nc; heap.enqueue((nc, p)) }
+            }
+          }
+        }
+        where.remove(best)
+        rank += 1
+      }
+    }
+    (merges.result(), segs.map(_.mkString("|")))
   }
 
   /** Apply an ordered merge list to a (word) relation → (word, seg):

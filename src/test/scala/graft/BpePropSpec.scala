@@ -77,6 +77,10 @@ class BpePropSpec extends SparkSpec {
       val expMerges = BpeReference.learn(wf, 4)
       val segMap = seg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
       seg.unpersist()
+      // the driver-local trainer must be bit-identical to both
+      val (locMerges, locSeg) = graft.ops.Bpe.learnLocal(df, nMerges = 4)
+      val locSegMap = locSeg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      val localOk = locMerges == merges && locSegMap == segMap
       val pairList = merges.map(m => (m.left_sym, m.right_sym))
       val mergesOk = merges.map(m => (m.left_sym, m.right_sym, m.cnt)) == expMerges
       // every trained word's seg = rank-order application of the merges
@@ -92,12 +96,35 @@ class BpePropSpec extends SparkSpec {
       val oovOk = encPieces == BpeReference.apply(probe, pairList)
       Prop.all(
         Prop(mergesOk) :| s"merges $merges != $expMerges for $wf",
+        Prop(localOk) :| s"learnLocal diverges: $locMerges vs $merges / $locSegMap vs $segMap",
         Prop(segsOk) :| s"segs diverge for $wf: $segMap",
         Prop(reconOk) :| s"reconstruction broken: $segMap",
         Prop(oovOk) :| s"OOV '$probe' -> $encPieces != ${BpeReference.apply(probe, pairList)}")
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("trainLocal == reference at production-scale merge counts (incl. exhaustion)") {
+    // the incremental heap trainer vs the quadratic recount reference
+    // at a merge count far past what the distributed trainer can
+    // replay — a deterministic 300-word vocab, 512 requested merges
+    // (the corpus exhausts first, so early-stop parity is covered too)
+    val rng = new scala.util.Random(7)
+    val words = (1 to 300).map(_ =>
+      (1 to (3 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(5)).toChar).mkString)
+      .distinct.toArray
+    val freqs = words.map(_ => 1L + rng.nextInt(50).toLong)
+    val wf = words.zip(freqs).toMap
+    val exp = BpeReference.learn(wf, 512)
+    val (got, segs) = graft.ops.Bpe.trainLocal(words, freqs, 512)
+    assert(got.map(m => (m.left_sym, m.right_sym, m.cnt)) == exp,
+      s"first divergence at rank ${got.map(m => (m.left_sym, m.right_sym, m.cnt)).zip(exp).indexWhere(p => p._1 != p._2)}")
+    // final segmentations are the rank-order application of the merges
+    val pairList = got.map(m => (m.left_sym, m.right_sym))
+    words.indices.foreach { i =>
+      assert(segs(i).split("\\|").toVector == BpeReference.apply(words(i), pairList))
+    }
   }
 
   // ---- blocked cross top-k ------------------------------------------
