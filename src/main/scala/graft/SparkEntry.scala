@@ -2588,7 +2588,7 @@ object SparkEntry {
            GROUP BY source HAVING sum(n_tokens) > 0),
          g AS (SELECT sum(tt)::BIGINT AS gt FROM tot),
          p AS (SELECT source, tt,
-             pow(tt::DOUBLE / (SELECT gt FROM g), 0.5) AS pw FROM tot),
+             sqrt(tt::DOUBLE / (SELECT gt FROM g)) AS pw FROM tot),
          p2 AS (SELECT source, tt, pw, row_number() OVER (ORDER BY source) AS i FROM p),
          zrec AS (
            SELECT 0::BIGINT AS i, 0.0::DOUBLE AS acc

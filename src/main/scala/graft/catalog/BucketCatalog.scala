@@ -288,8 +288,20 @@ class BucketCatalog(spark: SparkSession, root: String) {
       // unionKeepLast used to absorb them as a side effect, but the
       // append fast path (and group creation) write the batch as-is —
       // the fixed-record "one row per key" contract must not depend
-      // on which route the batch takes
-      val keyedU = keyed1.dropDuplicates(dedupKeys)
+      // on which route the batch takes. The winner is DETERMINISTIC:
+      // the row with the greatest value tuple (struct comparison over
+      // the non-key columns, CatalogSpec-pinned) — a batch DataFrame
+      // carries no row order, so "last write wins" is undefined within
+      // one batch and dropDuplicates' plan-dependent survivor would
+      // make re-runs diverge. Partial-aggregated (max_by), no window.
+      val allCols = keyed1.columns.toSeq
+      val valCols = allCols.filterNot(dedupKeys.contains)
+      val keyedU =
+        if (valCols.isEmpty) keyed1.dropDuplicates(dedupKeys)
+        else keyed1.groupBy(dedupKeys.map(col): _*)
+          .agg(max_by(struct(allCols.map(col): _*),
+            struct(valCols.map(col): _*)).as("__row"))
+          .select(allCols.map(c => col(s"__row.$c").as(c)): _*)
       buckets match {
         case Some(nb) =>
           val keyed = keyedU.withColumn("sbucket", sbucketCol(nb))
@@ -752,9 +764,18 @@ class BucketCatalog(spark: SparkSession, root: String) {
       // APPEND partition's batch max exceeds the stored max by
       // eligibility, and deleteRange/trim rewrites heal their entries
       // to the kept rows' true max. ≤ files-per-commit footer reads.
+      // A partition records a range ONLY when every one of its staged
+      // files exposes Epoch stats — one unreadable footer among
+      // readable ones would otherwise record an understated max and
+      // let a later overlapping batch take the append path (duplicate
+      // keys); partially-visible partitions fall into the clearRanges
+      // set below, routing their future writes through the safe merge
       val stagedRanges: Map[String, Long] = moves.toSeq
-        .flatMap { case (rel, f) => footerMaxEpoch(f).map(rel -> _) }
-        .groupBy(_._1).map { case (rel, ms) => rel -> ms.map(_._2).max }
+        .groupBy(_._1)
+        .flatMap { case (rel, fsOfPart) =>
+          val maxes = fsOfPart.map { case (_, f) => footerMaxEpoch(f) }
+          if (maxes.forall(_.isDefined)) Some(rel -> maxes.flatten.max) else None
+        }
       // the staged→live moves are independent renames into distinct
       // targets: run them on a bounded pool — serial, the ~7 ms
       // checksummed-rename constant is a minute-plus at the 16k-symbol

@@ -690,9 +690,15 @@ object Dedup {
     * reported collision is a real one.
     */
   def contaminationReport(
-      train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      train0: DataFrame, evalSet0: DataFrame, n: Int = 3,
       id: String = "doc_id", text: String = "text",
       collapseExact: Boolean = true): DataFrame = {
+    // null-text rows shingle to nothing on both engines (the pair-op
+    // convention at collapsedPairs): without this, Spark's
+    // otherwise-branch [""] shingle would let null docs collide while
+    // a SQL oracle's NULL split yields no grams — latent divergence
+    val train = train0.filter(col(text).isNotNull)
+    val evalSet = evalSet0.filter(col(text).isNotNull)
     // identical normalized texts have identical reports, so the clone
     // gate applies here exactly as in the pair ops: the gram explosion
     // and eval join run once per DISTINCT text, reports fan back out
@@ -734,10 +740,13 @@ object Dedup {
     * (train, eval, gram) hits reach the pair aggregation.
     */
   def contaminationPairs(
-      train: DataFrame, evalSet: DataFrame, n: Int = 3,
+      train0: DataFrame, evalSet0: DataFrame, n: Int = 3,
       minOverlap: Long = 2,
       id: String = "doc_id", text: String = "text",
       collapseExact: Boolean = true): DataFrame = {
+    // same null-text convention as contaminationReport
+    val train = train0.filter(col(text).isNotNull)
+    val evalSet = evalSet0.filter(col(text).isNotNull)
     if (collapseExact && cloneHeavy(train, lower(trim(col(text))))) {
       val groups = cloneGroups(train, id, text)
       val reps = contaminationPairsDistinct(

@@ -102,8 +102,16 @@ object Sampling {
       .sortBy(_._1)
     val grand = totals.map(_._2).sum
     require(grand > 0, "temperatureMix corpus has no tokens")
+    // α = 0.5 (the common mT5/XLM-R setting) goes through sqrt, which
+    // IEEE 754 requires to be correctly rounded — so the whole rate
+    // pipeline (integer totals → sqrt → ordered sum → mul/div → floor)
+    // is bit-identical across engines and the md5-vs-threshold
+    // comparison can never ulp-flip against a SQL oracle. General α
+    // uses pow, whose last ulp is libm-dependent.
+    val powf: Double => Double =
+      if (alpha == 0.5) math.sqrt else x => math.pow(x, alpha)
     val pows = totals.map { case (d, t) =>
-      (d, t, math.pow(t.toDouble / grand.toDouble, alpha))
+      (d, t, powf(t.toDouble / grand.toDouble))
     }
     val z = pows.foldLeft(0.0)(_ + _._3)
     val rates = pows.map { case (d, t, pw) =>

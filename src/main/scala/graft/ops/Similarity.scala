@@ -117,13 +117,21 @@ object Similarity {
   def marginMinePairs(
       xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
       mutual: Boolean = true,
-      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    // each crossTopK pass reads its inputs twice (block-count sizing +
+    // the blocked aggregation) and this runs two passes — persist both
+    // corpora once so uncached inputs aren't recomputed ~6×. Same
+    // cache-lifetime contract as the pipeline entries: scopedPersist
+    // is released by CacheScope/clearCache, not by this lazy plan.
+    val xsP = CacheScope.scopedPersist(xs.select(col(id), col(emb)))
+    val ysP = CacheScope.scopedPersist(ys.select(col(id), col(emb)))
     marginFromTopK(
-      crossTopK(xs, ys, k, id, emb)
+      crossTopK(xsP, ysP, k, id, emb)
         .select(col("query_id").as("x"), col(id).as("y"), col("score"), col("rank")),
-      crossTopK(ys, xs, k, id, emb)
+      crossTopK(ysP, xsP, k, id, emb)
         .select(col(id).as("x"), col("query_id").as("y"), col("score"), col("rank")),
       threshold, mutual)
+  }
 
   /** [[marginMinePairs]] with LSH-bucketed candidate discovery — the
     * 100 TB path: both corpora band into (id, band, bucket) rows and

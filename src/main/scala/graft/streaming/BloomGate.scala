@@ -29,19 +29,30 @@ private[streaming] object BloomGate {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     val spark = df.sparkSession
-    def raiseCap(key: String, want: Long): Unit = {
-      val cur = spark.conf.getOption(key).map(_.toLong)
-      if (cur.forall(_ < want)) spark.conf.set(key, want.toString)
+    // the caps only need to hold while the build aggregation runs;
+    // raise them for that window and RESTORE the prior values after,
+    // so a big gate build doesn't permanently resize every unrelated
+    // runtime bloom join filter in the session
+    val wants = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+    val saved = wants.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wants.foreach { case (k, want) =>
+      if (spark.conf.getOption(k).map(_.toLong).forall(_ < want))
+        spark.conf.set(k, want.toString)
     }
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    val agg = GraftColumns.column(
-      new BloomFilterAggregate(
-        XxHash64(Seq(GraftColumns.expr(value)), 42L),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bf = df.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bf == null) throw new IllegalArgumentException(emptyMsg)
-    bf
+    try {
+      val agg = GraftColumns.column(
+        new BloomFilterAggregate(
+          XxHash64(Seq(GraftColumns.expr(value)), 42L),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      val bf = df.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+      if (bf == null) throw new IllegalArgumentException(emptyMsg)
+      bf
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** Probe `value` against serialized filter bytes (same 42L seed as

@@ -471,6 +471,11 @@ class CatalogSpec extends SparkSpec {
     val dupRead = cat2.read(TimeBucketKey.parse("B/1Min/APP"))
       .filter(col("Epoch") === 5000L).collect()
     assert(dupRead.length == 1, s"in-batch dup keys must collapse, got ${dupRead.length}")
+    // ... and the surviving VALUE is deterministic: the greatest value
+    // tuple wins (not whichever row dropDuplicates' plan happened to
+    // keep) — so re-running the same batch can never flip the result
+    assert(dupRead.head.getAs[Double]("V") == 8.0,
+      s"in-batch dup winner must be the max value tuple, got ${dupRead.head}")
     // variable records: same epoch, distinct nanos must MERGE (key is
     // (Epoch, Nanoseconds); epoch equality alone forces the safe path)
     val vt = TimeBucketKey.parse("T/1Sec/APPV")

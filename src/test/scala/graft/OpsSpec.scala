@@ -506,6 +506,18 @@ class OpsSpec extends SparkSpec {
     val kept = graft.ops.Cluster.dedupedCorpus(corpus, threshold = 0.4, n = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L), s"$kept")
+    // decontamination: a null-text train doc must not register hits
+    // (its Spark-side [""] shingle would otherwise meet a null/empty
+    // eval text), and a null-text eval doc must not contaminate
+    val evalNull = Seq((100L, null.asInstanceOf[String]),
+      (101L, "shared words here")).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, evalNull, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep == Set(1L, 2L), s"contamination touched null docs: $rep")
+    val cp = Dedup.contaminationPairs(corpus, evalNull, n = 3, minOverlap = 1L)
+      .select("doc_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == Set((1L, 101L), (2L, 101L)), s"pairs touched null docs: $cp")
   }
 
   test("withPinnedCaches releases operator-held persists after a scoped run") {
