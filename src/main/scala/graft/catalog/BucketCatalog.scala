@@ -93,12 +93,18 @@ import scala.util.control.NonFatal
   * through one JVM (e.g. the RPC front's request pool) cannot lose
   * acknowledged rows to a read-merge-swap race. Across PROCESSES the
   * contract remains single writer per root, same as the reference
-  * (one server process owns the store and its WAL); readers are
+  * (one server process owns the store and its WAL) — ENFORCED, not
+  * conventional: local roots take an exclusive OS lock on
+  * `_graft_writer.lock`; non-local roots (no byte-range locks) hold
+  * a heartbeat lease in `_graft_writer.lease` with expiry-based
+  * takeover, a monotonic fencing token, and a commit-time fence that
+  * stops a superseded writer before its manifest flip. Readers are
   * unlimited in both dimensions. Commits leave a record in the commit
   * log; [[recoverOrphanedStaging]] cleans up after a crashed writer;
   * [[ReplicaSync]] builds read replicas from the commit log.
   */
-class BucketCatalog(spark: SparkSession, root: String) {
+class BucketCatalog(spark: SparkSession, root: String,
+                    leaseExpiryMs: Long = BucketCatalog.DefaultLeaseExpiryMs) {
   import BucketCatalog._
 
   // Manifest-resolved reads hand Spark an EXPLICIT path per live file;
@@ -133,14 +139,115 @@ class BucketCatalog(spark: SparkSession, root: String) {
     // cross-PROCESS single-writer guard (the in-process writeLock
     // below serializes same-JVM writers): the class doc's contract is
     // one writer process per root — the reference enforces it with an
-    // exclusive WAL file lock; this is the same OS advisory lock on
-    // `_graft_writer.lock`, held for the JVM's lifetime once the
-    // first mutation runs and released automatically on process
-    // death (no stale-lockfile problem). Local filesystems only —
-    // an object-store root has no byte-range locks and keeps the
-    // documented external single-writer contract.
-    BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
+    // exclusive WAL file lock.
+    //  - Local roots: the same OS advisory lock on
+    //    `_graft_writer.lock`, held for the JVM's lifetime once the
+    //    first mutation runs and released automatically on process
+    //    death (no stale-lockfile problem).
+    //  - Non-local roots (HDFS/object stores — no byte-range locks):
+    //    a heartbeat LEASE file enforces the contract instead of
+    //    leaving it to convention — see [[ensureWriterLease]] for the
+    //    acquire/renew/takeover rules and [[fenceWriterLease]] for
+    //    the commit-time fence a zombie writer cannot pass.
+    if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
+    else ensureWriterLease()
     writeLock(root, attGroup).synchronized(body)
+  }
+
+  // ---- writer lease (non-local roots) --------------------------------
+
+  private def leasePath = new Path(root, WriterLeaseFile)
+  private def leaseKey = new Path(root).toUri.toString
+
+  /** (writer, fencing token, wall-clock ms at last renewal), or None
+    * if no lease file exists.
+    */
+  private def readLease(): Option[(String, Long, Long)] =
+    if (!fs.exists(leasePath)) None
+    else {
+      val in = fs.open(leasePath)
+      try {
+        val n = om.readTree(in)
+        Some((n.get("writer").asText(), n.get("token").asLong(),
+          n.get("ts").asLong()))
+      } finally in.close()
+    }
+
+  private def writeLease(token: Long): Unit = {
+    val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
+      s""""token": $token, "ts": ${System.currentTimeMillis()}}"""
+    val out = fs.create(leasePath, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire or renew this process's writer lease on `root` —
+    * the single-writer contract ENFORCED (or at least loud) on
+    * filesystems without byte-range locks. Rules:
+    *  - our own lease renews (fresh `ts`, token unchanged); renewal
+    *    I/O is skipped while the last renewal is younger than a
+    *    quarter of the expiry;
+    *  - a foreign lease younger than `leaseExpiryMs` REFUSES the
+    *    mutation (another live writer owns the root);
+    *  - an absent or expired lease is taken over with a BUMPED
+    *    fencing token, then read back to verify the takeover stuck —
+    *    best-effort against a concurrent contender (object stores
+    *    lack an atomic compare-and-set; the read-back plus the
+    *    commit-time [[fenceWriterLease]] bound the damage to a lost
+    *    race being detected before anything becomes visible).
+    * Clock caveat: expiry compares wall clocks across writers, so the
+    * contract assumes skew well under the expiry — the standard lease
+    * assumption (e.g. Chubby §2.1's bounded clock drift).
+    */
+  private def ensureWriterLease(): Unit =
+    writeLock(root, "__writer_lease").synchronized {
+      val renewNanos = leaseExpiryMs * 1000000L / 4
+      val cached = BucketCatalog.leases.get(leaseKey)
+      if (cached != null && System.nanoTime() - cached._2 < renewNanos) ()
+      else {
+        val now = System.currentTimeMillis()
+        readLease() match {
+          case Some((w, t, _)) if w == BucketCatalog.processWriterId =>
+            writeLease(t)
+            BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
+          case Some((w, _, ts)) if now - ts < leaseExpiryMs =>
+            throw new IllegalStateException(
+              s"another writer ($w) holds a live lease on $root " +
+                s"(age ${now - ts} ms < expiry $leaseExpiryMs ms); the " +
+                "catalog contract is a single writer per root — point " +
+                "this writer at its own root or wait for the lease to expire")
+          case other =>
+            val t = other.map(_._2 + 1).getOrElse(1L)
+            writeLease(t)
+            readLease() match {
+              case Some((w2, t2, _))
+                if w2 == BucketCatalog.processWriterId && t2 == t =>
+                BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
+              case got =>
+                throw new IllegalStateException(
+                  s"lost a writer-lease takeover race on $root: $got")
+            }
+        }
+      }
+    }
+
+  /** Commit-time fence (non-local roots): re-read the lease just
+    * before the manifest flip and refuse to publish if this process
+    * no longer holds it at the token it acquired — a writer that
+    * stalled past its expiry and was superseded cannot make its
+    * staged data visible. One small read per commit.
+    */
+  private def fenceWriterLease(): Unit = {
+    val held = Option(BucketCatalog.leases.get(leaseKey)).map(_._1)
+    readLease() match {
+      case Some((w, t, _))
+        if w == BucketCatalog.processWriterId && held.contains(t) => ()
+      case got =>
+        throw new IllegalStateException(
+          s"writer lease on $root lost before manifest publish " +
+            s"(held token $held, found $got); commit fenced — another " +
+            "writer superseded this process")
+    }
   }
 
   // local-ness of the root decided from the RESOLVED FileSystem (the
@@ -618,6 +725,10 @@ class BucketCatalog(spark: SparkSession, root: String) {
       removeBuckets: Set[String] = Set.empty,
       setRanges: Map[String, Long] = Map.empty,
       clearRanges: Set[String] = Set.empty): Unit = {
+    // the manifest flip is the commit point: on lease-guarded roots a
+    // superseded writer must be stopped HERE, before its staged files
+    // can become visible
+    if (!rootIsLocalFs) fenceWriterLease()
     // bootstrap a pre-manifest root from its directory listing —
     // minus the files this very commit just moved in
     val added = addedFiles.toSet
@@ -1448,6 +1559,25 @@ object BucketCatalog {
 
   /** Name of the per-root cross-process writer lock file. */
   val WriterLockFile = "_graft_writer.lock"
+
+  /** Name of the per-root writer LEASE file (non-local roots, where
+    * no byte-range locks exist): JSON {writer, token, ts}.
+    */
+  val WriterLeaseFile = "_graft_writer.lease"
+
+  /** Default writer-lease expiry: a writer silent this long may be
+    * superseded by a contender (which bumps the fencing token).
+    */
+  val DefaultLeaseExpiryMs = 60000L
+
+  /** One writer identity per JVM — catalogs of one process share the
+    * lease, exactly like they share the OS lock on local roots.
+    */
+  private[catalog] val processWriterId = java.util.UUID.randomUUID().toString
+
+  // per-root held lease: (fencing token, nanoTime of last renewal)
+  private val leases =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   // per-canonical-lock-path acquired state: the FileLock (held for
   // the JVM's life). A FAILED acquisition stores nothing, so the next

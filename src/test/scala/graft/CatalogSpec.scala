@@ -416,6 +416,53 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(tbk).count() == 2)
   }
 
+  test("non-local roots: lease refuses a live foreign writer, takes over expired with a bumped token, fences a superseded commit") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    def writeLease(root: String, writer: String, token: Long, ts: Long): Unit =
+      Files.writeString(
+        java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile),
+        s"""{"writer": "$writer", "token": $token, "ts": $ts}""")
+    def readLease(root: String): (String, Long) = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readString(
+          java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile)))
+      (n.get("writer").asText(), n.get("token").asLong())
+    }
+    val batch = Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close")
+    // (1) a LIVE foreign lease refuses the mutation — the no-lock root
+    // is no longer writable by convention-trusting second writers
+    val root1 = freshRoot()
+    writeLease(root1, "foreign-writer", 3L, System.currentTimeMillis())
+    val cat1 = new BucketCatalog(spark, "nolock:" + root1)
+    val e1 = intercept[IllegalStateException] {
+      cat1.write(TimeBucketKey.parse("AAPL/1Min/LSE"), batch)
+    }
+    assert(e1.getMessage.contains("live lease"), e1.getMessage)
+    // (2) an EXPIRED foreign lease is taken over with a bumped fencing
+    // token, and writes proceed
+    val root2 = freshRoot()
+    writeLease(root2, "foreign-writer", 5L, System.currentTimeMillis() - 120000L)
+    val cat2 = new BucketCatalog(spark, "nolock:" + root2)
+    val tbk2 = TimeBucketKey.parse("AAPL/1Min/LSE")
+    cat2.create(tbk2, ohlcv, isVariable = false)
+    cat2.write(tbk2, batch)
+    assert(cat2.read(tbk2).count() == 1)
+    val (w2, t2) = readLease(root2)
+    assert(w2 != "foreign-writer" && t2 == 6L, s"takeover: $w2 token $t2")
+    // (3) a writer SUPERSEDED between renewal and commit is fenced at
+    // the manifest flip: steal the lease out from under cat2 (its
+    // in-memory renewal is fresh, so only the commit-time fence sees
+    // the theft) — the commit must refuse, and the acknowledged data
+    // must still be exactly the pre-theft row
+    writeLease(root2, "usurper", 7L, System.currentTimeMillis())
+    val e3 = intercept[IllegalStateException] {
+      cat2.write(tbk2, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    }
+    assert(e3.getMessage.contains("fenced"), e3.getMessage)
+    assert(cat2.read(tbk2).count() == 1, "fenced commit must not publish")
+  }
+
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
