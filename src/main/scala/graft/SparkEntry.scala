@@ -1255,6 +1255,26 @@ object SparkEntry {
         col("height").cast("long").as("height"))
         .orderBy("doc_id")
     }),
+    // decode-DOMAIN similarity through the injectable MediaDecoder
+    // seam: payloads decode to pixels via the deterministic synthetic
+    // codec, a 16-bin luminance histogram embeds each media row in the
+    // same decode+feature partition pass, and exact cosine top-10 runs
+    // over the embeddings — the full image-similarity pipeline shape
+    // with only the codec binding synthetic, exactly replayed by the
+    // oracle from the payload bytes
+    "q_multimodal_similarity" -> ((s, dir) => {
+      val media = Multimodal.mediaTable(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0))
+      val hist = Multimodal.luminanceHistogram(
+        s, media, Multimodal.SyntheticCodec(16), bins = 16)
+      Similarity.bruteForceTopK(
+          hist.select(col("doc_id").as("vec_id"), col("embedding")),
+          hist.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("vec_id"), col("embedding")),
+          k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // codec-free media dedup: positional chunk hashing over the binary
     // payloads — planted equal-length edited clones (%9 ids re-tagged
     // at +1e6 with the last byte replaced) pair with 7 of 8 chunks;
@@ -2761,6 +2781,28 @@ object SparkEntry {
          SELECT doc_id, n_bytes, header_sum,
             64 + header_sum % 512 AS width, 64 + (header_sum // 2) % 512 AS height
          FROM f ORDER BY doc_id""",
+
+    // synthetic-codec replay: pixel k = ascii of byte k (the fixtures
+    // are ASCII, so char == byte), 16-bin histogram as DOUBLE-exact
+    // small-integer counts, then the q_knn_brute cosine top-k pattern
+    "q_multimodal_similarity" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+         h AS (SELECT doc_id,
+             list_transform(range(0, 16), b ->
+               CAST(len(list_filter(
+                 list_transform(range(1, length(text) + 1), i -> ascii(text[i:i])),
+                 p -> p // 16 = b)) AS FLOAT)) AS embedding
+           FROM m),
+         q AS (SELECT doc_id AS query_id, embedding AS qe FROM h WHERE doc_id < 5),
+         scored AS (SELECT q.query_id, h.doc_id AS vec_id,
+             list_cosine_similarity(h.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM h, q WHERE h.doc_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
 
     "q_multimodal_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents

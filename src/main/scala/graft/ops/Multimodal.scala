@@ -19,6 +19,76 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, header_sum: Long, width: Int, height: Int)
 
+  /** Decoded media in the PIXEL domain: row-major grayscale. */
+  final case class DecodedMedia(
+      doc_id: Long, width: Int, height: Int, pixels: Array[Int])
+
+  /** The injectable codec seam: real deployments bind an image/audio
+    * library here (executor-local init amortizes per partition via
+    * `mapPartitions` — construct the native decoder once per task in
+    * an iterator wrapper, not per record). Everything downstream of
+    * `decode` — schema, batch shape, the histogram features, the
+    * similarity search — is codec-agnostic and stays identical when
+    * the binding changes, which is what [[SyntheticCodec]] exists to
+    * prove end-to-end under an exact oracle.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): DecodedMedia
+  }
+
+  /** Deterministic SYNTHETIC codec (no media libraries exist in this
+    * environment): byte k of the payload is pixel k (0-255), row-major
+    * at a fixed `width`, height = ceil(n / width), no padding (the
+    * last row may be short). Exactly replayable by a SQL oracle over
+    * the same payload bytes — the point: it drives the REAL decode-
+    * domain plumbing (trait dispatch, partition-batch decode, feature
+    * extraction, similarity) under a hash-level correctness gate.
+    */
+  final case class SyntheticCodec(width: Int = 16) extends MediaDecoder {
+    require(width >= 1, s"width must be positive, got $width")
+    def decode(r: MediaRecord): DecodedMedia = {
+      val n = r.media.length
+      val px = new Array[Int](n)
+      var i = 0
+      while (i < n) { px(i) = r.media(i) & 0xFF; i += 1 }
+      DecodedMedia(r.doc_id, width, (n + width - 1) / width, px)
+    }
+  }
+
+  /** Decode every payload through `decoder` — one partition-batch
+    * pass, the vectorized-UDF shape.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame,
+                  decoder: MediaDecoder): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media", "format").as[MediaRecord]
+      .mapPartitions(_.map(decoder.decode))
+      .toDF()
+  }
+
+  /** Decode-domain features: a `bins`-bucket luminance histogram per
+    * media row (embedding column, raw counts — cosine is scale-
+    * invariant, and integer counts stay float-exact across engines).
+    * Decode and histogram run in ONE mapPartitions pass, the way a
+    * production feature extractor sits in the codec's batch loop.
+    * Output: (doc_id, width, height, embedding).
+    */
+  def luminanceHistogram(spark: SparkSession, media: DataFrame,
+                         decoder: MediaDecoder, bins: Int = 16): DataFrame = {
+    require(bins >= 1 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    import spark.implicits._
+    val per = 256 / bins
+    media.select("doc_id", "media", "format").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val d = decoder.decode(r)
+        val h = new Array[Float](bins)
+        var i = 0
+        while (i < d.pixels.length) { h(d.pixels(i) / per) += 1f; i += 1 }
+        (d.doc_id, d.width, d.height, h.toSeq)
+      })
+      .toDF("doc_id", "width", "height", "embedding")
+  }
+
   /** Documents → media table: payload as opaque binary + metadata. */
   def mediaTable(docs: DataFrame, id: String = "doc_id",
       payload: String = "text", format: String = "source"): DataFrame =
@@ -26,8 +96,10 @@ object Multimodal {
       col(format).as("format"))
 
   /** STUB "decode": deterministic features from the payload bytes.
-    * Real deployments replace the body with an image/audio codec —
-    * the signature, schema and batch shape stay identical.
+    * Real deployments bind an image/audio codec through the
+    * [[MediaDecoder]] seam instead — [[SyntheticCodec]] exercises that
+    * whole decode-domain path under an exact oracle; this stub remains
+    * only as the header-features fake for the metadata entries.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.media.length

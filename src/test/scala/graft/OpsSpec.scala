@@ -1698,6 +1698,24 @@ class OpsSpec extends SparkSpec {
         s"only-collapsed=${(collapsed.toSet -- direct.toSet).take(3)}")
   }
 
+  test("synthetic codec: pixel domain + histogram hand values through the decoder seam") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // "abc" = bytes 97 98 99 -> pixels 97 98 99, width 2 -> height 2,
+    // all three land in luminance bin 6 (96-111)
+    val media = Seq((7L, "abc")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("media"),
+        lit("img").as("format"))
+    val dec = Multimodal.decodeMedia(spark, media, Multimodal.SyntheticCodec(2))
+      .collect().head
+    assert(dec.getLong(0) == 7L && dec.getInt(1) == 2 && dec.getInt(2) == 2)
+    assert(dec.getSeq[Int](3) == Seq(97, 98, 99), s"pixels: ${dec.getSeq[Int](3)}")
+    val h = Multimodal.luminanceHistogram(
+        spark, media, Multimodal.SyntheticCodec(2), bins = 16)
+      .collect().head.getSeq[Float](3)
+    assert(h(6) == 3f && h.sum == 3f, s"histogram: $h")
+  }
+
   test("corpusDiff: per-status hand values, duplicate content never multiplies rows") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "z"), (5L, "w"))
