@@ -20,4 +20,12 @@ object GraftColumns {
       spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** The session's extensions object (private[sql] on SparkSession):
+    * rules injected here are read each time an analyzer is BUILT, so
+    * they apply to sessions whose SessionState materializes after the
+    * injection — `newSession()` for an already-running one.
+    */
+  def extensions(spark: SparkSession): org.apache.spark.sql.SparkSessionExtensions =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
 }

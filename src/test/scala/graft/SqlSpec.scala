@@ -220,4 +220,54 @@ class SqlSpec extends SparkSpec {
          WHERE Epoch > '2000-01-05-12:00:00.12345678'""").collect()
     assert(rows.map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
   }
+
+  test("TbkSql: graft.`SYM/TF/AG` resolves as a plain Spark SQL table identifier") {
+    val (cat, _) = freshCatalog()
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLC")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, (1 to 60).map(i => (t0 + i * 60L, i.toDouble, i + 0.5))
+      .toDF("Epoch", "Open", "Close"))
+    val tbk2 = TimeBucketKey.parse("MSFT/1Min/OHLC")
+    cat.write(tbk2, (1 to 60).map(i => (t0 + i * 60L, 100.0 + i, 100.5 + i))
+      .toDF("Epoch", "Open", "Close"))
+    val s2 = graft.sql.TbkSql.enable(spark, cat)
+    // plain SELECT with a range predicate — no view registration step
+    val got = s2.sql(
+      s"""SELECT Epoch, Close FROM graft.`AAPL/1Min/OHLC`
+          WHERE Epoch >= ${t0 + 58 * 60} ORDER BY Epoch""").collect()
+    assert(got.map(_.getDouble(1)).toSeq == Seq(58.5, 59.5, 60.5))
+    // the identifiers work as first-class relations: a join of two TBKs
+    val j = s2.sql(
+      s"""SELECT a.Epoch, b.Open - a.Open AS spread
+          FROM graft.`AAPL/1Min/OHLC` a JOIN graft.`MSFT/1Min/OHLC` b USING (Epoch)
+          WHERE a.Epoch = ${t0 + 60}""").collect()
+    assert(j.length == 1 && j.head.getDouble(1) == 100.0, j.mkString(","))
+    // ...and inside a subquery
+    val sq = s2.sql(
+      """SELECT count(*) AS n FROM (
+           SELECT Epoch FROM graft.`AAPL/1Min/OHLC` WHERE Open <= 5)""").collect()
+    assert(sq.head.getLong(0) == 5L)
+    // unknown catalog names still error the normal Spark way
+    intercept[Exception] { s2.sql("SELECT * FROM nograft.`A/B/C`").collect() }
+  }
+
+  test("TbkSql: SQL-resolved plans keep Epoch pushdown and column pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (cat, _) = freshCatalog()
+    val tbk = TimeBucketKey.parse("AAPL/1Min/OHLC")
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, (1 to 100).map(i => (i * 60L, i.toDouble, i + 0.5))
+      .toDF("Epoch", "Open", "Close"))
+    val s2 = graft.sql.TbkSql.enable(spark, cat)
+    val q = s2.sql(
+      "SELECT Open FROM graft.`AAPL/1Min/OHLC` WHERE Epoch >= 600 AND Epoch <= 1200")
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no parquet scan in the SQL-resolved plan")
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(Epoch,600)") &&
+      meta("PushedFilters").contains("LessThanOrEqual(Epoch,1200)"),
+      s"Epoch range not pushed: ${meta("PushedFilters")}")
+    assert(meta("ReadSchema").contains("Open") && !meta("ReadSchema").contains("Close"),
+      s"column pruning failed: ${meta("ReadSchema")}")
+  }
 }
