@@ -57,6 +57,12 @@ object SparkEntry {
   // invocation reclaims the previous one's copy)
   private val jsonlRtDir = new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  // q_sql_tbk_catalog's backing catalog, one temp root per process;
+  // repeated writes of the same batch are idempotent under
+  // slot-overwrite semantics
+  private val tbkSqlState = new java.util.concurrent.atomic.AtomicReference[
+    graft.catalog.BucketCatalog](null)
+
   /** Synthetic corporate-action rate changes, derived deterministically
     * from the events table (so the DuckDB oracle can rebuild them).
     */
@@ -294,6 +300,32 @@ object SparkEntry {
       svc.sql(
         """SELECT Epoch AS epoch, Nanoseconds AS nanoseconds, value
            FROM `PURCH/1Sec/VALS` ORDER BY epoch, nanoseconds""")
+    }),
+    // TBK names as PLAIN Spark SQL table identifiers via the injected
+    // resolution rule (TbkSql) — no per-query view registration, full
+    // Spark SQL surface (grouping here; joins/subqueries in SqlSpec),
+    // storage pruning intact (SqlSpec asserts PushedFilters on the
+    // SQL-resolved plan)
+    "q_sql_tbk_catalog" -> ((s, dir) => {
+      val cat = Option(tbkSqlState.get).getOrElse {
+        val root = java.nio.file.Files.createTempDirectory("graft-tbksql").toString
+        tbkSqlState.compareAndSet(null, new graft.catalog.BucketCatalog(s, root))
+        tbkSqlState.get
+      }
+      // re-enable per invocation: rebinds the dynamic "graft" name to
+      // THIS catalog even if another caller (a test suite in the same
+      // JVM) bound it in between; the catalog root itself is cached so
+      // repeated runs don't leak temp corpora
+      val s2 = graft.sql.TbkSql.enable(s, cat)
+      cat.write(graft.core.TimeBucketKey.parse("PURCH/1Sec/CAT"),
+        purchases(s, dir).select(col("Epoch"), col("Nanoseconds"),
+          col("value"), col("event_id")))
+      s2.sql(
+        s"""SELECT Epoch AS epoch, count(*) AS n_trades,
+              round(sum(value), 6) AS value_sum
+            FROM graft.`PURCH/1Sec/CAT`
+            WHERE Epoch >= $T1 AND Epoch < $T2
+            GROUP BY Epoch ORDER BY epoch""")
     })
   ) ++ roundTripQueries ++ opsQueries
 
@@ -671,6 +703,14 @@ object SparkEntry {
     // re-expressed as a hashed-window shuffle + gaps-and-islands merge)
     "q_dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10)
+        .orderBy("doc_id", "span_start")),
+    // the EXACT-substring sibling (Lee et al. '22 ExactSubstr): the
+    // window key is the content itself, so no hash collision can mark
+    // a unique window duplicated — the suffix-array method's answer,
+    // computed with a content-keyed shuffle instead of a single-node
+    // index
+    "q_dedup_spans_exact" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 10, hash = "exact")
         .orderBy("doc_id", "span_start")),
     // snapshot diff by content hash (dataset versioning report): b is
     // a deterministically-mutated copy of the corpus — %7 ids dropped,
@@ -1233,19 +1273,8 @@ object SparkEntry {
     }),
     // per-source corpus report card: volume, clone rate, token mass,
     // and language composition in one grouped pass
-    "q_report_sources" -> ((s, dir) => {
-      val d = TextAnalysis.withLangId(
-        TextAnalysis.withTokenCounts(Tables.documents(s, dir)))
-      d.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          // the clone identity every exact-dup consumer keys on: the
-          // distinct aggregate shuffles 32-char hashes, not text bodies
-          count_distinct(Dedup.contentHash(col("text"))).as("n_distinct_texts"),
-          sum(col("n_tokens").cast("long")).as("total_tokens"),
-          round(avg(col("n_tokens")), 6).as("avg_tokens"),
-          sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
-        .orderBy("source")
-    }),
+    "q_report_sources" -> ((s, dir) =>
+      TextAnalysis.sourceReport(Tables.documents(s, dir))),
 
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
@@ -1579,7 +1608,15 @@ object SparkEntry {
       """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds, value
          FROM events
          WHERE event_type = 'purchase' AND epoch_us(ts)*1000 < 1705708800000000000
-         ORDER BY epoch, nanoseconds"""
+         ORDER BY epoch, nanoseconds""",
+
+    "q_sql_tbk_catalog" ->
+      s"""SELECT epoch, count(*)::BIGINT AS n_trades,
+            round(sum(value), 6) AS value_sum
+          FROM (SELECT epoch_us(ts)//1000000 AS epoch, value FROM events
+                WHERE event_type = 'purchase')
+          WHERE epoch >= $T1 AND epoch < $T2
+          GROUP BY epoch ORDER BY epoch"""
   ) ++ roundTripOracleSql ++ opsOracleSql
 
   /** Round-trip oracles: the write→mutate→read-back pipelines above
@@ -1953,6 +1990,23 @@ object SparkEntry {
     "q_dedup_spans" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)),' ') AS ts FROM documents),
          w AS (SELECT doc_id, r.i AS pos, md5(array_to_string(ts[r.i:r.i+9],' ')) AS h
+               FROM tok, LATERAL (SELECT unnest(range(1, len(ts)-8)) AS i) r
+               WHERE len(ts) >= 10),
+         d AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM w) t
+               WHERE c > 1),
+         fl AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos, 1, -1000000) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                      THEN 1 ELSE 0 END AS brk FROM d),
+         isl AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM fl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+         FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+
+    // identical replay keyed on the raw window text (no digest)
+    "q_dedup_spans_exact" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(trim(text)),' ') AS ts FROM documents),
+         w AS (SELECT doc_id, r.i AS pos, array_to_string(ts[r.i:r.i+9],' ') AS h
                FROM tok, LATERAL (SELECT unnest(range(1, len(ts)-8)) AS i) r
                WHERE len(ts) >= 10),
          d AS (SELECT doc_id, pos FROM (
