@@ -730,4 +730,24 @@ object TextAnalysis {
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         col("avg_logprob"))
   }
+
+  /** Per-source corpus report card: volume, distinct-content count
+    * (the clone identity exact dedup keys on — 32-char hashes through
+    * the distinct aggregate, never text bodies), token mass, and
+    * language composition, in one grouped pass over the featured
+    * corpus. The at-a-glance health table a data team reads per
+    * ingestion source; also the `report_card` op of the RPC job
+    * surface.
+    */
+  def sourceReport(df: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val d = withLangId(withTokenCounts(df, textCol = textCol), textCol = textCol)
+    d.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(Dedup.contentHash(col(textCol))).as("n_distinct_texts"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
+      .orderBy(sourceCol)
+  }
 }

@@ -144,7 +144,79 @@ class RpcServer(
     case "DataService.Destroy" => destroyEndpoint(params)
     case "DataService.ListSymbols" => listSymbolsEndpoint(params)
     case "DataService.GetInfo" => getInfoEndpoint(params)
+    case "OpsService.Run" => runOpEndpoint(params)
     case other => throw new IllegalArgumentException(s"rpc: unknown method '$other'")
+  }
+
+  /** The LLM-pipeline job surface: named op + table in → table out.
+    * The timeseries extension point is the `functions` pipeline of
+    * DataService.Query; this is its corpus-scale sibling — the dedup /
+    * similarity / text operators as server jobs instead of
+    * library-only Scala calls. Inputs are parquet paths (the lake
+    * convention), outputs either land as parquet (`output` param →
+    * {rows_written, path}) or return inline as a columns+rows payload
+    * capped at `limit` rows (default 10000, `truncated` flag set when
+    * the cap bit). Ops:
+    *  - `dedup_exact`: (doc_id, canonical_id) clone mapping
+    *    ([[graft.ops.Dedup.exactGroups]] expanded through membership)
+    *  - `knn`: exact cosine top-k ([[graft.ops.Similarity
+    *    .bruteForceTopK]]); queries from `options.queries` (a parquet
+    *    path) or the first `options.n_queries` ids of the input
+    *  - `report_card`: per-source corpus health
+    *    ([[graft.ops.TextAnalysis.sourceReport]])
+    */
+  private def runOpEndpoint(params: Map[Any, Any]): Map[String, Any] = {
+    requireQueryable()
+    val op = str(params, "op").getOrElse(
+      throw new IllegalArgumentException("ops: op required"))
+    val input = str(params, "input").getOrElse(
+      throw new IllegalArgumentException("ops: input (parquet path) required"))
+    val opts = params.getOrElse("options", Map.empty[Any, Any])
+      .asInstanceOf[Map[Any, Any]]
+    val df = spark.read.parquet(input)
+    val out = op match {
+      case "dedup_exact" =>
+        graft.ops.Dedup.exactGroups(df,
+            id = str(opts, "id").getOrElse("doc_id"),
+            text = str(opts, "text").getOrElse("text"))
+          .select(explode(col("ids")).as("doc_id"), col("canonical_id"))
+          .orderBy("doc_id")
+      case "knn" =>
+        val k = lng(opts, "k").getOrElse(10L).toInt
+        val queries = str(opts, "queries") match {
+          case Some(qPath) => spark.read.parquet(qPath)
+          case None => df.filter(
+            col("vec_id") < lng(opts, "n_queries").getOrElse(5L))
+        }
+        graft.ops.Similarity.bruteForceTopK(df, queries, k)
+          .orderBy("query_id", "vec_id")
+      case "report_card" =>
+        graft.ops.TextAnalysis.sourceReport(df,
+          textCol = str(opts, "text").getOrElse("text"),
+          sourceCol = str(opts, "source").getOrElse("source"))
+      case other =>
+        throw new IllegalArgumentException(s"ops: unknown op '$other' " +
+          "(supported: dedup_exact, knn, report_card)")
+    }
+    str(params, "output") match {
+      case Some(dest) =>
+        // row count observed on the write job itself — one execution
+        val obs = org.apache.spark.sql.Observation()
+        out.observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(dest)
+        Map("rows_written" -> obs.get("rows").asInstanceOf[Long],
+          "path" -> dest, "version" -> ServerInfo.Version)
+      case None =>
+        val limit = lng(params, "limit").getOrElse(10000L).toInt
+        val rows = out.limit(limit + 1).collect()
+        val kept = rows.take(limit)
+        Map(
+          "columns" -> out.columns.toVector,
+          "rows" -> kept.toVector.map(r =>
+            (0 until r.length).toVector.map(r.get)),
+          "truncated" -> (rows.length > limit),
+          "version" -> ServerInfo.Version)
+    }
   }
 
   private def requests(params: Map[Any, Any]): Seq[Map[Any, Any]] =

@@ -28,6 +28,21 @@ class WireSpec extends SparkSpec {
     resp("result").asInstanceOf[Map[Any, Any]]
   }
 
+  /** Like [[rpc]] but returns the whole response — for asserting the
+    * error channel itself.
+    */
+  private def rpcRaw(port: Int, method: String, params: Map[String, Any]): Map[Any, Any] = {
+    val req = Map("jsonrpc" -> "2.0", "method" -> method,
+      "params" -> Seq(params), "id" -> 1L)
+    val conn = new URL(s"http://127.0.0.1:$port/rpc")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-msgpack")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(MsgPack.encode(req))
+    MsgPack.decode(conn.getInputStream.readAllBytes()).asInstanceOf[Map[Any, Any]]
+  }
+
   test("msgpack codec round-trips the protocol value shapes") {
     val v = Map(
       "s" -> "hello", "neg" -> -5L, "big" -> 1590000000000L,
@@ -349,6 +364,71 @@ class WireSpec extends SparkSpec {
       assert(info("ServerResp").asInstanceOf[Map[Any, Any]]("error") == "")
       val dsv = info("DSV").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[Any, Any]])
       assert(dsv.map(d => d("Name") -> d("Type")) == Seq("Epoch" -> 3L, "Hits" -> 13L))
+    } finally srv.stop()
+  }
+
+  test("OpsService.Run: dedup_exact / knn / report_card as server jobs over the socket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-rpc").toString
+    // a tiny corpus with one exact clone pair and two sources
+    Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "the quick brown fox", "en", "web"),
+      (3L, "ganz anderer text hier", "de", "web"),
+      (4L, "the house and the water with the other people", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/docs")
+    // four 2-d embeddings: 10 and 11 nearly parallel, 12 orthogonal
+    Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(-1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/emb")
+    val cat = new BucketCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-wire-ops").toString)
+    val srv = new RpcServer(spark, cat, port = 0)
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // exact dedup: clone pair (1,2) collapses to canonical 1
+      val dd = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> s"$dir/docs"))
+      assert(dd("columns") == Vector("doc_id", "canonical_id"), dd("columns").toString)
+      val mapping = dd("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+      assert(mapping == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), mapping.toString)
+      assert(dd("truncated") == false)
+      // knn: top-2 neighbors of vec 10 — 11 first (cos ≈ 0.994), 12 second
+      val knn = rpc(port, "OpsService.Run",
+        Map("op" -> "knn", "input" -> s"$dir/emb",
+          "options" -> Map("k" -> 2L, "n_queries" -> 11L)))
+      val hits = knn("rows").asInstanceOf[Seq[Seq[Any]]]
+        .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
+      assert(hits == Seq(11L, 12L), s"knn rows: ${knn("rows")}")
+      // report card: per-source health table
+      val rep = rpc(port, "OpsService.Run",
+        Map("op" -> "report_card", "input" -> s"$dir/docs"))
+      assert(rep("columns") == Vector(
+        "source", "n_docs", "n_distinct_texts", "total_tokens", "avg_tokens", "n_en"))
+      val bySource = rep("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => r.head.toString -> r).toMap
+      assert(bySource("web")(1) == 3L && bySource("web")(2) == 2L,
+        s"web row: ${bySource("web")}")
+      assert(bySource("books")(1) == 1L && bySource("books")(5) == 1L)
+      // output mode: job lands parquet, returns the observed row count
+      val outPath = s"$dir/dedup_out"
+      val wrote = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> s"$dir/docs", "output" -> outPath))
+      assert(wrote("rows_written") == 4L, wrote.toString)
+      assert(spark.read.parquet(outPath).count() == 4L)
+      // inline cap: limit=2 truncates and says so
+      val capped = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> s"$dir/docs", "limit" -> 2L))
+      assert(capped("rows").asInstanceOf[Seq[_]].size == 2 && capped("truncated") == true)
+      // unknown op errors cleanly through the rpc error channel
+      val bad = rpcRaw(port, "OpsService.Run", Map("op" -> "nope", "input" -> s"$dir/docs"))
+      assert(bad.contains("error"), bad.toString)
     } finally srv.stop()
   }
 
