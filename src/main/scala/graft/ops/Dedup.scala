@@ -826,16 +826,26 @@ object Dedup {
   /** Span computation over (id, text, __w[eight]) rows — see
     * [[duplicatedSpans]] for semantics and the weight's role. `hash`
     * picks the window key for the op's one full-corpus shuffle:
-    * "md5" (the DuckDB-reproducible oracle default, 32-hex strings) or
-    * "xxhash64" (8-byte longs — the production knob, same selection
-    * semantics since only key equality matters; same trade as
-    * [[graft.ops.TextAnalysis.winnowingFingerprints]]).
+    *  - "md5": the DuckDB-reproducible default, 32-hex strings;
+    *  - "xxhash64": 8-byte longs — the cheap production knob, same
+    *    selection semantics since only key equality matters (the
+    *    [[graft.ops.TextAnalysis.winnowingFingerprints]] trade);
+    *  - "exact": the window CONTENT itself is the key — zero collision
+    *    probability, making the result EXACT in the Lee et al. 2022
+    *    §4.1 ("Deduplicating Training Data Makes Language Models
+    *    Better", ExactSubstr) sense. Their suffix array is the
+    *    single-node index answering "which length-k windows occur
+    *    twice"; a content-keyed group-by is the cluster-native way to
+    *    answer the identical question, at the cost of k-token strings
+    *    (not 16-byte digests) through the one shuffle — the collapse
+    *    gate still bounds it by distinct content.
     */
   private def spansOf(df: DataFrame, k: Int, id: String, text: String,
       hash: String): DataFrame = {
     def hashOf(c: Column): Column = hash match {
       case "md5" => md5(c)
       case "xxhash64" => xxhash64(c)
+      case "exact" => c
       case other => throw new IllegalArgumentException(s"unknown hash: $other")
     }
     val ts = toks(col(text))

@@ -1137,6 +1137,15 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(md5Spans == xxSpans, "hash knob changed the span selection")
     assert(md5Spans.nonEmpty, "sf0.001 corpus should contain duplicated runs")
+    // the EXACT (content-keyed) mode: collision-free by construction,
+    // so it must agree with the digest modes wherever no collision
+    // occurred — i.e. everywhere in practice, pinned on the real corpus
+    val exactSpans = Dedup.duplicatedSpans(docs, k = 10, hash = "exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(md5Spans == exactSpans, "exact mode diverged from the digest modes")
+    assert(spans(two, false) == Dedup.duplicatedSpans(two, k = 10,
+        collapseExact = false, hash = "exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
   test("exact delta dedup drops corpus clones, collapses batch dups, keeps fresh docs") {
