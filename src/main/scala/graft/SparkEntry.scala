@@ -628,6 +628,17 @@ object SparkEntry {
         graft.ops.Bpe.learnLocal(Tables.documents(s, dir), BpeLocalMergeCount)
       s.createDataset(merges).toDF().orderBy("rank")
     }),
+    // BYTE-level training (byte-fallback alphabet): every token
+    // trains from its UTF-8 bytes as hex symbols — punctuation and
+    // Unicode are first-class, nothing is OOV below the byte level,
+    // and fertility is the real bytes-per-word number. Oracle replays
+    // the same hex start state per merge
+    "q_bpe_merges_bytes" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = graft.ops.Bpe.learnLocal(
+        Tables.documents(s, dir), BpeByteMergeCount, byteLevel = true)
+      s.createDataset(merges).toDF().orderBy("rank")
+    }),
     // the learned tokenizer applied back over the corpus: per doc the
     // subword count and piece string — sequential rank-order
     // application reproduces training segmentations exactly, so the
@@ -1369,13 +1380,19 @@ object SparkEntry {
     */
   private val BpeLocalMergeCount = 256
 
+  /** Merge count for the byte-level entry: enough to fuse well past
+    * the single-byte alphabet into multi-byte pieces, small enough
+    * that the DuckDB replay stays seconds.
+    */
+  private val BpeByteMergeCount = 48
+
   /** Ranked-merge-table oracle: the n-block training replay plus the
     * rank-stamped union of every argmax row (empty blocks after
     * exhaustion contribute no rows, matching the trainer's early
     * stop).
     */
-  private def bpeMergesSql(n: Int): String =
-    bpeChain(n) + ",\n         mg AS (" +
+  private def bpeMergesSql(n: Int, byteLevel: Boolean = false): String =
+    bpeChain(n, byteLevel) + ",\n         mg AS (" +
       (1 to n).map(i =>
         s"SELECT $i AS rank, a AS left_sym, b AS right_sym, cnt FROM best$i")
         .mkString("\n           UNION ALL ") +
@@ -1389,14 +1406,19 @@ object SparkEntry {
     * Spark's `aggregate(slice(ts,2,…), ts[0], …)`). seg CTEs are
     * MATERIALIZED so the chain stays linear work in DuckDB.
     */
-  private def bpeChain(n: Int): String = {
-    val head = """WITH w AS MATERIALIZED (
+  private def bpeChain(n: Int, byteLevel: Boolean = false): String = {
+    val wFilter =
+      if (byteLevel) "tok != ''" else "regexp_full_match(tok, '[a-z0-9]+')"
+    val seg0 =
+      if (byteLevel) """rtrim(regexp_replace(hex(encode(word)), '(..)', '\1|', 'g'), '|')"""
+      else """rtrim(regexp_replace(word, '(.)', '\1|', 'g'), '|')"""
+    val head = s"""WITH w AS MATERIALIZED (
            SELECT tok AS word, count(*)::BIGINT AS freq FROM (
              SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
              FROM documents WHERE text IS NOT NULL)
-           WHERE regexp_full_match(tok, '[a-z0-9]+') GROUP BY tok),
+           WHERE $wFilter GROUP BY tok),
          seg0 AS MATERIALIZED (SELECT word, freq,
-           rtrim(regexp_replace(word, '(.)', '\1|', 'g'), '|') AS seg FROM w)"""
+           $seg0 AS seg FROM w)"""
     val blocks = (1 to n).map { i =>
       val p = i - 1
       s"""pairs$i AS (SELECT pr, sum(freq)::BIGINT AS cnt FROM (
@@ -1840,6 +1862,7 @@ object SparkEntry {
 
     "q_bpe_merges" -> bpeMergesSql(BpeMergeCount),
     "q_bpe_merges_local" -> bpeMergesSql(BpeLocalMergeCount),
+    "q_bpe_merges_bytes" -> bpeMergesSql(BpeByteMergeCount, byteLevel = true),
 
     "q_tokenize_bpe" -> (bpeChain(BpeMergeCount) + s""",
          tok AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS ord, unnest(ts) AS tok FROM (

@@ -29,10 +29,18 @@ import org.apache.spark.sql.functions._
   *    reproduces the training segmentation exactly — the property
   *    the oracle pins end-to-end.
   *
-  * Only [a-z0-9]+ whitespace tokens are trainable (keeps the '|'
-  * segment delimiter and the cross-engine regex semantics trivially
-  * safe); any other token passes through encoding as a single opaque
-  * piece, the way production tokenizers byte-fallback.
+  * Two alphabets:
+  *  - default: only [a-z0-9]+ whitespace tokens are trainable (keeps
+  *    the '|' segment delimiter and the cross-engine regex semantics
+  *    trivially safe); any other token passes through encoding as a
+  *    single opaque piece;
+  *  - `byteLevel = true`: the GPT-2-style byte-fallback — EVERY
+  *    non-empty token trains, starting from its UTF-8 bytes as
+  *    uppercase two-hex symbols ("é" → "C3|A9"). Hex symbols can
+  *    never collide with the delimiter or regex metacharacters, so
+  *    punctuation/Unicode/emoji are first-class and nothing is OOV
+  *    below the byte level; fertility numbers are the real
+  *    bytes-per-word ones a production tokenizer reports.
   *
   * Scale: training state is O(distinct words), never corpus-sized —
   * at 100 TB that is a ~10⁷-row relation. TWO trainers share that
@@ -74,17 +82,42 @@ object Bpe {
   final case class LearnedMerge(rank: Int, left_sym: String, right_sym: String, cnt: Long)
 
   /** Frequency-weighted distinct trainable words — the single
-    * corpus-scale aggregation of the whole training run.
+    * corpus-scale aggregation of the whole training run. With
+    * `byteLevel` every non-empty whitespace token is trainable (the
+    * GPT-2-style byte-fallback: nothing is ever OOV at the character
+    * level); without it only [a-z0-9]+ tokens train and the rest pass
+    * through encoding opaque.
     */
-  def wordFrequencies(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.filter(col(textCol).isNotNull)
+  def wordFrequencies(df: DataFrame, textCol: String = "text",
+                      byteLevel: Boolean = false): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(col("word").rlike(TrainableWord))
+    (if (byteLevel) toks.filter(length(col("word")) > 0)
+     else toks.filter(col("word").rlike(TrainableWord)))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
 
   /** Character-level start state, '|'-delimited ("bank" → "b|a|n|k"). */
   private def initialSeg(word: Column): Column =
     rtrim(regexp_replace(word, "(.)", "$1|"), "|")
+
+  /** BYTE-level start state: each UTF-8 byte as an uppercase two-hex
+    * symbol ("é" → "C3|A9") — the byte-fallback alphabet. Hex symbols
+    * never contain the '|' delimiter or regex metacharacters, so ANY
+    * token (punctuation, Unicode, emoji) trains safely, and the
+    * representation replays exactly in SQL (hex(encode(word))).
+    */
+  private def initialSegBytes(word: Column): Column =
+    rtrim(regexp_replace(
+      hex(org.apache.spark.sql.functions.encode(word, "UTF-8")),
+      "(..)", "$1|"), "|")
+
+  /** Driver-side mirror of the start states, for [[trainLocal]]. */
+  private def startSymbols(word: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel)
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xFF}%02X")
+    else word.map(_.toString).toArray
 
   /** Adjacent symbol pairs of a segmentation as "a b" strings (with
     * multiplicity) — empty for single-symbol words.
@@ -118,11 +151,13 @@ object Bpe {
     * every word is fully fused.
     */
   def learn(df: DataFrame, nMerges: Int, textCol: String = "text",
-            checkpointDir: Option[String] = None): (Seq[LearnedMerge], DataFrame) = {
+            checkpointDir: Option[String] = None,
+            byteLevel: Boolean = false): (Seq[LearnedMerge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val ckpt = CacheScope.checkpointer(df.sparkSession, checkpointDir)
-    var cur = ckpt(wordFrequencies(df, textCol)
-      .withColumn("seg", initialSeg(col("word"))))
+    var cur = ckpt(wordFrequencies(df, textCol, byteLevel)
+      .withColumn("seg",
+        if (byteLevel) initialSegBytes(col("word")) else initialSeg(col("word"))))
     val merges = Seq.newBuilder[LearnedMerge]
     var rank = 1
     var exhausted = false
@@ -155,16 +190,18 @@ object Bpe {
     * silently truncating; fall back to [[learn]] there.
     */
   def learnLocal(df: DataFrame, nMerges: Int, textCol: String = "text",
-                 maxDistinctWords: Int = 50000000): (Seq[LearnedMerge], DataFrame) = {
+                 maxDistinctWords: Int = 50000000,
+                 byteLevel: Boolean = false): (Seq[LearnedMerge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val spark = df.sparkSession
-    val rows = wordFrequencies(df, textCol).limit(maxDistinctWords + 1).collect()
+    val rows = wordFrequencies(df, textCol, byteLevel)
+      .limit(maxDistinctWords + 1).collect()
     require(rows.length <= maxDistinctWords,
       s"more than $maxDistinctWords distinct trainable words; use Bpe.learn " +
         "(distributed) or raise maxDistinctWords")
     val words = rows.map(_.getString(0))
     val freqs = rows.map(_.getLong(1))
-    val (merges, segs) = trainLocal(words, freqs, nMerges)
+    val (merges, segs) = trainLocal(words, freqs, nMerges, byteLevel)
     import spark.implicits._
     val segRel = words.indices
       .map(i => (words(i), freqs(i), segs(i)))
@@ -184,9 +221,10 @@ object Bpe {
     * leftmost-greedy fold).
     */
   private[graft] def trainLocal(words: Array[String], freqs: Array[Long],
-                                nMerges: Int): (Seq[LearnedMerge], Array[String]) = {
+                                nMerges: Int, byteLevel: Boolean = false)
+      : (Seq[LearnedMerge], Array[String]) = {
     type Pair = (String, String)
-    val segs: Array[Array[String]] = words.map(_.map(_.toString).toArray)
+    val segs: Array[Array[String]] = words.map(startSymbols(_, byteLevel))
     val counts = mutable.HashMap.empty[Pair, Long]
     val where = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
     // (count desc, "a b" string asc) — identical to learn's argmax
@@ -266,8 +304,10 @@ object Bpe {
     * merge count.
     */
   private def segmentWords(words: DataFrame, merges: Seq[LearnedMerge],
-                           ckpt: DataFrame => DataFrame): DataFrame = {
-    var cur = ckpt(words.withColumn("seg", initialSeg(col("word"))))
+                           ckpt: DataFrame => DataFrame,
+                           byteLevel: Boolean): DataFrame = {
+    var cur = ckpt(words.withColumn("seg",
+      if (byteLevel) initialSegBytes(col("word")) else initialSeg(col("word"))))
     merges.sortBy(_.rank).foreach { m =>
       val next = ckpt(cur.withColumn("seg",
         mergeFold(col("seg"), m.left_sym, m.right_sym)))
@@ -296,19 +336,22 @@ object Bpe {
     */
   def encode(df: DataFrame, segRel: DataFrame,
              merges: Option[Seq[LearnedMerge]] = None, textCol: String = "text",
-             idCol: String = "doc_id", broadcastVocab: Boolean = true): DataFrame = {
+             idCol: String = "doc_id", broadcastVocab: Boolean = true,
+             byteLevel: Boolean = false): DataFrame = {
     val trained = segRel.select(col("word"), col("seg"))
     val vocab = merges match {
       case None => trained
       case Some(ms) =>
-        val misses = df.filter(col(textCol).isNotNull)
+        val allToks = df.filter(col(textCol).isNotNull)
           .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-          .filter(col("word").rlike(TrainableWord))
-          .distinct()
-          .join(trained.select("word"), Seq("word"), "left_anti")
+        val misses =
+          (if (byteLevel) allToks.filter(length(col("word")) > 0)
+           else allToks.filter(col("word").rlike(TrainableWord)))
+            .distinct()
+            .join(trained.select("word"), Seq("word"), "left_anti")
         if (misses.isEmpty) trained
         else trained.unionByName(
-          segmentWords(misses, ms, _.localCheckpoint())
+          segmentWords(misses, ms, _.localCheckpoint(), byteLevel)
             .select(col("word"), col("seg")))
     }
     val tok = df.filter(col(textCol).isNotNull)

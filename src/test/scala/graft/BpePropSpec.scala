@@ -105,6 +105,42 @@ class BpePropSpec extends SparkSpec {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  test("byte-level BPE: distributed == local trainer on Unicode/punctuation corpora; segs reconstruct the bytes") {
+    // two independent implementations (Spark aggregation loop vs the
+    // incremental heap trainer) over the hex-byte start state must
+    // agree on corpora the default alphabet can't even train
+    val byteWordGen: Gen[String] = for {
+      len <- Gen.chooseNum(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'é', 'ñ', '中', '!', '.', '7'))
+    } yield cs.mkString
+    val byteCorpusGen: Gen[List[String]] = for {
+      nWords <- Gen.chooseNum(3, 8)
+      words <- Gen.listOfN(nWords, byteWordGen)
+      reps <- Gen.listOfN(nWords, Gen.chooseNum(1, 3))
+    } yield words.zip(reps).flatMap { case (w, r) => List.fill(r)(w) }
+    val prop = Prop.forAllNoShrink(byteCorpusGen) { corpus =>
+      val df = corpus.grouped(3).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val (dm, dseg) = graft.ops.Bpe.learn(df, nMerges = 4, byteLevel = true)
+      val dSegMap = dseg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      dseg.unpersist()
+      val (lm, lseg) = graft.ops.Bpe.learnLocal(df, nMerges = 4, byteLevel = true)
+      val lSegMap = lseg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      // hex symbols always reconstruct the word's exact UTF-8 bytes
+      val reconOk = lSegMap.forall { case (w, s) =>
+        s.replace("|", "") ==
+          w.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X").mkString
+      }
+      Prop.all(
+        Prop(dm == lm) :| s"byte-level merges diverge: $dm vs $lm",
+        Prop(dSegMap == lSegMap) :| s"byte-level segs diverge: $dSegMap vs $lSegMap",
+        Prop(reconOk) :| s"hex reconstruction broken: $lSegMap")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("trainLocal == reference at production-scale merge counts (incl. exhaustion)") {
     // the incremental heap trainer vs the quadratic recount reference
     // at a merge count far past what the distributed trainer can
