@@ -57,11 +57,15 @@ object SparkEntry {
   // invocation reclaims the previous one's copy)
   private val jsonlRtDir = new java.util.concurrent.atomic.AtomicReference[String](null)
 
-  // q_sql_tbk_catalog's backing catalog, one temp root per process;
-  // repeated writes of the same batch are idempotent under
-  // slot-overwrite semantics
-  private val tbkSqlState = new java.util.concurrent.atomic.AtomicReference[
-    graft.catalog.BucketCatalog](null)
+  // q_sql_tbk_catalog's backing catalogs, one temp root per INPUT DIR
+  // per process: a multi-scale bench run re-invokes the entry with
+  // different dirs in one JVM, and a shared root would keep the
+  // previous dir's rows (slot overwrite never deletes keys the new
+  // batch doesn't touch) — stale rows the oracle, computed from the
+  // current dir only, would flag. Re-invocations for the SAME dir
+  // reuse the root; their rewrites are idempotent.
+  private val tbkSqlState = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.catalog.BucketCatalog]()
 
   /** Synthetic corporate-action rate changes, derived deterministically
     * from the events table (so the DuckDB oracle can rebuild them).
@@ -307,11 +311,9 @@ object SparkEntry {
     // storage pruning intact (SqlSpec asserts PushedFilters on the
     // SQL-resolved plan)
     "q_sql_tbk_catalog" -> ((s, dir) => {
-      val cat = Option(tbkSqlState.get).getOrElse {
-        val root = java.nio.file.Files.createTempDirectory("graft-tbksql").toString
-        tbkSqlState.compareAndSet(null, new graft.catalog.BucketCatalog(s, root))
-        tbkSqlState.get
-      }
+      val cat = tbkSqlState.computeIfAbsent(dir, _ =>
+        new graft.catalog.BucketCatalog(s,
+          java.nio.file.Files.createTempDirectory("graft-tbksql").toString))
       // re-enable per invocation: rebinds the dynamic "graft" name to
       // THIS catalog even if another caller (a test suite in the same
       // JVM) bound it in between; the catalog root itself is cached so

@@ -160,18 +160,37 @@ class BucketCatalog(spark: SparkSession, root: String,
   private def leaseKey = new Path(root).toUri.toString
 
   /** (writer, fencing token, wall-clock ms at last renewal), or None
-    * if no lease file exists.
+    * if no lease file exists. A read landing in another writer's
+    * create-truncate window can see partial JSON — retried once after
+    * a short pause; a STILL-unreadable lease throws (refusing loudly)
+    * rather than reading as absent, because "absent" licenses a
+    * destructive takeover and garbage must never do that.
     */
-  private def readLease(): Option[(String, Long, Long)] =
-    if (!fs.exists(leasePath)) None
-    else {
-      val in = fs.open(leasePath)
-      try {
-        val n = om.readTree(in)
-        Some((n.get("writer").asText(), n.get("token").asLong(),
-          n.get("ts").asLong()))
-      } finally in.close()
+  private def readLease(): Option[(String, Long, Long)] = {
+    def once(): Option[(String, Long, Long)] =
+      if (!fs.exists(leasePath)) None
+      else {
+        val in = fs.open(leasePath)
+        try {
+          val n = om.readTree(in)
+          Some((n.get("writer").asText(), n.get("token").asLong(),
+            n.get("ts").asLong()))
+        } finally in.close()
+      }
+    try once()
+    catch {
+      case NonFatal(_) =>
+        Thread.sleep(50)
+        try once()
+        catch {
+          case NonFatal(e) =>
+            throw new IllegalStateException(
+              s"unreadable writer lease on $root (${e.getMessage}); " +
+                "refusing to mutate — repair or remove " +
+                s"$WriterLeaseFile manually if it is corrupt", e)
+        }
     }
+  }
 
   private def writeLease(token: Long): Unit = {
     val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
@@ -186,15 +205,18 @@ class BucketCatalog(spark: SparkSession, root: String,
     * filesystems without byte-range locks. Rules:
     *  - our own lease renews (fresh `ts`, token unchanged); renewal
     *    I/O is skipped while the last renewal is younger than a
-    *    quarter of the expiry;
+    *    quarter of the expiry, and a daemon HEARTBEAT re-renews every
+    *    quarter-expiry for as long as the lease is held — so a
+    *    mutation whose Spark job outlives the expiry (a multi-minute
+    *    merge commit is routine at 16k symbols) stays live instead of
+    *    presenting as expired and getting superseded mid-commit;
     *  - a foreign lease younger than `leaseExpiryMs` REFUSES the
     *    mutation (another live writer owns the root);
     *  - an absent or expired lease is taken over with a BUMPED
     *    fencing token, then read back to verify the takeover stuck —
     *    best-effort against a concurrent contender (object stores
-    *    lack an atomic compare-and-set; the read-back plus the
-    *    commit-time [[fenceWriterLease]] bound the damage to a lost
-    *    race being detected before anything becomes visible).
+    *    lack a portable compare-and-set; the read-back plus the
+    *    commit-time [[fenceWriterLease]] bound the damage).
     * Clock caveat: expiry compares wall clocks across writers, so the
     * contract assumes skew well under the expiry — the standard lease
     * assumption (e.g. Chubby §2.1's bounded clock drift).
@@ -210,6 +232,7 @@ class BucketCatalog(spark: SparkSession, root: String,
           case Some((w, t, _)) if w == BucketCatalog.processWriterId =>
             writeLease(t)
             BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
+            startHeartbeat()
           case Some((w, _, ts)) if now - ts < leaseExpiryMs =>
             throw new IllegalStateException(
               s"another writer ($w) holds a live lease on $root " +
@@ -223,6 +246,7 @@ class BucketCatalog(spark: SparkSession, root: String,
               case Some((w2, t2, _))
                 if w2 == BucketCatalog.processWriterId && t2 == t =>
                 BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
+                startHeartbeat()
               case got =>
                 throw new IllegalStateException(
                   s"lost a writer-lease takeover race on $root: $got")
@@ -231,11 +255,48 @@ class BucketCatalog(spark: SparkSession, root: String,
       }
     }
 
+  /** Register this root's daemon lease renewer (once per process and
+    * root): every quarter-expiry, while the leases map says we hold
+    * the lease, rewrite it with a fresh `ts` — unless the file shows a
+    * foreign writer (we were superseded while idle: stop renewing and
+    * drop the held entry so the next mutation refuses/fences cleanly).
+    * Never throws into the scheduler.
+    */
+  private def startHeartbeat(): Unit = {
+    val key = leaseKey
+    BucketCatalog.leaseHeartbeats.computeIfAbsent(key, _ =>
+      BucketCatalog.leaseScheduler.scheduleWithFixedDelay(
+        () => writeLock(root, "__writer_lease").synchronized {
+          try {
+            Option(BucketCatalog.leases.get(key)).foreach { case (t, _) =>
+              readLease() match {
+                case Some((w, t2, _))
+                  if w == BucketCatalog.processWriterId && t2 == t =>
+                  writeLease(t)
+                  BucketCatalog.leases.put(key, (t, System.nanoTime()))
+                case _ => BucketCatalog.leases.remove(key)
+              }
+            }
+          } catch { case NonFatal(_) => () }
+        },
+        leaseExpiryMs / 4, leaseExpiryMs / 4,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    ()
+  }
+
   /** Commit-time fence (non-local roots): re-read the lease just
     * before the manifest flip and refuse to publish if this process
     * no longer holds it at the token it acquired — a writer that
-    * stalled past its expiry and was superseded cannot make its
-    * staged data visible. One small read per commit.
+    * stalled past its expiry and was superseded is refused here,
+    * before its staged data can become visible. One small read per
+    * commit. Residual window: a contender whose takeover lands
+    * BETWEEN this read and the manifest rename publishes concurrently
+    * with us — bounding that window to zero needs a storage-side
+    * compare-and-set (e.g. S3 conditional PUT keyed on the fencing
+    * token, HDFS lease recovery); the monotonic token carried here is
+    * the hook for wiring one in. With the heartbeat keeping healthy
+    * writers live, entering this window at all requires a writer
+    * stalled for a full expiry that wakes in exactly that instant.
     */
   private def fenceWriterLease(): Unit = {
     val held = Option(BucketCatalog.leases.get(leaseKey)).map(_._1)
@@ -1084,10 +1145,14 @@ class BucketCatalog(spark: SparkSession, root: String,
     * directories removed.
     */
   def recoverOrphanedStaging(): Int = {
-    // destructive sweep — MUST hold the cross-process writer lock: a
+    // destructive sweep — MUST hold the cross-process writer guard: a
     // startup sweep racing another process's mid-commit moves would
-    // delete files whose manifest flip hasn't landed yet
-    BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
+    // delete files whose manifest flip hasn't landed yet. Same guard
+    // pair as mutate: OS lock on local roots, writer LEASE elsewhere —
+    // a sweep that skipped the lease would be exactly the second
+    // writer the lease exists to refuse.
+    if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
+    else ensureWriterLease()
     val p = new Path(root)
     if (!fs.exists(p)) return 0
     val orphans = fs.listStatus(p).toSeq
@@ -1578,6 +1643,18 @@ object BucketCatalog {
   // per-root held lease: (fencing token, nanoTime of last renewal)
   private val leases =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  // daemon renewer shared by every held lease in the process — one
+  // thread, quarter-expiry cadence per root (see startHeartbeat)
+  private val leaseScheduler = {
+    val s = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+      })
+    s
+  }
+  private val leaseHeartbeats = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ScheduledFuture[_]]()
 
   // per-canonical-lock-path acquired state: the FileLock (held for
   // the JVM's life). A FAILED acquisition stores nothing, so the next

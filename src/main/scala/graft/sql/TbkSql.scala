@@ -32,35 +32,51 @@ import scala.util.Try
   *
   * Session-extension timing: an analyzer reads the injected rules
   * when it is BUILT, so [[enable]] injects into the session's
-  * extensions and returns `newSession()` — the returned session's
-  * (lazily built) analyzer sees the rule even when the original
-  * session's analyzer was already materialized. The original session
-  * is untouched unless its own analyzer had not been built yet.
+  * extensions (once per name) and returns a session CLONE — same
+  * runtime conf, temp views and UDFs, but a lazily rebuilt analyzer
+  * that sees the rule even when the original session's analyzer was
+  * already materialized. The original session is untouched unless
+  * its own analyzer had not been built yet.
   */
 object TbkSql {
 
   // process-wide name → catalog bindings, read by the rule AT APPLY
   // TIME: the LATEST enable for a name wins everywhere (re-running a
-  // pipeline that rebuilds its catalog just rebinds), and duplicate
-  // rule injections for one name are behaviorally identical
+  // pipeline that rebuilds its catalog just rebinds)
   private val bindings =
     new java.util.concurrent.ConcurrentHashMap[String, BucketCatalog]()
+
+  // one rule injection per (extensions object, name): re-enabling
+  // only rebinds — the analyzer must not accumulate a duplicate rule
+  // per call (a per-request enable in a long-lived server would
+  // otherwise grow analysis cost without bound). WeakHashMap so a
+  // discarded session's extensions object stays collectable.
+  private val injected =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSessionExtensions,
+      scala.collection.mutable.Set[String]]()
 
   private[sql] def catalogFor(name: String): Option[BucketCatalog] =
     Option(bindings.get(name.toLowerCase))
 
   /** Bind `catalogName` to `catalog` and return a session whose SQL
-    * resolves `catalogName`.`TBK` identifiers. The binding is dynamic
-    * and process-wide: the most recent `enable` for a name wins in
-    * every session carrying the rule — bind DISTINCT names for
-    * catalogs used concurrently.
+    * resolves `catalogName`.`TBK` identifiers — a CLONE of the given
+    * session (runtime conf, temp views and UDFs carried over; only
+    * the analyzer is rebuilt so the rule takes effect). The binding
+    * is dynamic and process-wide: the most recent `enable` for a
+    * name wins in every session carrying the rule — bind DISTINCT
+    * names for catalogs used concurrently.
     */
   def enable(spark: SparkSession, catalog: BucketCatalog,
              catalogName: String = "graft"): SparkSession = {
     bindings.put(catalogName.toLowerCase, catalog)
-    org.apache.spark.sql.graft.GraftColumns.extensions(spark)
-      .injectResolutionRule(_ => new ResolveTbkRelations(catalogName))
-    spark.newSession()
+    val ext = org.apache.spark.sql.graft.GraftColumns.extensions(spark)
+    injected.synchronized {
+      val names = injected.computeIfAbsent(ext,
+        _ => scala.collection.mutable.Set.empty[String])
+      if (names.add(catalogName.toLowerCase))
+        ext.injectResolutionRule(_ => new ResolveTbkRelations(catalogName))
+    }
+    org.apache.spark.sql.graft.GraftColumns.cloneWithFreshState(spark)
   }
 }
 
@@ -71,13 +87,12 @@ object TbkSql {
   */
 class ResolveTbkRelations(catalogName: String) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation
-        if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase(catalogName) &&
-          Try(TimeBucketKey.parse(u.multipartIdentifier(1))).isSuccess &&
-          TbkSql.catalogFor(catalogName).isDefined =>
-      TbkSql.catalogFor(catalogName).get
-        .read(TimeBucketKey.parse(u.multipartIdentifier(1)))
-        .queryExecution.analyzed
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase(catalogName) =>
+      (Try(TimeBucketKey.parse(u.multipartIdentifier(1))).toOption,
+        TbkSql.catalogFor(catalogName)) match {
+        case (Some(tbk), Some(cat)) => cat.read(tbk).queryExecution.analyzed
+        case _ => u // not a TBK / unbound name: built-in rules report it
+      }
   }
 }

@@ -24,7 +24,8 @@ private[streaming] object BloomGate {
     * fails loudly with `emptyMsg` instead.
     */
   def build(df: DataFrame, value: Column,
-            expectedItems: Long, numBits: Long, emptyMsg: String): Array[Byte] = {
+            expectedItems: Long, numBits: Long,
+            emptyMsg: String): Array[Byte] = BloomGate.synchronized {
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -32,7 +33,12 @@ private[streaming] object BloomGate {
     // the caps only need to hold while the build aggregation runs;
     // raise them for that window and RESTORE the prior values after,
     // so a big gate build doesn't permanently resize every unrelated
-    // runtime bloom join filter in the session
+    // runtime bloom join filter in the session. Builds SERIALIZE on
+    // this object: two concurrent builds in one session would
+    // save/restore the shared conf underneath each other (one build's
+    // restore landing mid-analysis of the other would re-clamp its
+    // filter); gate builds are rare one-off aggregations, so the
+    // coarse lock costs nothing
     val wants = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)

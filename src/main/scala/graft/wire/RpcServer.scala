@@ -161,7 +161,7 @@ class RpcServer(
     *    ([[graft.ops.Dedup.exactGroups]] expanded through membership)
     *  - `knn`: exact cosine top-k ([[graft.ops.Similarity
     *    .bruteForceTopK]]); queries from `options.queries` (a parquet
-    *    path) or the first `options.n_queries` ids of the input
+    *    path) or the `options.n_queries` smallest-id rows of the input
     *  - `report_card`: per-source corpus health
     *    ([[graft.ops.TextAnalysis.sourceReport]])
     */
@@ -182,11 +182,15 @@ class RpcServer(
           .select(explode(col("ids")).as("doc_id"), col("canonical_id"))
           .orderBy("doc_id")
       case "knn" =>
-        val k = lng(opts, "k").getOrElse(10L).toInt
+        val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
         val queries = str(opts, "queries") match {
           case Some(qPath) => spark.read.parquet(qPath)
-          case None => df.filter(
-            col("vec_id") < lng(opts, "n_queries").getOrElse(5L))
+          case None =>
+            // a COUNT, as documented: the n_queries smallest ids of
+            // the input (deterministic regardless of the id range)
+            val n = math.min(100000L,
+              math.max(1L, lng(opts, "n_queries").getOrElse(5L))).toInt
+            df.orderBy(col("vec_id")).limit(n)
         }
         graft.ops.Similarity.bruteForceTopK(df, queries, k)
           .orderBy("query_id", "vec_id")
@@ -207,7 +211,10 @@ class RpcServer(
         Map("rows_written" -> obs.get("rows").asInstanceOf[Long],
           "path" -> dest, "version" -> ServerInfo.Version)
       case None =>
-        val limit = lng(params, "limit").getOrElse(10000L).toInt
+        // clamped: a client long past Int range must cap, not wrap
+        // negative and error out of Dataset.limit
+        val limit = math.min(1000000L,
+          math.max(1L, lng(params, "limit").getOrElse(10000L))).toInt
         val rows = out.limit(limit + 1).collect()
         val kept = rows.take(limit)
         Map(

@@ -24,8 +24,17 @@ object GraftColumns {
   /** The session's extensions object (private[sql] on SparkSession):
     * rules injected here are read each time an analyzer is BUILT, so
     * they apply to sessions whose SessionState materializes after the
-    * injection — `newSession()` for an already-running one.
+    * injection — [[cloneWithFreshState]] for an already-running one.
     */
   def extensions(spark: SparkSession): org.apache.spark.sql.SparkSessionExtensions =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
+
+  /** `cloneSession()` (private[sql]): a new session CARRYING the
+    * caller's runtime conf, temp views and UDFs, whose analyzer is
+    * rebuilt lazily — so freshly injected extension rules take effect
+    * without silently resetting session state the way `newSession()`
+    * would.
+    */
+  def cloneWithFreshState(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

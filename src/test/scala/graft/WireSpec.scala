@@ -399,10 +399,11 @@ class WireSpec extends SparkSpec {
         .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
       assert(mapping == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), mapping.toString)
       assert(dd("truncated") == false)
-      // knn: top-2 neighbors of vec 10 — 11 first (cos ≈ 0.994), 12 second
+      // knn: n_queries is a COUNT (the smallest-id rows) — 1 selects
+      // vec 10; its top-2 are 11 (cos ≈ 0.994) then 12
       val knn = rpc(port, "OpsService.Run",
         Map("op" -> "knn", "input" -> s"$dir/emb",
-          "options" -> Map("k" -> 2L, "n_queries" -> 11L)))
+          "options" -> Map("k" -> 2L, "n_queries" -> 1L)))
       val hits = knn("rows").asInstanceOf[Seq[Seq[Any]]]
         .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
       assert(hits == Seq(11L, 12L), s"knn rows: ${knn("rows")}")
