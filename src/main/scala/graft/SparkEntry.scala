@@ -192,6 +192,49 @@ object SparkEntry {
         .orderBy("symbol", "epoch")
     }),
 
+    // ---- bonus analytics: downstream market workloads ------------------
+    // daily VWAP per symbol through the UDA registry surface — one
+    // partial-aggregated groupBy on (symbol, day), the candler shuffle
+    "q_vwap" -> ((s, dir) => {
+      val trades = ev(s, dir).select(
+        col("event_type").as("symbol"), col("Epoch"), col("Nanoseconds"),
+        col("value").as("Price"),
+        (col("event_id") % 100 + 1).cast("double").as("Size"))
+      AggRegistry.runGrouped(Seq("vwap('1D', Price, Size)"), trades, Seq("symbol"))
+        .select(col("symbol"), col("Epoch").as("epoch"),
+          round(col("VWAP"), 6).as("vwap"), round(col("Volume"), 6).as("volume"),
+          col("N").as("n_trades"))
+        .orderBy("symbol", "epoch")
+    }),
+    // trailing 5-bar volatility of daily log returns: window ops run
+    // on the BAR table (symbols × days), not the tape — the window
+    // partition is per symbol, narrow by construction
+    "q_rolling_vol" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      val rets = graft.operators.Analytics.logReturns(daily, "Close", Seq("event_type"))
+      graft.operators.Analytics.rollingVol(rets, 5, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("LogReturn"), 6).as("log_return"),
+          round(col("Volatility"), 6).as("volatility"))
+        .orderBy("event_type", "epoch")
+    }),
+    // per-symbol maximum drawdown of the daily close, with the trough
+    // epoch (earliest on ties — deterministic, oracle-replayable)
+    "q_drawdown" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.maxDrawdown(daily, "Close", Seq("event_type"))
+        .select(col("event_type"),
+          round(col("MaxDrawdown"), 6).as("max_drawdown"),
+          col("TroughEpoch").as("trough_epoch"))
+        .orderBy("event_type")
+    }),
+
     // ---- §2.3 epoch-keyed union (keep-last) ---------------------------
     "q_union_keeplast" -> ((s, dir) => {
       val e = ev(s, dir).select(col("Epoch"), col("Nanoseconds"), col("event_id"), col("value"))
@@ -651,6 +694,21 @@ object SparkEntry {
       val (merges, seg) =
         graft.ops.Bpe.learnLocal(Tables.documents(s, dir), BpeMergeCount)
       graft.ops.Bpe.encode(Tables.documents(s, dir), seg, Some(merges)).orderBy("doc_id")
+    }),
+    // byte-level encode → decode round-trip: the tokenizer-losslessness
+    // contract a production pipeline relies on. The engine trains a
+    // byte-fallback tokenizer, encodes, and DECODES each document; the
+    // oracle computes the expected fixed point independently (the
+    // whitespace-normalized text and the seg-relation token count), so
+    // any encode/decode defect diverges from it
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (merges, seg) =
+        graft.ops.Bpe.learnLocal(docs, BpeByteMergeCount, byteLevel = true)
+      graft.ops.Bpe.encode(docs, seg, Some(merges), byteLevel = true)
+        .select(col("doc_id"), col("n_tokens_bpe"),
+          graft.ops.Bpe.decode(col("bpe_text"), byteLevel = true).as("decoded"))
+        .orderBy("doc_id")
     }),
     // tokenizer fertility report: per source, subwords per whitespace
     // word under the learned BPE — the tokenizer-efficiency number a
@@ -1557,6 +1615,37 @@ object SparkEntry {
          FROM f GROUP BY 1, 2
          HAVING open IS NOT NULL AND volume IS NOT NULL AND volume <> 0
          ORDER BY 1, 2""",
+
+    "q_vwap" ->
+      """SELECT event_type AS symbol, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+            round(sum(value * (event_id % 100 + 1)) / sum(event_id % 100 + 1), 6) AS vwap,
+            round(sum(event_id % 100 + 1)::DOUBLE, 6) AS volume,
+            count(*)::BIGINT AS n_trades
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rolling_vol" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close
+            FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, epoch,
+              ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY epoch)) AS lr
+            FROM d)
+         SELECT event_type, epoch, round(lr, 6) AS log_return,
+           round(stddev_samp(lr) OVER (PARTITION BY event_type ORDER BY epoch
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS volatility
+         FROM r ORDER BY 1, 2""",
+    "q_drawdown" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close
+            FROM events GROUP BY 1, 2),
+         x AS (SELECT event_type, epoch,
+              close / max(close) OVER (PARTITION BY event_type ORDER BY epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS dd
+            FROM d),
+         m AS (SELECT event_type, min(dd) AS mdd FROM x GROUP BY 1)
+         SELECT x.event_type, round(m.mdd, 6) AS max_drawdown,
+           min(x.epoch)::BIGINT AS trough_epoch
+         FROM x JOIN m ON x.event_type = m.event_type AND x.dd = m.mdd
+         GROUP BY x.event_type, m.mdd ORDER BY 1""",
     "q_union_keeplast" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, value FROM events),
           l AS (SELECT * FROM e WHERE tsu//1000000 < $T2),
@@ -1877,6 +1966,23 @@ object SparkEntry {
          SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe,
            string_agg(piece, ' ' ORDER BY ord) AS bpe_text
          FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+
+    // decode(encode(x)) must be the whitespace-normalized text and the
+    // token count must match the seg relation — both computed here
+    // WITHOUT running the engine's decode, so the round trip is pinned
+    // against an independent fixed point
+    "q_bpe_roundtrip" -> (bpeChain(BpeByteMergeCount, byteLevel = true) + s""",
+         tok AS (SELECT doc_id, unnest(ts) AS tok FROM (
+             SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+             FROM documents WHERE text IS NOT NULL)),
+         enc AS (SELECT t.doc_id,
+             CASE WHEN s.seg IS NULL THEN 1
+                  ELSE len(string_split(s.seg, '|')) END::BIGINT AS n
+           FROM tok t LEFT JOIN seg$BpeByteMergeCount s ON t.tok = s.word),
+         nt AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens_bpe FROM enc GROUP BY doc_id)
+         SELECT d.doc_id, nt.n_tokens_bpe, lower(trim(d.text)) AS decoded
+         FROM documents d JOIN nt ON d.doc_id = nt.doc_id
+         WHERE d.text IS NOT NULL ORDER BY d.doc_id"""),
 
     "q_bpe_fertility" -> (bpeChain(BpeMergeCount) + s""",
          tok AS (SELECT doc_id, unnest(ts) AS tok FROM (

@@ -237,6 +237,26 @@ object CandleCandlerUda extends Uda {
   }
 }
 
+/** Volume-weighted average price: `vwap('1D', Price, Size)` →
+  * Σ(p·s)/Σs per bucket, plus Volume and tick count N. Registry
+  * superset — the reference only stores feed-computed VWAP columns
+  * (contrib/polygon/api/schema.go:20-35 `vw`); see
+  * [[graft.operators.Analytics.vwap]] for the aggregation shape.
+  */
+object VwapUda extends Uda {
+  val name = "vwap"
+  val requiredArgs = Seq("Price", "Size")
+  override val initArgs = Seq("Timeframe")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame =
+    graft.operators.Analytics.vwap(df, CandleDuration.parse(init.head),
+      argMap("Price").head, argMap("Size").head, groupCols)
+}
+
 /** Corporate-action price adjustment (uda/adjust/adjust.go:99-153).
   *
   * The reference walks the price series backwards keeping a running
@@ -317,7 +337,8 @@ final class AdjustRegistryUda(
   */
 object AggRegistry {
   val all: Map[String, Uda] = Seq(
-    CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda)
+    CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda,
+    VwapUda)
     .map(u => u.name -> u).toMap
 
   /** Default registry + catalog-bound aggregates (`adjust` needs the

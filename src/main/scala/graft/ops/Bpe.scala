@@ -370,4 +370,26 @@ object Bpe {
         transform(array_sort(collect_list(struct(col("ord"), col("piece")))),
           s => s.getField("piece"))).as("bpe_text"))
   }
+
+  /** Inverse of [[encode]]'s `bpe_text`: each space-separated element
+    * is one token's '|'-delimited pieces — strip the delimiters (for
+    * `byteLevel`, then unhex the fused symbols back to UTF-8 bytes)
+    * and re-join with single spaces. Against the whitespace-normalized
+    * token stream (`concat_ws(" ", tokens(text))`) this is lossless by
+    * construction in byte mode, where every non-empty token segments
+    * into hex pieces. In char mode an untrainable token that itself
+    * contains a literal '|' does not survive (opaque tokens pass
+    * through encode verbatim, so the delimiter strip would eat payload
+    * characters) — byte mode is the round-trip-safe alphabet. Pure
+    * column expression: codegen'd, no shuffle, no UDF.
+    */
+  def decode(pieces: Column, byteLevel: Boolean = false): Column = {
+    val words = transform(split(pieces, " "), w => {
+      val bare = regexp_replace(w, "\\|", "")
+      if (byteLevel)
+        org.apache.spark.sql.functions.decode(unhex(bare), "UTF-8")
+      else bare
+    })
+    concat_ws(" ", words)
+  }
 }

@@ -141,6 +141,37 @@ class BpePropSpec extends SparkSpec {
     assert(res.passed, s"property falsified: ${res.status}")
   }
 
+  test("byte-level decode(encode(x)) == whitespace-normalized text on Unicode corpora") {
+    // the losslessness contract: encode to hex pieces, decode back —
+    // the fixed point is lower(trim(text)) re-joined on single spaces,
+    // for any Unicode/punctuation corpus (and any doc whose words the
+    // tokenizer never saw: train on doc 0 only, encode everything)
+    val byteWordGen: Gen[String] = for {
+      len <- Gen.chooseNum(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'é', 'ñ', '中', '!', '.', '7'))
+    } yield cs.mkString
+    val corpusGen: Gen[List[String]] = for {
+      nDocs <- Gen.chooseNum(2, 4)
+      docs <- Gen.listOfN(nDocs,
+        Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, byteWordGen)))
+    } yield docs.map(_.mkString(" "))
+    val prop = Prop.forAllNoShrink(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (merges, seg) =
+        graft.ops.Bpe.learnLocal(df.filter(col("doc_id") === 0), 4, byteLevel = true)
+      val out = graft.ops.Bpe.encode(df, seg, Some(merges), byteLevel = true)
+        .select(col("doc_id"),
+          graft.ops.Bpe.decode(col("bpe_text"), byteLevel = true).as("decoded"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = docs.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.toLowerCase.trim }.toMap
+      Prop(out == expect) :| s"round trip diverged: $out vs $expect"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("trainLocal == reference at production-scale merge counts (incl. exhaustion)") {
     // the incremental heap trainer vs the quadratic recount reference
     // at a merge count far past what the distributed trainer can

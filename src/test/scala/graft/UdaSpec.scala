@@ -92,4 +92,59 @@ class UdaSpec extends SparkSpec {
     val out = AggRegistry.run(Seq("tickcandler('1Min', Example)", "count(Open)"), tick)
     assert(out.head.getAs[Long]("Count") == 1L) // all 4 ticks in one minute
   }
+
+  test("vwap hand values: Σ(p·s)/Σs per bucket, grouped by symbol") {
+    val trades = Seq(
+      ("A", base, 10.0, 1.0), ("A", base + 1, 20.0, 3.0), // vwap (10+60)/4 = 17.5
+      ("A", base + 60, 30.0, 2.0),                        // next minute: 30
+      ("B", base, 5.0, 10.0))                             // 5
+      .toDF("symbol", "Epoch", "Price", "Size")
+    val out = AggRegistry.runGrouped(
+        Seq("vwap('1Min', Price, Size)"), trades, Seq("symbol"))
+      .orderBy("symbol", "Epoch").collect()
+    assert(out.map(r => (r.getAs[String]("symbol"), r.getAs[Double]("VWAP"),
+      r.getAs[Double]("Volume"), r.getAs[Long]("N"))).toSeq ==
+      Seq(("A", 17.5, 4.0, 2L), ("A", 30.0, 2.0, 1L), ("B", 5.0, 10.0, 1L)))
+  }
+
+  test("log returns + rolling vol hand values") {
+    import graft.operators.Analytics
+    val bars = Seq(
+      ("A", base, 100.0), ("A", base + 86400, 110.0), ("A", base + 2 * 86400, 99.0),
+      ("B", base, 50.0))
+      .toDF("symbol", "Epoch", "Close")
+    val rets = Analytics.logReturns(bars, "Close", Seq("symbol"))
+      .orderBy("symbol", "Epoch").collect()
+    val lr = rets.map(r => Option(r.getAs[java.lang.Double]("LogReturn")).map(_.toDouble))
+    assert(lr(0).isEmpty && lr(3).isEmpty) // each key's first bar
+    assert(math.abs(lr(1).get - math.log(1.1)) < 1e-12)
+    assert(math.abs(lr(2).get - math.log(99.0 / 110.0)) < 1e-12)
+    val vol = Analytics.rollingVol(
+        Analytics.logReturns(bars, "Close", Seq("symbol")), 5, Seq("symbol"))
+      .orderBy("symbol", "Epoch").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("Volatility")).map(_.toDouble))
+    // one return in window → stddev_samp null; two → hand value
+    assert(vol(0).isEmpty && vol(1).isEmpty && vol(3).isEmpty)
+    val a = math.log(1.1); val b = math.log(99.0 / 110.0); val m = (a + b) / 2
+    val expect = math.sqrt(((a - m) * (a - m) + (b - m) * (b - m)) / 1)
+    assert(math.abs(vol(2).get - expect) < 1e-12)
+  }
+
+  test("max drawdown hand values; monotone series → 0 at earliest epoch") {
+    import graft.operators.Analytics
+    val bars = Seq(
+      // A: peak 120 then trough 90 → 90/120 - 1 = -0.25 at base+3d
+      ("A", base, 100.0), ("A", base + 86400, 120.0),
+      ("A", base + 2 * 86400, 105.0), ("A", base + 3 * 86400, 90.0),
+      ("A", base + 4 * 86400, 130.0),
+      // B: monotone → dd 0 everywhere, trough = earliest epoch (tie rule)
+      ("B", base, 10.0), ("B", base + 86400, 20.0))
+      .toDF("symbol", "Epoch", "Close")
+    val out = Analytics.maxDrawdown(bars, "Close", Seq("symbol"))
+      .orderBy("symbol").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Double]("MaxDrawdown"),
+        r.getAs[Long]("TroughEpoch")))
+    assert(math.abs(out(0)._2 - (-0.25)) < 1e-12 && out(0)._3 == base + 3 * 86400)
+    assert(out(1)._2 == 0.0 && out(1)._3 == base)
+  }
 }
