@@ -1069,6 +1069,26 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // incremental IVF maintenance: the base corpus is indexed once
+    // under a frozen sampled quantizer, a NEW ingest batch assigns
+    // against the SAME centroids (O(batch) — the historical corpus is
+    // never re-scanned), and the unioned index serves the query. At
+    // full probe the answer equals exhaustive search, so the whole
+    // delta path (index build, frozen-quantizer batch assignment,
+    // union, indexed serving) sits under the brute-force oracle;
+    // OpsSpec additionally pins union == full-rebuild row equality
+    "q_knn_ivf_delta" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.sampledCentroids(base, 16)
+      val index = Similarity.ivfIndex(base, cents)
+        .unionByName(Similarity.ivfIndex(batch, cents))
+      Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 5), k = 10,
+          cents, nProbe = 16)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // PRUNED probe (nProbe=1 of 2 cells) under a full brute-force
     // oracle, via a planted-cluster construction where pruning is
     // PROVABLY exhaustive: vectors become elementwise |x| (even ids)
@@ -2566,6 +2586,18 @@ object SparkEntry {
 
     // any quantizer at full probe == exhaustive — same oracle
     "q_knn_ivf_trained" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // base-plus-delta index at full probe == exhaustive — same oracle
+    "q_knn_ivf_delta" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s

@@ -439,13 +439,42 @@ object Similarity {
     val cents = centroids.getOrElse(
       if (trainIters <= 0) sampledCentroids(corpus, nCells, id, emb)
       else trainedCentroids(corpus, nCells, trainIters, id, emb))
-    def cellScores(v: Column): Column = Similarity.cellScores(v, cents)
-    val assigned = corpus
-      .withColumn("cell", array_max(cellScores(col(emb))).getField("cell"))
-      .select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
+    ivfTopKIndexed(ivfIndex(corpus, cents, id, emb), queries, k, cents, nProbe, id, emb)
+  }
+
+  /** Persistable IVF index rows for `corpus` under a FROZEN quantizer:
+    * (cell, vec_id, embedding), each vector assigned to its
+    * best-cosine cell. This is the incremental-maintenance seam — the
+    * ANN analog of [[graft.ops.Dedup]]'s persisted minhash band index:
+    * write the index once, then index each NEW ingest batch with the
+    * SAME centroids and append; assignment touches only the batch
+    * (one codegen'd map, no shuffle), the historical corpus is never
+    * re-scanned, and because assignment under a frozen quantizer is
+    * deterministic the unioned index is row-identical to a full
+    * rebuild (OpsSpec pins it). Retraining the quantizer is the one
+    * operation that invalidates the index — by design, as in any IVF
+    * system (e.g. the FAISS serving contract).
+    */
+  def ivfIndex(corpus: DataFrame, centroids: Array[Seq[Float]],
+      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("cell",
+        array_max(cellScores(col(emb), centroids)).getField("cell"))
+      .select(col("cell"), col(id), col(emb))
+
+  /** ANN top-k over a prebuilt [[ivfIndex]] — the serving shape:
+    * queries probe their `nProbe` best cells and re-rank exactly
+    * inside them. Same output contract as [[ivfTopK]] (which
+    * delegates here after assigning inline).
+    */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Seq[Float]], nProbe: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val assigned =
+      index.select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
     val probes = queries
       .withColumn("__cells",
-        slice(reverse(array_sort(cellScores(col(emb)))), 1, nProbe))
+        slice(reverse(array_sort(cellScores(col(emb), centroids))), 1, nProbe))
       .select(col(id).as("query_id"), col(emb).as("__qv"),
         explode(col("__cells").getField("cell")).as("cell"))
     val w = Window.partitionBy(col("query_id"))

@@ -148,6 +148,31 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=8/16 recall $recall")
   }
 
+  test("incremental IVF index: base + frozen-quantizer delta == full rebuild, serving identical") {
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.sampledCentroids(base, 16)
+    // assignment under a frozen quantizer is deterministic, so the
+    // unioned index must be ROW-identical to indexing everything at
+    // once — the invariant that makes append-only maintenance sound
+    val delta = Similarity.ivfIndex(base, cents)
+      .unionByName(Similarity.ivfIndex(batch, cents))
+    val rebuild = Similarity.ivfIndex(embs, cents)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.select("cell", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows(delta) == rows(rebuild))
+    // and the served answers agree query-for-query at every probe depth
+    val q = embs.filter(col("vec_id") < 5)
+    def served(ix: org.apache.spark.sql.DataFrame, nProbe: Int): Set[(Long, Long)] =
+      Similarity.ivfTopKIndexed(ix, q, k = 10, cents, nProbe)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(4, 16).foreach { np =>
+      assert(served(delta, np) == served(rebuild, np), s"nProbe=$np diverged")
+    }
+  }
+
   test("trained IVF quantizer separates clusters; 1-probe search stays in-cluster") {
     import spark.implicits._
     // two tight, well-separated clusters: members are small jitters of
