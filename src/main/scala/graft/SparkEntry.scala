@@ -234,6 +234,16 @@ object SparkEntry {
           col("TroughEpoch").as("trough_epoch"))
         .orderBy("event_type")
     }),
+    // gap-based sessionization of the event stream per user: a new
+    // session after >30 min of silence — all-integer output, so the
+    // oracle compare is hash-exact with no float rounding at all
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Analytics.sessionize(ev(s, dir), gapSeconds = 1800,
+          keyCols = Seq("user_id"), orderTail = Seq("event_id"))
+        .select(col("user_id"), col("SessionId").as("session_id"),
+          col("SessionStart").as("session_start"),
+          col("SessionEnd").as("session_end"), col("NEvents").as("n_events"))
+        .orderBy("user_id", "session_id")),
 
     // ---- §2.3 epoch-keyed union (keep-last) ---------------------------
     "q_union_keeplast" -> ((s, dir) => {
@@ -1666,6 +1676,18 @@ object SparkEntry {
            min(x.epoch)::BIGINT AS trough_epoch
          FROM x JOIN m ON x.event_type = m.event_type AND x.dd = m.mdd
          GROUP BY x.event_type, m.mdd ORDER BY 1""",
+    "q_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tsu,
+              epoch_us(ts)//1000000 AS e, event_id FROM events),
+         f AS (SELECT *, CASE WHEN lag(e) OVER w IS NULL
+                  OR e - lag(e) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, sid::BIGINT AS session_id,
+           min(e)::BIGINT AS session_start, max(e)::BIGINT AS session_end,
+           count(*)::BIGINT AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_union_keeplast" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, value FROM events),
           l AS (SELECT * FROM e WHERE tsu//1000000 < $T2),

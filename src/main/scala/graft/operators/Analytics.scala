@@ -54,6 +54,33 @@ object Analytics {
     returns.withColumn("Volatility", stddev_samp(col("LogReturn")).over(w))
   }
 
+  /** Gap-based sessionization of an event stream: per key, a new
+    * session starts at the first event and whenever the epoch gap
+    * from the previous event exceeds `gapSeconds`; output is one row
+    * per (key, session) with start/end epochs and the event count.
+    * The two windows share one per-key sort (same partition + order),
+    * and the key is the natural partitioner at scale — a user's
+    * events must meet on one executor to be ordered, which is the
+    * problem statement, not an implementation choice. Extra ordering
+    * columns (`orderTail`) break same-second ties deterministically.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long, keyCols: Seq[String],
+      orderTail: Seq[String] = Nil): DataFrame = {
+    val ord = (col(Uda.EpochCol) +:
+      (if (events.columns.contains(Uda.NanosCol)) Seq(col(Uda.NanosCol)) else Nil)) ++
+      orderTail.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    events
+      .withColumn("__brk",
+        when(col(Uda.EpochCol) - lag(col(Uda.EpochCol), 1).over(w) > gapSeconds ||
+          lag(col(Uda.EpochCol), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("SessionId", sum(col("__brk")).over(w))
+      .groupBy((keyCols.map(col) :+ col("SessionId")): _*)
+      .agg(min(col(Uda.EpochCol)).as("SessionStart"),
+        max(col(Uda.EpochCol)).as("SessionEnd"),
+        count(lit(1)).as("NEvents"))
+  }
+
   /** Per-key maximum drawdown: min over bars of
     * close / runningMax(close) − 1 (≤ 0; 0 for a series that never
     * dips below a prior peak), with the trough's epoch. Ties on the

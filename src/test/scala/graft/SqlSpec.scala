@@ -143,6 +143,17 @@ class SqlSpec extends SparkSpec {
     assert(cnt.collect().head.getAs[Long]("Count") == 120L)
   }
 
+  test("vwap UDA through the SQL front: SELECT vwap('1H', Close, Open)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val out = svc.sql("SELECT vwap('1H', Close, Open) FROM `AAPL/1Min/OHLCV`")
+      .orderBy("Epoch").collect()
+    assert(out.length == 2) // 120 minutes → two 1H buckets
+    val expect = (0 until 60).map(i => (10.5 + i) * (10.0 + i)).sum /
+      (0 until 60).map(i => 10.0 + i).sum
+    assert(math.abs(out.head.getAs[Double]("VWAP") - expect) < 1e-9)
+    assert(out.head.getAs[Long]("N") == 60L)
+  }
+
   test("superset: joins and ORDER BY across TBK views (reference rejects both)") {
     // the reference errors on Join and ORDER BY
     // (executablestatement.go:194-200, :182-186); Spark SQL executes them

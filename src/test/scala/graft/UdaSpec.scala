@@ -130,6 +130,24 @@ class UdaSpec extends SparkSpec {
     assert(math.abs(vol(2).get - expect) < 1e-12)
   }
 
+  test("sessionize hand values: gap rule, per-key restart, session ids") {
+    import graft.operators.Analytics
+    val events = Seq(
+      // user 1: two sessions — gap of exactly 30 is NOT a break (> rule)
+      (1L, base), (1L, base + 30), (1L, base + 100), (1L, base + 130),
+      (2L, base + 5000))
+      .toDF("user_id", "Epoch")
+    val out = Analytics.sessionize(events, gapSeconds = 30, keyCols = Seq("user_id"))
+      .orderBy("user_id", "SessionId").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("SessionId"),
+        r.getAs[Long]("SessionStart"), r.getAs[Long]("SessionEnd"),
+        r.getAs[Long]("NEvents")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, base, base + 30, 2L),
+      (1L, 2L, base + 100, base + 130, 2L),
+      (2L, 1L, base + 5000, base + 5000, 1L)))
+  }
+
   test("max drawdown hand values; monotone series → 0 at earliest epoch") {
     import graft.operators.Analytics
     val bars = Seq(
