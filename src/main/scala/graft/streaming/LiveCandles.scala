@@ -43,9 +43,15 @@ object LiveCandles {
         max(col(priceCol)).as("High"),
         min(col(priceCol)).as("Low"),
         max_by(col(priceCol), tkey).as("Close"),
-        sum(col(sizeCol)).as("Volume"))
+        sum(col(sizeCol)).as("Volume"),
+        // live VWAP in the same state row — the `vw` field production
+        // bar feeds carry (the reference ingests it precomputed,
+        // contrib/polygon/api/schema.go:20-35; batch sibling:
+        // graft.operators.Analytics.vwap)
+        (sum(col(priceCol) * col(sizeCol)) / sum(col(sizeCol))).as("VWAP"))
       .select((groupCols.map(col) :+
         unix_timestamp(col("__w.start")).as(Uda.EpochCol)) ++
-        Seq(col("Open"), col("High"), col("Low"), col("Close"), col("Volume")): _*)
+        Seq(col("Open"), col("High"), col("Low"), col("Close"), col("Volume"),
+          col("VWAP")): _*)
   }
 }

@@ -185,11 +185,15 @@ class StreamingSpec extends SparkSpec {
       val latest = spark.table("live_candles")
         .groupBy("symbol", "Epoch")
         .agg(org.apache.spark.sql.functions.expr("max_by(High, Volume)").as("High"),
-          org.apache.spark.sql.functions.max("Volume").as("Volume"))
+          org.apache.spark.sql.functions.max("Volume").as("Volume"),
+          org.apache.spark.sql.functions.expr("max_by(VWAP, Volume)").as("VWAP"))
         .collect()
       assert(latest.length == 1)
       assert(latest.head.getAs[Double]("High") == 50.0)
       assert(latest.head.getAs[Double]("Volume") == 4.0)
+      // live VWAP equals the batch Analytics.vwap over the same ticks
+      assert(math.abs(latest.head.getAs[Double]("VWAP") -
+        (10.0 * 1.0 + 12.0 * 2.0 + 50.0 * 1.0) / 4.0) < 1e-12)
       // advance event time far past the watermark, then send a
       // hopelessly late tick: state for the old window is gone and the
       // update stream must NOT revise it
@@ -200,6 +204,42 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val news = spark.table("live_candles").collect().drop(before.toInt)
       assert(!news.exists(_.getAs[Double]("High") == 1000.0))
+    } finally q.stop()
+  }
+
+  test("LiveSessions: session_window merges on late events; final state == batch sessionize") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val sessions = graft.streaming.LiveSessions.sessions(
+      source.toDF, gap = "30 seconds", keyCols = Seq("symbol"),
+      allowedLateness = "5 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("live_sessions").outputMode("complete").start()
+    try {
+      // three separated bursts...
+      source.addData(Tick("AAPL", t0, 1, 1), Tick("AAPL", t0 + 60, 1, 1),
+        Tick("AAPL", t0 + 150, 1, 1))
+      q.processAllAvailable()
+      assert(spark.table("live_sessions").count() == 3)
+      // ...the first two bridged by late ticks inside the lateness:
+      // sessions MERGE through the chain t0 → +29 → +58 → +60
+      source.addData(Tick("AAPL", t0 + 29, 1, 1), Tick("AAPL", t0 + 58, 1, 1))
+      q.processAllAvailable()
+      val merged = spark.table("live_sessions").collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("SessionStart"),
+          r.getAs[Long]("SessionEnd"), r.getAs[Long]("NEvents")))
+      assert(merged.toSet == Set(("AAPL", t0, t0 + 60, 4L),
+        ("AAPL", t0 + 150, t0 + 150, 1L)), merged.toSeq.toString)
+      // final streaming state equals the batch operator on the same
+      // rows (no exact-gap boundaries in the fixture — the half-open
+      // session_window boundary vs the batch > rule never engages)
+      val batch = graft.operators.Analytics.sessionize(
+          Seq(("AAPL", t0), ("AAPL", t0 + 60), ("AAPL", t0 + 150),
+            ("AAPL", t0 + 29), ("AAPL", t0 + 58)).toDF("symbol", "Epoch"),
+          gapSeconds = 30, keyCols = Seq("symbol"))
+        .select("symbol", "SessionStart", "SessionEnd", "NEvents").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.toSet == merged.toSet)
     } finally q.stop()
   }
 
