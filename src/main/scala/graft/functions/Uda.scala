@@ -257,6 +257,29 @@ object VwapUda extends Uda {
       argMap("Price").head, argMap("Size").head, groupCols)
 }
 
+/** Gap-based sessionization: `sessionize('30Min')` — one row per
+  * (group, session) with start/end epochs and the event count; a new
+  * session opens when the gap from the previous event exceeds the
+  * init-arg duration. Registry superset (no reference UDA); see
+  * [[graft.operators.Analytics.sessionize]] for the window shape.
+  */
+object SessionizeUda extends Uda {
+  val name = "sessionize"
+  val requiredArgs = Seq.empty[String]
+  override val initArgs = Seq("Gap")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val gap = CandleDuration.parse(init.head).fixedSeconds.getOrElse(
+      throw new IllegalArgumentException(
+        s"sessionize needs a fixed-width gap, got ${init.head}"))
+    graft.operators.Analytics.sessionize(df, gap, groupCols)
+  }
+}
+
 /** Corporate-action price adjustment (uda/adjust/adjust.go:99-153).
   *
   * The reference walks the price series backwards keeping a running
@@ -338,7 +361,7 @@ final class AdjustRegistryUda(
 object AggRegistry {
   val all: Map[String, Uda] = Seq(
     CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda,
-    VwapUda)
+    VwapUda, SessionizeUda)
     .map(u => u.name -> u).toMap
 
   /** Default registry + catalog-bound aggregates (`adjust` needs the

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.CandleDuration
 import graft.functions.Uda
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * window ops ([[logReturns]], [[rollingVol]], [[maxDrawdown]]) are
   * meant to run AFTER a bar-level aggregation, so their window
   * partitions hold bars (symbols × days), orders of magnitude
-  * narrower than the tick input, and every window is keyed by the
-  * group columns — no empty-key WindowExec (PlanSpec rejects those
-  * repo-wide), no global sort.
+  * narrower than the tick input, and in every shipped entry the
+  * window is keyed by the group columns — no empty-key WindowExec
+  * (PlanSpec rejects those across all entries), no global sort.
   */
 object Analytics {
 
@@ -63,6 +63,9 @@ object Analytics {
     * events must meet on one executor to be ordered, which is the
     * problem statement, not an implementation choice. Extra ordering
     * columns (`orderTail`) break same-second ties deterministically.
+    * With NO key columns the window is a single partition (one task
+    * sorts everything) — only call it that way on per-bucket data the
+    * surrounding query already bounded, never on a raw tape.
     */
   def sessionize(events: DataFrame, gapSeconds: Long, keyCols: Seq[String],
       orderTail: Seq[String] = Nil): DataFrame = {

@@ -148,6 +148,16 @@ class UdaSpec extends SparkSpec {
       (2L, 1L, base + 5000, base + 5000, 1L)))
   }
 
+  test("sessionize through the registry: sessionize('30Sec') grouped by symbol") {
+    val events = Seq(("A", base), ("A", base + 10), ("A", base + 100), ("B", base))
+      .toDF("symbol", "Epoch")
+    val out = AggRegistry.runGrouped(Seq("sessionize('30Sec')"), events, Seq("symbol"))
+      .orderBy("symbol", "SessionId").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("SessionId"),
+        r.getAs[Long]("NEvents")))
+    assert(out.toSeq == Seq(("A", 1L, 2L), ("A", 2L, 1L), ("B", 1L, 1L)))
+  }
+
   test("max drawdown hand values; monotone series → 0 at earliest epoch") {
     import graft.operators.Analytics
     val bars = Seq(
