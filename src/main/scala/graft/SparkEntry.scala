@@ -244,6 +244,62 @@ object SparkEntry {
           col("SessionStart").as("session_start"),
           col("SessionEnd").as("session_end"), col("NEvents").as("n_events"))
         .orderBy("user_id", "session_id")),
+    // exponential moving average of the daily close via the native
+    // EmaWindow AggregateWindowFunction — exact recursion inside the
+    // window operator; n = 7 makes α = 0.25 an exact binary fraction
+    // so the recursive-CTE oracle replays bit-equal doubles
+    "q_ema" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.ema(daily, "Close", 7, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("Close"), 6).as("close"), round(col("EMA"), 6).as("ema"))
+        .orderBy("event_type", "epoch")
+    }),
+    // Bollinger bands on the daily close (n=5, k=2): trailing frame
+    // aggregates, bands null until the window is full
+    "q_bollinger" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.bollinger(daily, "Close", 5, 2.0, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("BollMid"), 6).as("boll_mid"),
+          round(col("BollUp"), 6).as("boll_up"),
+          round(col("BollDown"), 6).as("boll_down"))
+        .orderBy("event_type", "epoch")
+    }),
+    // Cutler RSI on the daily close (n=5): SMA of gains/losses over
+    // per-bar deltas; 100 where the loss average is zero
+    "q_rsi" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.rsi(daily, "Close", 5, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("RSI"), 6).as("rsi"))
+        .orderBy("event_type", "epoch")
+    }),
+    // pairwise Pearson correlation of daily log returns between every
+    // symbol pair sharing a day — epoch-keyed self-join, partial-
+    // aggregated corr; Θ(K²) pairs is the matrix itself, not a plan
+    // artifact
+    "q_pair_corr" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      val rets = graft.operators.Analytics.logReturns(daily, "Close", Seq("event_type"))
+        .select(col("event_type"), col("Epoch"), col("LogReturn"))
+      graft.operators.Analytics.pairCorrelation(rets, "event_type", "LogReturn")
+        .select(col("k1"), col("k2"),
+          round(col("Correlation"), 6).as("correlation"), col("NObs").as("n_obs"))
+        .orderBy("k1", "k2")
+    }),
 
     // ---- §2.3 epoch-keyed union (keep-last) ---------------------------
     "q_union_keeplast" -> ((s, dir) => {
@@ -949,6 +1005,18 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // SQ8 scalar-quantized ANN: corpus compressed to 1 byte/dim
+    // (FAISS QT_8bit scheme), asymmetric cosine against exact queries
+    // — the oracle replays the floor(q + 0.5) quantization and the
+    // dequantized cosine in SQL, so this is score-exact, not a
+    // recall-style sibling
+    "q_knn_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val compressed = Similarity.sq8Encode(emb)
+      Similarity.sq8TopK(compressed, emb.filter(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -1688,6 +1756,61 @@ object SparkEntry {
            min(e)::BIGINT AS session_start, max(e)::BIGINT AS session_end,
            count(*)::BIGINT AS n_events
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ema" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY epoch) AS rn
+           FROM d0),
+         e AS (SELECT event_type, epoch, rn, close, close AS ema FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.epoch, d.rn, d.close,
+             0.25 * d.close + 0.75 * e.ema
+           FROM d JOIN e ON d.event_type = e.event_type AND d.rn = e.rn + 1)
+         SELECT event_type, epoch, round(close, 6) AS close, round(ema, 6) AS ema
+         FROM e ORDER BY 1, 2""",
+    "q_bollinger" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, epoch,
+              CASE WHEN count(close) OVER w = 5 THEN avg(close) OVER w END AS mid,
+              CASE WHEN count(close) OVER w = 5
+                THEN stddev_samp(close) OVER w * 2.0 END AS dev
+           FROM d WINDOW w AS (PARTITION BY event_type ORDER BY epoch
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, epoch, round(mid, 6) AS boll_mid,
+           round(mid + dev, 6) AS boll_up, round(mid - dev, 6) AS boll_down
+         FROM b ORDER BY 1, 2""",
+    "q_rsi" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         x AS (SELECT event_type, epoch,
+              close - lag(close) OVER (PARTITION BY event_type ORDER BY epoch) AS dl
+           FROM d),
+         g AS (SELECT event_type, epoch,
+              CASE WHEN dl > 0 THEN dl WHEN dl IS NOT NULL THEN 0.0 END AS gain,
+              CASE WHEN dl < 0 THEN -dl WHEN dl IS NOT NULL THEN 0.0 END AS loss
+           FROM x),
+         r AS (SELECT event_type, epoch,
+              count(gain) OVER w AS nfull,
+              avg(gain) OVER w AS ag, avg(loss) OVER w AS al
+           FROM g WINDOW w AS (PARTITION BY event_type ORDER BY epoch
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT event_type, epoch,
+           round(CASE WHEN nfull = 5 AND al = 0.0 THEN 100.0
+             WHEN nfull = 5 THEN 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+         FROM r ORDER BY 1, 2""",
+    "q_pair_corr" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, epoch,
+              ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY epoch)) AS lr
+           FROM d)
+         SELECT a.event_type AS k1, b.event_type AS k2,
+           round(corr(a.lr, b.lr), 6) AS correlation,
+           count(CASE WHEN a.lr IS NOT NULL AND b.lr IS NOT NULL THEN 1 END)::BIGINT AS n_obs
+         FROM r a JOIN r b ON a.epoch = b.epoch AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_union_keeplast" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, value FROM events),
           l AS (SELECT * FROM e WHERE tsu//1000000 < $T2),
@@ -2445,6 +2568,28 @@ object SparkEntry {
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
            FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // SQ8 replay: per-vector vmin/δ, floor(q + 0.5) codes (the exact
+    // arithmetic of Sq8Encode — no ties-mode round), dequantize, then
+    // the same asymmetric cosine top-k as q_knn_brute
+    "q_knn_sq8" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT vec_id, v, list_min(v) AS vmin,
+              (list_max(v) - list_min(v)) / 255.0 AS delta FROM c),
+         dq AS (SELECT vec_id,
+              CASE WHEN delta = 0 THEN list_transform(v, x -> vmin)
+                ELSE list_transform(v,
+                  x -> vmin + floor((x - vmin) / delta + 0.5) * delta) END AS vq
+           FROM p),
+         q AS (SELECT vec_id AS query_id, v AS qe FROM c WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, dq.vec_id,
+              list_cosine_similarity(dq.vq, q.qe) AS s
+           FROM dq, q WHERE dq.vec_id != q.query_id),
          ranked AS (SELECT query_id, vec_id, s,
               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
            FROM scored)

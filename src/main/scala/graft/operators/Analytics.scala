@@ -84,6 +84,81 @@ object Analytics {
         count(lit(1)).as("NEvents"))
   }
 
+  /** Exponential moving average of `valueCol` per key in epoch order
+    * (span convention α = 2/(n+1)), via the native
+    * [[org.apache.spark.sql.graft.EmaWindow]] window function — the
+    * recursion runs inside the window operator's generated
+    * projection, one double of state per key, same single per-key
+    * sort as `lag`. See that class doc for why neither a frame
+    * aggregate nor a closed form works.
+    */
+  def ema(bars: DataFrame, valueCol: String, n: Int,
+      groupCols: Seq[String]): DataFrame =
+    bars.withColumn("EMA",
+      org.apache.spark.sql.graft.WindowFunctions.ema(col(valueCol), n,
+        groupCols.map(col), Seq(col(Uda.EpochCol))))
+
+  /** Bollinger bands: `n`-bar trailing mean ± `k`·sample-stddev of
+    * `valueCol`; bands are null until the trailing window is full so
+    * partial-window artifacts never leak into signals. Pure frame
+    * aggregates — one per-key sort shared by all three columns.
+    */
+  def bollinger(bars: DataFrame, valueCol: String, n: Int, k: Double,
+      groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val full = count(col(valueCol)).over(w) === n
+    val mid = when(full, avg(col(valueCol)).over(w))
+    val dev = when(full, stddev_samp(col(valueCol)).over(w) * k)
+    bars.withColumn("BollMid", mid)
+      .withColumn("BollUp", mid + dev)
+      .withColumn("BollDown", mid - dev)
+  }
+
+  /** Cutler's RSI (simple-moving-average variant — Cutler's form is
+    * the standard one that is expressible as a pure frame aggregate;
+    * Wilder's smoothing is the [[ema]] recursion with α = 1/n and can
+    * be composed from it): 100 − 100/(1 + SMA(gains,n)/SMA(losses,n))
+    * over per-bar deltas, 100 where the loss average is zero, null
+    * until `n` deltas exist. One per-key sort for delta + both SMAs.
+    */
+  def rsi(bars: DataFrame, valueCol: String, n: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+    val wf = w.rowsBetween(-(n - 1L), Window.currentRow)
+    val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val withD = bars
+      .withColumn("__gain", when(delta > 0, delta).otherwise(when(delta.isNotNull, 0.0)))
+      .withColumn("__loss", when(delta < 0, -delta).otherwise(when(delta.isNotNull, 0.0)))
+    val full = count(col("__gain")).over(wf) === n
+    val avgGain = avg(col("__gain")).over(wf)
+    val avgLoss = avg(col("__loss")).over(wf)
+    withD.withColumn("RSI",
+        when(full && avgLoss === 0.0, 100.0)
+          .when(full, lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss)))
+      .drop("__gain", "__loss")
+  }
+
+  /** Pearson correlation of per-bar values between every PAIR of
+    * keys sharing an epoch: one epoch-keyed sort-merge self-join
+    * (`k1 < k2` halves the pairs), then a partial-aggregated
+    * `corr` per pair — the matrix entry count Θ(K²) is the problem
+    * statement; the join and the aggregation each shuffle rows, never
+    * materialize the matrix on the driver. Rows where either side's
+    * value is null (e.g. a first-bar log return) drop out of `corr`
+    * on both engines identically.
+    */
+  def pairCorrelation(bars: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val a = bars.select(col(keyCol).as("k1"), col(Uda.EpochCol),
+      col(valueCol).as("v1"))
+    val b = bars.select(col(keyCol).as("k2"), col(Uda.EpochCol),
+      col(valueCol).as("v2"))
+    a.join(b, Seq(Uda.EpochCol)).filter(col("k1") < col("k2"))
+      .groupBy(col("k1"), col("k2"))
+      .agg(corr(col("v1"), col("v2")).as("Correlation"),
+        count(when(col("v1").isNotNull && col("v2").isNotNull, 1)).as("NObs"))
+  }
+
   /** Per-key maximum drawdown: min over bars of
     * close / runningMax(close) − 1 (≤ 0; 0 for a series that never
     * dips below a prior peak), with the trough's epoch. Ties on the

@@ -44,6 +44,38 @@ object Similarity {
       .select(col("query_id"), col(id), col("score"))
   }
 
+  /** Scalar-quantize the corpus' embedding column to the SQ8 layout
+    * (per-vector vmin/δ + one byte per dimension — 4× smaller than
+    * float32; the FAISS IndexScalarQuantizer QT_8bit scheme). The
+    * struct column is persistable: encode once, serve many query
+    * batches against the compressed corpus.
+    */
+  def sq8Encode(corpus: DataFrame, emb: String = "embedding"): DataFrame =
+    corpus.withColumn("sq8", VectorFunctions.sq8Encode(col(emb))).drop(emb)
+
+  /** Asymmetric SQ8 cosine top-k: corpus rows carry the compressed
+    * `sq8` struct from [[sq8Encode]], queries keep exact vectors and
+    * broadcast. Same plan shape as [[bruteForceTopK]] — the corpus
+    * never shuffles, the scan reads 1 byte/dim instead of 4 — with
+    * quantization error in the scores instead of candidate recall
+    * loss (every corpus row is still scored). Compose with an exact
+    * re-rank of the top-k' (k' > k) when exact ordering matters.
+    */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(id), col("sq8"))
+    val q = queries.select(col(id).as("query_id"), col(emb).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("score", VectorFunctions.sq8AsymCosine(col("sq8"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(id), col("score"))
+  }
+
   /** Exact cross-corpus cosine top-k where BOTH sides are corpus-scale
     * (neither fits a broadcast): for every x in `xs`, its `k`
     * highest-cosine neighbors in `ys`. Output: (query_id, `id`,

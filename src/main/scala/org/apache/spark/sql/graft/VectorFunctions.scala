@@ -503,6 +503,111 @@ case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Per-vector 8-bit scalar quantization (the SQ8 scheme of FAISS's
+  * IndexScalarQuantizer): code_i = floor((x_i − vmin)/δ + 0.5) with
+  * δ = (vmax − vmin)/255, stored as (vmin, δ, 1 byte per dim) — the
+  * corpus shrinks 4× (plus two doubles a row) and the k-NN scan reads
+  * one byte per dimension. floor(q + 0.5) instead of a ties-mode
+  * round so a SQL oracle can replay the exact same double arithmetic.
+  * A constant vector (δ = 0) encodes to all-zero codes and
+  * dequantizes back to vmin.
+  */
+case class Sq8Encode(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sq8_encode"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("vmin", DoubleType, nullable = false),
+    StructField("delta", DoubleType, nullable = false),
+    StructField("codes", BinaryType, nullable = false)))
+
+  def core(v: ArrayData): Any = {
+    val n = v.numElements()
+    var vmin = Double.MaxValue; var vmax = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      if (x < vmin) vmin = x
+      if (x > vmax) vmax = x
+      i += 1
+    }
+    if (n == 0) { vmin = 0.0; vmax = 0.0 }
+    val delta = (vmax - vmin) / 255.0
+    val codes = new Array[Byte](n)
+    if (delta != 0.0) {
+      i = 0
+      while (i < n) {
+        val q = math.floor((v.getFloat(i).toDouble - vmin) / delta + 0.5)
+        // the quotient is ≤ 255(1+ε) by construction; clamp guards the
+        // pathological-ε case so the byte can never wrap
+        val c = if (q > 255.0) 255 else if (q < 0.0) 0 else q.toInt
+        codes(i) = c.toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](vmin, delta, codes))
+  }
+
+  override def nullSafeEval(v: Any): Any = core(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("sq8e", this, classOf[Sq8Encode].getName)
+      s"${ev.value} = (InternalRow) $ref.core($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric SQ8 cosine: left = the (vmin, δ, codes) struct from
+  * [[Sq8Encode]] (corpus side, 1 byte/dim), right = the exact float
+  * query vector. Dequantizes on the fly — x̂_i = vmin + c_i·δ, all
+  * double — so a SQL oracle replaying the same dequantization gets
+  * bit-equal inputs to the cosine.
+  */
+case class Sq8AsymCosine(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sq8_asym_cosine"
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    StructType(Seq(
+      StructField("vmin", DoubleType, nullable = false),
+      StructField("delta", DoubleType, nullable = false),
+      StructField("codes", BinaryType, nullable = false))),
+    ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  def core(s: InternalRow, q: ArrayData): Double = {
+    val vmin = s.getDouble(0); val delta = s.getDouble(1)
+    val codes = s.getBinary(2)
+    val n = codes.length
+    require(q.numElements() == n,
+      s"sq8_asym_cosine: query dim ${q.numElements()} != corpus dim $n")
+    var dot = 0.0; var nx = 0.0; var nq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vmin + (codes(i) & 0xFF).toDouble * delta
+      val y = q.getFloat(i).toDouble
+      dot += x * y; nx += x * x; nq += y * y
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(nq)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    core(l.asInstanceOf[InternalRow], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("sq8c", this, classOf[Sq8AsymCosine].getName)
+      s"${ev.value} = $ref.core($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumns.column(CosineSimilarity(GraftColumns.expr(a), GraftColumns.expr(b)))
@@ -510,6 +615,14 @@ object VectorFunctions {
     GraftColumns.column(DotProduct(GraftColumns.expr(a), GraftColumns.expr(b)))
   def l2Norm(a: Column): Column =
     GraftColumns.column(L2Norm(GraftColumns.expr(a)))
+  /** (vmin, δ, codes) SQ8 struct of a float vector — see [[Sq8Encode]]. */
+  def sq8Encode(v: Column): Column =
+    GraftColumns.column(Sq8Encode(GraftColumns.expr(v)))
+  /** Asymmetric cosine of an SQ8 struct against an exact query — see
+    * [[Sq8AsymCosine]].
+    */
+  def sq8AsymCosine(s: Column, q: Column): Column =
+    GraftColumns.column(Sq8AsymCosine(GraftColumns.expr(s), GraftColumns.expr(q)))
   /** Array of all band buckets for a (bands)(rowsPerBand)(dim) plane
     * tensor — see [[LshBandBuckets]].
     */

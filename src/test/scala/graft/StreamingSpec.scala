@@ -19,6 +19,9 @@ case class Tick(symbol: String, Epoch: Long, Price: Double, Size: Double)
 /** Streamed document for the streaming-dedup tests. */
 case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** Quote row for the streaming as-of join tests. */
+case class Quote(symbol: String, Epoch: Long, Bid: Double)
+
 /** Downsample-cascade semantics, mirroring the reference's ondiskagg
   * trigger tests (contrib/ondiskagg/aggtrigger): base-TF writes
   * produce/refresh coarser candles; a LATE out-of-order write
@@ -579,5 +582,65 @@ class StreamingSpec extends SparkSpec {
     cases.foreach { case (e, want) =>
       assert(got(e) == want, s"epoch $e: got ${got(e)}, want $want")
     }
+  }
+
+  test("streaming as-of join: late quote honored, tie visible, flush via event-time timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trades = MemoryStream[Tick]
+    val quotes = MemoryStream[Quote]
+    val joined = graft.streaming.StreamingAsOf.asofJoin(
+      trades.toDF, quotes.toDF, key = "symbol",
+      leftTime = "Epoch", rightTime = "Epoch",
+      leftPayload = Seq("Price"), rightPayload = Seq("Bid"),
+      allowedLateness = "10 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      // batch 1: two trades, one quote; wm after = t0+45-10 = t0+35,
+      // so only the t0+5 trade is final (t0+45 must wait — a quote
+      // ≤ t0+45 may still arrive... and does, in batch 2)
+      trades.addData(Tick("AAPL", t0 + 5, 10.1, 1), Tick("AAPL", t0 + 45, 11.2, 1),
+        Tick("AAPL", t0 - 5, 9.9, 1), Tick("MSFT", t0 + 10, 20.2, 1))
+      quotes.addData(Quote("AAPL", t0, 10.0), Quote("MSFT", t0 + 10, 20.0))
+      q.processAllAvailable()
+      // batch 2: the late-but-in-lateness quote that must win for t0+45
+      quotes.addData(Quote("AAPL", t0 + 40, 11.0))
+      q.processAllAvailable()
+      // batch 3: sentinels on BOTH streams push the watermark past the
+      // fixture; the AAPL/MSFT groups get NO new data — they flush
+      // through the event-time timeout path
+      trades.addData(Tick("ZZZ", t0 + 1000, 1, 1))
+      quotes.addData(Quote("ZZZ", t0 + 1000, 1))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .filter(col("symbol") =!= "ZZZ")
+        .collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("t"),
+          r.getAs[Double]("Price"),
+          Option(r.getAs[java.lang.Double]("Bid")).map(_.doubleValue)))
+        .toSet
+      val want = Set(
+        ("AAPL", t0 - 5, 9.9, None), // before any quote
+        ("AAPL", t0 + 5, 10.1, Some(10.0)),
+        ("AAPL", t0 + 45, 11.2, Some(11.0)), // the batch-2 late quote
+        ("MSFT", t0 + 10, 20.2, Some(20.0))) // same-second quote visible
+      assert(got == want, got.toString)
+      // batch equivalence: asofJoinUnion on the same rows
+      val batch = graft.operators.TimeSeries.asofJoinUnion(
+          Seq(("AAPL", t0 + 5, 10.1), ("AAPL", t0 + 45, 11.2),
+            ("AAPL", t0 - 5, 9.9), ("MSFT", t0 + 10, 20.2))
+            .toDF("symbol", "Epoch", "Price"),
+          Seq(("AAPL", t0, 10.0), ("MSFT", t0 + 10, 20.0), ("AAPL", t0 + 40, 11.0))
+            .toDF("symbol", "Epoch", "Bid"),
+          keys = Seq("symbol"), leftTime = "Epoch", rightTime = "Epoch",
+          payload = Seq("Bid"))
+        .collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("Epoch"),
+          r.getAs[Double]("Price"),
+          Option(r.getAs[java.lang.Double]("Bid")).map(_.doubleValue)))
+        .toSet
+      assert(batch == want, batch.toString)
+    } finally q.stop()
   }
 }

@@ -175,4 +175,58 @@ class UdaSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - (-0.25)) < 1e-12 && out(0)._3 == base + 3 * 86400)
     assert(out(1)._2 == 0.0 && out(1)._3 == base)
   }
+
+  test("EMA window function: exact recursion per key, null carries state") {
+    import graft.operators.Analytics
+    val bars = Seq(
+      ("A", base, Some(1.0)), ("A", base + 86400, Some(2.0)),
+      ("A", base + 2 * 86400, None), ("A", base + 3 * 86400, Some(3.0)),
+      ("B", base, Some(10.0)), ("B", base + 86400, Some(10.0)))
+      .toDF("symbol", "Epoch", "Close")
+    // n = 3 → α = 0.5: A = 1, 1.5, 1.5 (null input keeps state), 2.25
+    val out = Analytics.ema(bars, "Close", 3, Seq("symbol"))
+      .orderBy("symbol", "Epoch").collect().map(r => r.getAs[Double]("EMA"))
+    assert(out.toSeq == Seq(1.0, 1.5, 1.5, 2.25, 10.0, 10.0))
+  }
+
+  test("RSI: monotone rally → 100 once the window fills; nulls before") {
+    import graft.operators.Analytics
+    val bars = (0 to 6).map(i => ("A", base + i * 86400L, 100.0 + i))
+      .toDF("symbol", "Epoch", "Close")
+    val out = Analytics.rsi(bars, "Close", 5, Seq("symbol"))
+      .orderBy("Epoch").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("RSI"))) None else Some(r.getAs[Double]("RSI")))
+    assert(out.toSeq == Seq(None, None, None, None, None, Some(100.0), Some(100.0)))
+  }
+
+  test("Bollinger: bands null until the trailing window is full") {
+    import graft.operators.Analytics
+    val bars = (0 to 5).map(i => ("A", base + i * 86400L, 10.0 + (i % 2)))
+      .toDF("symbol", "Epoch", "Close")
+    val rows = Analytics.bollinger(bars, "Close", 5, 2.0, Seq("symbol"))
+      .orderBy("Epoch").collect()
+    assert(rows.take(4).forall(_.isNullAt(rows.head.fieldIndex("BollMid"))))
+    val mid = rows(4).getAs[Double]("BollMid")
+    assert(math.abs(mid - 10.4) < 1e-12)
+    assert(rows(4).getAs[Double]("BollUp") > mid &&
+      rows(4).getAs[Double]("BollDown") < mid)
+  }
+
+  test("pair correlation: identical series → 1, mirrored series → -1") {
+    import graft.operators.Analytics
+    val vals = Seq(1.0, 3.0, 2.0, 5.0)
+    val bars = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("A", base + i * 86400L, v), ("B", base + i * 86400L, v),
+        ("C", base + i * 86400L, -v))
+    }.toDF("symbol", "Epoch", "v")
+    val out = Analytics.pairCorrelation(bars, "symbol", "v")
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getAs[String]("k1"), r.getAs[String]("k2"),
+        r.getAs[Double]("Correlation"), r.getAs[Long]("NObs")))
+    assert(out.length == 3)
+    assert(out(0)._1 == "A" && out(0)._2 == "B" &&
+      math.abs(out(0)._3 - 1.0) < 1e-12 && out(0)._4 == 4L)
+    assert(out(1)._2 == "C" && math.abs(out(1)._3 + 1.0) < 1e-12)
+    assert(out(2)._1 == "B" && math.abs(out(2)._3 + 1.0) < 1e-12)
+  }
 }

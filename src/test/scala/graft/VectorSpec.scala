@@ -314,4 +314,51 @@ class VectorSpec extends SparkSpec {
       assert(math.abs(p.head - exp) < 1e-9, s"id $id: ${p.head} vs $exp")
     }
   }
+
+  test("sq8 encode/cosine compile strictly; reconstruction within δ/2, cosine near exact") {
+    val out = withStrictCodegen {
+      vecs.select(
+          col("id"), col("a"),
+          VectorFunctions.sq8Encode(col("a")).as("sq8"))
+        .select(
+          VectorFunctions.sq8AsymCosine(col("sq8"), col("a")).as("qc"),
+          VectorFunctions.cosineSim(col("a"), col("a")).as("xc"),
+          col("sq8.vmin").as("vmin"), col("sq8.delta").as("delta"),
+          col("sq8.codes").as("codes"), col("a"))
+        .collect()
+    }
+    assert(out.length == 49)
+    out.foreach { r =>
+      val vmin = r.getAs[Double]("vmin"); val delta = r.getAs[Double]("delta")
+      val codes = r.getAs[Array[Byte]]("codes")
+      val a = r.getAs[scala.collection.Seq[Float]]("a")
+      // scalar quantization's contract: each element reconstructs to
+      // within half a step; the extremes hit codes 0 / 255
+      codes.zip(a).foreach { case (c, x) =>
+        val rec = vmin + (c & 0xFF).toDouble * delta
+        assert(math.abs(rec - x.toDouble) <= delta / 2 + 1e-9, s"dequant $rec vs $x")
+      }
+      val amin = a.map(_.toDouble).min; val amax = a.map(_.toDouble).max
+      assert(vmin == amin)
+      if (delta > 0) {
+        assert((codes(a.indexOf(amin.toFloat)) & 0xFF) == 0)
+        assert((codes(a.indexOf(amax.toFloat)) & 0xFF) == 255)
+      }
+      // self-cosine through the codes stays near the exact 1.0
+      assert(math.abs(r.getAs[Double]("qc") - r.getAs[Double]("xc")) < 1e-3)
+    }
+  }
+
+  test("sq8 on a constant vector: delta 0, all-zero codes, dequantizes to vmin") {
+    val out = withStrictCodegen {
+      spark.range(1, 4).select(
+          transform(sequence(lit(1), lit(6)), _ => lit(2.5f)).as("v"))
+        .select(VectorFunctions.sq8Encode(col("v")).as("s"))
+        .select(col("s.vmin"), col("s.delta"), col("s.codes")).collect()
+    }
+    out.foreach { r =>
+      assert(r.getAs[Double]("vmin") == 2.5 && r.getAs[Double]("delta") == 0.0)
+      assert(r.getAs[Array[Byte]]("codes").forall(_ == 0))
+    }
+  }
 }
