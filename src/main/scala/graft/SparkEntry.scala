@@ -1444,6 +1444,22 @@ object SparkEntry {
     // and language composition in one grouped pass
     "q_report_sources" -> ((s, dir) =>
       TextAnalysis.sourceReport(Tables.documents(s, dir))),
+    // rollup report: corpus counts/size at (source, lang), per source,
+    // and grand-total in ONE pass — Spark's ROLLUP expands grouping
+    // sets inside a single partial-aggregated Expand, no per-level
+    // rescan. The reference PARSES grouping sets but never implements
+    // them (sqlparser/selectrelation.go SetQuantifier) — this is the
+    // engine-superset answer. grouping() disambiguates real nulls
+    // from subtotal rows.
+    "q_report_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          grouping(col("source")).cast("long").as("g_source"),
+          grouping(col("lang")).cast("long").as("g_lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          col("g_source"), col("g_lang"))
+        .orderBy("g_source", "g_lang", "source", "lang")),
 
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {
@@ -2879,6 +2895,14 @@ object SparkEntry {
            sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
          FROM d JOIN lang USING (doc_id)
          GROUP BY d.source ORDER BY d.source""",
+
+    // ROLLUP replay: DuckDB's GROUPING() has the same 0/1 convention
+    "q_report_rollup" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars,
+           grouping(source)::BIGINT AS g_source, grouping(lang)::BIGINT AS g_lang
+         FROM documents GROUP BY ROLLUP (source, lang)
+         ORDER BY g_source, g_lang, source, lang""",
 
     // survivors = per-component argmax(n_chars), ties lowest id
     "q_dedup_corpus_best" ->

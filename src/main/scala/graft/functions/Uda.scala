@@ -257,6 +257,28 @@ object VwapUda extends Uda {
       argMap("Price").head, argMap("Size").head, groupCols)
 }
 
+/** Exponential moving average: `ema('7', Close)` adds an EMA column
+  * smoothed with span n (α = 2/(n+1)) per group in epoch order —
+  * the native [[org.apache.spark.sql.graft.EmaWindow]] window
+  * function. Registry superset (the reference's feeds ship no
+  * smoothing aggregates at all).
+  */
+object EmaUda extends Uda {
+  val name = "ema"
+  val requiredArgs = Seq("Value")
+  override val initArgs = Seq("N")
+
+  def apply(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String]): DataFrame =
+    applyGrouped(df, argMap, init, Nil)
+
+  override def applyGrouped(df: DataFrame, argMap: Map[String, Seq[String]], init: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val n = init.head.trim.toInt
+    require(n >= 1, s"ema span must be >= 1, got $n")
+    graft.operators.Analytics.ema(df, argMap("Value").head, n, groupCols)
+  }
+}
+
 /** Gap-based sessionization: `sessionize('30Min')` — one row per
   * (group, session) with start/end epochs and the event count; a new
   * session opens when the gap from the previous event exceeds the
@@ -361,7 +383,7 @@ final class AdjustRegistryUda(
 object AggRegistry {
   val all: Map[String, Uda] = Seq(
     CountUda, MinUda, MaxUda, AvgUda, GapUda, TickCandlerUda, CandleCandlerUda,
-    VwapUda, SessionizeUda)
+    VwapUda, SessionizeUda, EmaUda)
     .map(u => u.name -> u).toMap
 
   /** Default registry + catalog-bound aggregates (`adjust` needs the

@@ -176,6 +176,14 @@ class UdaSpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && out(1)._3 == base)
   }
 
+  test("ema through the registry: ema('3', Close) grouped by symbol") {
+    val bars = Seq(("A", base, 1.0), ("A", base + 1, 2.0), ("B", base, 5.0))
+      .toDF("symbol", "Epoch", "Close")
+    val out = AggRegistry.runGrouped(Seq("ema('3', Close)"), bars, Seq("symbol"))
+      .orderBy("symbol", "Epoch").collect().map(_.getAs[Double]("EMA"))
+    assert(out.toSeq == Seq(1.0, 1.5, 5.0))
+  }
+
   test("EMA window function: exact recursion per key, null carries state") {
     import graft.operators.Analytics
     val bars = Seq(
