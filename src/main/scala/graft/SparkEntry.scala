@@ -284,6 +284,35 @@ object SparkEntry {
           round(col("RSI"), 6).as("rsi"))
         .orderBy("event_type", "epoch")
     }),
+    // Wilder RSI (α = 1/4 exact): the EmaWindow recursion over
+    // gains/losses, replayed by a two-state recursive CTE; row 1 has
+    // no delta and is filtered on both sides
+    "q_rsi_wilder" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.rsiWilder(daily, "Close", 4, Seq("event_type"))
+        .filter(col("RSIW").isNotNull)
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("RSIW"), 6).as("rsi_w"))
+        .orderBy("event_type", "epoch")
+    }),
+    // MACD(12,26,9): three chained EmaWindow recursions over one
+    // per-key sort; αs are 2/(span+1) doubles — the oracle recursion
+    // derives them with the same division, so the replay is bit-equal
+    "q_macd" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.macd(daily, "Close", groupCols = Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("MACD"), 6).as("macd"),
+          round(col("MACDSignal"), 6).as("macd_signal"),
+          round(col("MACDHist"), 6).as("macd_hist"))
+        .orderBy("event_type", "epoch")
+    }),
     // pairwise Pearson correlation of daily log returns between every
     // symbol pair sharing a day — epoch-keyed self-join, partial-
     // aggregated corr; Θ(K²) pairs is the matrix itself, not a plan
@@ -1816,6 +1845,52 @@ object SparkEntry {
            round(CASE WHEN nfull = 5 AND al = 0.0 THEN 100.0
              WHEN nfull = 5 THEN 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
          FROM r ORDER BY 1, 2""",
+    "q_rsi_wilder" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY epoch) AS rn
+           FROM d0),
+         x AS (SELECT event_type, epoch, rn,
+              close - lag(close) OVER (PARTITION BY event_type ORDER BY epoch) AS dl
+           FROM d),
+         g AS (SELECT event_type, epoch, rn,
+              CASE WHEN dl > 0 THEN dl WHEN dl IS NOT NULL THEN 0.0 END AS gain,
+              CASE WHEN dl < 0 THEN -dl WHEN dl IS NOT NULL THEN 0.0 END AS loss
+           FROM x),
+         r AS (SELECT event_type, epoch, rn, gain AS ag, loss AS al
+             FROM g WHERE rn = 2
+           UNION ALL
+           SELECT g.event_type, g.epoch, g.rn,
+             (1.0/4.0) * g.gain + (1.0 - 1.0/4.0) * r.ag,
+             (1.0/4.0) * g.loss + (1.0 - 1.0/4.0) * r.al
+           FROM g JOIN r ON g.event_type = r.event_type AND g.rn = r.rn + 1)
+         SELECT event_type, epoch,
+           round(CASE WHEN al = 0.0 THEN 100.0
+             ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi_w
+         FROM r ORDER BY 1, 2""",
+    "q_macd" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY epoch) AS rn
+           FROM d0),
+         m AS (SELECT event_type, epoch, rn, close, close AS ef, close AS es
+             FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.epoch, d.rn, d.close,
+             (2.0/13.0) * d.close + (1.0 - 2.0/13.0) * m.ef,
+             (2.0/27.0) * d.close + (1.0 - 2.0/27.0) * m.es
+           FROM d JOIN m ON d.event_type = m.event_type AND d.rn = m.rn + 1),
+         s AS (SELECT event_type, epoch, rn, ef - es AS macd, ef - es AS sig
+             FROM m WHERE rn = 1
+           UNION ALL
+           SELECT m.event_type, m.epoch, m.rn, m.ef - m.es,
+             (2.0/10.0) * (m.ef - m.es) + (1.0 - 2.0/10.0) * s.sig
+           FROM m JOIN s ON m.event_type = s.event_type AND m.rn = s.rn + 1)
+         SELECT event_type, epoch, round(macd, 6) AS macd,
+           round(sig, 6) AS macd_signal, round(macd - sig, 6) AS macd_hist
+         FROM s ORDER BY 1, 2""",
     "q_pair_corr" ->
       """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
               arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),

@@ -139,6 +139,58 @@ object Analytics {
       .drop("__gain", "__loss")
   }
 
+  /** Wilder's RSI: gains/losses smoothed with the Wilder recursion
+    * (α = 1/n) instead of [[rsi]]'s simple averages. Seed convention:
+    * the smoothed averages seed with the FIRST delta's gain/loss (the
+    * EMA-seed variant common in charting libraries; Wilder's original
+    * seeds with an SMA of the first n — compose [[rsi]] if that is
+    * required). Null on each key's first bar (no delta yet). Both
+    * smoothings ride one [[org.apache.spark.sql.graft.EmaWindow]]
+    * pass each over the same per-key sort.
+    */
+  def rsiWilder(bars: DataFrame, valueCol: String, n: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+    val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val parts = groupCols.map(col); val ord = Seq(col(Uda.EpochCol))
+    val alpha = 1.0 / n
+    val withD = bars
+      .withColumn("__gain", when(delta > 0, delta).otherwise(when(delta.isNotNull, 0.0)))
+      .withColumn("__loss", when(delta < 0, -delta).otherwise(when(delta.isNotNull, 0.0)))
+    val smoothed = withD
+      .withColumn("__ag",
+        org.apache.spark.sql.graft.WindowFunctions.emaAlpha(col("__gain"), alpha, parts, ord))
+      .withColumn("__al",
+        org.apache.spark.sql.graft.WindowFunctions.emaAlpha(col("__loss"), alpha, parts, ord))
+    smoothed.withColumn("RSIW",
+        when(col("__ag").isNull || col("__al").isNull, lit(null).cast("double"))
+          .when(col("__al") === 0.0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__ag") / col("__al"))))
+      .drop("__gain", "__loss", "__ag", "__al")
+  }
+
+  /** MACD(fast, slow, signal): EMA(fast) − EMA(slow) of the value,
+    * plus the signal EMA of the MACD line and the histogram — three
+    * [[org.apache.spark.sql.graft.EmaWindow]] recursions chained over
+    * the SAME per-key sort (adjacent Window operators with one
+    * ordering: one exchange + one sort in the plan). All αs are
+    * 2/(span+1) computed in double — an oracle deriving them with the
+    * same division replays bit-equal.
+    */
+  def macd(bars: DataFrame, valueCol: String,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val parts = groupCols.map(col); val ord = Seq(col(Uda.EpochCol))
+    val wf = org.apache.spark.sql.graft.WindowFunctions
+    bars
+      .withColumn("__ef", wf.ema(col(valueCol), fast, parts, ord))
+      .withColumn("__es", wf.ema(col(valueCol), slow, parts, ord))
+      .withColumn("MACD", col("__ef") - col("__es"))
+      .withColumn("MACDSignal", wf.ema(col("MACD"), signal, parts, ord))
+      .withColumn("MACDHist", col("MACD") - col("MACDSignal"))
+      .drop("__ef", "__es")
+  }
+
   /** Pearson correlation of per-bar values between every PAIR of
     * keys sharing an epoch: one epoch-keyed sort-merge self-join
     * (`k1 < k2` halves the pairs), then a partial-aggregated

@@ -220,6 +220,31 @@ class UdaSpec extends SparkSpec {
       rows(4).getAs[Double]("BollDown") < mid)
   }
 
+  test("Wilder RSI and MACD hand values via the chained EMA recursions") {
+    import graft.operators.Analytics
+    val bars = Seq(("A", base, 10.0), ("A", base + 86400, 12.0),
+      ("A", base + 2 * 86400, 11.0)).toDF("symbol", "Epoch", "Close")
+    // Wilder n=2 (α=0.5): seeds at delta1: ag=2, al=0 → RSI 100;
+    // next: ag=.5*0+.5*2=1, al=.5*1+.5*0=.5 → RSI = 100-100/(1+2)
+    val rsi = Analytics.rsiWilder(bars, "Close", 2, Seq("symbol"))
+      .orderBy("Epoch").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("RSIW"))) None else Some(r.getAs[Double]("RSIW")))
+    assert(rsi(0).isEmpty && rsi(1).contains(100.0))
+    assert(math.abs(rsi(2).get - (100.0 - 100.0 / (1.0 + 2.0))) < 1e-12)
+    // MACD(12,26,9): row 1 all zero; row 2 = the two EMA recursions
+    val m = Analytics.macd(bars, "Close", groupCols = Seq("symbol"))
+      .orderBy("Epoch").collect()
+    assert(m(0).getAs[Double]("MACD") == 0.0 &&
+      m(0).getAs[Double]("MACDSignal") == 0.0 && m(0).getAs[Double]("MACDHist") == 0.0)
+    val ef2 = (2.0 / 13.0) * 12.0 + (1.0 - 2.0 / 13.0) * 10.0
+    val es2 = (2.0 / 27.0) * 12.0 + (1.0 - 2.0 / 27.0) * 10.0
+    val macd2 = ef2 - es2
+    val sig2 = (2.0 / 10.0) * macd2 + (1.0 - 2.0 / 10.0) * 0.0
+    assert(m(1).getAs[Double]("MACD") == macd2)
+    assert(m(1).getAs[Double]("MACDSignal") == sig2)
+    assert(m(1).getAs[Double]("MACDHist") == macd2 - sig2)
+  }
+
   test("pair correlation: identical series → 1, mirrored series → -1") {
     import graft.operators.Analytics
     val vals = Seq(1.0, 3.0, 2.0, 5.0)
