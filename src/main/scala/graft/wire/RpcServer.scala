@@ -162,6 +162,8 @@ class RpcServer(
     *  - `knn`: exact cosine top-k ([[graft.ops.Similarity
     *    .bruteForceTopK]]); queries from `options.queries` (a parquet
     *    path) or the `options.n_queries` smallest-id rows of the input
+    *  - `knn_sq8`: same contract scored over the SQ8-compressed
+    *    corpus ([[graft.ops.Similarity.sq8TopK]] — 1 byte/dim scan)
     *  - `report_card`: per-source corpus health
     *    ([[graft.ops.TextAnalysis.sourceReport]])
     */
@@ -181,7 +183,7 @@ class RpcServer(
             text = str(opts, "text").getOrElse("text"))
           .select(explode(col("ids")).as("doc_id"), col("canonical_id"))
           .orderBy("doc_id")
-      case "knn" =>
+      case "knn" | "knn_sq8" =>
         val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
         val queries = str(opts, "queries") match {
           case Some(qPath) => spark.read.parquet(qPath)
@@ -192,15 +194,17 @@ class RpcServer(
               math.max(1L, lng(opts, "n_queries").getOrElse(5L))).toInt
             df.orderBy(col("vec_id")).limit(n)
         }
-        graft.ops.Similarity.bruteForceTopK(df, queries, k)
-          .orderBy("query_id", "vec_id")
+        val hits = if (op == "knn_sq8")
+          graft.ops.Similarity.sq8TopK(graft.ops.Similarity.sq8Encode(df), queries, k)
+        else graft.ops.Similarity.bruteForceTopK(df, queries, k)
+        hits.orderBy("query_id", "vec_id")
       case "report_card" =>
         graft.ops.TextAnalysis.sourceReport(df,
           textCol = str(opts, "text").getOrElse("text"),
           sourceCol = str(opts, "source").getOrElse("source"))
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
-          "(supported: dedup_exact, knn, report_card)")
+          "(supported: dedup_exact, knn, knn_sq8, report_card)")
     }
     str(params, "output") match {
       case Some(dest) =>

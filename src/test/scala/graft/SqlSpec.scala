@@ -154,6 +154,16 @@ class SqlSpec extends SparkSpec {
     assert(out.head.getAs[Long]("N") == 60L)
   }
 
+  test("ema UDA through the SQL front: SELECT ema('3', Close)") {
+    val (cat, svc) = freshCatalog(); seedBars(cat)
+    val out = svc.sql("SELECT ema('3', Close) FROM `AAPL/1Min/OHLCV`")
+      .orderBy("Epoch").collect()
+    assert(out.length == 120)
+    // α = 0.5: seed 10.5, then 0.5·11.5 + 0.5·10.5 = 11.0
+    assert(out(0).getAs[Double]("EMA") == 10.5)
+    assert(out(1).getAs[Double]("EMA") == 11.0)
+  }
+
   test("superset: joins and ORDER BY across TBK views (reference rejects both)") {
     // the reference errors on Join and ORDER BY
     // (executablestatement.go:194-200, :182-186); Spark SQL executes them

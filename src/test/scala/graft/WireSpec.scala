@@ -407,6 +407,14 @@ class WireSpec extends SparkSpec {
       val hits = knn("rows").asInstanceOf[Seq[Seq[Any]]]
         .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
       assert(hits == Seq(11L, 12L), s"knn rows: ${knn("rows")}")
+      // knn_sq8: the same contract over the compressed corpus — on
+      // this well-separated fixture the ranking matches exact knn
+      val knn8 = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_sq8", "input" -> s"$dir/emb",
+          "options" -> Map("k" -> 2L, "n_queries" -> 1L)))
+      val hits8 = knn8("rows").asInstanceOf[Seq[Seq[Any]]]
+        .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
+      assert(hits8 == Seq(11L, 12L), s"knn_sq8 rows: ${knn8("rows")}")
       // report card: per-source health table
       val rep = rpc(port, "OpsService.Run",
         Map("op" -> "report_card", "input" -> s"$dir/docs"))

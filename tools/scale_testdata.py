@@ -18,9 +18,8 @@ def main(src, dst, factor=10):
     con.execute(f"""
         COPY (
           SELECT e.ts + to_microseconds(i.range) AS ts,
-                 e.event_type,
-                 e.value,
-                 e.event_id + i.range * 10000000 AS event_id
+                 e.event_id + i.range * 10000000 AS event_id,
+                 e.* EXCLUDE (ts, event_id)
           FROM '{src}/events.parquet' e CROSS JOIN range({factor}) i
         ) TO '{dst}/events.parquet' (FORMAT parquet)
     """)
