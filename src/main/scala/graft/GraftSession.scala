@@ -34,6 +34,7 @@ object GraftSession {
   def create(master: String = "local[*]"): SparkSession = {
     val s = builder(master).getOrCreate()
     org.apache.spark.sql.graft.VectorFunctions.register(s)
+    org.apache.spark.sql.graft.WindowFunctions.register(s)
     s
   }
 }

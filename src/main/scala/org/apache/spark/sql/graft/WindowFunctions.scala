@@ -72,4 +72,20 @@ object WindowFunctions {
       f.frame)
     GraftColumns.column(WindowExpression(f, spec))
   }
+
+  /** Register `ema_w(x, alpha) OVER (...)` for raw Spark SQL. The SQL
+    * analyzer resolves an OVER clause without an explicit frame to
+    * UnspecifiedFrame, which ResolveWindowFrame fills with the
+    * function's own running ROW frame — so plain SQL needs none of the
+    * Column-API frame workaround above.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftColumns.registerFunction(spark, "ema_w", es => {
+      val alpha = es(1) match {
+        case Literal(d: Double, DoubleType) => d
+        case other => throw new IllegalArgumentException(
+          s"ema_w: alpha must be a double literal, got $other")
+      }
+      EmaWindow(es.head, alpha)
+    })
 }

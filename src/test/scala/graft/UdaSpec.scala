@@ -184,6 +184,16 @@ class UdaSpec extends SparkSpec {
     assert(out.toSeq == Seq(1.0, 1.5, 5.0))
   }
 
+  test("ema_w in raw Spark SQL: OVER without a frame takes the function's ROW frame") {
+    org.apache.spark.sql.graft.WindowFunctions.register(spark)
+    Seq(("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("ema_sql_in")
+    val out = spark.sql(
+      "SELECT ema_w(v, 0.5D) OVER (PARTITION BY k ORDER BY t) AS e FROM ema_sql_in ORDER BY t")
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(1.0, 1.5, 2.25))
+  }
+
   test("EMA window function: exact recursion per key, null carries state") {
     import graft.operators.Analytics
     val bars = Seq(
