@@ -1488,7 +1488,10 @@ object SparkEntry {
           grouping(col("lang")).cast("long").as("g_lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
           col("g_source"), col("g_lang"))
-        .orderBy("g_source", "g_lang", "source", "lang")),
+        // genuine nulls in source/lang sort NULLS LAST to match the
+        // DuckDB default (Spark ascending defaults NULLS FIRST)
+        .orderBy(col("g_source"), col("g_lang"),
+          col("source").asc_nulls_last, col("lang").asc_nulls_last)),
 
     // ---- multimodal plumbing -------------------------------------------
     "q_multimodal_features" -> ((s, dir) => {

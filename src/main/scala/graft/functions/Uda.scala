@@ -261,7 +261,10 @@ object VwapUda extends Uda {
   * smoothed with span n (α = 2/(n+1)) per group in epoch order —
   * the native [[org.apache.spark.sql.graft.EmaWindow]] window
   * function. Registry superset (the reference's feeds ship no
-  * smoothing aggregates at all).
+  * smoothing aggregates at all). With NO group columns the window is
+  * a single sorted partition — fine for one bucket's rows (the SQL
+  * front's per-TBK tables), never for a raw multi-symbol tape; pass
+  * group columns there (same bound as `sessionize`).
   */
 object EmaUda extends Uda {
   val name = "ema"

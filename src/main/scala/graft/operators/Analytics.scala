@@ -122,14 +122,23 @@ object Analytics {
     * over per-bar deltas, 100 where the loss average is zero, null
     * until `n` deltas exist. One per-key sort for delta + both SMAs.
     */
-  def rsi(bars: DataFrame, valueCol: String, n: Int,
+  /** Per-bar delta decomposed into `__gain`/`__loss` columns (null on
+    * each key's first bar) — the shared front of both RSI variants.
+    */
+  private def gainsLosses(bars: DataFrame, valueCol: String,
       groupCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
-    val wf = w.rowsBetween(-(n - 1L), Window.currentRow)
     val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
-    val withD = bars
+    bars
       .withColumn("__gain", when(delta > 0, delta).otherwise(when(delta.isNotNull, 0.0)))
       .withColumn("__loss", when(delta < 0, -delta).otherwise(when(delta.isNotNull, 0.0)))
+  }
+
+  def rsi(bars: DataFrame, valueCol: String, n: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val wf = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val withD = gainsLosses(bars, valueCol, groupCols)
     val full = count(col("__gain")).over(wf) === n
     val avgGain = avg(col("__gain")).over(wf)
     val avgLoss = avg(col("__loss")).over(wf)
@@ -150,13 +159,9 @@ object Analytics {
     */
   def rsiWilder(bars: DataFrame, valueCol: String, n: Int,
       groupCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
-    val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
     val parts = groupCols.map(col); val ord = Seq(col(Uda.EpochCol))
     val alpha = 1.0 / n
-    val withD = bars
-      .withColumn("__gain", when(delta > 0, delta).otherwise(when(delta.isNotNull, 0.0)))
-      .withColumn("__loss", when(delta < 0, -delta).otherwise(when(delta.isNotNull, 0.0)))
+    val withD = gainsLosses(bars, valueCol, groupCols)
     val smoothed = withD
       .withColumn("__ag",
         org.apache.spark.sql.graft.WindowFunctions.emaAlpha(col("__gain"), alpha, parts, ord))
@@ -205,10 +210,25 @@ object Analytics {
       col(valueCol).as("v1"))
     val b = bars.select(col(keyCol).as("k2"), col(Uda.EpochCol),
       col(valueCol).as("v2"))
+    // explicit co-moment sums instead of corr(): ANSI-mode corr THROWS
+    // DIVIDE_BY_ZERO on a zero-variance or single-observation pair
+    // (and NaNs with ANSI off) where SQL engines return NULL — sums
+    // never divide, and the degenerate cases null out in the final
+    // guarded expression
+    val both = col("v1").isNotNull && col("v2").isNotNull
+    val x = when(both, col("v1")); val y = when(both, col("v2"))
     a.join(b, Seq(Uda.EpochCol)).filter(col("k1") < col("k2"))
       .groupBy(col("k1"), col("k2"))
-      .agg(corr(col("v1"), col("v2")).as("Correlation"),
-        count(when(col("v1").isNotNull && col("v2").isNotNull, 1)).as("NObs"))
+      .agg(count(when(both, 1)).as("NObs"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
+      .withColumn("__den",
+        sqrt(col("NObs") * col("__sxx") - col("__sx") * col("__sx")) *
+          sqrt(col("NObs") * col("__syy") - col("__sy") * col("__sy")))
+      .withColumn("Correlation",
+        when(col("NObs") > 1 && col("__den") > 0,
+          (col("NObs") * col("__sxy") - col("__sx") * col("__sy")) / col("__den")))
+      .select(col("k1"), col("k2"), col("Correlation"), col("NObs"))
   }
 
   /** Per-key maximum drawdown: min over bars of

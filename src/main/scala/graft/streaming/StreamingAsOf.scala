@@ -15,8 +15,10 @@ private[streaming] case class AsOfEv(
 
 /** Per-key buffers: right rows still useful as match candidates, left
   * rows not yet safe to emit. Both are pruned by the event-time
-  * watermark every firing, so state is bounded by the lateness
-  * horizon (× arrival rate), never by stream length.
+  * watermark every firing, and a key that goes quiet gets one
+  * compaction timeout, so steady-state state is the single anchor
+  * quote per key — O(1) per key, O(live keys) total (the quote cache
+  * a serving system holds anyway), never stream-length.
   */
 private[streaming] case class AsOfState(
     rights: Seq[(Long, Seq[Double])], lefts: Seq[(Long, Seq[Double])])
@@ -62,6 +64,9 @@ object StreamingAsOf {
       leftTime: String, rightTime: String,
       leftPayload: Seq[String], rightPayload: Seq[String],
       allowedLateness: String = "10 minutes"): DataFrame = {
+    require((leftPayload.toSet & rightPayload.toSet).isEmpty,
+      "asofJoin: left/right payload column names must be disjoint — a " +
+        s"shared name would silently overwrite (${leftPayload.toSet & rightPayload.toSet})")
     val spark = left.sparkSession
     import spark.implicits._
 
@@ -107,10 +112,15 @@ object StreamingAsOf {
           if (next.rights.isEmpty && next.lefts.isEmpty) state.remove()
           else {
             state.update(next)
-            // fire again when the watermark passes the oldest pending
-            // left so quiet keys flush without new data
             if (pendL.nonEmpty)
+              // fire again when the watermark passes the oldest pending
+              // left so quiet keys flush without new data
               state.setTimeoutTimestamp((pendL.map(_._1).min + 1) * 1000L)
+            else if (next.rights.size > 1)
+              // no pending work, but quotes above the watermark: fire
+              // once more after the newest one ages out so a key that
+              // goes quiet still compacts to its single anchor quote
+              state.setTimeoutTimestamp((next.rights.map(_._1).max + 1) * 1000L)
           }
           out.iterator
       }(Encoders.product[AsOfState], Encoders.product[AsOfOut])

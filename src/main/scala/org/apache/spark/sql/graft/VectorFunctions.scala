@@ -527,6 +527,12 @@ case class Sq8Encode(child: Expression)
     var i = 0
     while (i < n) {
       val x = v.getFloat(i).toDouble
+      // quantizing a non-finite element is undefined — NaN would
+      // silently encode as code 0 (= vmin) while a SQL replay
+      // propagates NaN; fail loudly instead
+      if (x.isNaN || x.isInfinite)
+        throw new IllegalArgumentException(
+          s"sq8_encode: non-finite element $x at dim $i")
       if (x < vmin) vmin = x
       if (x > vmax) vmax = x
       i += 1

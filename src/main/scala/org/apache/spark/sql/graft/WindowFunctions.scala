@@ -81,10 +81,15 @@ object WindowFunctions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     GraftColumns.registerFunction(spark, "ema_w", es => {
-      val alpha = es(1) match {
-        case Literal(d: Double, DoubleType) => d
-        case other => throw new IllegalArgumentException(
-          s"ema_w: alpha must be a double literal, got $other")
+      if (es.length != 2)
+        throw new IllegalArgumentException(
+          s"ema_w expects (value, alpha), got ${es.length} argument(s)")
+      // SQL parses a bare 0.5 as DECIMAL(1,1): accept any foldable
+      // numeric by folding it through a double cast
+      val alpha = (if (es(1).foldable) Cast(es(1), DoubleType).eval() else null) match {
+        case d: java.lang.Double => d.doubleValue
+        case _ => throw new IllegalArgumentException(
+          s"ema_w: alpha must be a numeric literal, got ${es(1)}")
       }
       EmaWindow(es.head, alpha)
     })

@@ -643,4 +643,17 @@ class StreamingSpec extends SparkSpec {
       assert(batch == want, batch.toString)
     } finally q.stop()
   }
+
+  test("streaming as-of join rejects colliding payload names up front") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val trades = MemoryStream[Tick]
+    val quotes = MemoryStream[Quote]
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAsOf.asofJoin(
+        trades.toDF.withColumnRenamed("Price", "Bid"), quotes.toDF,
+        key = "symbol", leftTime = "Epoch", rightTime = "Epoch",
+        leftPayload = Seq("Bid"), rightPayload = Seq("Bid"))
+    }
+    assert(err.getMessage.contains("disjoint"))
+  }
 }

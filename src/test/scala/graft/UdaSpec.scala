@@ -192,6 +192,17 @@ class UdaSpec extends SparkSpec {
       "SELECT ema_w(v, 0.5D) OVER (PARTITION BY k ORDER BY t) AS e FROM ema_sql_in ORDER BY t")
       .collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(1.0, 1.5, 2.25))
+    // a bare 0.5 parses as DECIMAL(1,1) — the builder folds it
+    val dec = spark.sql(
+      "SELECT ema_w(v, 0.5) OVER (PARTITION BY k ORDER BY t) AS e FROM ema_sql_in ORDER BY t")
+      .collect().map(_.getDouble(0))
+    assert(dec.toSeq == Seq(1.0, 1.5, 2.25))
+    // wrong arity errors cleanly, not IndexOutOfBounds
+    val err = intercept[Exception] {
+      spark.sql("SELECT ema_w(v) OVER (PARTITION BY k ORDER BY t) FROM ema_sql_in").collect()
+    }
+    assert(err.getMessage.contains("ema_w") || err.getMessage.contains("argument"),
+      err.getMessage)
   }
 
   test("EMA window function: exact recursion per key, null carries state") {
@@ -271,5 +282,15 @@ class UdaSpec extends SparkSpec {
       math.abs(out(0)._3 - 1.0) < 1e-12 && out(0)._4 == 4L)
     assert(out(1)._2 == "C" && math.abs(out(1)._3 + 1.0) < 1e-12)
     assert(out(2)._1 == "B" && math.abs(out(2)._3 + 1.0) < 1e-12)
+  }
+
+  test("pair correlation: zero-variance pair yields NULL, not NaN (SQL parity)") {
+    import graft.operators.Analytics
+    val bars = (0 to 3).flatMap(i =>
+      Seq(("A", base + i * 86400L, 5.0), ("B", base + i * 86400L, 1.0 + i)))
+      .toDF("symbol", "Epoch", "v")
+    val row = Analytics.pairCorrelation(bars, "symbol", "v").collect().head
+    assert(row.isNullAt(row.fieldIndex("Correlation")))
+    assert(row.getAs[Long]("NObs") == 4L)
   }
 }

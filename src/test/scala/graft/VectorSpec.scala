@@ -349,6 +349,17 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("sq8 encode throws on non-finite elements instead of silently coding vmin") {
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.range(1, 2).select(
+          transform(sequence(lit(1), lit(4)),
+            i => when(i === 2, lit(Float.NaN)).otherwise(lit(1.0f))).as("v"))
+        .select(VectorFunctions.sq8Encode(col("v"))).collect()
+    }
+    assert(err.getMessage.contains("non-finite") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-finite")), err.getMessage)
+  }
+
   test("sq8 on a constant vector: delta 0, all-zero codes, dequantizes to vmin") {
     val out = withStrictCodegen {
       spark.range(1, 4).select(
