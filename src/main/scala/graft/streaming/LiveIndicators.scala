@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+private[streaming] case class EmaEv(
+    key: String, t: Long, v: Double, ts: java.sql.Timestamp)
+
+/** Running smoothing state + events not yet safe to fold. `ema` is
+  * the indicator's whole memory (one double per key — it outlives
+  * quiet periods the way a serving system's indicator cache does);
+  * `pend` is bounded by the lateness horizon.
+  */
+private[streaming] case class EmaState(
+    ema: Option[Double], pend: Seq[(Long, Double)])
+
+private[streaming] case class EmaOut(key: String, t: Long, v: Double, ema: Double)
+
+/** Streaming indicator state — the live pair of the batch
+  * [[org.apache.spark.sql.graft.EmaWindow]] recursion (and of the
+  * indicators composed from it: Wilder smoothing, MACD).
+  *
+  * EMA is order-SENSITIVE: a late event changes every smoothed value
+  * after it, so rows cannot fold as they arrive. Same discipline as
+  * [[StreamingAsOf]]: buffer per key, fold-and-emit only the prefix
+  * the watermark has passed STRICTLY (an equal-time event can still
+  * arrive at wm == t), in (t, v) order so equal-second ties are
+  * deterministic. Late-but-inside-lateness events therefore land in
+  * the right position; later than that they are dropped by the
+  * watermark (the documented bounded-state trade, as in LiveCandles).
+  *
+  * Scale shape: one shuffle on the key, O(1) steady state per key
+  * (the running EMA) + a lateness-bounded pending buffer, event-time
+  * timeouts flush quiet keys. StreamingSpec pins equivalence with the
+  * batch window function on a shared out-of-order fixture.
+  */
+object LiveIndicators {
+
+  def ema(
+      stream: DataFrame, key: String, timeCol: String, valueCol: String,
+      n: Int, allowedLateness: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+
+    val evs = stream.select(col(key).as("key"),
+        col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("ts", timestamp_seconds(col("t")))
+      .withWatermark("ts", allowedLateness)
+      .as[EmaEv]
+
+    val folded = evs.groupByKey(_.key)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[EmaEv], state: GroupState[EmaState]) =>
+          val st = state.getOption.getOrElse(EmaState(None, Nil))
+          val pend = st.pend ++ it.map(e => (e.t, e.v))
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (fin, keep) = pend.partition(_._1 < wmSec)
+          var ema = st.ema
+          val out = fin.sorted.map { case (t, v) =>
+            val next = ema match {
+              case Some(prev) => alpha * v + (1.0 - alpha) * prev
+              case None => v
+            }
+            ema = Some(next)
+            EmaOut(k, t, v, next)
+          }
+          state.update(EmaState(ema, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp((keep.map(_._1).min + 1) * 1000L)
+          out.iterator
+      }(Encoders.product[EmaState], Encoders.product[EmaOut])
+
+    folded.toDF().select(col("key").as(key), col("t").as(timeCol),
+      col("v").as(valueCol), col("ema").as("EMA"))
+  }
+}

@@ -38,7 +38,10 @@ private[streaming] case class AsOfOut(
   * event-time timeout. Correctness rule: a left row emits only once
   * the watermark passes its event time STRICTLY — before that, an
   * earlier-or-equal right row could still arrive and change the
-  * match. Ties (right.t == left.t) are visible to the left row, and
+  * match (strict emission stays safe whether the runtime's late-row
+  * filter is exclusive or inclusive of the watermark instant — the
+  * current one drops rows AT it). Ties (right.t == left.t) are
+  * visible to the left row, and
   * equal-time right rows resolve to the greatest (t, vals) tuple —
   * both exactly as the batch broadcast variant's sorted-array probe.
   *

@@ -644,6 +644,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LiveIndicators.ema: out-of-order folds in event order; final state == batch EmaWindow") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val live = graft.streaming.LiveIndicators.ema(
+      source.toDF, key = "symbol", timeCol = "Epoch", valueCol = "Price",
+      n = 3, allowedLateness = "10 seconds")
+    val q = live.writeStream
+      .format("memory").queryName("live_ema").outputMode("append").start()
+    try {
+      // batch 1 arrives OUT of event order: t0+20 before t0+12; the
+      // late row lands strictly inside the lateness window (wm after
+      // batch 1 is t0+10 — a row AT the watermark is already dropped)
+      source.addData(Tick("AAPL", t0, 10.0, 1), Tick("AAPL", t0 + 20, 14.0, 1))
+      q.processAllAvailable()
+      source.addData(Tick("AAPL", t0 + 12, 12.0, 1), Tick("BBB", t0 + 20, 5.0, 1))
+      q.processAllAvailable()
+      // sentinel advances the watermark; AAPL/BBB flush via timeout
+      source.addData(Tick("ZZZ", t0 + 1000, 1.0, 1))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("live_ema").filter(col("symbol") =!= "ZZZ")
+        .collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("Epoch"),
+          r.getAs[Double]("EMA"))).toSet
+      // α = 0.5 over the EVENT-ordered series 10, 12, 14
+      val want = Set(
+        ("AAPL", t0, 10.0), ("AAPL", t0 + 12, 11.0), ("AAPL", t0 + 20, 12.5),
+        ("BBB", t0 + 20, 5.0))
+      assert(got == want, got.toString)
+      // equivalence with the batch window function on the same rows
+      val batch = graft.operators.Analytics.ema(
+          Seq(("AAPL", t0, 10.0), ("AAPL", t0 + 20, 14.0), ("AAPL", t0 + 12, 12.0),
+            ("BBB", t0 + 20, 5.0)).toDF("symbol", "Epoch", "Close"),
+          "Close", 3, Seq("symbol"))
+        .collect()
+        .map(r => (r.getAs[String]("symbol"), r.getAs[Long]("Epoch"),
+          r.getAs[Double]("EMA"))).toSet
+      assert(batch == want, batch.toString)
+    } finally q.stop()
+  }
+
   test("streaming as-of join rejects colliding payload names up front") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val trades = MemoryStream[Tick]
