@@ -1218,6 +1218,21 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // IVF × SQ8 under the exhaustive oracle: the sign-planted corpus
+    // makes cell assignment analytic (cross-cell cosine ≪ 0), and the
+    // SQ8 replay is deterministic — so single-probe serving over the
+    // compressed cells equals the global dequantized-cosine ranking
+    "q_knn_ivfsq8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val emb = e.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
+      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nCells = 2, nProbe = 1, centroids = Some(quantizer))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // product-quantization ANN, trained codebooks (2 Lloyd iterations
     // of per-subspace L2 k-means) — the production compressed-corpus
     // shape (m-byte codes + ADC scoring). Approximate by design (no
@@ -2662,6 +2677,32 @@ object SparkEntry {
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
            FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // IVF-SQ8 replay: sign-plant, then the q_knn_sq8 dequantization
+    // over the planted corpus; global ranking == single-probe serving
+    // because cross-cell dequantized cosines stay far below zero
+    "q_knn_ivfsq8" ->
+      """WITH c0 AS (SELECT vec_id,
+              CASE WHEN vec_id % 2 = 0 THEN list_transform(embedding, x -> abs(x))
+                   ELSE list_transform(embedding, x -> -abs(x)) END AS embedding
+           FROM embeddings),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM c0),
+         p AS (SELECT vec_id, v, list_min(v) AS vmin,
+              (list_max(v) - list_min(v)) / 255.0 AS delta FROM c),
+         dq AS (SELECT vec_id,
+              CASE WHEN delta = 0 THEN list_transform(v, x -> vmin)
+                ELSE list_transform(v,
+                  x -> vmin + floor((x - vmin) / delta + 0.5) * delta) END AS vq
+           FROM p),
+         q AS (SELECT vec_id AS query_id, v AS qe FROM c WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, dq.vec_id,
+              list_cosine_similarity(dq.vq, q.qe) AS s
+           FROM dq, q WHERE dq.vec_id != q.query_id),
          ranked AS (SELECT query_id, vec_id, s,
               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
            FROM scored)

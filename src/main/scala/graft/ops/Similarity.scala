@@ -522,6 +522,43 @@ object Similarity {
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
   }
 
+  /** IVF × SQ8 composite: inverted cells over scalar-quantized codes
+    * — IVF-PQ's train-free sibling (4× compression instead of 32×,
+    * no codebook training, and because SQ8 replay is deterministic
+    * the whole composite sits under an exact oracle rather than a
+    * recall bound). The stored relation is
+    * (cell, cand_id, (vmin, δ, codes)) — one byte per dimension plus
+    * two doubles rides the probe join; probing is the
+    * [[ivfTopKIndexed]] shape (probes broadcast into the cell-keyed
+    * index, corpus never shuffles) with [[VectorFunctions
+    * .sq8AsymCosine]] as the scorer.
+    */
+  def ivfSq8TopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      centroids: Option[Array[Seq[Float]]] = None,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val cents = centroids.getOrElse(sampledCentroids(corpus, nCells, id, emb))
+    val encoded = corpus
+      .withColumn("cell",
+        array_max(cellScores(col(emb), cents)).getField("cell"))
+      .select(col("cell"), col(id).as("cand_id"),
+        VectorFunctions.sq8Encode(col(emb)).as("__sq8"))
+    val probes = queries
+      .withColumn("__cells",
+        slice(reverse(array_sort(cellScores(col(emb), cents))), 1, nProbe))
+      .select(col(id).as("query_id"), col(emb).as("__qv"),
+        explode(col("__cells").getField("cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", VectorFunctions.sq8AsymCosine(col("__sq8"), col("__qv")))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+  }
+
   /** Per-row scored cells against a fixed centroid set: array of
     * (cosine-to-centroid, cellId) structs, via the fused
     * CentroidStructScores expression — the composed per-centroid

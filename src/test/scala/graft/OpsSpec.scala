@@ -148,6 +148,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nProbe=8/16 recall $recall")
   }
 
+  test("IVF-SQ8 full probe degenerates to the flat SQ8 scan, row-identical") {
+    val q = embs.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = rows(Similarity.sq8TopK(Similarity.sq8Encode(embs), q, k = 10)
+      .withColumnRenamed("vec_id", "vec_id"))
+    val ivf = rows(Similarity.ivfSq8TopK(embs, q, k = 10, nCells = 16, nProbe = 16))
+    assert(ivf == flat)
+  }
+
   test("incremental IVF index: base + frozen-quantizer delta == full rebuild, serving identical") {
     val base = embs.filter(col("vec_id") % 5 =!= 0)
     val batch = embs.filter(col("vec_id") % 5 === 0)
