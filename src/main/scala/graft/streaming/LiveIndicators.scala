@@ -17,6 +17,13 @@ private[streaming] case class EmaState(
 
 private[streaming] case class EmaOut(key: String, t: Long, v: Double, ema: Double)
 
+private[streaming] case class MacdState(
+    ef: Option[Double], es: Option[Double], sig: Option[Double],
+    pend: Seq[(Long, Double)])
+
+private[streaming] case class MacdOut(
+    key: String, t: Long, v: Double, macd: Double, signal: Double, hist: Double)
+
 /** Streaming indicator state — the live pair of the batch
   * [[org.apache.spark.sql.graft.EmaWindow]] recursion (and of the
   * indicators composed from it: Wilder smoothing, MACD).
@@ -76,5 +83,57 @@ object LiveIndicators {
 
     folded.toDF().select(col("key").as(key), col("t").as(timeCol),
       col("v").as(valueCol), col("ema").as("EMA"))
+  }
+
+  /** Live MACD(fast, slow, signal): the batch
+    * [[graft.operators.Analytics.macd]] chain as ONE stateful fold —
+    * three EMA doubles per key instead of three window passes, same
+    * watermark-ordered discipline as [[ema]]. Emits
+    * (MACD, MACDSignal, MACDHist) per finalized bar; the αs are the
+    * same 2/(span+1) doubles, so values equal the batch chain
+    * bit-for-bit on the same rows (StreamingSpec).
+    */
+  def macd(
+      stream: DataFrame, key: String, timeCol: String, valueCol: String,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9,
+      allowedLateness: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1); val aG = 2.0 / (signal + 1)
+
+    val evs = stream.select(col(key).as("key"),
+        col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("ts", timestamp_seconds(col("t")))
+      .withWatermark("ts", allowedLateness)
+      .as[EmaEv]
+
+    val folded = evs.groupByKey(_.key)
+      .flatMapGroupsWithState[MacdState, MacdOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[EmaEv], state: GroupState[MacdState]) =>
+          val st = state.getOption.getOrElse(MacdState(None, None, None, Nil))
+          val pend = st.pend ++ it.map(e => (e.t, e.v))
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (fin, keep) = pend.partition(_._1 < wmSec)
+          var ef = st.ef; var es = st.es; var sig = st.sig
+          def step(prev: Option[Double], a: Double, x: Double): Double =
+            prev.map(p => a * x + (1.0 - a) * p).getOrElse(x)
+          val out = fin.sorted.map { case (t, v) =>
+            val nEf = step(ef, aF, v); val nEs = step(es, aS, v)
+            val m = nEf - nEs
+            val nSig = step(sig, aG, m)
+            ef = Some(nEf); es = Some(nEs); sig = Some(nSig)
+            MacdOut(k, t, v, m, nSig, m - nSig)
+          }
+          state.update(MacdState(ef, es, sig, keep))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp((keep.map(_._1).min + 1) * 1000L)
+          out.iterator
+      }(Encoders.product[MacdState], Encoders.product[MacdOut])
+
+    folded.toDF().select(col("key").as(key), col("t").as(timeCol),
+      col("v").as(valueCol), col("macd").as("MACD"),
+      col("signal").as("MACDSignal"), col("hist").as("MACDHist"))
   }
 }

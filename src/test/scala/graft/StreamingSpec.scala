@@ -685,6 +685,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LiveIndicators.macd: single fold equals the batch three-window chain bit-for-bit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val live = graft.streaming.LiveIndicators.macd(
+      source.toDF, key = "symbol", timeCol = "Epoch", valueCol = "Price",
+      allowedLateness = "10 seconds")
+    val q = live.writeStream
+      .format("memory").queryName("live_macd").outputMode("append").start()
+    try {
+      // out of order within the lateness window
+      source.addData(Tick("AAPL", t0, 10.0, 1), Tick("AAPL", t0 + 20, 11.0, 1))
+      q.processAllAvailable()
+      source.addData(Tick("AAPL", t0 + 12, 12.0, 1))
+      q.processAllAvailable()
+      source.addData(Tick("ZZZ", t0 + 1000, 1.0, 1))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("live_macd").filter(col("symbol") =!= "ZZZ")
+        .collect()
+        .map(r => (r.getAs[Long]("Epoch"), r.getAs[Double]("MACD"),
+          r.getAs[Double]("MACDSignal"), r.getAs[Double]("MACDHist"))).toSet
+      val batch = graft.operators.Analytics.macd(
+          Seq(("AAPL", t0, 10.0), ("AAPL", t0 + 20, 11.0), ("AAPL", t0 + 12, 12.0))
+            .toDF("symbol", "Epoch", "Close"),
+          "Close", groupCols = Seq("symbol"))
+        .collect()
+        .map(r => (r.getAs[Long]("Epoch"), r.getAs[Double]("MACD"),
+          r.getAs[Double]("MACDSignal"), r.getAs[Double]("MACDHist"))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.size == 3 && got.exists(_._2 != 0.0))
+    } finally q.stop()
+  }
+
   test("streaming as-of join rejects colliding payload names up front") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val trades = MemoryStream[Tick]
