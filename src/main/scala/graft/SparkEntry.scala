@@ -38,6 +38,20 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** The sign-planted oracle construction shared by the semantic-dedup
+    * and IVF entries: vectors become |x| (even ids) or −|x| (odd ids),
+    * so cross-sign cosine ≤ 0 and the injected ±1⃗ quantizer assigns
+    * each sign its own cell with certainty. ONE definition — the
+    * oracles mirror it verbatim, and fixture-dimension changes must
+    * hit every user at once.
+    */
+  private def signPlanted(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+        .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
+  private val SignQuantizer =
+    Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+
   private def purchases(s: SparkSession, dir: String): DataFrame =
     ev(s, dir).filter(col("event_type") === "purchase")
 
@@ -1020,10 +1034,8 @@ object SparkEntry {
     // within-cell pairs at τ therefore EQUAL global all-pairs at τ.
     // The trained-quantizer path is OpsSpec's clustered-corpus check.
     "q_dedup_semantic" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
-          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
-      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      val emb = signPlanted(Tables.embeddings(s, dir))
+      val quantizer = SignQuantizer
       Similarity.semanticDedupPairs(emb, threshold = 0.45, nCells = 2,
           centroids = Some(quantizer))
         .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
@@ -1208,11 +1220,8 @@ object SparkEntry {
     // IVF == global exhaustive top-k, no sampling or Lloyd
     // nondeterminism anywhere in the path
     "q_knn_ivf_pruned" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val emb = e.select(col("vec_id"),
-        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
-          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
-      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      val emb = signPlanted(Tables.embeddings(s, dir))
+      val quantizer = SignQuantizer
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           nCells = 2, nProbe = 1, centroids = Some(quantizer))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
@@ -1223,11 +1232,8 @@ object SparkEntry {
     // SQ8 replay is deterministic — so single-probe serving over the
     // compressed cells equals the global dequantized-cosine ranking
     "q_knn_ivfsq8" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val emb = e.select(col("vec_id"),
-        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
-          .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
-      val quantizer = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+      val emb = signPlanted(Tables.embeddings(s, dir))
+      val quantizer = SignQuantizer
       Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           nCells = 2, nProbe = 1, centroids = Some(quantizer))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))

@@ -501,9 +501,23 @@ object Similarity {
     */
   def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
       centroids: Array[Seq[Float]], nProbe: Int,
-      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    val assigned =
-      index.select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv"))
+      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    probeTopK(
+      index.select(col("cell"), col(id).as("cand_id"), col(emb).as("__cv")),
+      queries, k, centroids, nProbe, id, emb,
+      payloadCol = "__cv", score = VectorFunctions.cosineSim)
+
+  /** The one definition of IVF probing, shared by every cell-indexed
+    * serving variant (exact vectors, SQ8 codes) so probe selection and
+    * tie-breaking can never drift between them: queries probe their
+    * `nProbe` best cells, the (query, cell) probe rows broadcast into
+    * the cell-keyed index — the explode hides the bounded query side
+    * from Catalyst, which would otherwise shuffle the whole corpus for
+    * a handful of probe rows — and `score` ranks candidates per query.
+    */
+  private def probeTopK(index: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Seq[Float]], nProbe: Int, id: String, emb: String,
+      payloadCol: String, score: (Column, Column) => Column): DataFrame = {
     val probes = queries
       .withColumn("__cells",
         slice(reverse(array_sort(cellScores(col(emb), centroids))), 1, nProbe))
@@ -511,12 +525,9 @@ object Similarity {
         explode(col("__cells").getField("cell")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
-    // queries are the bounded side; the explode hides their size from
-    // Catalyst, which would otherwise shuffle the whole corpus for a
-    // handful of probe rows
-    assigned.join(broadcast(probes), Seq("cell"))
+    index.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+      .withColumn("score", score(col(payloadCol), col("__qv")))
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
@@ -539,25 +550,34 @@ object Similarity {
       centroids: Option[Array[Seq[Float]]] = None,
       id: String = "vec_id", emb: String = "embedding"): DataFrame = {
     val cents = centroids.getOrElse(sampledCentroids(corpus, nCells, id, emb))
-    val encoded = corpus
-      .withColumn("cell",
-        array_max(cellScores(col(emb), cents)).getField("cell"))
-      .select(col("cell"), col(id).as("cand_id"),
-        VectorFunctions.sq8Encode(col(emb)).as("__sq8"))
-    val probes = queries
-      .withColumn("__cells",
-        slice(reverse(array_sort(cellScores(col(emb), cents))), 1, nProbe))
-      .select(col(id).as("query_id"), col(emb).as("__qv"),
-        explode(col("__cells").getField("cell")).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id").asc)
-    encoded.join(broadcast(probes), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("score", VectorFunctions.sq8AsymCosine(col("__sq8"), col("__qv")))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("cand_id").as("vec_id"), col("score"))
+    ivfSq8TopKIndexed(ivfSq8Index(corpus, cents, id, emb), queries, k,
+      cents, nProbe, id, emb)
   }
+
+  /** Persistable IVF-SQ8 index rows under a FROZEN quantizer:
+    * (cell, id, (vmin, δ, codes)) — the compressed sibling of
+    * [[ivfIndex]], with the same incremental-maintenance contract
+    * (encode+assign new batches only, append; deterministic under the
+    * frozen quantizer, so the union is row-identical to a rebuild).
+    */
+  def ivfSq8Index(corpus: DataFrame, centroids: Array[Seq[Float]],
+      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("cell",
+        array_max(cellScores(col(emb), centroids)).getField("cell"))
+      .select(col("cell"), col(id),
+        VectorFunctions.sq8Encode(col(emb)).as("sq8"))
+
+  /** Serving over a prebuilt [[ivfSq8Index]] — encode once, serve
+    * many query batches against the compressed cells.
+    */
+  def ivfSq8TopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Seq[Float]], nProbe: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    probeTopK(
+      index.select(col("cell"), col(id).as("cand_id"), col("sq8")),
+      queries, k, centroids, nProbe, id, emb,
+      payloadCol = "sq8", score = VectorFunctions.sq8AsymCosine)
 
   /** Per-row scored cells against a fixed centroid set: array of
     * (cosine-to-centroid, cellId) structs, via the fused

@@ -33,41 +33,69 @@ private[streaming] case class MacdOut(
   * [[StreamingAsOf]]: buffer per key, fold-and-emit only the prefix
   * the watermark has passed STRICTLY (an equal-time event can still
   * arrive at wm == t), in (t, v) order so equal-second ties are
-  * deterministic. Late-but-inside-lateness events therefore land in
-  * the right position; later than that they are dropped by the
-  * watermark (the documented bounded-state trade, as in LiveCandles).
+  * deterministic HERE — the batch window orders by epoch alone, so
+  * its tie order is plan-dependent and the batch equivalence below is
+  * exact only on tie-free series (distinct epochs per key, the bar
+  * tables' shape). Late-but-inside-lateness events land in the right
+  * position; later than that they are dropped by the watermark (the
+  * documented bounded-state trade, as in LiveCandles).
   *
-  * Scale shape: one shuffle on the key, O(1) steady state per key
-  * (the running EMA) + a lateness-bounded pending buffer, event-time
-  * timeouts flush quiet keys. StreamingSpec pins equivalence with the
-  * batch window function on a shared out-of-order fixture.
+  * Scale shape: one shuffle on the key; the PENDING buffer is
+  * lateness-bounded and flushes via event-time timeout even on quiet
+  * keys; the running indicator doubles intentionally PERSIST per key
+  * (an indicator cache — O(live keys) total, like the as-of join's
+  * anchor quote). Under unbounded key churn that cache grows with
+  * keys-ever-seen: bound the key domain upstream or restart from a
+  * trimmed checkpoint; there is no per-key TTL in this API.
+  * StreamingSpec pins equivalence with the batch window function on
+  * a shared out-of-order, tie-free fixture.
   */
 object LiveIndicators {
 
-  def ema(
-      stream: DataFrame, key: String, timeCol: String, valueCol: String,
-      n: Int, allowedLateness: String = "10 minutes"): DataFrame = {
+  /** Shared event projection: (key, t, v) + watermarked event time. */
+  private def events(stream: DataFrame, key: String, timeCol: String,
+      valueCol: String, allowedLateness: String) = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val alpha = 2.0 / (n + 1)
-
-    val evs = stream.select(col(key).as("key"),
+    stream.select(col(key).as("key"),
         col(timeCol).cast("long").as("t"),
         col(valueCol).cast("double").as("v"))
       .withColumn("ts", timestamp_seconds(col("t")))
       .withWatermark("ts", allowedLateness)
       .as[EmaEv]
+  }
 
-    val folded = evs.groupByKey(_.key)
+  /** The strict-watermark split: (finalized-in-order, still-pending).
+    * One definition so the emission convention can never drift
+    * between indicators.
+    */
+  private def finalized(pend: Seq[(Long, Double)],
+      state: GroupState[_]): (Seq[(Long, Double)], Seq[(Long, Double)]) = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000L
+    val (fin, keep) = pend.partition(_._1 < wmSec)
+    (fin.sorted, keep)
+  }
+
+  /** Arm the flush timeout for the oldest pending row (strictly above
+    * the current watermark by construction, since keep ≥ wm).
+    */
+  private def armFlush(keep: Seq[(Long, Double)], state: GroupState[_]): Unit =
+    if (keep.nonEmpty)
+      state.setTimeoutTimestamp((keep.map(_._1).min + 1) * 1000L)
+
+  def ema(
+      stream: DataFrame, key: String, timeCol: String, valueCol: String,
+      n: Int, allowedLateness: String = "10 minutes"): DataFrame = {
+    val alpha = 2.0 / (n + 1)
+    val folded = events(stream, key, timeCol, valueCol, allowedLateness)
+      .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[EmaState, EmaOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (k: String, it: Iterator[EmaEv], state: GroupState[EmaState]) =>
           val st = state.getOption.getOrElse(EmaState(None, Nil))
-          val pend = st.pend ++ it.map(e => (e.t, e.v))
-          val wmSec = state.getCurrentWatermarkMs() / 1000L
-          val (fin, keep) = pend.partition(_._1 < wmSec)
+          val (fin, keep) = finalized(st.pend ++ it.map(e => (e.t, e.v)), state)
           var ema = st.ema
-          val out = fin.sorted.map { case (t, v) =>
+          val out = fin.map { case (t, v) =>
             val next = ema match {
               case Some(prev) => alpha * v + (1.0 - alpha) * prev
               case None => v
@@ -76,8 +104,7 @@ object LiveIndicators {
             EmaOut(k, t, v, next)
           }
           state.update(EmaState(ema, keep))
-          if (keep.nonEmpty)
-            state.setTimeoutTimestamp((keep.map(_._1).min + 1) * 1000L)
+          armFlush(keep, state)
           out.iterator
       }(Encoders.product[EmaState], Encoders.product[EmaOut])
 
@@ -97,29 +124,18 @@ object LiveIndicators {
       stream: DataFrame, key: String, timeCol: String, valueCol: String,
       fast: Int = 12, slow: Int = 26, signal: Int = 9,
       allowedLateness: String = "10 minutes"): DataFrame = {
-    val spark = stream.sparkSession
-    import spark.implicits._
     val aF = 2.0 / (fast + 1); val aS = 2.0 / (slow + 1); val aG = 2.0 / (signal + 1)
-
-    val evs = stream.select(col(key).as("key"),
-        col(timeCol).cast("long").as("t"),
-        col(valueCol).cast("double").as("v"))
-      .withColumn("ts", timestamp_seconds(col("t")))
-      .withWatermark("ts", allowedLateness)
-      .as[EmaEv]
-
-    val folded = evs.groupByKey(_.key)
+    val folded = events(stream, key, timeCol, valueCol, allowedLateness)
+      .groupByKey(_.key)(Encoders.STRING)
       .flatMapGroupsWithState[MacdState, MacdOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (k: String, it: Iterator[EmaEv], state: GroupState[MacdState]) =>
           val st = state.getOption.getOrElse(MacdState(None, None, None, Nil))
-          val pend = st.pend ++ it.map(e => (e.t, e.v))
-          val wmSec = state.getCurrentWatermarkMs() / 1000L
-          val (fin, keep) = pend.partition(_._1 < wmSec)
+          val (fin, keep) = finalized(st.pend ++ it.map(e => (e.t, e.v)), state)
           var ef = st.ef; var es = st.es; var sig = st.sig
           def step(prev: Option[Double], a: Double, x: Double): Double =
             prev.map(p => a * x + (1.0 - a) * p).getOrElse(x)
-          val out = fin.sorted.map { case (t, v) =>
+          val out = fin.map { case (t, v) =>
             val nEf = step(ef, aF, v); val nEs = step(es, aS, v)
             val m = nEf - nEs
             val nSig = step(sig, aG, m)
@@ -127,8 +143,7 @@ object LiveIndicators {
             MacdOut(k, t, v, m, nSig, m - nSig)
           }
           state.update(MacdState(ef, es, sig, keep))
-          if (keep.nonEmpty)
-            state.setTimeoutTimestamp((keep.map(_._1).min + 1) * 1000L)
+          armFlush(keep, state)
           out.iterator
       }(Encoders.product[MacdState], Encoders.product[MacdOut])
 

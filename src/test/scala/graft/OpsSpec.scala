@@ -153,8 +153,7 @@ class OpsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.select("query_id", "vec_id", "score").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val flat = rows(Similarity.sq8TopK(Similarity.sq8Encode(embs), q, k = 10)
-      .withColumnRenamed("vec_id", "vec_id"))
+    val flat = rows(Similarity.sq8TopK(Similarity.sq8Encode(embs), q, k = 10))
     val ivf = rows(Similarity.ivfSq8TopK(embs, q, k = 10, nCells = 16, nProbe = 16))
     assert(ivf == flat)
   }
