@@ -327,6 +327,32 @@ object SparkEntry {
           round(col("MACDHist"), 6).as("macd_hist"))
         .orderBy("event_type", "epoch")
     }),
+    // ATR(4): Wilder-smoothed true range over real daily H/L/C bars —
+    // α = 0.25 exact, the recursive-CTE oracle replays the smoothing
+    // over a lag-dependent input column
+    "q_atr" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.atr(daily, 4, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("ATR"), 6).as("atr"))
+        .orderBy("event_type", "epoch")
+    }),
+    // Donchian(5) channel on the daily bars: trailing extrema frames
+    "q_donchian" -> ((s, dir) => {
+      val daily = Candler.candle(ev(s, dir), CandleDuration.parse("1D"),
+        openOf = col("value"), closeOf = col("value"),
+        highOf = col("value"), lowOf = col("value"),
+        sums = Nil, avgs = Nil, groupCols = Seq("event_type"))
+      graft.operators.Analytics.donchian(daily, 5, Seq("event_type"))
+        .select(col("event_type"), col("Epoch").as("epoch"),
+          round(col("DonchianUp"), 6).as("don_up"),
+          round(col("DonchianDown"), 6).as("don_down"),
+          round(col("DonchianMid"), 6).as("don_mid"))
+        .orderBy("event_type", "epoch")
+    }),
     // pairwise Pearson correlation of daily log returns between every
     // symbol pair sharing a day — epoch-keyed self-join, partial-
     // aggregated corr; Θ(K²) pairs is the matrix itself, not a plan
@@ -1915,6 +1941,35 @@ object SparkEntry {
          SELECT event_type, epoch, round(macd, 6) AS macd,
            round(sig, 6) AS macd_signal, round(macd - sig, 6) AS macd_hist
          FROM s ORDER BY 1, 2""",
+    "q_atr" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              max(value) AS high, min(value) AS low,
+              arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY epoch) AS rn
+           FROM d0),
+         x AS (SELECT event_type, epoch, rn,
+              CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                ELSE greatest(high - low,
+                  abs(high - lag(close) OVER w), abs(low - lag(close) OVER w)) END AS tr
+           FROM d WINDOW w AS (PARTITION BY event_type ORDER BY epoch)),
+         r AS (SELECT event_type, epoch, rn, tr AS atr FROM x WHERE rn = 1
+           UNION ALL
+           SELECT x.event_type, x.epoch, x.rn,
+             (1.0/4.0) * x.tr + (1.0 - 1.0/4.0) * r.atr
+           FROM x JOIN r ON x.event_type = r.event_type AND x.rn = r.rn + 1)
+         SELECT event_type, epoch, round(atr, 6) AS atr
+         FROM r ORDER BY 1, 2""",
+    "q_donchian" ->
+      """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
+              max(value) AS high, min(value) AS low FROM events GROUP BY 1, 2)
+         SELECT event_type, epoch,
+           round(max(high) OVER w, 6) AS don_up,
+           round(min(low) OVER w, 6) AS don_down,
+           round((max(high) OVER w + min(low) OVER w) / 2.0, 6) AS don_mid
+         FROM d WINDOW w AS (PARTITION BY event_type ORDER BY epoch
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY 1, 2""",
     "q_pair_corr" ->
       """WITH d AS (SELECT event_type, (epoch_us(ts)//1000000)//86400*86400 AS epoch,
               arg_max(value, epoch_us(ts)) AS close FROM events GROUP BY 1, 2),

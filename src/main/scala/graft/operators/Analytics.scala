@@ -196,6 +196,42 @@ object Analytics {
       .drop("__ef", "__es")
   }
 
+  /** Average True Range (Wilder '78): true range =
+    * max(H−L, |H−C₋₁|, |L−C₋₁|) smoothed with the Wilder recursion
+    * (α = 1/n) through [[org.apache.spark.sql.graft.EmaWindow]] —
+    * the bar's range widened by any overnight gap. First bar's TR is
+    * H−L (no previous close); one per-key sort shared by the lag and
+    * the smoothing.
+    */
+  def atr(bars: DataFrame, n: Int, groupCols: Seq[String],
+      high: String = "High", low: String = "Low",
+      close: String = "Close"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+    val prevC = lag(col(close), 1).over(w)
+    val tr = when(prevC.isNull, col(high) - col(low))
+      .otherwise(greatest(col(high) - col(low),
+        abs(col(high) - prevC), abs(col(low) - prevC)))
+    bars.withColumn("__tr", tr)
+      .withColumn("ATR",
+        org.apache.spark.sql.graft.WindowFunctions.emaAlpha(col("__tr"), 1.0 / n,
+          groupCols.map(col), Seq(col(Uda.EpochCol))))
+      .drop("__tr")
+  }
+
+  /** Donchian channel: trailing `n`-bar highest high / lowest low and
+    * their midline — pure frame aggregates (the window fills from the
+    * first bar; partial windows are the standard Donchian convention).
+    */
+  def donchian(bars: DataFrame, n: Int, groupCols: Seq[String],
+      high: String = "High", low: String = "Low"): DataFrame = {
+    val wf = Window.partitionBy(groupCols.map(col): _*).orderBy(col(Uda.EpochCol))
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    bars.withColumn("DonchianUp", max(col(high)).over(wf))
+      .withColumn("DonchianDown", min(col(low)).over(wf))
+      .withColumn("DonchianMid",
+        (col("DonchianUp") + col("DonchianDown")) / 2.0)
+  }
+
   /** Pearson correlation of per-bar values between every PAIR of
     * keys sharing an epoch: one epoch-keyed sort-merge self-join
     * (`k1 < k2` halves the pairs), then a partial-aggregated

@@ -266,6 +266,23 @@ class UdaSpec extends SparkSpec {
     assert(m(1).getAs[Double]("MACDHist") == macd2 - sig2)
   }
 
+  test("ATR hand values: first bar H−L, gap widens the true range; Donchian extrema") {
+    import graft.operators.Analytics
+    val bars = Seq(
+      // bar 1: H 12 L 8 C 10 → TR 4; bar 2 gaps up: H 20 L 18 C 19 →
+      // TR = max(2, |20−10|, |18−10|) = 10 → ATR(2) = .5·10 + .5·4 = 7
+      ("A", base, 12.0, 8.0, 10.0), ("A", base + 86400, 20.0, 18.0, 19.0))
+      .toDF("symbol", "Epoch", "High", "Low", "Close")
+    val atr = Analytics.atr(bars, 2, Seq("symbol"))
+      .orderBy("Epoch").collect().map(_.getAs[Double]("ATR"))
+    assert(atr.toSeq == Seq(4.0, 7.0))
+    val d = Analytics.donchian(bars, 5, Seq("symbol"))
+      .orderBy("Epoch").collect()
+    assert(d(1).getAs[Double]("DonchianUp") == 20.0 &&
+      d(1).getAs[Double]("DonchianDown") == 8.0 &&
+      d(1).getAs[Double]("DonchianMid") == 14.0)
+  }
+
   test("pair correlation: identical series → 1, mirrored series → -1") {
     import graft.operators.Analytics
     val vals = Seq(1.0, 3.0, 2.0, 5.0)
