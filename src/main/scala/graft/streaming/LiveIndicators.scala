@@ -24,6 +24,13 @@ private[streaming] case class MacdState(
 private[streaming] case class MacdOut(
     key: String, t: Long, v: Double, macd: Double, signal: Double, hist: Double)
 
+private[streaming] case class RsiState(
+    lastV: Option[Double], ag: Option[Double], al: Option[Double],
+    pend: Seq[(Long, Double)])
+
+private[streaming] case class RsiOut(
+    key: String, t: Long, v: Double, rsi: Option[Double])
+
 /** Streaming indicator state — the live pair of the batch
   * [[org.apache.spark.sql.graft.EmaWindow]] recursion (and of the
   * indicators composed from it: Wilder smoothing, MACD).
@@ -150,5 +157,45 @@ object LiveIndicators {
     folded.toDF().select(col("key").as(key), col("t").as(timeCol),
       col("v").as(valueCol), col("macd").as("MACD"),
       col("signal").as("MACDSignal"), col("hist").as("MACDHist"))
+  }
+
+  /** Live Wilder RSI — the streaming pair of
+    * [[graft.operators.Analytics.rsiWilder]]: per-key state carries
+    * the previous close (the delta source) plus the two Wilder-
+    * smoothed averages; null RSI on each key's first bar, 100 where
+    * the loss average is zero, exactly the batch conventions.
+    */
+  def rsiWilder(
+      stream: DataFrame, key: String, timeCol: String, valueCol: String,
+      n: Int, allowedLateness: String = "10 minutes"): DataFrame = {
+    val alpha = 1.0 / n
+    val folded = events(stream, key, timeCol, valueCol, allowedLateness)
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[RsiState, RsiOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[EmaEv], state: GroupState[RsiState]) =>
+          val st = state.getOption.getOrElse(RsiState(None, None, None, Nil))
+          val (fin, keep) = finalized(st.pend ++ it.map(e => (e.t, e.v)), state)
+          var lastV = st.lastV; var ag = st.ag; var al = st.al
+          def step(prev: Option[Double], x: Double): Double =
+            prev.map(p => alpha * x + (1.0 - alpha) * p).getOrElse(x)
+          val out = fin.map { case (t, v) =>
+            val rsi = lastV.map { prev =>
+              val d = v - prev
+              ag = Some(step(ag, math.max(d, 0.0)))
+              al = Some(step(al, math.max(-d, 0.0)))
+              if (al.get == 0.0) 100.0
+              else 100.0 - 100.0 / (1.0 + ag.get / al.get)
+            }
+            lastV = Some(v)
+            RsiOut(k, t, v, rsi)
+          }
+          state.update(RsiState(lastV, ag, al, keep))
+          armFlush(keep, state)
+          out.iterator
+      }(Encoders.product[RsiState], Encoders.product[RsiOut])
+
+    folded.toDF().select(col("key").as(key), col("t").as(timeCol),
+      col("v").as(valueCol), col("rsi").as("RSIW"))
   }
 }

@@ -718,6 +718,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LiveIndicators.rsiWilder: matches batch on out-of-order bars, null first bar") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Tick]
+    val live = graft.streaming.LiveIndicators.rsiWilder(
+      source.toDF, key = "symbol", timeCol = "Epoch", valueCol = "Price",
+      n = 2, allowedLateness = "10 seconds")
+    val q = live.writeStream
+      .format("memory").queryName("live_rsi").outputMode("append").start()
+    try {
+      source.addData(Tick("AAPL", t0, 10.0, 1), Tick("AAPL", t0 + 20, 11.0, 1))
+      q.processAllAvailable()
+      source.addData(Tick("AAPL", t0 + 12, 12.0, 1))
+      q.processAllAvailable()
+      source.addData(Tick("ZZZ", t0 + 1000, 1.0, 1))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("live_rsi").filter(col("symbol") =!= "ZZZ")
+        .collect()
+        .map(r => (r.getAs[Long]("Epoch"),
+          Option(r.getAs[java.lang.Double]("RSIW")).map(_.doubleValue))).toSet
+      val batch = graft.operators.Analytics.rsiWilder(
+          Seq(("AAPL", t0, 10.0), ("AAPL", t0 + 20, 11.0), ("AAPL", t0 + 12, 12.0))
+            .toDF("symbol", "Epoch", "Close"),
+          "Close", 2, Seq("symbol"))
+        .collect()
+        .map(r => (r.getAs[Long]("Epoch"),
+          Option(r.getAs[java.lang.Double]("RSIW")).map(_.doubleValue))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.exists(_._2.isEmpty) && got.exists(_._2.exists(_ < 100.0)))
+    } finally q.stop()
+  }
+
   test("streaming as-of join rejects colliding payload names up front") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val trades = MemoryStream[Tick]
