@@ -158,6 +158,30 @@ class OpsSpec extends SparkSpec {
     assert(ivf == flat)
   }
 
+  test("incremental IVF-SQ8 index: base + frozen-quantizer delta == rebuild, serving identical") {
+    val base = embs.filter(col("vec_id") % 5 =!= 0)
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.sampledCentroids(base, 16)
+    // both assignment AND SQ8 encoding are deterministic per row, so
+    // the appended compressed index must equal a full re-encode
+    val delta = Similarity.ivfSq8Index(base, cents)
+      .unionByName(Similarity.ivfSq8Index(batch, cents))
+    val rebuild = Similarity.ivfSq8Index(embs, cents)
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Double, Double, Seq[Byte])] =
+      df.select("cell", "vec_id", "sq8.vmin", "sq8.delta", "sq8.codes").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getAs[Array[Byte]](4).toSeq)).toSet
+    assert(keyed(delta) == keyed(rebuild))
+    val q = embs.filter(col("vec_id") < 5)
+    def served(ix: org.apache.spark.sql.DataFrame, nProbe: Int): Set[(Long, Long, Double)] =
+      Similarity.ivfSq8TopKIndexed(ix, q, k = 10, cents, nProbe)
+        .select("query_id", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(4, 16).foreach { np =>
+      assert(served(delta, np) == served(rebuild, np), s"nProbe=$np diverged")
+    }
+  }
+
   test("incremental IVF index: base + frozen-quantizer delta == full rebuild, serving identical") {
     val base = embs.filter(col("vec_id") % 5 =!= 0)
     val batch = embs.filter(col("vec_id") % 5 === 0)
