@@ -750,6 +750,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: a quiet key's state compacts to the single anchor quote") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-asof-state").toString
+    val trades = MemoryStream[Tick]
+    val quotes = MemoryStream[Quote]
+    val joined = graft.streaming.StreamingAsOf.asofJoin(
+      trades.toDF, quotes.toDF, key = "symbol",
+      leftTime = "Epoch", rightTime = "Epoch",
+      leftPayload = Seq("Price"), rightPayload = Seq("Bid"),
+      allowedLateness = "10 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("asof_state").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // several quotes for AAPL, then the key goes quiet while the
+      // watermark moves far past them via another key
+      quotes.addData(Quote("AAPL", t0, 10.0), Quote("AAPL", t0 + 5, 11.0),
+        Quote("AAPL", t0 + 9, 12.0))
+      trades.addData(Tick("AAPL", t0 + 2, 1.0, 1))
+      q.processAllAvailable()
+      quotes.addData(Quote("ZZZ", t0 + 5000, 1.0))
+      trades.addData(Tick("ZZZ", t0 + 5000, 1.0, 1))
+      q.processAllAvailable()
+      q.processAllAvailable() // the compaction timeout fires here
+      q.processAllAvailable()
+    } finally q.stop()
+    // read the actual state store: AAPL must hold exactly ONE right
+    // (the anchor, the newest quote) and no pending lefts
+    val st = spark.read.format("statestore").option("path", ckpt).load()
+    val aapl = st.filter(col("key.value") === "AAPL")
+      .select(col("value.groupState.rights").as("rights"),
+        col("value.groupState.lefts").as("lefts"))
+      .collect()
+    assert(aapl.length == 1, s"expected one AAPL state row, got ${aapl.length}")
+    val rights = aapl.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(rights.length == 1, s"anchor not compacted: ${rights.length} rights")
+    assert(rights.head.getLong(0) == t0 + 9, rights.toString)
+    assert(aapl.head.getSeq[Any](1).isEmpty, "pending lefts should be empty")
+  }
+
   test("streaming as-of join rejects colliding payload names up front") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val trades = MemoryStream[Tick]
