@@ -78,8 +78,11 @@ object SparkEntry {
   // batch doesn't touch) — stale rows the oracle, computed from the
   // current dir only, would flag. Re-invocations for the SAME dir
   // reuse the root; their rewrites are idempotent.
+  // cache only the temp ROOT per dir, never the catalog: a catalog
+  // captures its constructing SparkSession, and a later invocation for
+  // the same dir may arrive with a different (or restarted) session
   private val tbkSqlState = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.catalog.BucketCatalog]()
+    String, String]()
 
   /** Synthetic corporate-action rate changes, derived deterministically
     * from the events table (so the DuckDB oracle can rebuild them).
@@ -489,9 +492,9 @@ object SparkEntry {
     // storage pruning intact (SqlSpec asserts PushedFilters on the
     // SQL-resolved plan)
     "q_sql_tbk_catalog" -> ((s, dir) => {
-      val cat = tbkSqlState.computeIfAbsent(dir, _ =>
-        new graft.catalog.BucketCatalog(s,
-          java.nio.file.Files.createTempDirectory("graft-tbksql").toString))
+      val catRoot = tbkSqlState.computeIfAbsent(dir, _ =>
+        java.nio.file.Files.createTempDirectory("graft-tbksql").toString)
+      val cat = new graft.catalog.BucketCatalog(s, catRoot)
       // re-enable per invocation: rebinds the dynamic "graft" name to
       // THIS catalog even if another caller (a test suite in the same
       // JVM) bound it in between; the catalog root itself is cached so

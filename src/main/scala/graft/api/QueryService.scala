@@ -49,8 +49,11 @@ class QueryService(catalog: BucketCatalog) {
     // Timeframe substitution: serve a non-stored TF from the widest
     // stored TF that divides it, scaling LIMIT by the width ratio
     // (frontend/query.go:313-334 + utils/timeframe.go:189-208).
-    val stored = symbols.headOption
-      .map(s => catalog.listTimeframes(proto.attGroup, s)).getOrElse(Nil)
+    // The substitution must be valid for EVERY requested symbol, so
+    // intersect the symbols' stored-TF lists (heterogeneous buckets
+    // would otherwise substitute a TF some symbols don't store).
+    val stored = symbols.map(s => catalog.listTimeframes(proto.attGroup, s).toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq
     val want = CandleDuration.parse(proto.timeframe)
     val (scanTf, scaledLimit) =
       if (stored.contains(proto.timeframe)) (proto.timeframe, req.limit)

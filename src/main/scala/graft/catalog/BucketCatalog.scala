@@ -1150,9 +1150,14 @@ class BucketCatalog(spark: SparkSession, root: String,
     // delete files whose manifest flip hasn't landed yet. Same guard
     // pair as mutate: OS lock on local roots, writer LEASE elsewhere —
     // a sweep that skipped the lease would be exactly the second
-    // writer the lease exists to refuse.
+    // writer the lease exists to refuse. Unlike ordinary mutations,
+    // the lease check here must NOT be satisfied from the renewal
+    // cache: a writer stalled past its expiry and superseded could
+    // wake with a fresh-looking cache entry and sweep the NEW writer's
+    // mid-commit staging — so fence against the lease FILE, exactly as
+    // commits do, before deleting anything.
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
-    else ensureWriterLease()
+    else { ensureWriterLease(); fenceWriterLease() }
     val p = new Path(root)
     if (!fs.exists(p)) return 0
     val orphans = fs.listStatus(p).toSeq

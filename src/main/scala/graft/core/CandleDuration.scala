@@ -112,6 +112,27 @@ final case class CandleDuration(n: Int, unit: CandleUnit) {
       epoch - Math.floorMod(epoch, w) + w
   }
 
+  /** Driver-side window-start for a scalar epoch — the same grid as
+    * [[truncate]] but off the Column path, for control-plane bounds
+    * (e.g. the downsample cascade's literal recompute window).
+    */
+  def truncateEpoch(epoch: Long): Long = unit match {
+    case CandleUnit.Month | CandleUnit.Year =>
+      val months = if (unit == CandleUnit.Month) n else 12 * n
+      val d = java.time.Instant.ofEpochSecond(epoch)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val mse = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      val start = mse - Math.floorMod(mse, months)
+      java.time.LocalDate.of(1970 + Math.floorDiv(start, 12), Math.floorMod(start, 12) + 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    case CandleUnit.Week =>
+      val w = fixedSeconds.get
+      epoch - Math.floorMod(epoch + 3L * 86400L, w)
+    case _ =>
+      val w = fixedSeconds.get
+      epoch - Math.floorMod(epoch, w)
+  }
+
   /** Average seconds per window — used only for LIMIT scaling
     * (QueryableNrecords, utils/timeframe.go:200-208).
     */

@@ -86,16 +86,25 @@ object TimeSeries {
   /** Epoch-keyed union where `right` overwrites `left` on duplicate
     * keys, output time-ordered (ColumnSeriesUnion,
     * utils/io/columnseries.go:343-396). keep-last via max_by over a
-    * source-priority tag: one shuffle on the key, no window sort.
+    * (source-priority, input-position) tag: one shuffle on the key, no
+    * window sort. Ties INSIDE one input are broken by input position —
+    * the later row wins, matching the reference's sequential overwrite
+    * — so the result is deterministic even when an input itself
+    * carries duplicate keys.
     */
   def unionKeepLast(left: DataFrame, right: DataFrame, keyCols: Seq[String]): DataFrame = {
     val cols = left.columns.toSeq
-    val tagged = left.withColumn("__src", lit(0))
-      .unionByName(right.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    // monotonically_increasing_id orders (partition, row-in-partition),
+    // i.e. input order for an ordered source — the within-source
+    // tie-break. __src dominates via struct lexicographic compare.
+    val tagged = left
+      .withColumn("__ord", struct(lit(0).as("s"), monotonically_increasing_id().as("i")))
+      .unionByName(right.select(cols.map(col): _*)
+        .withColumn("__ord", struct(lit(1).as("s"), monotonically_increasing_id().as("i"))))
     val payload = cols.filterNot(keyCols.contains)
     tagged.groupBy(keyCols.map(col): _*)
       .agg(
-        max_by(struct(payload.map(col): _*), col("__src")).as("__p"))
+        max_by(struct(payload.map(col): _*), col("__ord")).as("__p"))
       .select((keyCols.map(col) ++ payload.map(c => col(s"__p.$c").as(c))): _*)
   }
 

@@ -226,6 +226,15 @@ object SqlService {
     * reference's nanosecond Epoch comparison semantics
     * (selectrelation.go Epoch+Nanoseconds special-casing). Literals
     * that don't parse as dates are left untouched.
+    *
+    * SARGABILITY: the ns expression is opaque to parquet stats, so each
+    * rewrite also emits a REDUNDANT plain-`Epoch` conjunct implied by
+    * the ns compare (`Epoch >= floor(ns/1e9)` for `>`/`>=`,
+    * `Epoch <= floor(ns/1e9)` for `<`/`<=`, equality for `=`, both
+    * bounds for BETWEEN; 0 ≤ Nanoseconds < 1e9 makes the implication
+    * exact). Catalyst pushes the plain conjunct to the scan —
+    * partition pruning + row-group skipping fire — while the ns
+    * compare preserves the reference's sub-second semantics.
     */
   def rewriteDatePredicates(stmt: String, withNanos: Boolean): String = {
     def epochNs(alias: String): String = {
@@ -233,11 +242,25 @@ object SqlService {
       if (withNanos) s"(${q}Epoch * 1000000000 + ${q}Nanoseconds)"
       else s"(${q}Epoch * 1000000000)"
     }
+    def epochCol(alias: String): String =
+      Option(alias).map(a => s"$a.").getOrElse("") + "Epoch"
+    def sargable(alias: String, op: String, ns: Long): String = {
+      val s = Math.floorDiv(ns, 1000000000L)
+      op match {
+        case ">" | ">=" => s" AND ${epochCol(alias)} >= ${s}L"
+        case "<" | "<=" => s" AND ${epochCol(alias)} <= ${s}L"
+        case "="        => s" AND ${epochCol(alias)} = ${s}L"
+        case _          => "" // != / <> — no useful bound
+      }
+    }
     val afterBetween = BetweenRe.replaceAllIn(stmt, m => {
       (parseDateLiteralNs(m.group(2)), parseDateLiteralNs(m.group(3))) match {
         case (Some(lo), Some(hi)) =>
+          val sLo = Math.floorDiv(lo, 1000000000L)
+          val sHi = Math.floorDiv(hi, 1000000000L)
           scala.util.matching.Regex.quoteReplacement(
-            s"${epochNs(m.group(1))} BETWEEN ${lo}L AND ${hi}L")
+            s"(${epochNs(m.group(1))} BETWEEN ${lo}L AND ${hi}L" +
+              s" AND ${epochCol(m.group(1))} BETWEEN ${sLo}L AND ${sHi}L)")
         case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
@@ -245,7 +268,8 @@ object SqlService {
       parseDateLiteralNs(m.group(3)) match {
         case Some(ns) =>
           scala.util.matching.Regex.quoteReplacement(
-            s"${epochNs(m.group(1))} ${m.group(2)} ${ns}L")
+            s"(${epochNs(m.group(1))} ${m.group(2)} ${ns}L" +
+              sargable(m.group(1), m.group(2), ns) + ")")
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })

@@ -29,10 +29,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * window — late data is never dropped, there is no watermark discard
   * (aggtrigger recompute semantics, SURVEY §2.7).
   *
-  * Scale: the recompute span is bounded by the batch's touched
-  * windows, joined as a broadcast of per-symbol (head, tail) bounds —
-  * base-table partition pruning + parquet epoch stats keep the re-read
-  * proportional to the touched span, not the table.
+  * Scale: the recompute READ is bounded by LITERAL predicates, not by
+  * the join — the per-symbol (head, tail) spans are collected on the
+  * driver (one tiny agg, ≤ batch symbols rows), their global
+  * [min(head), max(tail)] window and symbol list are applied to the
+  * base scan as literal `Epoch` bounds + `symbol IN (...)` + a `year`
+  * range, so sbucket/year partition pruning and parquet Epoch
+  * row-group stats fire (the reference bounds this same read,
+  * aggtrigger.go:130-136); the broadcast spans join then refines to
+  * each symbol's own window. Per-batch read cost is proportional to
+  * the touched span, independent of base-table size.
   */
 class DownsampleCascade(
     catalog: BucketCatalog,
@@ -52,19 +58,49 @@ class DownsampleCascade(
   /** Recompute destination candles for the windows covering `touched`
     * (symbol, Epoch) rows.
     */
-  def cascade(touched: DataFrame): Unit = {
-    val spans = touched.groupBy("symbol")
-      .agg(min(col(Uda.EpochCol)).as("__head"), max(col(Uda.EpochCol)).as("__tail"))
-    val base = catalog.readMulti(attGroup, baseTf)
-      .drop("timeframe", "year")
-    // read the base slice ONCE for the WIDEST destination's span — it
-    // contains every narrower destination's affected windows (the
-    // reference queries the destinations' UpperBound for the same
-    // reason, aggtrigger.go:130-136) — and reuse it per destination
+  /** The bounded base-bucket slice feeding one recompute: per-symbol
+    * (symbol, head, tail) spans → the base rows of every window those
+    * spans touch, for the WIDEST destination (it contains every
+    * narrower destination's affected windows — the reference queries
+    * the destinations' UpperBound for the same reason,
+    * aggtrigger.go:130-136). Exposed for plan tests: the scan must
+    * carry LITERAL pushed Epoch bounds + symbol/year pruning.
+    */
+  private[graft] def recomputeSlice(
+      spark: org.apache.spark.sql.SparkSession,
+      spans: Seq[(String, Long, Long)]): DataFrame = {
+    val symbols = spans.map(_._1)
     val widest = destinations.map(CandleDuration.parse).maxBy(_.approxSeconds)
-    val slice = base.join(broadcast(spans), Seq("symbol"))
+    val lo = widest.truncateEpoch(spans.map(_._2).min)
+    val hi = widest.ceilEpoch(spans.map(_._3).max)
+    val loYear = java.time.Instant.ofEpochSecond(lo)
+      .atZone(java.time.ZoneOffset.UTC).getYear
+    val hiYear = java.time.Instant.ofEpochSecond(hi)
+      .atZone(java.time.ZoneOffset.UTC).getYear
+    // readMulti(symbols) prunes sbucket partitions + pushes symbol IN;
+    // the literal year range prunes year partitions; the literal Epoch
+    // bounds reach parquet row-group stats (PlanSpec-pinned)
+    val base = catalog.readMulti(attGroup, baseTf, symbols)
+      .filter(col("year").between(loYear, hiYear))
+      .drop("timeframe", "year")
+      .filter(col(Uda.EpochCol) >= lit(lo) && col(Uda.EpochCol) < lit(hi))
+    import spark.implicits._
+    val spansDf = spans.toDF("symbol", "__head", "__tail")
+    base.join(broadcast(spansDf), Seq("symbol"))
       .filter(col(Uda.EpochCol) >= widest.truncate(col("__head")) &&
         col(Uda.EpochCol) < widest.ceil(col("__tail")))
+  }
+
+  def cascade(touched: DataFrame): Unit = {
+    // one tiny driver collect — ≤ batch-symbols rows — so the base read
+    // in recomputeSlice can carry LITERAL (pushable) predicates
+    // instead of join-dependent ones
+    val spanRows = touched.groupBy("symbol")
+      .agg(min(col(Uda.EpochCol)).as("__head"), max(col(Uda.EpochCol)).as("__tail"))
+      .collect()
+    if (spanRows.isEmpty) return
+    val spans = spanRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val slice = recomputeSlice(touched.sparkSession, spans)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       destinations.foreach { d =>

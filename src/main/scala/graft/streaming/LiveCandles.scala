@@ -22,6 +22,15 @@ object LiveCandles {
     * (groupCols..., Epoch, price/volume columns). `tf` must be a
     * fixed-width timeframe (windows of W/M/Y width are served by the
     * cascade instead).
+    *
+    * CHECKPOINT COMPATIBILITY: the output (and thus the streaming
+    * aggregation state) schema includes the VWAP column added after
+    * the first release of this operator — a query restarted from a
+    * checkpoint written by the pre-VWAP shape fails Spark's state
+    * schema check. Restart such queries with a NEW checkpoint
+    * location (the cascade remains the recovery source of truth, so
+    * no data is lost); any future column addition here carries the
+    * same contract.
     */
   def candles(
       stream: DataFrame,

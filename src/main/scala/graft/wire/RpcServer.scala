@@ -32,7 +32,8 @@ class RpcServer(
     port: Int = 5993,
     timezone: String = "UTC",
     triggers: Option[graft.streaming.TriggerRegistry] = None,
-    val metrics: Metrics = new Metrics) {
+    val metrics: Metrics = new Metrics,
+    opsRoot: Option[String] = None) {
 
   private val queryService = new QueryService(catalog)
   private val sqlService = new SqlService(spark, Some(catalog))
@@ -166,13 +167,43 @@ class RpcServer(
     *    corpus ([[graft.ops.Similarity.sq8TopK]] — 1 byte/dim scan)
     *  - `report_card`: per-source corpus health
     *    ([[graft.ops.TextAnalysis.sourceReport]])
+    *  - `dedup_minhash_delta`: incremental near-dup gate — new batch
+    *    (`input`) vs the existing corpus (`options.corpus`, optionally
+    *    a persisted band index at `options.index`) →
+    *    (id1, id2, jaccard) ([[graft.ops.Dedup.minhashDeltaPairsVerified]])
+    *  - `text_decontaminate`: eval-leakage gate — training docs
+    *    (`input`) sharing n-grams with an eval set (`options.eval`) →
+    *    per-doc contamination report
+    *    ([[graft.ops.Dedup.contaminationReport]])
+    *
+    * SECURITY: every filesystem path a client supplies — `input`,
+    * `output`, `options.queries/corpus/index/eval` — is confined under
+    * the server's configured `opsRoot`; paths with `..` segments or
+    * outside the root are refused, and a server constructed WITHOUT an
+    * ops root refuses the endpoint entirely. Output writes default to
+    * errorifexists (pass `overwrite: true` to replace), so a client
+    * can never destroy data it didn't ask to replace. The rest of the
+    * RPC surface stays TBK/catalog-confined as before.
     */
+  private def confinedOpsPath(p: String): String = {
+    val root = opsRoot.getOrElse(throw new IllegalStateException(
+      "OpsService is disabled: server started without an ops root"))
+    if (p.split("[/\\\\]").contains(".."))
+      throw new IllegalArgumentException(s"ops: path must not contain '..': $p")
+    val rootNorm = root.stripSuffix("/")
+    val absolute = p.contains("://") || p.startsWith("/")
+    val resolved = if (absolute) p else s"$rootNorm/$p"
+    if (!(resolved == rootNorm || resolved.startsWith(rootNorm + "/")))
+      throw new IllegalArgumentException(s"ops: path escapes the ops root: $p")
+    resolved
+  }
+
   private def runOpEndpoint(params: Map[Any, Any]): Map[String, Any] = {
     requireQueryable()
     val op = str(params, "op").getOrElse(
       throw new IllegalArgumentException("ops: op required"))
-    val input = str(params, "input").getOrElse(
-      throw new IllegalArgumentException("ops: input (parquet path) required"))
+    val input = confinedOpsPath(str(params, "input").getOrElse(
+      throw new IllegalArgumentException("ops: input (parquet path) required")))
     val opts = params.getOrElse("options", Map.empty[Any, Any])
       .asInstanceOf[Map[Any, Any]]
     val df = spark.read.parquet(input)
@@ -186,7 +217,7 @@ class RpcServer(
       case "knn" | "knn_sq8" =>
         val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
         val queries = str(opts, "queries") match {
-          case Some(qPath) => spark.read.parquet(qPath)
+          case Some(qPath) => spark.read.parquet(confinedOpsPath(qPath))
           case None =>
             // a COUNT, as documented: the n_queries smallest ids of
             // the input (deterministic regardless of the id range)
@@ -202,16 +233,42 @@ class RpcServer(
         graft.ops.TextAnalysis.sourceReport(df,
           textCol = str(opts, "text").getOrElse("text"),
           sourceCol = str(opts, "source").getOrElse("source"))
+      case "dedup_minhash_delta" =>
+        val corpus = spark.read.parquet(confinedOpsPath(str(opts, "corpus").getOrElse(
+          throw new IllegalArgumentException("ops: options.corpus required"))))
+        val index = str(opts, "index").map(p => spark.read.parquet(confinedOpsPath(p)))
+        graft.ops.Dedup.minhashDeltaPairsVerified(
+            df, corpus,
+            threshold = dbl(opts, "threshold").getOrElse(0.8),
+            id = str(opts, "id").getOrElse("doc_id"),
+            text = str(opts, "text").getOrElse("text"),
+            oldIndex = index)
+          .orderBy("id1", "id2")
+      case "text_decontaminate" =>
+        val evalSet = spark.read.parquet(confinedOpsPath(str(opts, "eval").getOrElse(
+          throw new IllegalArgumentException("ops: options.eval required"))))
+        val idCol = str(opts, "id").getOrElse("doc_id")
+        graft.ops.Dedup.contaminationReport(
+            df, evalSet,
+            n = lng(opts, "n").getOrElse(3L).toInt,
+            id = idCol,
+            text = str(opts, "text").getOrElse("text"))
+          .orderBy(idCol)
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
-          "(supported: dedup_exact, knn, knn_sq8, report_card)")
+          "(supported: dedup_exact, knn, knn_sq8, report_card, " +
+          "dedup_minhash_delta, text_decontaminate)")
     }
     str(params, "output") match {
-      case Some(dest) =>
-        // row count observed on the write job itself — one execution
+      case Some(dest0) =>
+        val dest = confinedOpsPath(dest0)
+        // row count observed on the write job itself — one execution.
+        // errorifexists unless the client explicitly opts into
+        // replacement — an overwrite deletes whatever is at `dest`
+        val mode = if (bool(params, "overwrite")) "overwrite" else "errorifexists"
         val obs = org.apache.spark.sql.Observation()
         out.observe(obs, count(lit(1)).as("rows"))
-          .write.mode("overwrite").parquet(dest)
+          .write.mode(mode).parquet(dest)
         Map("rows_written" -> obs.get("rows").asInstanceOf[Long],
           "path" -> dest, "version" -> ServerInfo.Version)
       case None =>
@@ -238,6 +295,8 @@ class RpcServer(
     m.get(k).collect { case s if s != null => s.toString }
   private def lng(m: Map[Any, Any], k: String): Option[Long] =
     m.get(k).collect { case n: Long => n; case n: Int => n.toLong; case d: Double => d.toLong }
+  private def dbl(m: Map[Any, Any], k: String): Option[Double] =
+    m.get(k).collect { case d: Double => d; case n: Long => n.toDouble; case n: Int => n.toDouble }
   private def bool(m: Map[Any, Any], k: String): Boolean =
     m.get(k).contains(true)
 

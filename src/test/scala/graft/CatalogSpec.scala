@@ -115,6 +115,44 @@ class CatalogSpec extends SparkSpec {
       Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("union keep-last breaks within-input duplicate keys by input position") {
+    // an input that ITSELF carries duplicate keys: the later row wins,
+    // matching the reference's sequential overwrite — and the result
+    // is deterministic, not whichever task finished last
+    val l = Seq((1L, 10.0)).toDF("Epoch", "V")
+    val r = Seq((1L, 50.0), (1L, 60.0), (2L, 70.0)).toDF("Epoch", "V")
+    val u = TimeSeries.unionKeepLast(l, r, Seq("Epoch")).orderBy("Epoch").collect()
+    assert(u.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((1L, 60.0), (2L, 70.0)))
+    // same contract inside the LEFT input for keys the right lacks
+    val l2 = Seq((5L, 1.0), (5L, 2.0)).toDF("Epoch", "V")
+    val r2 = Seq((6L, 3.0)).toDF("Epoch", "V")
+    val u2 = TimeSeries.unionKeepLast(l2, r2, Seq("Epoch")).orderBy("Epoch").collect()
+    assert(u2.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      Seq((5L, 2.0), (6L, 3.0)))
+  }
+
+  test("timeframe substitution uses the INTERSECTION of the symbols' stored TFs") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    // heterogeneous buckets: AAPL stores 1Min AND 2Min, MSFT only 1Min
+    cat.write(TimeBucketKey.parse("AAPL/1Min/OHLCV"),
+      Seq((60L, 1.0, 0.0), (120L, 2.0, 0.0)).toDF("Epoch", "Open", "Close"))
+    cat.write(TimeBucketKey.parse("AAPL/2Min/OHLCV"),
+      Seq((120L, 1.5, 0.0), (240L, 2.5, 0.0)).toDF("Epoch", "Open", "Close"))
+    cat.write(TimeBucketKey.parse("MSFT/1Min/OHLCV"),
+      Seq((60L, 9.0, 0.0), (120L, 8.0, 0.0)).toDF("Epoch", "Open", "Close"))
+    val svc = new QueryService(cat)
+    // 4Min is unstored: resolving from the FIRST symbol's list alone
+    // would substitute AAPL's 2Min, which MSFT doesn't store — the
+    // intersection {1Min} serves both symbols
+    val res = svc.queryMulti(QueryRequest(destination = "AAPL,MSFT/4Min/OHLCV"))
+      .collect()
+    assert(res.map(_.getAs[String]("symbol")).distinct.sorted.toSeq ==
+      Seq("AAPL", "MSFT"), s"missing symbols in: ${res.mkString(",")}")
+    assert(res.length == 4)
+  }
+
   test("nanosecond-precision range filter (test_range_nanosec.py semantics)") {
     val df = Seq((10L, 100), (10L, 500), (10L, 900), (11L, 0))
       .toDF("Epoch", "Nanoseconds").withColumn("v", col("Nanoseconds"))

@@ -161,6 +161,73 @@ class PlanSpec extends SparkSpec {
     assert(sorts.isEmpty, s"exactK planned a global sort:\n$sorts")
   }
 
+  test("downsample cascade recompute reads a LITERALLY bounded base slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-casc").toString
+    val cat = new graft.catalog.BucketCatalog(spark, root)
+    // base bucket spanning three years × 50 symbols; a batch touches
+    // ONE symbol in ONE hour — the recompute read must not scan the rest
+    val rows = for { y <- 0 until 3; i <- 1 to 50 } yield
+      (s"S$i", 1704067200L + y * 31536000L + i * 60L,
+        i.toDouble, i + 1.0, i - 1.0, i.toDouble, 10.0)
+    cat.writeMulti("CASC", "1Min",
+      rows.toDF("symbol", "Epoch", "Open", "High", "Low", "Close", "Volume"))
+    val casc = new graft.streaming.DownsampleCascade(cat, "CASC", "1Min", Seq("5Min", "1H"))
+    val slice = casc.recomputeSlice(spark, Seq(("S1", 1704067260L, 1704070860L)))
+    // sparkPlan, not executedPlan: AQE wraps joined plans in an
+    // AdaptiveSparkPlanExec with no children (see cosineDedupPairs test)
+    val scans = slice.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan under the recompute slice")
+    val meta = scans.head.metadata
+    // join-independent literal Epoch bounds reach parquet stats — the
+    // round-7 gap was exactly this: a join-dependent filter pushed nothing
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(Epoch,"),
+      s"no pushed Epoch lower bound: ${meta("PushedFilters")}")
+    assert(meta("PushedFilters").contains("LessThan(Epoch,"),
+      s"no pushed Epoch upper bound: ${meta("PushedFilters")}")
+    assert(meta("PushedFilters").contains("symbol"),
+      s"no pushed symbol predicate: ${meta("PushedFilters")}")
+    val pf = scans.head.partitionFilters.mkString(";")
+    assert(pf.contains("year"), s"no year partition pruning: $pf")
+    assert(pf.contains("sbucket"), s"no sbucket partition pruning: $pf")
+  }
+
+  test("date-literal SQL over a catalog bucket pushes Epoch bounds to the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-dl").toString
+    val cat = new graft.catalog.BucketCatalog(spark, root)
+    val tbk = graft.core.TimeBucketKey.parse("DL/1Sec/TEST")
+    cat.write(tbk, Seq(
+      (1704844799L, 999999999, 1.0), // 1ns before 2024-01-10 — ns-excluded
+      (1704844800L, 0, 2.0),
+      (1704844800L, 500000000, 3.0),
+      (1705708800L, 0, 4.0) // 2024-01-20 — excluded by <
+    ).toDF("Epoch", "Nanoseconds", "v"))
+    val svc = new graft.sql.SqlService(spark, Some(cat))
+    val df = svc.sql(
+      """SELECT Epoch, Nanoseconds, v FROM `DL/1Sec/TEST`
+         WHERE Epoch >= '2024-01-10' AND Epoch < '2024-01-20'""")
+    // the redundant plain-Epoch conjuncts must reach the parquet scan —
+    // the ns-precise expression alone prunes nothing (round-7 gap #2)
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(Epoch,1704844800)"),
+      s"date-literal lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual(Epoch,1705708800)"),
+      s"date-literal upper bound not pushed: $pushed")
+    // and the ns-precision semantics are intact (the 1ns-before row out)
+    assert(df.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+    // sub-second literal: the ns compare, not the pushed second bound,
+    // must decide the boundary row
+    val frac = svc.sql(
+      """SELECT v FROM `DL/1Sec/TEST`
+         WHERE Epoch >= '2024-01-10-00:00:00.50000000' AND Epoch < '2024-01-20'""")
+    assert(frac.collect().map(_.getDouble(0)).toSeq == Seq(3.0))
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan

@@ -387,7 +387,7 @@ class WireSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$dir/emb")
     val cat = new BucketCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft-wire-ops").toString)
-    val srv = new RpcServer(spark, cat, port = 0)
+    val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
     srv.start()
     try {
       val port = srv.boundPort
@@ -438,6 +438,96 @@ class WireSpec extends SparkSpec {
       // unknown op errors cleanly through the rpc error channel
       val bad = rpcRaw(port, "OpsService.Run", Map("op" -> "nope", "input" -> s"$dir/docs"))
       assert(bad.contains("error"), bad.toString)
+    } finally srv.stop()
+  }
+
+  test("OpsService.Run: client paths are confined to the ops root; no root disables ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-confine").toString
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/docs")
+    val cat = new BucketCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-wire-confine").toString)
+    val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // absolute path outside the root → refused on input
+      val esc = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> "/etc/passwd"))
+      assert(esc.contains("error"), esc.toString)
+      // ..-escape → refused even when the prefix matches the root
+      val dots = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> s"$dir/../outside"))
+      assert(dots.contains("error"), dots.toString)
+      // relative paths resolve UNDER the root
+      val rel = rpc(port, "OpsService.Run", Map("op" -> "dedup_exact", "input" -> "docs"))
+      assert(rel("rows").asInstanceOf[Seq[_]].size == 2, rel.toString)
+      // output escape → refused BEFORE any write happens
+      val outEsc = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> "docs",
+          "output" -> "/tmp/graft-ops-escape-should-not-exist"))
+      assert(outEsc.contains("error"), outEsc.toString)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get("/tmp/graft-ops-escape-should-not-exist")))
+      // output defaults to errorifexists: clobbering an existing
+      // dataset needs the explicit overwrite flag
+      val clobber = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> "docs", "output" -> "docs"))
+      assert(clobber.contains("error"), clobber.toString)
+      assert(spark.read.parquet(s"$dir/docs").count() == 2L) // input intact
+      val replaced = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> "docs", "output" -> "out1",
+          "overwrite" -> true))
+      assert(replaced("rows_written") == 2L, replaced.toString)
+    } finally srv.stop()
+    // a server constructed without an ops root refuses the endpoint
+    val noRoot = new RpcServer(spark, cat, port = 0)
+    noRoot.start()
+    try {
+      val r = rpcRaw(noRoot.boundPort, "OpsService.Run",
+        Map("op" -> "dedup_exact", "input" -> s"$dir/docs"))
+      assert(r.contains("error"), r.toString)
+    } finally noRoot.stop()
+  }
+
+  test("OpsService.Run: dedup_minhash_delta + text_decontaminate server jobs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-delta").toString
+    // existing corpus: two docs; new batch: one near-identical to corpus
+    // doc 1, one novel
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different corpus content about ships and harbors"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/corpus")
+    Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"),
+      (101L, "novel text that matches nothing in the existing corpus"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/batch")
+    // eval set sharing one 3-gram with corpus doc 1
+    Seq((900L, "quick brown fox"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/eval")
+    val cat = new BucketCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-wire-delta").toString)
+    val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      val delta = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_minhash_delta", "input" -> "batch",
+          "options" -> Map("corpus" -> "corpus", "threshold" -> 0.9)))
+      assert(delta("columns") == Vector("id1", "id2", "jaccard"), delta.toString)
+      val pairs = delta("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(pairs == Seq((1L, 100L)), s"delta pairs: $pairs")
+      val decon = rpc(port, "OpsService.Run",
+        Map("op" -> "text_decontaminate", "input" -> "corpus",
+          "options" -> Map("eval" -> "eval")))
+      assert(decon("columns") == Vector(
+        "doc_id", "train_grams", "hit_grams", "contaminated_frac"), decon.toString)
+      val rows = decon("rows").asInstanceOf[Seq[Seq[Any]]]
+      assert(rows.map(_.head) == Seq(1L), s"contaminated docs: $rows")
+      assert(rows.head(2) == 1L, s"hit grams: ${rows.head}")
     } finally srv.stop()
   }
 
