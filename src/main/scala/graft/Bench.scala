@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (plus a copy
@@ -121,8 +121,81 @@ object Bench {
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // approximate-tier metrology (untimed): recall@k of each no_oracle
+    // entry vs its exact comparator on the SAME corpus, so a
+    // banding/probe-parameter regression shows up as a number in the
+    // bench record instead of needing an eyeball diff
+    val recallMap = (try recalls(spark, sfDir) catch { case _: Throwable => Map.empty[String, Double] })
+      .toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errMap,"n_failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errMap,"n_failed":${failed.size},"recall":$recallMap,"sf":"$sfDir"}"""
     (line, failed.nonEmpty)
+  }
+
+  /** Recall@k of each approximate-by-design entry against its exact
+    * comparator on the same corpus and queries — the quantitative
+    * guard for the four `no_oracle` rows (OpsSpec asserts floors):
+    *  - q_knn_ivf (nProbe 8/16) and q_knn_lsh vs exact cosine top-10;
+    *  - q_knn_pq (trained codebooks) vs exact DOT top-10 (ADC
+    *    approximates the dot product);
+    *  - q_dedup_simhash (4×16 banding) vs exhaustive Hamming≤3 pairs
+    *    anchored at a bounded doc sample (the banding is
+    *    pigeonhole-lossless, so this one must be exactly 1.0).
+    */
+  def recalls(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.VectorFunctions
+    import graft.ops.{Dedup, Similarity}
+    def overlap(approx: DataFrame, exact: DataFrame): Double = {
+      val e = exact.select(col("query_id"), col("vec_id"))
+      val denom = e.count()
+      if (denom == 0) 1.0
+      else approx.select(col("query_id"), col("vec_id"))
+        .join(e, Seq("query_id", "vec_id"), "left_semi").count().toDouble / denom
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+    val exactCos = Similarity.bruteForceTopK(emb, q, 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rIvf = overlap(Similarity.ivfTopK(emb, q, 10, nCells = 16, nProbe = 8), exactCos)
+    val rLsh = overlap(Similarity.lshTopK(emb, q, 10), exactCos)
+    exactCos.unpersist(blocking = false)
+    val exactDot = {
+      val c = emb.select(col("vec_id"), col("embedding").as("__cv"))
+      val qq = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      c.crossJoin(qq).filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score", VectorFunctions.dotF(col("__cv"), col("__qv")))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") <= 10)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val rPq = overlap(
+      Similarity.pqTopK(emb, q, 10, m = 8, ksub = 16, trainIters = 2), exactDot)
+    // simhash: ground truth = ALL pairs at Hamming<=3 whose smaller id
+    // is in a bounded anchor sample (|sample|×N comparisons — linear
+    // in corpus size, not quadratic)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val sigs = Dedup.simhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = broadcast(sigs.filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id1"), col("simhash").as("__h1")))
+    val gt = sigs.select(col("doc_id").as("id2"), col("simhash").as("__h2"))
+      .join(anchors, col("id1") < col("id2"))
+      .filter(bit_count(col("__h1").bitwiseXOR(col("__h2"))) <= 3)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denomS = gt.count()
+    val rSim =
+      if (denomS == 0) 1.0
+      else Dedup.simhashPairs(docs, maxDist = 3)
+        .filter(col("id1") < 300).select(col("id1"), col("id2"))
+        .join(gt, Seq("id1", "id2"), "left_semi").count().toDouble / denomS
+    gt.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    Map("q_knn_ivf" -> rIvf, "q_knn_lsh" -> rLsh, "q_knn_pq" -> rPq,
+      "q_dedup_simhash" -> rSim)
   }
 }

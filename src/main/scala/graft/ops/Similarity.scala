@@ -25,23 +25,30 @@ object Similarity {
 
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (query_id, id, score) — k rows per query.
+    *
+    * Scale shape: the corpus hashes into ≤[[MaxRowsPerBlock]]-row
+    * blocks (one collect_list row each — the [[crossTopK]] pattern
+    * with the query side broadcast instead of exploded); inside a
+    * (block × query) pair each query keeps only its LOCAL top-k via a
+    * bounded array sort, so the per-query ranking window receives
+    * ≤ blocks·k candidate rows instead of the full |corpus| — the
+    * pre-reduce that keeps the exact tier's one shuffle O(B·k·|Q|)
+    * at any corpus size. Scores are per-pair cosines (double
+    * accumulation, bit-stable across engines), identical to the
+    * unblocked plan's.
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    // cosine on the raw vectors with double accumulation (bit-stable
-    // across engines); a unit-normalize + dot variant saves 2/3 of the
-    // flops when the corpus is rescanned per query batch — see lshTopK.
-    val c = corpus.select(col(id), col(emb).as("__cv"))
+    require(k >= 1, s"k must be positive, got $k")
+    val nb = autoBlocks(corpus.select(col(id)).count())
+    val c = corpus.select(col(id), col(emb))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
+      .groupBy("__blk")
+      .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__C"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("__qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col(id) =!= col("query_id"))
-      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(id).asc)
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col(id), col("score"))
+    topKFromBlocks(c, q, k, id,
+      b => -VectorFunctions.cosineSim(b("v"), col("__qv")))
   }
 
   /** Scalar-quantize the corpus' embedding column to the SQ8 layout
@@ -64,14 +71,37 @@ object Similarity {
   def sq8TopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // same blocked pre-reduce as [[bruteForceTopK]] — the window ranks
+    // ≤ blocks·k rows per query, not the corpus
+    val nb = autoBlocks(corpus.select(col(id)).count())
     val c = corpus.select(col(id), col("sq8"))
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
+      .groupBy("__blk")
+      .agg(collect_list(struct(col(id).as("i"), col("sq8").as("v"))).as("__C"))
     val q = queries.select(col(id).as("query_id"), col(emb).as("__qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col(id) =!= col("query_id"))
-      .withColumn("score", VectorFunctions.sq8AsymCosine(col("sq8"), col("__qv")))
+    topKFromBlocks(c, q, k, id,
+      b => -VectorFunctions.sq8AsymCosine(b("v"), col("__qv")))
+  }
+
+  /** Shared tail of the blocked exact scans: broadcast the query rows
+    * against the corpus block rows, keep each query's LOCAL top-k per
+    * block (self-hits excluded, ties by id asc — the same order the
+    * final window uses), then rank the ≤ blocks·k survivors per query.
+    */
+  private def topKFromBlocks(
+      blocks: DataFrame, q: DataFrame, k: Int, id: String,
+      negScore: Column => Column): DataFrame = {
+    val part = blocks.crossJoin(broadcast(q))
+      .select(col("query_id"),
+        slice(array_sort(transform(
+          filter(col("__C"), b => b("i") =!= col("query_id")),
+          b => struct(negScore(b).as("negs"), b("i").as("cid")))), 1, k).as("__cands"))
+      .select(col("query_id"), explode(col("__cands")).as("c"))
+      .select(col("query_id"), col("c.cid").as(id), (-col("c.negs")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(id).asc)
-    scored.withColumn("__rank", row_number().over(w))
+    part.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col(id), col("score"))
   }

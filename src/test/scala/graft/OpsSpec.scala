@@ -1926,4 +1926,19 @@ class OpsSpec extends SparkSpec {
       s"zero-merge OOV should char-split: ${enc0.getString(2)}")
     seg0.unpersist()
   }
+
+  test("approximate-tier recall floors vs exact comparators (bench metrology)") {
+    // the quantitative guard for the four no_oracle entries: a
+    // banding/probe-parameter regression (wrong chunks, nProbe, band
+    // count) trips a floor here instead of needing an eyeball diff of
+    // the bench JSON. Floors sit WELL below measured values on the
+    // isotropic fixtures (ivf 0.62, lsh 0.22, pq 0.30 at sf0.001) —
+    // they catch structural breakage, not noise. Simhash 4×16 banding
+    // is pigeonhole-LOSSLESS at maxDist 3, so its recall is exactly 1.
+    val r = Bench.recalls(spark, sf)
+    assert(r("q_dedup_simhash") == 1.0, s"lossless simhash banding must be exact: $r")
+    assert(r("q_knn_ivf") >= 0.4, s"ivf nProbe=8/16 recall floor: $r")
+    assert(r("q_knn_lsh") >= 0.05, s"lsh recall floor: $r")
+    assert(r("q_knn_pq") >= 0.1, s"pq trained-codebook recall floor: $r")
+  }
 }

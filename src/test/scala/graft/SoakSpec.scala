@@ -116,4 +116,71 @@ class SoakSpec extends SparkSpec {
       fail(s"replica diverged: missing=$miss extra=$extra sizes ${rep.size}/${got.size}")
     }
   }
+
+  test("cascade soak: 200 commits with late data — destination candles equal a batch recompute") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-soak-casc").toString
+    val cat = new BucketCatalog(spark, root)
+    val casc = new graft.streaming.DownsampleCascade(
+      cat, "OHLC", "1Min", Seq("5Min", "1H"))
+    val nSym = 20
+    val base = 1609459200L
+    val done = new AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // concurrent reader on a DESTINATION bucket: the late-data
+    // overwrite path must never present a torn snapshot
+    val readerCat = new BucketCatalog(spark, root)
+    val readThread = new Thread(() => {
+      while (!done.get()) {
+        try { readerCat.readMulti("OHLC", "5Min").count(); () }
+        catch { case t: Throwable => errors.add(t) }
+        Thread.sleep(200)
+      }
+    }, "soak-casc-reader")
+    (1 to 200).foreach { c =>
+      val fresh = (1 to nSym).map(i => (s"S$i", base + c * 60L,
+        (i + c).toDouble, (i + c + 1).toDouble, (i + c - 1).toDouble,
+        (i + c).toDouble, 10.0))
+      // every 7th commit rewrites a 9-commits-old minute — late data
+      // that lands in ALREADY-PUBLISHED destination windows, forcing
+      // the recompute-and-overwrite path the reference's trigger runs
+      val late =
+        if (c % 7 == 0 && c > 10)
+          (1 to nSym).map(i => (s"S$i", base + (c - 9) * 60L,
+            1000.0 + c, 1001.0 + c, 999.0 + c, 1000.0 + c, 5.0))
+        else Seq.empty
+      casc.ingest((fresh ++ late)
+        .toDF("symbol", "Epoch", "Open", "High", "Low", "Close", "Volume"))
+      if (c == 3) readThread.start()
+    }
+    done.set(true)
+    readThread.join(30000)
+    Option(errors.peek()).foreach(_.printStackTrace())
+    assert(errors.isEmpty, s"concurrent reads errored: ${errors.size()}")
+    // the sustained incremental cascade must equal a one-shot batch
+    // recompute from the final base bucket — the late-data overwrite
+    // contract at load, not just in the one-shot oracle
+    val baseDf = cat.readMulti("OHLC", "1Min").drop("timeframe", "year")
+    for (d <- Seq("5Min", "1H")) {
+      val want = graft.functions.Candler.candle(
+          baseDf, graft.core.CandleDuration.parse(d),
+          openOf = col("Open"), closeOf = col("Close"),
+          highOf = col("High"), lowOf = col("Low"),
+          sums = Seq("Volume"), avgs = Nil, groupCols = Seq("symbol"))
+        .withColumnRenamed("Volume_SUM", "Volume")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toMap
+      val got = cat.readMulti("OHLC", d).drop("timeframe", "year")
+        .select("symbol", "Epoch", "Open", "High", "Low", "Close", "Volume")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .toMap
+      assert(got.size == want.size, s"$d: ${got.size} vs ${want.size} candles")
+      val diff = want.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }
+      assert(diff.isEmpty, s"$d candles diverge from batch recompute: ${diff.take(3)}")
+    }
+  }
 }
