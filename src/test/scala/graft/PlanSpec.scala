@@ -161,6 +161,37 @@ class PlanSpec extends SparkSpec {
     assert(sorts.isEmpty, s"exactK planned a global sort:\n$sorts")
   }
 
+  test("flat ANN scans pre-reduce to per-block local top-k before the ranking window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val embs = (0 until 500).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = embs.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "bruteForceTopK" -> graft.ops.Similarity.bruteForceTopK(embs, queries, 5),
+        "sq8TopK" -> graft.ops.Similarity.sq8TopK(
+          graft.ops.Similarity.sq8Encode(embs), queries, 5))) {
+      val plan = df.queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: no ranking window in plan")
+      // the window's subtree must rank EXPLODED per-block top-k
+      // candidates (<= blocks*k rows/query), never the raw scored
+      // corpus — the round-8 pre-reduce that keeps the one shuffle
+      // O(blocks*k) per query at any corpus size
+      val explodes = windows.head.collect { case g: GenerateExec => g }
+      assert(explodes.nonEmpty,
+        s"$name: window input is not the exploded per-block top-k:\n${windows.head}")
+      val blockAggs = windows.head.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(blockAggs.nonEmpty,
+        s"$name: no block-building aggregate below the window:\n${windows.head}")
+    }
+  }
+
   test("downsample cascade recompute reads a LITERALLY bounded base slice") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
