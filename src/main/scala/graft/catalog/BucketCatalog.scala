@@ -192,10 +192,16 @@ class BucketCatalog(spark: SparkSession, root: String,
     }
   }
 
-  private def writeLease(token: Long): Unit = {
+  /** overwrite = true for renewals (we own the file); false for
+    * takeovers — exclusive create is atomic create-if-absent on HDFS,
+    * so of N contenders past the expired-lease delete exactly one
+    * wins and the rest get the exception instead of last-writer-wins
+    * silently overwriting each other.
+    */
+  private def writeLease(token: Long, overwrite: Boolean): Unit = {
     val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
       s""""token": $token, "ts": ${System.currentTimeMillis()}}"""
-    val out = fs.create(leasePath, true)
+    val out = fs.create(leasePath, overwrite)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -230,7 +236,7 @@ class BucketCatalog(spark: SparkSession, root: String,
         val now = System.currentTimeMillis()
         readLease() match {
           case Some((w, t, _)) if w == BucketCatalog.processWriterId =>
-            writeLease(t)
+            writeLease(t, overwrite = true)
             BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
             startHeartbeat()
           case Some((w, _, ts)) if now - ts < leaseExpiryMs =>
@@ -241,7 +247,18 @@ class BucketCatalog(spark: SparkSession, root: String,
                 "this writer at its own root or wait for the lease to expire")
           case other =>
             val t = other.map(_._2 + 1).getOrElse(1L)
-            writeLease(t)
+            // EXCLUSIVE create narrows the contender race to the
+            // delete→create gap: a loser gets the create exception and
+            // refuses, instead of overwrite's last-writer-wins where
+            // both could read back their own write. The read-back +
+            // commit-time fence still bound the residual window
+            // (storage-side CAS is the zero-window hook — class doc).
+            if (other.isDefined) fs.delete(leasePath, false)
+            try writeLease(t, overwrite = false)
+            catch {
+              case NonFatal(e) => throw new IllegalStateException(
+                s"lost a writer-lease takeover race on $root: ${e.getMessage}", e)
+            }
             readLease() match {
               case Some((w2, t2, _))
                 if w2 == BucketCatalog.processWriterId && t2 == t =>
@@ -272,7 +289,7 @@ class BucketCatalog(spark: SparkSession, root: String,
               readLease() match {
                 case Some((w, t2, _))
                   if w == BucketCatalog.processWriterId && t2 == t =>
-                  writeLease(t)
+                  writeLease(t, overwrite = true)
                   BucketCatalog.leases.put(key, (t, System.nanoTime()))
                 case _ => BucketCatalog.leases.remove(key)
               }

@@ -499,6 +499,22 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("fenced"), e3.getMessage)
     assert(cat2.read(tbk2).count() == 1, "fenced commit must not publish")
+    // (4) the superseded writer's DESTRUCTIVE startup sweep is fenced
+    // the same way: recoverOrphanedStaging must refuse against the
+    // lease FILE before deleting the new writer's mid-commit staging
+    // (the in-process renewal cache still looks fresh, so only a
+    // file-level fence can catch the supersession)
+    val usurperStaging = java.nio.file.Paths.get(
+      root2, BucketCatalog.StagingPrefix + "usurper_mid_commit")
+    Files.createDirectory(usurperStaging)
+    val e4 = intercept[IllegalStateException] { cat2.recoverOrphanedStaging() }
+    // "fenced" when the renewal cache is still warm (the dangerous
+    // path); "live lease" if the heartbeat already noticed the theft —
+    // both refuse before the delete
+    assert(e4.getMessage.contains("fenced") || e4.getMessage.contains("live lease"),
+      e4.getMessage)
+    assert(Files.exists(usurperStaging),
+      "fenced sweep must not delete the new writer's staging")
   }
 
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
