@@ -202,11 +202,18 @@ class RpcServer(
     requireQueryable()
     val op = str(params, "op").getOrElse(
       throw new IllegalArgumentException("ops: op required"))
-    val input = confinedOpsPath(str(params, "input").getOrElse(
-      throw new IllegalArgumentException("ops: input (parquet path) required")))
     val opts = params.getOrElse("options", Map.empty[Any, Any])
       .asInstanceOf[Map[Any, Any]]
-    val df = spark.read.parquet(input)
+    // input is either a lake parquet path (confined under the ops
+    // root) or a catalog bucket by TBK — the corpus ops run over
+    // catalog-stored tables with no export step, and the TBK path is
+    // catalog-confined by construction (no opsRoot needed)
+    val df = (str(params, "tbk"), str(params, "input")) match {
+      case (Some(t), _) => catalog.read(TimeBucketKey.parse(t))
+      case (None, Some(p)) => spark.read.parquet(confinedOpsPath(p))
+      case _ => throw new IllegalArgumentException(
+        "ops: input (parquet path) or tbk (catalog bucket) required")
+    }
     val out = op match {
       case "dedup_exact" =>
         graft.ops.Dedup.exactGroups(df,

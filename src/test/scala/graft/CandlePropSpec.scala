@@ -41,10 +41,13 @@ class CandlePropSpec extends SparkSpec {
     val prop = Prop.forAll(tfGen, Gen.listOfN(8, epochGen)) { (tf, epochs) =>
       val rows = eval(tf, epochs)
       val bracket = rows.forall { case (e, t, c) => t <= e && e < c }
-      // the scalar (driver-side) ceil agrees with the Column ceil —
-      // shelf deadlines and query plans share one window algebra
+      // the scalar (driver-side) ceil/truncate agree with the Column
+      // versions — shelf deadlines, the cascade's literal recompute
+      // bounds, and query plans share one window algebra
       val scalarOk = rows.forall { case (e, _, c) => tf.ceilEpoch(e) == c }
       assert(scalarOk, s"ceilEpoch diverges from Column ceil for ${tf.string}")
+      val scalarTruncOk = rows.forall { case (e, t, _) => tf.truncateEpoch(e) == t }
+      assert(scalarTruncOk, s"truncateEpoch diverges from Column truncate for ${tf.string}")
       // a window start truncates to itself; ceil(start-of-window) = next window
       val starts = rows.map(_._2)
       val again = eval(tf, starts)

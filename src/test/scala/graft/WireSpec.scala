@@ -528,6 +528,17 @@ class WireSpec extends SparkSpec {
       val rows = decon("rows").asInstanceOf[Seq[Seq[Any]]]
       assert(rows.map(_.head) == Seq(1L), s"contaminated docs: $rows")
       assert(rows.head(2) == 1L, s"hit grams: ${rows.head}")
+      // corpus ops run over CATALOG buckets too (tbk input — no export
+      // step, no ops root needed: the catalog confines the read)
+      cat.write(graft.core.TimeBucketKey.parse("DOCS/1Sec/CORPUS"),
+        Seq((1L, 101L, "same text twice"), (2L, 102L, "same text twice"),
+          (3L, 103L, "unique row here"))
+          .toDF("Epoch", "doc_id", "text"))
+      val viaTbk = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_exact", "tbk" -> "DOCS/1Sec/CORPUS"))
+      val m2 = viaTbk("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+      assert(m2 == Map(101L -> 101L, 102L -> 101L, 103L -> 103L), m2.toString)
     } finally srv.stop()
   }
 
