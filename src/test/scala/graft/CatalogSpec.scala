@@ -680,6 +680,19 @@ class CatalogSpec extends SparkSpec {
     // live data untouched by recovery
     assert(cat.read(tbk).count() == 1)
     assert(cat.read(tbk).head().getAs[Long]("Epoch") == 60L)
+
+    // a crash BETWEEN the staged-file moves and the manifest flip
+    // leaves data files no manifest references: the sweep must remove
+    // exactly those and keep every referenced file
+    val livePart = cat.liveFiles("OHLCV").get.head
+    val partDir = livePart.substring(0, livePart.lastIndexOf('/'))
+    val fake = java.nio.file.Path.of(root, "OHLCV", partDir,
+      "part-99999-deadbeef.c000.snappy.parquet")
+    java.nio.file.Files.writeString(fake, "not parquet")
+    cat.recoverOrphanedStaging()
+    assert(!java.nio.file.Files.exists(fake),
+      "unreferenced data file from a mid-commit crash must be swept")
+    assert(cat.read(tbk).count() == 1, "referenced files must survive the sweep")
   }
 
   test("local-ness probe survives RawLocalFileSystem (getScheme is unimplemented there)") {
