@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** IVF-index maintenance as an on-write trigger — the reference's
+  * trigger pattern (plugins/trigger/trigger.go:37-43, the ondiskagg
+  * shape) applied to the ANN serving side: every batch written to a
+  * matching embeddings bucket is assigned under a FROZEN coarse
+  * quantizer (O(batch) — [[graft.ops.Similarity.ivfIndex]]'s
+  * incremental contract: the historical corpus is never re-scanned and
+  * the appended index is row-identical to a full rebuild) and appended
+  * to a persisted (cell, id, embedding) index. Queries serve through
+  * [[topK]] against the index alone, never the base table — the FAISS
+  * serving contract wired into the engine's own write path.
+  *
+  * Retraining the quantizer invalidates the index by design (as in any
+  * IVF system); rebuild by deleting `indexPath` and re-firing, or
+  * swap in a new trigger instance with fresh centroids.
+  */
+final class IvfIndexTrigger(
+    spark: SparkSession,
+    centroids: Array[Seq[Float]],
+    indexPath: String,
+    id: String = "vec_id",
+    emb: String = "embedding") extends Trigger {
+
+  def fire(tbk: String, batch: DataFrame): Unit =
+    Similarity.ivfIndex(batch.select(col(id), col(emb)), centroids, id, emb)
+      .write.mode("append").parquet(indexPath)
+
+  /** The maintained (cell, id, embedding) index relation. */
+  def index: DataFrame = spark.read.parquet(indexPath)
+
+  /** ANN top-k served from the maintained index (cell-pruned scan;
+    * nProbe = centroids.length degenerates to exact search).
+    */
+  def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    Similarity.ivfTopKIndexed(index, queries, k, centroids, nProbe, id, emb)
+}

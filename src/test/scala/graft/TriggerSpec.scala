@@ -50,4 +50,44 @@ class TriggerSpec extends SparkSpec {
     val fiveMin = cat.read(TimeBucketKey.parse("AAPL/5Min/OHLCV")).collect()
     assert(fiveMin.length == 1 && fiveMin.head.getAs[Double]("Volume") == 3.0)
   }
+
+  test("IVF index maintenance as an on-write trigger: delta appends == full rebuild, serving exact at full probe") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-trig-ivf").toString
+    val cat = new BucketCatalog(spark, root)
+    val registry = new TriggerRegistry
+    // frozen quantizer: 4 fixed 8-dim centroids (retraining would
+    // invalidate the index — the documented IVF contract)
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    registry.register("*/1Sec/EMB", trig)
+    val pipe = new IngestPipeline(cat, registry)
+    def mkBatch(off: Int, n: Int) = (0 until n).map { i =>
+      (1704708000L + off + i, (off + i).toLong,
+        (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11 * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("Epoch", "vec_id", "embedding")
+    // two ingests through the engine's own write path — the trigger
+    // assigns each batch under the frozen quantizer and appends
+    pipe.ingest(TimeBucketKey.parse("V/1Sec/EMB"), mkBatch(0, 60))
+    pipe.ingest(TimeBucketKey.parse("V/1Sec/EMB"), mkBatch(1000, 40))
+    val all = mkBatch(0, 60).unionByName(mkBatch(1000, 40)).select("vec_id", "embedding")
+    // index == full rebuild, row-identical (frozen-quantizer determinism)
+    val got = trig.index.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSeq
+    val want = graft.ops.Similarity.ivfIndex(all, cents).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSeq
+    assert(got == want, s"index diverges from rebuild: ${got.diff(want).take(3)}")
+    // serving at full probe from the index == exhaustive search
+    val queries = all.filter(col("vec_id") < 3)
+    val served = trig.topK(queries, k = 5, nProbe = cents.length)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = graft.ops.Similarity.bruteForceTopK(all, queries, 5)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == brute, s"served top-k diverges from exhaustive")
+  }
 }
