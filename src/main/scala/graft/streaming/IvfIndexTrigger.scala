@@ -38,4 +38,20 @@ final class IvfIndexTrigger(
     */
   def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
     Similarity.ivfTopKIndexed(index, queries, k, centroids, nProbe, id, emb)
+
+  /** Continuous serving: a STREAM of query vectors answered per
+    * micro-batch from the maintained index (stream-side foreachBatch —
+    * each batch of queries runs the same cell-pruned plan as [[topK]],
+    * so a batch and a stream answer identically; the index is re-read
+    * per batch and therefore sees concurrent [[fire]] appends). The
+    * results of each micro-batch go to `sink`.
+    */
+  def attachQueries(
+      queryStream: DataFrame, k: Int, nProbe: Int, checkpointDir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink(topK(batch, k, nProbe)))
+      .start()
 }

@@ -22,6 +22,9 @@ case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 /** Quote row for the streaming as-of join tests. */
 case class Quote(symbol: String, Epoch: Long, Bid: Double)
 
+/** Query vector for the streaming ANN serving test. */
+case class QueryVec(vec_id: Long, embedding: Seq[Float])
+
 /** Downsample-cascade semantics, mirroring the reference's ondiskagg
   * trigger tests (contrib/ondiskagg/aggtrigger): base-TF writes
   * produce/refresh coarser candles; a LATE out-of-order write
@@ -801,5 +804,40 @@ class StreamingSpec extends SparkSpec {
         leftPayload = Seq("Bid"), rightPayload = Seq("Bid"))
     }
     assert(err.getMessage.contains("disjoint"))
+  }
+
+  test("streaming ANN serving: query micro-batches answer from the maintained index == batch op") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val idxPath = Files.createTempDirectory("graft-sknn-idx").toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, Seq(((i * 7) % 11).toFloat, ((i * 5) % 7).toFloat,
+        ((i * 3) % 5).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    trig.fire("V/1Sec/EMB", corpus) // index the corpus once
+    val queries = MemoryStream[QueryVec]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val ckpt = Files.createTempDirectory("graft-sknn-ckpt").toString
+    val q = trig.attachQueries(queries.toDF, k = 5, nProbe = cents.length, ckpt) { hits =>
+      results ++= hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      queries.addData(QueryVec(1000L, Seq(1f, 2f, 3f, 1f)))
+      q.processAllAvailable()
+      queries.addData(QueryVec(1001L, Seq(4f, 0f, 1f, 2f)), QueryVec(1002L, Seq(0f, 6f, 2f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every micro-batch's answers equal the batch operator over the
+    // same queries — full probe serves exactly
+    val allQ = Seq(
+      (1000L, Seq(1f, 2f, 3f, 1f)), (1001L, Seq(4f, 0f, 1f, 2f)),
+      (1002L, Seq(0f, 6f, 2f, 0f))).toDF("vec_id", "embedding")
+    val want = graft.ops.Similarity.bruteForceTopK(corpus, allQ, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(results.toSet == want,
+      s"streamed answers diverge: extra=${results.toSet -- want} missing=${want -- results.toSet}")
   }
 }
