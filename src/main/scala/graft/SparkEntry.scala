@@ -509,6 +509,24 @@ object SparkEntry {
             FROM graft.`PURCH/1Sec/CAT`
             WHERE Epoch >= $T1 AND Epoch < $T2
             GROUP BY Epoch ORDER BY epoch""")
+    }),
+    // date-literal predicates over a CATALOG bucket (not a mounted
+    // view): the round-8 sargable rewrite — ns-precise compare PLUS a
+    // redundant pushable integer-Epoch conjunct, so the pruned scan
+    // path itself sits under the hash oracle (PlanSpec separately
+    // proves the PushedFilters)
+    "q_sql_date_catalog" -> ((s, dir) => {
+      val cat = new graft.catalog.BucketCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-dtc").toString)
+      cat.write(graft.core.TimeBucketKey.parse("PURCH/1Sec/DTC"),
+        purchases(s, dir).select(col("Epoch"), col("Nanoseconds"),
+          col("value"), col("event_id")))
+      val svc = new graft.sql.SqlService(s, Some(cat))
+      svc.sql(
+        """SELECT Epoch AS epoch, Nanoseconds AS nanoseconds, value, event_id
+           FROM `PURCH/1Sec/DTC`
+           WHERE Epoch BETWEEN '2024-01-10' AND '2024-01-19-23:59:59'
+           ORDER BY epoch, nanoseconds, event_id""")
     })
   ) ++ roundTripQueries ++ opsQueries
 
@@ -578,6 +596,36 @@ object SparkEntry {
         val tbk = TimeBucketKey.parse("PURCH/1Sec/CSV")
         graft.sources.CsvLoader.load(s, cat, tbk, csvDir)
         readBack(cat, tbk)
+      }),
+      // the LLM-ops JOB surface under the hash oracle: dedup_exact over
+      // the documents table as a server job through a real socket —
+      // request in, inline columns+rows out, expanded through group
+      // membership exactly as a pymarketstore-style ops client would
+      // consume it (round 8; WireSpec separately pins path confinement)
+      "q_wire_ops_job" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "wireops")
+        val srv = new graft.wire.RpcServer(s, cat, port = 0, opsRoot = Some(dir))
+        srv.start()
+        try {
+          val req = Map("jsonrpc" -> "2.0", "method" -> "OpsService.Run",
+            "params" -> Seq(Map("op" -> "dedup_exact",
+              "input" -> s"$dir/documents.parquet", "limit" -> 1000000L)),
+            "id" -> 1L)
+          val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/rpc")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-msgpack")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(graft.wire.MsgPack.encode(req))
+          val resp = graft.wire.MsgPack.decode(conn.getInputStream.readAllBytes())
+            .asInstanceOf[Map[Any, Any]]
+          val result = resp("result").asInstanceOf[Map[Any, Any]]
+          import s.implicits._
+          result("rows").asInstanceOf[Seq[Seq[Any]]]
+            .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+            .toDF("doc_id", "canonical_id")
+            .orderBy("doc_id")
+        } finally srv.stop()
       }),
       // full wire round trip: write → HTTP JSON-RPC/msgpack Query over
       // a loopback socket → NumpyMultiDataset decode → DataFrame. Puts
@@ -1234,6 +1282,24 @@ object SparkEntry {
         .unionByName(Similarity.ivfIndex(batch, cents))
       Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 5), k = 10,
           cents, nProbe = 16)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // the round-8 serving composition under the same exhaustive oracle:
+    // the PERSISTED index is maintained by the on-write trigger (two
+    // fire()s — historical corpus, then a delta batch assigned under
+    // the frozen quantizer) and queries serve from the index parquet
+    // alone; full probe == exhaustive search whatever the quantizer
+    "q_knn_ivf_trigger" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.sampledCentroids(base, 16)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivftrig")
+        .toString + "/idx"
+      val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
+      trig.fire("V/1Sec/EMB", base)
+      trig.fire("V/1Sec/EMB", emb.filter(col("vec_id") % 3 === 0))
+      trig.topK(emb.filter(col("vec_id") < 5), k = 10, nProbe = 16)
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -2043,6 +2109,13 @@ object SparkEntry {
          WHERE epoch_us(ts)*1000 BETWEEN 1704844800000000000 AND 1705708799000000000
            AND event_type = 'purchase'
          ORDER BY event_id""",
+    "q_sql_date_catalog" ->
+      """SELECT epoch_us(ts)//1000000 AS epoch, (epoch_us(ts)%1000000)*1000 AS nanoseconds,
+            value, event_id
+         FROM events
+         WHERE event_type = 'purchase'
+           AND epoch_us(ts)*1000 BETWEEN 1704844800000000000 AND 1705708799000000000
+         ORDER BY epoch, nanoseconds, event_id""",
     "q_sql_agg_count" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE epoch_us(ts)*1000 >= 1705276800000000000
@@ -2106,6 +2179,16 @@ object SparkEntry {
           WHERE event_type = 'purchase'
             AND epoch_us(ts)//1000000 BETWEEN $T1 AND ${T2 - 1}
           ORDER BY epoch, nanoseconds""",
+    // the ops job's clone mapping: every doc joined to its normalized-
+    // text group's min id (null-safe join keeps null-text docs grouped,
+    // matching contentHash's md5(NULL) group)
+    "q_wire_ops_job" ->
+      """SELECT d.doc_id, g.canonical_id
+         FROM documents d JOIN (
+           SELECT lower(trim(text)) AS k, min(doc_id) AS canonical_id
+           FROM documents GROUP BY 1) g
+         ON lower(trim(d.text)) IS NOT DISTINCT FROM g.k
+         ORDER BY d.doc_id""",
     "q_queryservice_lastn" ->
       """WITH e AS (SELECT event_type AS symbol, epoch_us(ts) AS tsu, value, event_id FROM events),
          r AS (SELECT symbol, tsu, value, event_id,
@@ -2940,6 +3023,19 @@ object SparkEntry {
 
     // full probe == exhaustive: same oracle as q_knn_brute
     "q_knn_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // trigger-maintained persisted index at full probe == exhaustive —
+    // same oracle as q_knn_ivf_full
+    "q_knn_ivf_trigger" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
