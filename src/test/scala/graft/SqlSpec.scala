@@ -291,4 +291,42 @@ class SqlSpec extends SparkSpec {
     assert(meta("ReadSchema").contains("Open") && !meta("ReadSchema").contains("Close"),
       s"column pruning failed: ${meta("ReadSchema")}")
   }
+
+  test("sargable date rewrite: the added Epoch conjunct never changes semantics") {
+    // exhaustive boundary grid: the rewrite emits `nsExpr op v AND
+    // Epoch bound` where the bound must be IMPLIED by the ns compare
+    // (0 <= Nanoseconds < 1e9). Check every op against a directly
+    // computed ns filter on rows straddling the literal second,
+    // including NOT-wrapped predicates (a AND b ≡ a requires a ⇒ b).
+    val litNs = 947030400L * 1000000000L // '2000-01-05'
+    val litS = 947030400L
+    val rows = for {
+      e <- Seq(litS - 1, litS, litS + 1)
+      n <- Seq(0, 1, 500000000, 999999999)
+    } yield (e, n, s"$e.$n")
+    val df = rows.toDF("Epoch", "Nanoseconds", "tag")
+    val svc = new SqlService(spark)
+    svc.mount("G/1Sec/GRID", df)
+    def viaSql(where: String): Set[String] =
+      svc.sql(s"SELECT tag FROM `G/1Sec/GRID` WHERE $where")
+        .collect().map(_.getString(0)).toSet
+    def direct(p: (Long, Int) => Boolean): Set[String] =
+      rows.collect { case (e, n, t) if p(e, n) => t }.toSet
+    def ns(e: Long, n: Int): Long = e * 1000000000L + n
+    assert(viaSql("Epoch > '2000-01-05'") == direct((e, n) => ns(e, n) > litNs))
+    assert(viaSql("Epoch >= '2000-01-05'") == direct((e, n) => ns(e, n) >= litNs))
+    assert(viaSql("Epoch < '2000-01-05'") == direct((e, n) => ns(e, n) < litNs))
+    assert(viaSql("Epoch <= '2000-01-05'") == direct((e, n) => ns(e, n) <= litNs))
+    assert(viaSql("Epoch = '2000-01-05'") == direct((e, n) => ns(e, n) == litNs))
+    assert(viaSql("Epoch != '2000-01-05'") == direct((e, n) => ns(e, n) != litNs))
+    assert(viaSql("NOT Epoch >= '2000-01-05'") == direct((e, n) => !(ns(e, n) >= litNs)))
+    assert(viaSql("NOT Epoch BETWEEN '2000-01-05' AND '2000-01-05'") ==
+      direct((e, n) => !(ns(e, n) >= litNs && ns(e, n) <= litNs)))
+    assert(viaSql("Epoch BETWEEN '2000-01-05' AND '2000-01-05'") ==
+      direct((e, n) => ns(e, n) >= litNs && ns(e, n) <= litNs))
+    // sub-second literal: the bound floor(v/1e9) sits INSIDE the second
+    val frac = "'2000-01-05-00:00:00.50000000'" // litNs + 5e8
+    assert(viaSql(s"Epoch >= $frac") == direct((e, n) => ns(e, n) >= litNs + 500000000L))
+    assert(viaSql(s"Epoch < $frac") == direct((e, n) => ns(e, n) < litNs + 500000000L))
+  }
 }
