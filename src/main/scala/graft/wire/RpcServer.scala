@@ -175,6 +175,11 @@ class RpcServer(
     *    (`input`) sharing n-grams with an eval set (`options.eval`) →
     *    per-doc contamination report
     *    ([[graft.ops.Dedup.contaminationReport]])
+    *  - `dedup_minhash_index`: build/refresh the persisted (id, band,
+    *    bucket) band index for a corpus
+    *    ([[graft.ops.Dedup.minhashBandIndex]]) — the artifact
+    *    `dedup_minhash_delta` consumes via `options.index`, so the
+    *    daily incremental gate never re-shingles the corpus
     *
     * SECURITY: every filesystem path a client supplies — `input`,
     * `output`, `options.queries/corpus/index/eval` — is confined under
@@ -251,6 +256,11 @@ class RpcServer(
             text = str(opts, "text").getOrElse("text"),
             oldIndex = index)
           .orderBy("id1", "id2")
+      case "dedup_minhash_index" =>
+        graft.ops.Dedup.minhashBandIndex(df,
+            id = str(opts, "id").getOrElse("doc_id"),
+            text = str(opts, "text").getOrElse("text"))
+          .orderBy(str(opts, "id").getOrElse("doc_id"), "band")
       case "text_decontaminate" =>
         val evalSet = spark.read.parquet(confinedOpsPath(str(opts, "eval").getOrElse(
           throw new IllegalArgumentException("ops: options.eval required"))))
@@ -264,7 +274,7 @@ class RpcServer(
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
           "(supported: dedup_exact, knn, knn_sq8, report_card, " +
-          "dedup_minhash_delta, text_decontaminate)")
+          "dedup_minhash_delta, dedup_minhash_index, text_decontaminate)")
     }
     str(params, "output") match {
       case Some(dest0) =>

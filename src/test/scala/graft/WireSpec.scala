@@ -520,6 +520,19 @@ class WireSpec extends SparkSpec {
       val pairs = delta("rows").asInstanceOf[Seq[Seq[Any]]]
         .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
       assert(pairs == Seq((1L, 100L)), s"delta pairs: $pairs")
+      // the incremental shape over the wire: build the corpus's band
+      // index as a server job, then gate the batch AGAINST the index —
+      // same answer, corpus never re-shingled
+      val built = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_minhash_index", "input" -> "corpus", "output" -> "bandidx"))
+      assert(built("rows_written").asInstanceOf[Long] > 0, built.toString)
+      val viaIdx = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_minhash_delta", "input" -> "batch",
+          "options" -> Map("corpus" -> "corpus", "threshold" -> 0.9,
+            "index" -> "bandidx")))
+      val idxPairs = viaIdx("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(idxPairs == pairs, s"index-served delta diverges: $idxPairs vs $pairs")
       val decon = rpc(port, "OpsService.Run",
         Map("op" -> "text_decontaminate", "input" -> "corpus",
           "options" -> Map("eval" -> "eval")))
