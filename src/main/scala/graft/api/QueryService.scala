@@ -51,8 +51,11 @@ class QueryService(catalog: BucketCatalog) {
     // (frontend/query.go:313-334 + utils/timeframe.go:189-208).
     // The substitution must be valid for EVERY requested symbol, so
     // intersect the symbols' stored-TF lists (heterogeneous buckets
-    // would otherwise substitute a TF some symbols don't store).
-    val stored = symbols.map(s => catalog.listTimeframes(proto.attGroup, s).toSet)
+    // would otherwise substitute a TF some symbols don't store). One
+    // bulk catalog pass: per-symbol listTimeframes calls are O(S²) on
+    // the driver at the 16k-symbol design point.
+    val storedBySym = catalog.listTimeframesBySymbol(proto.attGroup)
+    val stored = symbols.map(s => storedBySym.getOrElse(s, Set.empty[String]))
       .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq
     val want = CandleDuration.parse(proto.timeframe)
     val (scanTf, scaledLimit) =

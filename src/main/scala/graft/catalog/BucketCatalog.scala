@@ -1417,6 +1417,46 @@ class BucketCatalog(spark: SparkSession, root: String,
         }
     }
 
+  /** symbol → stored timeframes for a WHOLE attGroup in one manifest
+    * resolution + one pass over the bucket list. The wildcard query
+    * path (QueryService.queryMulti at the reference's ~16k-symbol
+    * design point, docs/design/file_format_design.txt) needs every
+    * symbol's stored-TF set for the substitution intersection; calling
+    * [[listTimeframes]] per symbol is |symbols| manifest version
+    * checks × a full bucket-list filter each — O(S²) on the driver.
+    */
+  def listTimeframesBySymbol(attGroup: String): Map[String, Set[String]] =
+    liveBuckets(attGroup) match {
+      case Some(buckets) =>
+        buckets.iterator.map { b =>
+          val i = b.indexOf('/')
+          (b.substring(0, i).stripPrefix("symbol="),
+            b.substring(i + 1).stripPrefix("timeframe="))
+        }.toSeq.groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      case None =>
+        val p = new Path(agPath(attGroup))
+        if (!fs.exists(p)) Map.empty
+        else {
+          val symDirs = fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+            .filter(_.startsWith("symbol="))
+          if (symDirs.nonEmpty)
+            symDirs.map { d =>
+              d.stripPrefix("symbol=") ->
+                fs.listStatus(new Path(p, d)).toIndexedSeq.map(_.getPath.getName)
+                  .filter(_.startsWith("timeframe="))
+                  .map(_.stripPrefix("timeframe=")).toSet
+            }.toMap
+          else readAg(attGroup) match {
+            // bucketed pre-manifest root (a replica): one distinct scan
+            // answers the whole map
+            case Some(old) => old.select("symbol", "timeframe").distinct()
+              .collect().toIndexedSeq
+              .groupMap(_.getString(0))(_.getString(1)).view.mapValues(_.toSet).toMap
+            case None => Map.empty
+          }
+        }
+    }
+
   /** Drop one symbol/timeframe from a bucket (frontend Destroy,
     * frontend/write.go:182-210). Legacy layout: a manifest commit that
     * removes the symbol's partitions from the live set (physical files

@@ -69,6 +69,21 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listSymbols("OHLCV") == Seq("MSFT"))
   }
 
+  test("listTimeframesBySymbol ≡ per-symbol listTimeframes (manifest + legacy)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    // heterogeneous stored-TF sets across symbols
+    for ((sym, tfs) <- Seq("AAPL" -> Seq("1Min", "5Min"), "MSFT" -> Seq("1Min"), "GOOG" -> Seq("1D")))
+      for (tf <- tfs)
+        cat.write(TimeBucketKey.parse(s"$sym/$tf/OHLCV"),
+          Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    val bulk = cat.listTimeframesBySymbol("OHLCV")
+    assert(bulk.keySet == Set("AAPL", "MSFT", "GOOG"))
+    for (s <- bulk.keySet)
+      assert(bulk(s) == cat.listTimeframes("OHLCV", s).toSet, s"symbol $s")
+    assert(cat.listTimeframesBySymbol("NOPE").isEmpty)
+  }
+
   test("query service: range + projection + LAST limit + wildcard") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
