@@ -627,6 +627,51 @@ object SparkEntry {
             .orderBy("doc_id")
         } finally srv.stop()
       }),
+      // the FAISS-style serving contract end-to-end over the wire
+      // (round 9): the on-write trigger maintains the persisted
+      // (cell, id, embedding) index + quantizer, and a CLIENT asks the
+      // server for ANN top-k from that index alone — the base corpus
+      // is never read at query time. Full probe ⇒ exact, so the whole
+      // socket path sits under the exhaustive cosine oracle
+      "q_wire_knn_ivf" -> ((s, dir) => {
+        val cat = tmpCatalog(s, "wireivf")
+        val opsRoot = java.nio.file.Files.createTempDirectory("graft-wireivf-ops").toString
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+        val cents = graft.ops.Similarity.sampledCentroids(base, 16)
+        val trig = new graft.streaming.IvfIndexTrigger(s, cents, s"$opsRoot/idx")
+        trig.fire("V/1Sec/EMB", base)
+        trig.fire("V/1Sec/EMB", emb.filter(col("vec_id") % 3 === 0))
+        trig.writeCentroids(s"$opsRoot/cents")
+        emb.filter(col("vec_id") < 5)
+          .write.mode("overwrite").parquet(s"$opsRoot/queries")
+        val srv = new graft.wire.RpcServer(s, cat, port = 0, opsRoot = Some(opsRoot))
+        srv.start()
+        try {
+          val req = Map("jsonrpc" -> "2.0", "method" -> "OpsService.Run",
+            "params" -> Seq(Map("op" -> "knn_ivf", "input" -> "queries",
+              "options" -> Map("index" -> "idx", "centroids" -> "cents",
+                "k" -> 10L, "n_probe" -> 16L),
+              "limit" -> 1000000L)),
+            "id" -> 1L)
+          val conn = new java.net.URL(s"http://127.0.0.1:${srv.boundPort}/rpc")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-msgpack")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(graft.wire.MsgPack.encode(req))
+          val resp = graft.wire.MsgPack.decode(conn.getInputStream.readAllBytes())
+            .asInstanceOf[Map[Any, Any]]
+          val result = resp("result").asInstanceOf[Map[Any, Any]]
+          import s.implicits._
+          result("rows").asInstanceOf[Seq[Seq[Any]]]
+            .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+              r(2).asInstanceOf[Double]))
+            .toDF("query_id", "vec_id", "score")
+            .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+            .orderBy("query_id", "vec_id")
+        } finally srv.stop()
+      }),
       // full wire round trip: write → HTTP JSON-RPC/msgpack Query over
       // a loopback socket → NumpyMultiDataset decode → DataFrame. Puts
       // the wire codecs (msgpack, LE column blobs) under the same
@@ -2179,6 +2224,18 @@ object SparkEntry {
           WHERE event_type = 'purchase'
             AND epoch_us(ts)//1000000 BETWEEN $T1 AND ${T2 - 1}
           ORDER BY epoch, nanoseconds""",
+    // ANN from the trigger-maintained index over the wire at full
+    // probe == exhaustive — same oracle as q_knn_ivf_trigger
+    "q_wire_knn_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
     // the ops job's clone mapping: every doc joined to its normalized-
     // text group's min id (null-safe join keeps null-text docs grouped,
     // matching contentHash's md5(NULL) group)

@@ -620,6 +620,32 @@ object Similarity {
   private def cellScores(v: Column, centroids: Array[Seq[Float]]): Column =
     VectorFunctions.centroidStructScores(v, centroids)
 
+  /** The frozen coarse quantizer as a (cell, embedding) relation — the
+    * persisted sibling of the in-memory centroid array, so an index
+    * built in one process (the on-write trigger) can be SERVED from
+    * another (the RPC `knn_ivf` job): index parquet + centroids parquet
+    * together are the complete serving state.
+    */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Seq[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "embedding")
+  }
+
+  /** Inverse of [[centroidsDF]]: cell-ordered centroid array. Cells
+    * must be exactly 0..n-1 (the array index IS the cell id in every
+    * probing path) — a gap means the relation is not a quantizer dump.
+    */
+  def loadCentroids(df: DataFrame): Array[Seq[Float]] = {
+    val rows = df.select(col("cell").cast("int"), col("embedding"))
+      .orderBy("cell").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"centroid relation has cell gap at $i (got ${r.getInt(0)})")
+    }
+    rows.map(_.getSeq[Float](1))
+  }
+
   /** Deterministic nCells-row corpus sample (lowest xxhash64(id)) —
     * the k-means init, and the default IVF quantizer.
     */

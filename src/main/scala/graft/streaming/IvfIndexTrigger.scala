@@ -33,6 +33,14 @@ final class IvfIndexTrigger(
   /** The maintained (cell, id, embedding) index relation. */
   def index: DataFrame = spark.read.parquet(indexPath)
 
+  /** Persist the frozen quantizer beside the index: (index parquet,
+    * centroids parquet) is the complete serving state, so an
+    * out-of-process server (the RPC `knn_ivf` job) can answer queries
+    * from the maintained index without sharing this JVM.
+    */
+  def writeCentroids(path: String): Unit =
+    Similarity.centroidsDF(spark, centroids).write.mode("overwrite").parquet(path)
+
   /** ANN top-k served from the maintained index (cell-pruned scan;
     * nProbe = centroids.length degenerates to exact search).
     */

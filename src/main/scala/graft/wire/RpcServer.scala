@@ -165,6 +165,13 @@ class RpcServer(
     *    path) or the `options.n_queries` smallest-id rows of the input
     *  - `knn_sq8`: same contract scored over the SQ8-compressed
     *    corpus ([[graft.ops.Similarity.sq8TopK]] — 1 byte/dim scan)
+    *  - `knn_ivf`: ANN top-k served from a MAINTAINED index — the
+    *    [[graft.streaming.IvfIndexTrigger]] artifact (`options.index`
+    *    parquet or `options.index_tbk` catalog bucket) plus its
+    *    persisted quantizer (`options.centroids`); `input`/`tbk` is
+    *    the query relation, `options.n_probe` trades recall for cells
+    *    probed (default full probe = exact)
+    *    ([[graft.ops.Similarity.ivfTopKIndexed]])
     *  - `report_card`: per-source corpus health
     *    ([[graft.ops.TextAnalysis.sourceReport]])
     *  - `dedup_minhash_delta`: incremental near-dup gate — new batch
@@ -245,6 +252,26 @@ class RpcServer(
         graft.ops.TextAnalysis.sourceReport(df,
           textCol = str(opts, "text").getOrElse("text"),
           sourceCol = str(opts, "source").getOrElse("source"))
+      case "knn_ivf" =>
+        // serve ANN from a MAINTAINED index (the IvfIndexTrigger
+        // artifact: (cell, vec_id, embedding) parquet + the persisted
+        // quantizer) — the base corpus is never touched; `input`/`tbk`
+        // is the QUERY relation. nProbe defaults to full probe (exact
+        // under any quantizer); clients trade recall for cells probed.
+        val index = (str(opts, "index_tbk"), str(opts, "index")) match {
+          case (Some(t), _) => catalog.read(TimeBucketKey.parse(t))
+          case (None, Some(p)) => spark.read.parquet(confinedOpsPath(p))
+          case _ => throw new IllegalArgumentException(
+            "ops: options.index (parquet path) or options.index_tbk required")
+        }
+        val cents = graft.ops.Similarity.loadCentroids(
+          spark.read.parquet(confinedOpsPath(str(opts, "centroids").getOrElse(
+            throw new IllegalArgumentException("ops: options.centroids required")))))
+        val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
+        val nProbe = math.min(cents.length.toLong,
+          math.max(1L, lng(opts, "n_probe").getOrElse(cents.length.toLong))).toInt
+        graft.ops.Similarity.ivfTopKIndexed(index, df, k, cents, nProbe)
+          .orderBy("query_id", "vec_id")
       case "dedup_minhash_delta" =>
         val corpus = spark.read.parquet(confinedOpsPath(str(opts, "corpus").getOrElse(
           throw new IllegalArgumentException("ops: options.corpus required"))))
@@ -273,7 +300,7 @@ class RpcServer(
           .orderBy(idCol)
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
-          "(supported: dedup_exact, knn, knn_sq8, report_card, " +
+          "(supported: dedup_exact, knn, knn_sq8, knn_ivf, report_card, " +
           "dedup_minhash_delta, dedup_minhash_index, text_decontaminate)")
     }
     str(params, "output") match {

@@ -441,6 +441,67 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("OpsService.Run: knn_ivf serves from the trigger-maintained index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-ivf").toString
+    // two well-separated clusters (x-axis, y-axis) + a straggler
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)), (12L, Seq(0.95f, 0.05f)),
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f)),
+      (30L, Seq(-1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.sampledCentroids(corpus, 4)
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, s"$dir/idx")
+    trig.fire("V/1Sec/EMB", corpus.filter(col("vec_id") < 20))
+    trig.fire("V/1Sec/EMB", corpus.filter(col("vec_id") >= 20)) // delta append
+    trig.writeCentroids(s"$dir/cents")
+    corpus.filter(col("vec_id") === 10L || col("vec_id") === 20L)
+      .write.parquet(s"$dir/queries")
+    val cat = new BucketCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-wire-ivf").toString)
+    val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      // full probe == exact: server result matches brute force exactly
+      val got = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "idx", "centroids" -> "cents", "k" -> 2L)))
+      assert(got("columns") == Vector("query_id", "vec_id", "score"), got("columns").toString)
+      val rows = got("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      val expect = graft.ops.Similarity.bruteForceTopK(
+          corpus, corpus.filter(col("vec_id") === 10L || col("vec_id") === 20L), 2)
+        .orderBy("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == expect, s"got $rows expected $expect")
+      // parquet-out mode: job lands the hit table, returns its count
+      val wrote = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries", "output" -> "ivf_out",
+          "options" -> Map("index" -> "idx", "centroids" -> "cents", "k" -> 2L)))
+      assert(wrote("rows_written") == 4L, wrote.toString)
+      assert(spark.read.parquet(s"$dir/ivf_out").count() == 4L)
+      // n_probe=1 prunes to the query's own cluster cell — results
+      // stay within-cluster on this separated fixture
+      val pruned = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "idx", "centroids" -> "cents",
+            "k" -> 2L, "n_probe" -> 1L)))
+      val prunedRows = pruned("rows").asInstanceOf[Seq[Seq[Any]]]
+      assert(prunedRows.nonEmpty)
+      // a missing index/centroids option errors via the rpc channel
+      val bad = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries"))
+      assert(bad.contains("error"), bad.toString)
+      // the index path is ops-root-confined like every other path
+      val esc = rpcRaw(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "/etc", "centroids" -> "cents")))
+      assert(esc.contains("error"), esc.toString)
+    } finally srv.stop()
+  }
+
   test("OpsService.Run: client paths are confined to the ops root; no root disables ops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ops-confine").toString
