@@ -1260,9 +1260,13 @@ object SparkEntry {
           col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "neg_rank")
     }),
+    // recall-targeted banding (r9): the parameters are DERIVED from
+    // the retrieval contract (don't miss cosine-0.4 neighbors with
+    // probability ≥0.9 — lshParamsForRecall's collision model) rather
+    // than hand-picked; the bench recall field measures the floor held
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      Similarity.lshTopKAtRecall(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -1383,11 +1387,15 @@ object SparkEntry {
     // of per-subspace L2 k-means) — the production compressed-corpus
     // shape (m-byte codes + ADC scoring). Approximate by design (no
     // oracle); the exactness of the ADC machinery itself is pinned by
-    // q_knn_pq_exact below, recall/reconstruction by OpsSpec
+    // q_knn_pq_exact below, recall/reconstruction by OpsSpec. 32×16
+    // codebooks = 2 bits/dim (r9): the coding rate an isotropic 64-d
+    // corpus needs for ≥0.5 recall@10 — 0.5 bits/dim (the old 8×16)
+    // measured recall 0.18 in the round-8 bench; finer SUBSPACES beat
+    // bigger codebooks at equal rate here (16×32 measured 0.44)
     "q_knn_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-          m = 8, ksub = 16, trainIters = 2)
+          m = 32, ksub = 16, trainIters = 2)
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),

@@ -438,6 +438,53 @@ object Similarity {
     * when that regime is really wanted (OpsSpec's isotropic recall
     * check does).
     */
+  /** Smallest sign-LSH banding meeting a recall contract: under the
+    * random-hyperplane collision model (Charikar, STOC 2002) a pair at
+    * cosine s collides per bit with p = 1 − arccos(s)/π, per band with
+    * p^r, in ≥1 of b bands with 1 − (1−p^r)^b. This picks the LONGEST
+    * band signature r (longest = fewest random collisions = smallest
+    * candidate set) that can still reach `recallFloor` at `targetSim`
+    * within `maxBands` bands, then the smallest such b — i.e. the
+    * cheapest banding that honors the floor. Pick `targetSim` at the
+    * similarity you must not miss: ~0.8+ for near-dup dedup (the
+    * [[lshTopK]] default regime), ~0.4 for top-k retrieval over
+    * ISOTROPIC 64-d embeddings, where the true top-10 of a 10k corpus
+    * sit near cosine ≈ 3.3/√d ≈ 0.42 (Gaussian order statistics).
+    * Recall guarantees cost candidates in that weak-neighbor regime —
+    * the returned banding makes the trade explicit instead of silently
+    * missing (the round-8 bench measured recall 0.2 with the near-dup
+    * default applied to isotropic retrieval).
+    */
+  def lshParamsForRecall(
+      targetSim: Double, recallFloor: Double,
+      maxBands: Int = 64): (Int, Int) = {
+    require(targetSim > 0 && targetSim < 1 && recallFloor > 0 && recallFloor < 1)
+    val p = 1.0 - math.acos(targetSim) / math.Pi
+    val need = math.log1p(-recallFloor) // ln(1 - floor), negative
+    (16 to 1 by -1).iterator.flatMap { r =>
+      val pr = math.pow(p, r)
+      if (pr >= 1.0) Some((1, r))
+      else {
+        val b = math.ceil(need / math.log1p(-pr)).toInt
+        if (b <= maxBands) Some((b, r)) else None
+      }
+    }.next()
+  }
+
+  /** [[lshTopK]] with the banding DERIVED from a recall contract via
+    * [[lshParamsForRecall]] — the parameters a user should reach for
+    * when they know the similarity they must not miss rather than a
+    * band geometry.
+    */
+  def lshTopKAtRecall(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      targetSim: Double = 0.4, recallFloor: Double = 0.9,
+      dim: Int = 64, id: String = "vec_id", emb: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val (bands, rows) = lshParamsForRecall(targetSim, recallFloor)
+    lshTopK(corpus, queries, k, bands, rows, dim, id, emb, seed)
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 16, rowsPerBand: Int = 8, dim: Int = 64,
