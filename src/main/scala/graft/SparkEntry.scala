@@ -1399,6 +1399,27 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // compressed scan + exact re-rank (r9): SQ8 generates 50
+    // candidates/query, raw vectors rejoin for exact cosine top-10 —
+    // under the EXHAUSTIVE oracle via a planted construction where the
+    // candidate tier provably contains the true top-k: each query
+    // vector gets 10 exact copies (cosine 1.0 ≫ the ~0.55 isotropic
+    // ceiling, far above SQ8's quantization error), so the true top-10
+    // is the copy set, certain to survive the 50-candidate cut, and
+    // the re-rank's exact scores + id tie-break reproduce the
+    // exhaustive ranking row for row
+    "q_knn_sq8_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 5)
+      val copies = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(9))).as("j"))
+        .select((lit(100000) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          col("embedding"))
+      val corpus = e.unionByName(copies)
+      Similarity.sq8RerankTopK(corpus, qs, k = 10, kCand = 50)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // PQ under a FULL exhaustive oracle, via a planted-codeword
     // construction: the codebook is the subvector grid of the 16
     // lowest-id vectors (exact floats both engines read), and corpus
@@ -2937,6 +2958,24 @@ object SparkEntry {
          scored AS (SELECT q.query_id, dq.vec_id,
               list_cosine_similarity(dq.vq, q.qe) AS s
            FROM dq, q WHERE dq.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // SQ8 candidates + exact re-rank on the planted-copy corpus ==
+    // exhaustive cosine top-10 over the same corpus (the 10 copies at
+    // cosine 1.0 provably survive the 50-candidate compressed cut)
+    "q_knn_sq8_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT 100000 + q.query_id * 10 + j.j AS vec_id, q.qe AS embedding
+               FROM q, (SELECT unnest(range(10)) AS j) j),
+         scored AS (SELECT q.query_id, c.vec_id,
+              list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM c, q WHERE c.vec_id != q.query_id),
          ranked AS (SELECT query_id, vec_id, s,
               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
            FROM scored)

@@ -84,6 +84,36 @@ object Similarity {
       b => -VectorFunctions.sq8AsymCosine(b("v"), col("__qv")))
   }
 
+  /** Compressed scan + exact re-rank — the composition [[sq8TopK]]'s
+    * doc prescribes when exact ORDERING matters: the 1-byte/dim SQ8
+    * scan generates `kCand` candidates per query (the only pass that
+    * touches the whole corpus), then ONLY those ≤ queries·kCand rows
+    * rejoin the raw vectors for an exact cosine re-rank to top-k.
+    * Scores come from the SAME double-accumulated expression as
+    * [[bruteForceTopK]], so whenever the candidate set contains the
+    * true top-k the output is row-identical to the exact operator —
+    * at 100 TB the full-precision vectors are read for ~kCand rows
+    * per query instead of riding the scan. kCand/k is the recall
+    * knob: the candidate tier's job is inclusion, not ordering.
+    */
+  def sq8RerankTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, kCand: Int,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = sq8TopK(sq8Encode(corpus, emb), queries, kCand, id, emb)
+      .select(col("query_id"), col(id))
+    val scored = cand
+      .join(corpus.select(col(id), col(emb).as("__cv")), id)
+      .join(broadcast(queries.select(col(id).as("query_id"), col(emb).as("__qv"))),
+        "query_id")
+      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(id), col("score"))
+  }
+
   /** Shared tail of the blocked exact scans: broadcast the query rows
     * against the corpus block rows, keep each query's LOCAL top-k per
     * block (self-hits excluded, ties by id asc — the same order the

@@ -169,6 +169,30 @@ class OpsSpec extends SparkSpec {
       s"default banding scored $scored of $allPairs possible pairs — not pruning")
   }
 
+  test("sq8RerankTopK == bruteForceTopK when the candidate tier holds the true top-k") {
+    // planted copies: each query vector appears 10 more times, so its
+    // true top-10 is the copy set at cosine 1.0 — certain to survive
+    // the compressed 50-candidate cut, making the composition exact
+    val q = embs.filter(col("vec_id") < 5)
+    val copies = q.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(9))).as("j"))
+      .select((lit(100000) + col("vec_id") * 10 + col("j")).as("vec_id"),
+        col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(copies)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // row-identical INCLUDING raw double scores: the re-rank uses the
+    // same cosine expression as the exact operator
+    assert(rows(Similarity.sq8RerankTopK(corpus, q, k = 10, kCand = 50)) ==
+      rows(Similarity.bruteForceTopK(corpus, q, k = 10)),
+      "sq8 re-rank composition diverged from exact top-k on the planted corpus")
+    // kCand < k refused
+    intercept[IllegalArgumentException] {
+      Similarity.sq8RerankTopK(corpus, q, k = 10, kCand = 5)
+    }
+  }
+
   test("IVF probes recover most brute-force neighbors; full probing is exact") {
     val q = embs.filter(col("vec_id") < 5)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
