@@ -1164,6 +1164,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // the BOUNDED-output SemDeDup shape (r9): per-cell top-100 pairs
+    // by (score desc, id asc) under the same sign-planted injected
+    // quantizer — deterministic cells make the cap replayable in SQL
+    // (cell == id parity); output ≤ nCells×cap whatever the clone
+    // structure, vs 62k uncapped rows at sf0.01
+    "q_dedup_semantic_capped" -> ((s, dir) => {
+      val emb = signPlanted(Tables.embeddings(s, dir))
+      val quantizer = SignQuantizer
+      Similarity.semanticDedupPairsCapped(emb, threshold = 0.45, nCells = 2,
+          maxPairsPerCell = 100, centroids = Some(quantizer))
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+        .orderBy("id1", "id2")
+    }),
+
     // ---- similarity search ---------------------------------------------
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2888,6 +2902,24 @@ object SparkEntry {
               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
            FROM e a, e b WHERE a.vec_id < b.vec_id)
          WHERE s >= 0.45 ORDER BY id1, id2""",
+
+    // capped SemDeDup: the sign-planted quantizer assigns each parity
+    // its own cell with certainty, so the per-cell cap replays as a
+    // row_number over id1-parity partitions with the same
+    // (score desc, id1, id2) priority
+    "q_dedup_semantic_capped" ->
+      """WITH e AS (SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN list_transform(embedding, x -> abs(x))
+                  ELSE list_transform(embedding, x -> -abs(x)) END AS embedding
+           FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+              list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+           FROM e a, e b WHERE a.vec_id < b.vec_id),
+         ranked AS (SELECT id1, id2, s,
+              row_number() OVER (PARTITION BY id1 % 2 ORDER BY s DESC, id1, id2) AS rk
+           FROM pairs WHERE s >= 0.45)
+         SELECT id1, id2, round(s, 6) AS score FROM ranked WHERE rk <= 100
+         ORDER BY id1, id2""",
 
     // pruned-probe IVF == global brute force on the sign-planted
     // clusters (see the queries-side proof sketch)

@@ -931,6 +931,78 @@ object Similarity {
       semanticDedupPairsDistinct(df, threshold, nCells, trainIters, centroids,
         id, emb, blocksPerCell)
 
+  /** [[semanticDedupPairs]] with a BOUNDED output: at most
+    * `maxPairsPerCell` pairs per quantizer cell, kept by deterministic
+    * priority (score desc, then (id1, id2) asc). The uncapped operator
+    * is output-quadratic under adversarial clone mass (a cell holding
+    * g copies of one vector owes g²/2 pairs — measured 133 s at the
+    * 100× clone-planted bench point, inherent to the all-pairs
+    * contract); this is the 100 TB-safe shape: total output ≤
+    * nCells × cap whatever the clone structure, and under clone mass
+    * the score-desc priority keeps exactly the highest-similarity
+    * (clone) pairs a pruning pass acts on first.
+    *
+    * Scale design: the cap is enforced in TWO stages so no plan stage
+    * materializes the quadratic pair set — each (cell, blockL, blockR)
+    * join task locally sorts and keeps its own top-cap (array ops
+    * inside the task), then one per-cell window ranks the ≤ B²·cap
+    * survivors. No clone-collapse gate: the cap itself is the bound,
+    * and collapse+re-expansion would reintroduce the quadratic output
+    * this variant exists to avoid.
+    */
+  def semanticDedupPairsCapped(
+      df: DataFrame, threshold: Double, nCells: Int, maxPairsPerCell: Int,
+      trainIters: Int = 2,
+      centroids: Option[Array[Seq[Float]]] = None,
+      id: String = "vec_id", emb: String = "embedding",
+      blocksPerCell: Int = 0): DataFrame = {
+    require(maxPairsPerCell >= 1, s"maxPairsPerCell must be positive, got $maxPairsPerCell")
+    val cents = centroids.getOrElse(trainedCentroids(df, nCells, trainIters, id, emb))
+    val assigned = df
+      .select(col(id), col(emb))
+      .withColumn("__cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+      .transform(graft.ops.CacheScope.scopedPersist)
+    val nb =
+      if (blocksPerCell > 0) blocksPerCell
+      else autoBlocks(math.max(1L, {
+        val r = assigned.groupBy("__cell").count().agg(max("count")).head()
+        if (r.isNullAt(0)) 1L else r.getLong(0)
+      }))
+    val blocks = assigned
+      .withColumn("__blk", pmod(xxhash64(col(id)), lit(nb)).cast("int"))
+      .groupBy("__cell", "__blk")
+      .agg(collect_list(struct(col(id).as("i"), col(emb).as("v"))).as("__items"))
+    val L = blocks.select(col("__cell"), col("__blk").as("__bl"),
+      explode(sequence(col("__blk"), lit(nb - 1))).as("__br"),
+      col("__items").as("__L"))
+    val R = blocks.select(col("__cell"),
+      explode(sequence(lit(0), col("__blk"))).as("__bl"),
+      col("__blk").as("__br"),
+      col("__items").as("__R"))
+    // negated score leads the sort struct: array_sort ascending ==
+    // score desc, then (id1, id2) asc — the same priority the final
+    // window applies, so the local cut can never drop a global keeper
+    val pairsArr = flatten(transform(col("__L"), a =>
+      filter(
+        transform(col("__R"), b =>
+          struct(
+            (-when(col("__bl") < col("__br") || a("i") < b("i"),
+              VectorFunctions.cosineSim(a("v"), b("v")))).as("negs"),
+            least(a("i"), b("i")).as("id1"),
+            greatest(a("i"), b("i")).as("id2"))),
+        s => s("negs").isNotNull && s("negs") <= lit(-threshold))))
+    val local = L.hint("merge").join(R.hint("merge"), Seq("__cell", "__bl", "__br"))
+      .select(col("__cell"),
+        explode(slice(array_sort(pairsArr), 1, maxPairsPerCell)).as("p"))
+      .select(col("__cell"), col("p.id1").as("id1"), col("p.id2").as("id2"),
+        (-col("p.negs")).as("score"))
+    val w = Window.partitionBy(col("__cell"))
+      .orderBy(col("score").desc, col("id1").asc, col("id2").asc)
+    local.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPairsPerCell)
+      .select(col("id1"), col("id2"), col("score"))
+  }
+
   private def semanticDedupPairsDistinct(
       df: DataFrame, threshold: Double, nCells: Int,
       trainIters: Int,

@@ -169,6 +169,40 @@ class OpsSpec extends SparkSpec {
       s"default banding scored $scored of $allPairs possible pairs — not pruning")
   }
 
+  test("semanticDedupPairsCapped: == uncapped below the cap; top-priority subset above it") {
+    // sign-planted cells (the entry's deterministic quantizer): even
+    // ids -> |x| cell, odd -> -|x| cell
+    val planted = embs.select(col("vec_id"),
+      when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+        .otherwise(transform(col("embedding"), x => -abs(x))).as("embedding"))
+    val quant = Array[Seq[Float]](Seq.fill(64)(1.0f), Seq.fill(64)(-1.0f))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id1", "id2", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = rows(Similarity.semanticDedupPairs(
+      planted, threshold = 0.45, nCells = 2, centroids = Some(quant)))
+    // non-binding cap: identical output (scores and all)
+    val loose = rows(Similarity.semanticDedupPairsCapped(
+      planted, threshold = 0.45, nCells = 2,
+      maxPairsPerCell = uncapped.size + 10, centroids = Some(quant)))
+    assert(loose == uncapped, s"|loose|=${loose.size} |uncapped|=${uncapped.size}")
+    // binding cap: exactly the per-cell top-`cap` of the uncapped
+    // output under the documented priority (score desc, id1, id2)
+    val cap = 7
+    val capped = rows(Similarity.semanticDedupPairsCapped(
+      planted, threshold = 0.45, nCells = 2,
+      maxPairsPerCell = cap, centroids = Some(quant)))
+    val expect = uncapped.groupBy(_._1 % 2).values.flatMap { cell =>
+      cell.toSeq.sortBy(p => (-p._3, p._1, p._2)).take(cap)
+    }.toSet
+    assert(capped == expect,
+      s"capped diverged: extra=${capped -- expect} missing=${expect -- capped}")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairsCapped(planted, 0.45, 2, maxPairsPerCell = 0,
+        centroids = Some(quant))
+    }
+  }
+
   test("sq8RerankTopK == bruteForceTopK when the candidate tier holds the true top-k") {
     // planted copies: each query vector appears 10 more times, so its
     // true top-10 is the copy set at cosine 1.0 — certain to survive
