@@ -192,11 +192,9 @@ class BucketCatalog(spark: SparkSession, root: String,
     }
   }
 
-  /** overwrite = true for renewals (we own the file); false for
-    * takeovers — exclusive create is atomic create-if-absent on HDFS,
-    * so of N contenders past the expired-lease delete exactly one
-    * wins and the rest get the exception instead of last-writer-wins
-    * silently overwriting each other.
+  /** overwrite = true for renewals and for a takeover confirmed by a
+    * won CLAIM (we own the slot); exclusive create only for the
+    * lease-absent bootstrap.
     */
   private def writeLease(token: Long, overwrite: Boolean): Unit = {
     val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
@@ -204,6 +202,93 @@ class BucketCatalog(spark: SparkSession, root: String,
     val out = fs.create(leasePath, overwrite)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def claimPath(token: Long) = new Path(root, s"$WriterLeaseFile.claim.$token")
+
+  /** Atomic takeover of an expired/absent lease: CLAIM the bumped
+    * fencing token by exclusive create of a token-named file. The
+    * lease file itself is never deleted, so a racer cannot clobber a
+    * winner's fresh lease (the old delete→create window); every
+    * contender that read the same expired state computes the SAME
+    * claim name, exclusive create admits exactly one, and the rest
+    * throw here. Tokens are therefore globally unique across
+    * takeovers — two writers can never fence at the same token.
+    *
+    * A claim whose creator died before rewriting the lease (sub-ms
+    * window) would otherwise wedge the slot: a claim older than the
+    * lease expiry with the lease still expired is ruled dead and the
+    * NEXT token is tried — disagreement about staleness needs a
+    * claim within ±expiry of the boundary, at which point the fresh
+    * reader refuses and only the stale reader advances, keeping the
+    * one-winner-per-slot invariant. Returns the token won.
+    */
+  /** Atomic create-if-absent with the strongest primitive the root's
+    * FileSystem offers: HDFS/object-store creates with overwrite=false
+    * are exclusive server-side; Hadoop's LOCAL filesystems implement
+    * them as a check-then-act pair, so local roots (incl. re-schemed
+    * test roots) go through nio's O_EXCL createFile instead. Returns
+    * false when the path already exists (the caller lost the slot).
+    */
+  private def createExclusive(p: Path, body: String): Boolean = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(local) // O_EXCL — atomic on POSIX
+          java.nio.file.Files.write(local, bytes)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case NonFatal(_) => false }
+    }
+  }
+
+  private[graft] def claimTakeover(expiredToken: Long): Long = {
+    // per-ATTEMPT nonce, not just the writer id: contenders must be
+    // distinguishable even inside one process, and the read-back
+    // below re-checks authorship as a second fence behind the
+    // exclusive create
+    val nonce = java.util.UUID.randomUUID().toString
+    val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
+      s""""nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
+    def lost(t: Long) = throw new IllegalStateException(
+      s"lost a writer-lease takeover race on $root: token $t already claimed")
+    var t = expiredToken + 1
+    while (t <= expiredToken + 16) {
+      if (createExclusive(claimPath(t), body)) {
+        // read-back arbitration: our nonce must be what the slot holds
+        val ok =
+          try { val in = fs.open(claimPath(t)); try om.readTree(in).get("nonce").asText() == nonce finally in.close() }
+          catch { case NonFatal(_) => false }
+        if (!ok) lost(t)
+        // spent/stale claims at or below ours are ours to clean
+        (expiredToken + 1).to(t - 1).foreach(s =>
+          try fs.delete(claimPath(s), false) catch { case NonFatal(_) => () })
+        return t
+      } else {
+        // claim exists: fresh -> lost the race; stale (creator died
+        // before rewriting the lease) -> advance to the next slot.
+        // An unreadable claim falls back to file mtime so garbage
+        // refuses while fresh but cannot wedge the slot forever.
+        val ts =
+          try { val in = fs.open(claimPath(t)); try om.readTree(in).get("ts").asLong() finally in.close() }
+          catch { case NonFatal(_) =>
+            try fs.getFileStatus(claimPath(t)).getModificationTime
+            catch { case NonFatal(_) => System.currentTimeMillis() } }
+        if (System.currentTimeMillis() - ts < leaseExpiryMs) lost(t)
+      }
+      t += 1
+    }
+    throw new IllegalStateException(
+      s"writer-lease takeover on $root found ${t - expiredToken - 1} stale " +
+        s"claim slots — repair or remove $WriterLeaseFile.claim.* manually")
   }
 
   /** Acquire or renew this process's writer lease on `root` —
@@ -219,10 +304,12 @@ class BucketCatalog(spark: SparkSession, root: String,
     *  - a foreign lease younger than `leaseExpiryMs` REFUSES the
     *    mutation (another live writer owns the root);
     *  - an absent or expired lease is taken over with a BUMPED
-    *    fencing token, then read back to verify the takeover stuck —
-    *    best-effort against a concurrent contender (object stores
-    *    lack a portable compare-and-set; the read-back plus the
-    *    commit-time [[fenceWriterLease]] bound the damage).
+    *    fencing token won atomically via [[claimTakeover]] (exclusive
+    *    create of a token-named claim file — exactly one of N
+    *    concurrent contenders wins, tokens are globally unique), then
+    *    read back; the commit-time [[fenceWriterLease]] still guards
+    *    the publish instant (storage-side CAS remains the
+    *    zero-window hook there).
     * Clock caveat: expiry compares wall clocks across writers, so the
     * contract assumes skew well under the expiry — the standard lease
     * assumption (e.g. Chubby §2.1's bounded clock drift).
@@ -246,19 +333,20 @@ class BucketCatalog(spark: SparkSession, root: String,
                 "catalog contract is a single writer per root — point " +
                 "this writer at its own root or wait for the lease to expire")
           case other =>
-            val t = other.map(_._2 + 1).getOrElse(1L)
-            // EXCLUSIVE create narrows the contender race to the
-            // delete→create gap: a loser gets the create exception and
-            // refuses, instead of overwrite's last-writer-wins where
-            // both could read back their own write. The read-back +
-            // commit-time fence still bound the residual window
-            // (storage-side CAS is the zero-window hook — class doc).
-            if (other.isDefined) fs.delete(leasePath, false)
-            try writeLease(t, overwrite = false)
+            // atomic takeover (r9): win the bumped token by exclusive
+            // create of a claim file — the lease file is never
+            // deleted, so exactly one of N contenders racing the same
+            // expired state proceeds and a loser can never clobber
+            // the winner's fresh lease (the old delete→create window).
+            val t = claimTakeover(other.map(_._2).getOrElse(0L))
+            try writeLease(t, overwrite = other.isDefined)
             catch {
               case NonFatal(e) => throw new IllegalStateException(
-                s"lost a writer-lease takeover race on $root: ${e.getMessage}", e)
+                s"writer-lease takeover on $root won claim $t but could " +
+                  s"not rewrite the lease: ${e.getMessage}", e)
             }
+            // the won claim is spent once the lease carries its token
+            try fs.delete(claimPath(t), false) catch { case NonFatal(_) => () }
             readLease() match {
               case Some((w2, t2, _))
                 if w2 == BucketCatalog.processWriterId && t2 == t =>

@@ -532,6 +532,78 @@ class CatalogSpec extends SparkSpec {
       "fenced sweep must not delete the new writer's staging")
   }
 
+  test("lease takeover: exactly one of 8 concurrent contenders wins the claim; stale claims recovered") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    val root = freshRoot()
+    Files.writeString(
+      java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile),
+      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
+    // 8 contenders race the SAME expired state through the atomic
+    // claim primitive (each with its own catalog instance; a barrier
+    // releases them together). Exactly one must win token 6; the
+    // other 7 must throw the takeover-race refusal — never silently
+    // overwrite each other (the old delete->create window).
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]()
+    val threads = (1 to n).map { _ =>
+      val cat = new BucketCatalog(spark, "nolock:" + root)
+      new Thread(() => {
+        barrier.await()
+        try results.add(Right(cat.claimTakeover(5L)))
+        catch { case e: IllegalStateException => results.add(Left(e.getMessage)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      results.asScala.toSeq.partitionMap(identity)
+    }
+    assert(winners == Seq(6L), s"winners: $winners (losers: ${losers.size})")
+    assert(losers.size == n - 1 && losers.forall(_.contains("takeover race")),
+      s"losers: $losers")
+    // stale-claim recovery: a claim whose creator died before
+    // rewriting the lease must not wedge the slot — the next
+    // contender advances past it and cleans it up
+    val root2 = freshRoot()
+    Files.writeString(
+      java.nio.file.Paths.get(root2, BucketCatalog.WriterLeaseFile),
+      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
+    val staleClaim = java.nio.file.Paths.get(
+      root2, BucketCatalog.WriterLeaseFile + ".claim.6")
+    Files.writeString(staleClaim,
+      s"""{"writer": "crashed-claimant", "ts": ${System.currentTimeMillis() - 120000L}}""")
+    val cat2 = new BucketCatalog(spark, "nolock:" + root2)
+    assert(cat2.claimTakeover(5L) == 7L, "stale claim slot must be skipped")
+    assert(!Files.exists(staleClaim), "stale claim must be swept by the winner")
+    // ... but a FRESH claim (live contender mid-takeover) refuses
+    val root3 = freshRoot()
+    Files.writeString(
+      java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile),
+      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
+    Files.writeString(
+      java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile + ".claim.6"),
+      s"""{"writer": "live-claimant", "ts": ${System.currentTimeMillis()}}""")
+    val e = intercept[IllegalStateException] {
+      new BucketCatalog(spark, "nolock:" + root3).claimTakeover(5L)
+    }
+    assert(e.getMessage.contains("takeover race"), e.getMessage)
+    // end-to-end: a real mutation through the winning path still works
+    // on the stress root (the lease file was never deleted mid-race,
+    // so the takeover proceeds from a consistent state). The raced
+    // primitive above stopped short of the lease rewrite, so its won
+    // claim is still live and correctly blocks other takeovers —
+    // clear it as the winner's completion would have
+    Files.deleteIfExists(java.nio.file.Paths.get(
+      root, BucketCatalog.WriterLeaseFile + ".claim.6"))
+    val tbk = TimeBucketKey.parse("AAPL/1Min/RACE")
+    val cat = new BucketCatalog(spark, "nolock:" + root)
+    cat.create(tbk, ohlcv, isVariable = false)
+    cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    assert(cat.read(tbk).count() == 1)
+  }
+
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)
