@@ -117,6 +117,75 @@ class SoakSpec extends SparkSpec {
     }
   }
 
+  test("co-resident soak: cascade + IVF trigger share one catalog for 100 commits; candles == batch recompute, index == full rebuild, per-commit cost flat") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-soak-co").toString
+    val cat = new BucketCatalog(spark, root)
+    val casc = new graft.streaming.DownsampleCascade(cat, "OHLC", "1Min", Seq("5Min"))
+    def embBatch(c: Int, n: Int = 8) = (0 until n).map { i =>
+      val id = (c * 100 + i).toLong
+      (1704708000L + c * 60L + i, id,
+        (0 until 8).map(d => ((id * 7 + d * 3) % 11).toFloat * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("Epoch", "vec_id", "embedding")
+    val cents = graft.ops.Similarity.sampledCentroids(
+      embBatch(0).select("vec_id", "embedding"), 4)
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, s"$root/_ann_idx")
+    val registry = new graft.streaming.TriggerRegistry
+    registry.register("*/1Sec/EMB", trig)
+    val pipe = new graft.streaming.IngestPipeline(cat, registry)
+    val nSym = 10
+    val base = 1609459200L
+    val commits = 100
+    val times = new Array[Double](commits)
+    (1 to commits).foreach { c =>
+      val t0 = System.nanoTime()
+      val fresh = (1 to nSym).map(i => (s"S$i", base + c * 60L,
+        (i + c).toDouble, (i + c + 1).toDouble, (i + c - 1).toDouble,
+        (i + c).toDouble, 10.0))
+      val late =
+        if (c % 7 == 0 && c > 10)
+          (1 to nSym).map(i => (s"S$i", base + (c - 9) * 60L,
+            1000.0 + c, 1001.0 + c, 999.0 + c, 1000.0 + c, 5.0))
+        else Seq.empty
+      // both maintenance paths against ONE catalog, every commit: the
+      // candle cascade on the bars group, the ANN index trigger on
+      // the embeddings group (through the engine's write path)
+      casc.ingest((fresh ++ late)
+        .toDF("symbol", "Epoch", "Open", "High", "Low", "Close", "Volume"))
+      pipe.ingest(TimeBucketKey.parse("V/1Sec/EMB"), embBatch(c))
+      times(c - 1) = (System.nanoTime() - t0) / 1e9
+    }
+    // candles == one-shot batch recompute of the final base
+    val baseDf = cat.readMulti("OHLC", "1Min").drop("timeframe", "year")
+    val want = graft.functions.Candler.candle(
+        baseDf, graft.core.CandleDuration.parse("5Min"),
+        openOf = col("Open"), closeOf = col("Close"),
+        highOf = col("High"), lowOf = col("Low"),
+        sums = Seq("Volume"), avgs = Nil, groupCols = Seq("symbol"))
+      .withColumnRenamed("Volume_SUM", "Volume")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(6)).toMap
+    val got = cat.readMulti("OHLC", "5Min").drop("timeframe", "year")
+      .select("symbol", "Epoch", "Open", "High", "Low", "Close", "Volume")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(6)).toMap
+    assert(got == want, s"co-resident cascade diverged: sizes ${got.size}/${want.size}")
+    // index == full rebuild over everything the engine ingested
+    val all = cat.read(TimeBucketKey.parse("V/1Sec/EMB"))
+      .select("vec_id", "embedding")
+    val gotIdx = trig.index.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSeq
+    val wantIdx = graft.ops.Similarity.ivfIndex(all, cents).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSeq
+    assert(gotIdx == wantIdx,
+      s"index diverged from rebuild after $commits commits: sizes ${gotIdx.size}/${wantIdx.size}")
+    // per-commit cost must not grow with history (both triggers are
+    // O(batch)): late-quartile median vs early-quartile median
+    val early = times.slice(10, 40).sorted.apply(15)
+    val lateQ = times.slice(commits - 40, commits - 10).sorted.apply(15)
+    info(f"per-commit median early=$early%.2fs late=$lateQ%.2fs")
+    assert(lateQ < early * 5,
+      f"per-commit cost grew with history: $early%.2fs -> $lateQ%.2fs")
+  }
+
   test("cascade soak: 200 commits with late data — destination candles equal a batch recompute") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft-soak-casc").toString
