@@ -182,6 +182,11 @@ class RpcServer(
     *    (`input`) sharing n-grams with an eval set (`options.eval`) →
     *    per-doc contamination report
     *    ([[graft.ops.Dedup.contaminationReport]])
+    *  - `dedup_semantic`: SemDeDup pairs over an embedding column —
+    *    CAPPED by default (`options.cap` per-cell pairs, priority
+    *    score desc then id asc) so a clone-heavy corpus cannot
+    *    request a quadratic payload; `cap <= 0` opts into all-pairs
+    *    ([[graft.ops.Similarity.semanticDedupPairsCapped]])
     *  - `dedup_minhash_index`: build/refresh the persisted (id, band,
     *    bucket) band index for a corpus
     *    ([[graft.ops.Dedup.minhashBandIndex]]) — the artifact
@@ -283,6 +288,23 @@ class RpcServer(
             text = str(opts, "text").getOrElse("text"),
             oldIndex = index)
           .orderBy("id1", "id2")
+      case "dedup_semantic" =>
+        // SemDeDup as a server job — CAPPED by default (the wire
+        // surface must not let a clone-heavy corpus request a
+        // quadratic inline payload): per-cell top-`cap` pairs by
+        // (score desc, id asc); cap<=0 opts into the uncapped
+        // all-pairs contract for bounded corpora
+        val nCells = math.min(65536L, math.max(1L, lng(opts, "n_cells").getOrElse(16L))).toInt
+        val thr = dbl(opts, "threshold").getOrElse(0.8)
+        val cap = lng(opts, "cap").getOrElse(10000L)
+        val idCol = str(opts, "id").getOrElse("vec_id")
+        val embCol = str(opts, "emb").getOrElse("embedding")
+        val out0 =
+          if (cap <= 0L) graft.ops.Similarity.semanticDedupPairs(
+            df, thr, nCells, id = idCol, emb = embCol)
+          else graft.ops.Similarity.semanticDedupPairsCapped(
+            df, thr, nCells, math.min(1000000L, cap).toInt, id = idCol, emb = embCol)
+        out0.orderBy("id1", "id2")
       case "dedup_minhash_index" =>
         graft.ops.Dedup.minhashBandIndex(df,
             id = str(opts, "id").getOrElse("doc_id"),
@@ -300,8 +322,9 @@ class RpcServer(
           .orderBy(idCol)
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
-          "(supported: dedup_exact, knn, knn_sq8, knn_ivf, report_card, " +
-          "dedup_minhash_delta, dedup_minhash_index, text_decontaminate)")
+          "(supported: dedup_exact, dedup_semantic, knn, knn_sq8, knn_ivf, " +
+          "report_card, dedup_minhash_delta, dedup_minhash_index, " +
+          "text_decontaminate)")
     }
     str(params, "output") match {
       case Some(dest0) =>

@@ -458,6 +458,7 @@ class WireSpec extends SparkSpec {
     trig.writeCentroids(s"$dir/cents")
     corpus.filter(col("vec_id") === 10L || col("vec_id") === 20L)
       .write.parquet(s"$dir/queries")
+    corpus.write.parquet(s"$dir/corpus")
     val cat = new BucketCatalog(spark,
       java.nio.file.Files.createTempDirectory("graft-wire-ivf").toString)
     val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
@@ -490,6 +491,19 @@ class WireSpec extends SparkSpec {
             "k" -> 2L, "n_probe" -> 1L)))
       val prunedRows = pruned("rows").asInstanceOf[Seq[Seq[Any]]]
       assert(prunedRows.nonEmpty)
+      // dedup_semantic job: 4 pairs clear threshold 0.8 (3 in the
+      // x-cluster, 1 in the y-cluster); cap=1 with one cell keeps
+      // exactly the highest-cosine pair (10,12)
+      val sem = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_semantic", "input" -> "corpus",
+          "options" -> Map("threshold" -> 0.8, "n_cells" -> 1L, "cap" -> 1L)))
+      val semRows = sem("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(semRows == Seq((10L, 12L)), s"cap=1 top pair: $semRows")
+      val semAll = rpc(port, "OpsService.Run",
+        Map("op" -> "dedup_semantic", "input" -> "corpus",
+          "options" -> Map("threshold" -> 0.8, "n_cells" -> 1L, "cap" -> 0L)))
+      assert(semAll("rows").asInstanceOf[Seq[_]].size == 4, semAll("rows").toString)
       // a missing index/centroids option errors via the rpc channel
       val bad = rpcRaw(port, "OpsService.Run",
         Map("op" -> "knn_ivf", "input" -> "queries"))
