@@ -826,7 +826,18 @@ class BucketCatalog(spark: SparkSession, root: String,
     */
   def dataFilesOnDisk(attGroup: String): Seq[String] = listDataFilesOnDisk(attGroup)
 
-  private def publishManifest(
+  /** Atomic manifest flip with EXCLUSIVE version-slot semantics — the
+    * commit-time CAS the lease fence's doc names as the zero-window
+    * hook: versions are immutable once published, so the publish is a
+    * rename that must FAIL if the destination version already exists.
+    * HDFS rename refuses an existing destination; Hadoop's local
+    * filesystems overwrite silently (POSIX renameTo), so local roots
+    * go through nio's no-REPLACE move, which is atomic and throws on
+    * an occupied slot. A zombie writer that slipped past the lease
+    * fence therefore loses the version-slot race instead of silently
+    * clobbering (or being clobbered by) the live writer's commit.
+    */
+  private[graft] def publishManifest(
       attGroup: String, v: Long, map: java.util.LinkedHashMap[String, Any]): Unit = {
     val dir = manifestDirPath(attGroup)
     fs.mkdirs(dir)
@@ -834,8 +845,33 @@ class BucketCatalog(spark: SparkSession, root: String,
     val out = fs.create(tmp, true)
     out.write(om.writeValueAsBytes(map))
     out.close()
-    if (!fs.rename(tmp, new Path(dir, manifestName(v))))
-      throw new IllegalStateException(s"could not publish manifest v$v for $attGroup")
+    val dst = new Path(dir, manifestName(v))
+    val renamed = fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.ChecksumFileSystem =>
+        try {
+          java.nio.file.Files.move( // atomic, throws if dst exists
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dst.toUri.getPath))
+          // a checksummed fs wrote a .crc twin for tmp: carry it to the
+          // destination name (advisory; readers tolerate its absence)
+          val tc = new Path(dir, s".${tmp.getName}.crc")
+          if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
+            try {
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(tc.toUri.getPath),
+                java.nio.file.Paths.get(new Path(dir, s".${dst.getName}.crc").toUri.getPath),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } catch { case NonFatal(_) => () }
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ => !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!renamed)
+      throw new IllegalStateException(
+        s"could not publish manifest v$v for $attGroup — version slot " +
+          "already occupied (a concurrent writer committed it); this " +
+          "commit is fenced")
   }
 
   private def rangesMap(ranges: Map[String, Long]): java.util.LinkedHashMap[String, Any] = {

@@ -604,6 +604,28 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(tbk).count() == 1)
   }
 
+  test("manifest publish is exclusive per version slot (commit-time CAS) on checksummed and raw local fs") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    def minimalDelta(v: Long): java.util.LinkedHashMap[String, Any] = {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      m.put("version", v); m.put("kind", "delta")
+      m
+    }
+    // checksummed local fs (the default catalog path)
+    for (scheme <- Seq("", "nolock:")) {
+      val cat = new BucketCatalog(spark, scheme + freshRoot())
+      cat.publishManifest("SLOT", 1L, minimalDelta(1L))
+      val e = intercept[IllegalStateException] {
+        cat.publishManifest("SLOT", 1L, minimalDelta(1L))
+      }
+      assert(e.getMessage.contains("version slot"), s"[$scheme] ${e.getMessage}")
+      // the loser must not have clobbered the winner's manifest
+      assert(cat.manifestVersions("SLOT") == Seq(1L), s"[$scheme]")
+      cat.publishManifest("SLOT", 2L, minimalDelta(2L)) // next slot free
+    }
+  }
+
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
     val root = freshRoot()
     val cat = new BucketCatalog(spark, root)

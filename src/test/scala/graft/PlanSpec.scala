@@ -192,6 +192,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("capped SemDeDup pre-reduces per block-pair before the per-cell window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val embs = (0 until 400).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val quant = Array[Seq[Float]](Seq.fill(8)(1.0f), Seq.fill(8)(-1.0f))
+    val df = graft.ops.Similarity.semanticDedupPairsCapped(
+      embs, threshold = 0.5, nCells = 2, maxPairsPerCell = 10,
+      centroids = Some(quant))
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"no per-cell capping window:\n$plan")
+    // the window must rank EXPLODED locally-sliced pairs (<= B²·cap
+    // rows per cell), never the raw quadratic pair stream — the same
+    // pre-reduce discipline as the flat ANN tier
+    val explodes = windows.head.collect { case g: GenerateExec => g }
+    assert(explodes.nonEmpty,
+      s"window input is not the exploded local top-cap:\n${windows.head}")
+    assert(explodes.exists(_.generator.toString.contains("slice")),
+      s"local slice missing below the window — the task-level cap is gone:\n${explodes.map(_.generator)}")
+    // and the window key is the cell, never empty (no single-task sink)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "capping window has an empty partition key")
+  }
+
   test("downsample cascade recompute reads a LITERALLY bounded base slice") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
