@@ -265,7 +265,10 @@ class RpcServer(
         // under any quantizer); clients trade recall for cells probed.
         val index = (str(opts, "index_tbk"), str(opts, "index")) match {
           case (Some(t), _) => catalog.read(TimeBucketKey.parse(t))
-          case (None, Some(p)) => spark.read.parquet(confinedOpsPath(p))
+          case (None, Some(p)) => spark.read.parquet(
+            // generation-aware: a compacted trigger index resolves to
+            // its highest complete generation, a flat one to itself
+            graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, confinedOpsPath(p)))
           case _ => throw new IllegalArgumentException(
             "ops: options.index (parquet path) or options.index_tbk required")
         }

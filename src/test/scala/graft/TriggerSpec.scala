@@ -90,4 +90,61 @@ class TriggerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(served == brute, s"served top-k diverges from exhaustive")
   }
+
+  test("IVF index compaction: generations bound file count; relation and serving unchanged; resolution is generation-aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-cpt").toString + "/idx"
+    // auto-compact every 3 fires
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      compactEvery = 3)
+    def batch(off: Int) = (0 until 20).map { i =>
+      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
+        * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSet
+    (0 until 7).foreach(b => trig.fire("V/1Sec/EMB", batch(b * 1000)))
+    // 7 fires at compactEvery=3 -> two compactions happened; current
+    // generation resolves and holds everything ingested
+    val resolved = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    assert(resolved != idxPath && resolved.contains("gen-"),
+      s"index did not resolve to a generation: $resolved")
+    val all = (0 until 7).map(b => batch(b * 1000)).reduce(_ unionByName _)
+    assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all, cents)),
+      "compacted index diverged from full rebuild")
+    // serving from the compacted index at full probe == exhaustive
+    val q = all.filter(col("vec_id") < 3)
+    val served = trig.topK(q, k = 5, nProbe = 4)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = graft.ops.Similarity.bruteForceTopK(all, q, 5)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == brute, "serving from the compacted index diverged")
+    // file count bounded AT a compaction point: the fresh generation
+    // holds <= |cells| data files however many fires preceded it (the
+    // 7th fire above appended into the current gen — that growth is
+    // what the next compact resets); at most one spent generation is
+    // grace-retained
+    trig.compact()
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(idxPath)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    assert(genDirs.size <= 2, s"more than one grace generation: ${genDirs.map(_.getPath.getName)}")
+    val cur = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    val curFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cur)).toSeq
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(curFiles <= cents.length,
+      s"compacted generation not file-bounded: $curFiles part files")
+    // post-compaction appends land in the current generation
+    trig.fire("V/1Sec/EMB", batch(9000))
+    val all8 = all.unionByName(batch(9000))
+    assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all8, cents)),
+      "append after compaction lost or duplicated rows")
+  }
 }
