@@ -529,7 +529,11 @@ class BucketCatalog(spark: SparkSession, root: String,
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }
-    df.select(col("symbol") +: cols: _*)
+    // timeframe rides through when present (the multi-timeframe write
+    // keys everything downstream on it); layout keys are never coerced
+    val keep = Seq(col("symbol")) ++
+      (if (df.columns.contains("timeframe")) Seq(col("timeframe")) else Nil)
+    df.select(keep ++ cols: _*)
   }
 
   /** Multi-symbol upsert: df carries a `symbol` column alongside Epoch
@@ -539,17 +543,31 @@ class BucketCatalog(spark: SparkSession, root: String,
     * created from the first batch's schema (executor/writer.go:287-320).
     */
   def writeMulti(attGroup: String, timeframe: String, df: DataFrame): Unit =
+    writeMultiTf(attGroup,
+      df.drop("timeframe").withColumn("timeframe", lit(timeframe)))
+
+  /** Multi-symbol, multi-TIMEFRAME upsert in ONE manifest commit: df
+    * carries `timeframe` alongside `symbol`. Every downstream stage —
+    * key dedup, partition routing, append/merge split, the manifest
+    * delta — is already keyed on the timeframe COLUMN, so committing
+    * N timeframes together costs one commit instead of N. The
+    * downsample cascade uses this to land all its destination
+    * timeframes atomically per batch (readers never see 5Min updated
+    * but 1H stale), and per-batch commit overhead stops scaling with
+    * the destination count.
+    */
+  def writeMultiTf(attGroup: String, df: DataFrame): Unit =
     mutate(attGroup) {
       require(df.columns.contains("symbol"), "writeMulti needs a symbol column")
+      require(df.columns.contains("timeframe"), "writeMultiTf needs a timeframe column")
       if (!fs.exists(new Path(agPath(attGroup), MetaFile))) {
         val inferred = StructType(df.schema.fields.filterNot(f =>
           Seq("symbol", "timeframe", "year", "sbucket").contains(f.name)))
-        create(TimeBucketKey("__infer", timeframe, attGroup), inferred,
+        create(TimeBucketKey("__infer", "__multi", attGroup), inferred,
           isVariable = df.columns.contains(Uda.NanosCol))
       }
       val (variable, declared, buckets) = readMeta(attGroup)
       val keyed0 = coerce(df, declared)
-        .withColumn("timeframe", lit(timeframe))
         .withColumn("year", year(timestamp_seconds(col(Uda.EpochCol))))
       val keyed1 =
         if (variable && !keyed0.columns.contains(Uda.NanosCol))

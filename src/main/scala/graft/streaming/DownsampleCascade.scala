@@ -103,7 +103,11 @@ class DownsampleCascade(
     val slice = recomputeSlice(touched.sparkSession, spans)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      destinations.foreach { d =>
+      // every destination's candles land in ONE multi-timeframe commit:
+      // per-batch commit overhead stops scaling with |destinations|,
+      // and readers see all cascade levels move atomically (5Min never
+      // updates while 1H is still stale)
+      val perDest = destinations.map { d =>
         val dest = CandleDuration.parse(d)
         val affected = slice
           .filter(col(Uda.EpochCol) >= dest.truncate(col("__head")) &&
@@ -120,9 +124,10 @@ class DownsampleCascade(
           openOf = col("Open"), closeOf = col("Close"),
           highOf = col("High"), lowOf = col("Low"),
           sums = sums, avgs = Nil, groupCols = Seq("symbol"))
-        val renamed = sums.foldLeft(candles)((df, c) => df.withColumnRenamed(s"${c}_SUM", c))
-        catalog.writeMulti(attGroup, d, renamed)
+        sums.foldLeft(candles)((df, c) => df.withColumnRenamed(s"${c}_SUM", c))
+          .withColumn("timeframe", lit(d))
       }
+      catalog.writeMultiTf(attGroup, perDest.reduce(_ unionByName _))
     } finally slice.unpersist(blocking = false)
   }
 
