@@ -299,6 +299,34 @@ object Dedup {
     rows.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Smallest MinHash banding meeting a recall contract, mirroring
+    * [[graft.ops.Similarity.lshParamsForRecall]] for the Jaccard
+    * S-curve: a pair at Jaccard s shares a band with probability s^r
+    * (r = k/bands rows per band) and ≥1 of b bands with 1−(1−s^r)^b.
+    * Picks the LONGEST band signature r whose minimal band count fits
+    * the signature budget `maxK` (longer signatures collide less at
+    * random, so candidates stay sparse), then the smallest such b;
+    * returns (k = b·r, bands = b) — pass both straight into
+    * [[minhashPairs]]/[[minhashBandIndex]]. The shipped default
+    * (k=64, bands=16, r=4) sits in this derivation's near-dup regime
+    * (s=0.8, floor≈0.999 derives 14×4); derive explicitly when
+    * the similarity you must not miss is lower. NOTE a persisted band
+    * index is keyed by (k, bands, hash) — rederiving parameters
+    * means rebuilding the index.
+    */
+  def minhashParamsForRecall(
+      targetJaccard: Double, recallFloor: Double,
+      maxK: Int = 256): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1 &&
+      recallFloor > 0 && recallFloor < 1)
+    val need = math.log1p(-recallFloor)
+    (16 to 1 by -1).iterator.flatMap { r =>
+      val pr = math.pow(targetJaccard, r)
+      val b = math.ceil(need / math.log1p(-pr)).toInt
+      if (b * r <= maxK) Some((b * r, b)) else None
+    }.next()
+  }
+
   /** MinHash + LSH banding: candidates share ≥1 of `bands` band
     * buckets; candidates are verified with exact Jaccard estimated
     * from the full signature (fraction of matching minima).

@@ -169,6 +169,22 @@ class OpsSpec extends SparkSpec {
       s"default banding scored $scored of $allPairs possible pairs — not pruning")
   }
 
+  test("minhashParamsForRecall: derived banding honors the S-curve floor, minimally, within budget") {
+    def modelRecall(s: Double, bands: Int, rows: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+    for ((sim, floor) <- Seq((0.8, 0.999), (0.5, 0.9), (0.9, 0.99), (0.6, 0.95))) {
+      val (k, b) = Dedup.minhashParamsForRecall(sim, floor)
+      val r = k / b
+      assert(k % b == 0 && k <= 256, s"($sim,$floor) -> (k=$k,b=$b)")
+      assert(modelRecall(sim, b, r) >= floor, s"($sim,$floor) -> (k=$k,b=$b) misses floor")
+      assert(b == 1 || modelRecall(sim, b - 1, r) < floor,
+        s"($sim,$floor) -> (k=$k,b=$b): band count not minimal")
+    }
+    // the near-dup contract derives r=4 banding in the shipped
+    // default's regime (the default 64x16 rounds the band count up)
+    assert(Dedup.minhashParamsForRecall(0.8, 0.999, maxK = 64) == ((56, 14)))
+  }
+
   test("semanticDedupPairsCapped: == uncapped below the cap; top-priority subset above it") {
     // sign-planted cells (the entry's deterministic quantizer): even
     // ids -> |x| cell, odd -> -|x| cell
