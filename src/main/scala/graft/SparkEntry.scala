@@ -1366,6 +1366,24 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // compaction in the serving path (r9): fire → COMPACT (generation
+    // rewrite) → delta fire appending into the new generation → serve;
+    // full probe == exhaustive whatever the layout, so the compacted
+    // index sits under the same hash oracle as the flat one
+    "q_knn_ivf_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.sampledCentroids(base, 16)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivfcpt")
+        .toString + "/idx"
+      val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
+      trig.fire("V/1Sec/EMB", base)
+      trig.compact()
+      trig.fire("V/1Sec/EMB", emb.filter(col("vec_id") % 3 === 0))
+      trig.topK(emb.filter(col("vec_id") < 5), k = 10, nProbe = 16)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // PRUNED probe (nProbe=1 of 2 cells) under a full brute-force
     // oracle, via a planted-cluster construction where pruning is
     // PROVABLY exhaustive: vectors become elementwise |x| (even ids)
@@ -3172,6 +3190,19 @@ object SparkEntry {
     // trigger-maintained persisted index at full probe == exhaustive —
     // same oracle as q_knn_ivf_full
     "q_knn_ivf_trigger" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // compacted-generation index at full probe == exhaustive —
+    // same oracle as q_knn_ivf_trigger
+    "q_knn_ivf_compact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
