@@ -942,13 +942,20 @@ object Similarity {
     * the score-desc priority keeps exactly the highest-similarity
     * (clone) pairs a pruning pass acts on first.
     *
-    * Scale design: the cap is enforced in TWO stages so no plan stage
-    * materializes the quadratic pair set — each (cell, blockL, blockR)
-    * join task locally sorts and keeps its own top-cap (array ops
-    * inside the task), then one per-cell window ranks the ≤ B²·cap
-    * survivors. No clone-collapse gate: the cap itself is the bound,
-    * and collapse+re-expansion would reintroduce the quadratic output
-    * this variant exists to avoid.
+    * Scale design — the cap bounds every STAGE, not just the output:
+    *  - clone-heavy corpora (probe-gated, as everywhere in the pair
+    *    family) collapse to distinct representatives first, so the
+    *    expensive scoring pass runs on distinct vectors only;
+    *  - each (cell, blockL, blockR) join task locally sorts and keeps
+    *    its own top-cap (safe: a locally dropped pair is dominated by
+    *    ≥ cap same-task pairs under the same total order);
+    *  - clone-group re-expansion is LAZY and cap-bounded: member id
+    *    lists are sliced to cap+1 before the cross product (the
+    *    lexicographically-first cap expanded pairs of a rep pair use
+    *    only each group's cap+1 smallest ids — any deeper pair is
+    *    dominated within its own expansion), so no stage ever holds
+    *    more than (cap+1)² candidates per rep pair;
+    *  - one per-cell window ranks the bounded survivors.
     */
   def semanticDedupPairsCapped(
       df: DataFrame, threshold: Double, nCells: Int, maxPairsPerCell: Int,
@@ -957,6 +964,73 @@ object Similarity {
       id: String = "vec_id", emb: String = "embedding",
       blocksPerCell: Int = 0): DataFrame = {
     require(maxPairsPerCell >= 1, s"maxPairsPerCell must be positive, got $maxPairsPerCell")
+    val cap = maxPairsPerCell
+    val keyed = df.select(col(id), col(emb))
+    def rank(local: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__cell"))
+        .orderBy(col("score").desc, col("id1").asc, col("id2").asc)
+      local.withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= cap)
+        .select(col("id1"), col("id2"), col("score"))
+    }
+    if (!Dedup.cloneHeavy(keyed, col(emb)))
+      return rank(cappedCellPairsLocal(keyed, threshold, nCells, cap,
+        trainIters, centroids, id, emb, blocksPerCell))
+    // clone-heavy: score DISTINCT vectors only, then re-expand each
+    // surviving rep pair lazily under the cap
+    val groups = keyed.groupBy(col(emb))
+      .agg(min(col(id)).as("__rep"), sort_array(collect_list(col(id))).as("__ids"))
+      .transform(graft.ops.CacheScope.scopedPersist)
+    val reps = groups.select(col("__rep").as(id), col(emb))
+    val cents = centroids.getOrElse(trainedCentroids(reps, nCells, trainIters, id, emb))
+    val repLocal = cappedCellPairsLocal(reps, threshold, nCells, cap,
+      trainIters, Some(cents), id, emb, blocksPerCell)
+    // cross-group expansion: sliced sorted id lists -> ≤ (cap+1)²
+    // candidates per rep pair -> local top-cap by (id1, id2) (scores
+    // are equal across one rep pair's expansion)
+    val m1 = groups.select(col("__rep").as("id1"),
+      slice(col("__ids"), 1, cap + 1).as("__ids1"))
+    val m2 = groups.select(col("__rep").as("id2"),
+      slice(col("__ids"), 1, cap + 1).as("__ids2"))
+    val cross = repLocal.join(m1, "id1").join(m2, "id2")
+      .select(col("__cell"), col("score"),
+        explode(slice(array_sort(flatten(transform(col("__ids1"), a =>
+          transform(col("__ids2"), b =>
+            struct(least(a, b).as("id1"), greatest(a, b).as("id2")))))),
+          1, cap)).as("p"))
+      .select(col("__cell"), col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("score"))
+    // within-group pairs (identical vectors): same score convention as
+    // the uncapped collapse (computed self-cosine, not a literal), the
+    // group's own cell, and the lexicographically-first cap pairs of
+    // the sliced sorted id list
+    val idsCut = slice(col("__ids"), 1, cap + 1)
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .withColumn("score", VectorFunctions.cosineSim(col(emb), col(emb)))
+      .filter(col("score") >= lit(threshold))
+      .withColumn("__cell", array_max(cellScores(col(emb), cents)).getField("cell"))
+      .select(col("__cell"), col("score"),
+        explode(slice(array_sort(flatten(transform(idsCut, a =>
+          filter(transform(idsCut, b =>
+            struct(a.as("id1"), b.as("id2"))),
+            p => p("id1") < p("id2"))))), 1, cap)).as("p"))
+      .select(col("__cell"), col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("score"))
+    rank(cross.unionByName(within))
+  }
+
+  /** The distinct-corpus core of [[semanticDedupPairsCapped]]: cell
+    * assignment, blocked in-cell pair scoring, and the per-task local
+    * top-cap — returns the UNranked (cell, id1, id2, score) survivors
+    * (≤ B²·cap per cell) for the caller's window. The negated score
+    * leads the sort struct: array_sort ascending == score desc, then
+    * (id1, id2) asc — the same priority the final window applies, so
+    * the local cut can never drop a global keeper.
+    */
+  private def cappedCellPairsLocal(
+      df: DataFrame, threshold: Double, nCells: Int, cap: Int,
+      trainIters: Int, centroids: Option[Array[Seq[Float]]],
+      id: String, emb: String, blocksPerCell: Int): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(df, nCells, trainIters, id, emb))
     val assigned = df
       .select(col(id), col(emb))
@@ -979,9 +1053,6 @@ object Similarity {
       explode(sequence(lit(0), col("__blk"))).as("__bl"),
       col("__blk").as("__br"),
       col("__items").as("__R"))
-    // negated score leads the sort struct: array_sort ascending ==
-    // score desc, then (id1, id2) asc — the same priority the final
-    // window applies, so the local cut can never drop a global keeper
     val pairsArr = flatten(transform(col("__L"), a =>
       filter(
         transform(col("__R"), b =>
@@ -991,16 +1062,11 @@ object Similarity {
             least(a("i"), b("i")).as("id1"),
             greatest(a("i"), b("i")).as("id2"))),
         s => s("negs").isNotNull && s("negs") <= lit(-threshold))))
-    val local = L.hint("merge").join(R.hint("merge"), Seq("__cell", "__bl", "__br"))
+    L.hint("merge").join(R.hint("merge"), Seq("__cell", "__bl", "__br"))
       .select(col("__cell"),
-        explode(slice(array_sort(pairsArr), 1, maxPairsPerCell)).as("p"))
+        explode(slice(array_sort(pairsArr), 1, cap)).as("p"))
       .select(col("__cell"), col("p.id1").as("id1"), col("p.id2").as("id2"),
         (-col("p.negs")).as("score"))
-    val w = Window.partitionBy(col("__cell"))
-      .orderBy(col("score").desc, col("id1").asc, col("id2").asc)
-    local.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= maxPairsPerCell)
-      .select(col("id1"), col("id2"), col("score"))
   }
 
   private def semanticDedupPairsDistinct(

@@ -217,6 +217,25 @@ class OpsSpec extends SparkSpec {
       Similarity.semanticDedupPairsCapped(planted, 0.45, 2, maxPairsPerCell = 0,
         centroids = Some(quant))
     }
+    // CLONE-HEAVY branch (the 100 TB shape): 5 copies of every vector
+    // trips the collapse probe; the capped output must still be
+    // exactly the per-cell top-cap of the uncapped all-pairs output,
+    // even though scoring ran on distinct reps and the expansion was
+    // cap-bounded
+    val clones = (0 until 5).map(j => planted.filter(col("vec_id") < 60)
+      .select((col("vec_id") * 10 + j).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val unc = rows(Similarity.semanticDedupPairs(
+      clones, threshold = 0.45, nCells = 2, centroids = Some(quant)))
+    val capC = 9
+    val capped9 = rows(Similarity.semanticDedupPairsCapped(
+      clones, threshold = 0.45, nCells = 2, maxPairsPerCell = capC,
+      centroids = Some(quant)))
+    val expect9 = unc.groupBy(p => (p._1 / 10) % 2).values.flatMap { cell =>
+      cell.toSeq.sortBy(p => (-p._3, p._1, p._2)).take(capC)
+    }.toSet
+    assert(capped9 == expect9,
+      s"clone-heavy capped diverged: extra=${capped9 -- expect9} missing=${expect9 -- capped9}")
   }
 
   test("sq8RerankTopK == bruteForceTopK when the candidate tier holds the true top-k") {
