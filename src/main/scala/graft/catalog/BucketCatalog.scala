@@ -137,27 +137,45 @@ class BucketCatalog(spark: SparkSession, root: String,
 
   private def mutate[T](attGroup: String)(body: => T): T = {
     // cross-PROCESS single-writer guard (the in-process writeLock
-    // below serializes same-JVM writers): the class doc's contract is
-    // one writer process per root — the reference enforces it with an
-    // exclusive WAL file lock.
-    //  - Local roots: the same OS advisory lock on
-    //    `_graft_writer.lock`, held for the JVM's lifetime once the
-    //    first mutation runs and released automatically on process
-    //    death (no stale-lockfile problem).
+    // below serializes same-JVM writers): the contract is one writer
+    // process per ATTRIBUTE GROUP — the reference enforces one writer
+    // per root with an exclusive WAL file lock because it is a
+    // single-node server; on a cluster, serializing ingest of
+    // DIFFERENT tables behind one root-wide lock is a scale ceiling
+    // the commit protocol doesn't need (manifests, version slots and
+    // the commit-time CAS are already per-group).
+    //  - Local roots: an OS advisory lock on `_graft_writer.lock`,
+    //    held for the JVM's lifetime once the first mutation runs and
+    //    released automatically on process death (no stale-lockfile
+    //    problem). Local disks mean a single node, so the coarser
+    //    root-wide scope costs nothing there.
     //  - Non-local roots (HDFS/object stores — no byte-range locks):
-    //    a heartbeat LEASE file enforces the contract instead of
-    //    leaving it to convention — see [[ensureWriterLease]] for the
+    //    a heartbeat LEASE file PER GROUP (`<ag>/_graft_writer.lease`)
+    //    enforces the contract — see [[ensureWriterLease]] for the
     //    acquire/renew/takeover rules and [[fenceWriterLease]] for
-    //    the commit-time fence a zombie writer cannot pass.
+    //    the commit-time fence a zombie writer cannot pass. The
+    //    root-level lease remains for root-scoped mutations only
+    //    (the startup orphan sweep).
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
-    else ensureWriterLease()
+    else ensureWriterLease(Some(attGroup))
     writeLock(root, attGroup).synchronized(body)
   }
 
   // ---- writer lease (non-local roots) --------------------------------
+  // Scope: Some(attGroup) = the group's lease (`<ag>/_graft_writer
+  // .lease`, ordinary mutations); None = the ROOT lease (root-scoped
+  // mutations: the startup orphan sweep). Every primitive below is
+  // keyed by the scope; group leases are independent, so writers on
+  // different groups of one root proceed in parallel.
 
-  private def leasePath = new Path(root, WriterLeaseFile)
-  private def leaseKey = new Path(root).toUri.toString
+  private def scopeDir(scope: Option[String]): Path =
+    scope.map(g => new Path(agPath(g))).getOrElse(new Path(root))
+  private def leasePath(scope: Option[String]) =
+    new Path(scopeDir(scope), WriterLeaseFile)
+  private def leaseKey(scope: Option[String]) =
+    new Path(root).toUri.toString + scope.map("#" + _).getOrElse("")
+  private def leaseLock(scope: Option[String]): Object =
+    writeLock(root, "__writer_lease" + scope.map(":" + _).getOrElse(""))
 
   /** (writer, fencing token, wall-clock ms at last renewal), or None
     * if no lease file exists. A read landing in another writer's
@@ -166,11 +184,11 @@ class BucketCatalog(spark: SparkSession, root: String,
     * rather than reading as absent, because "absent" licenses a
     * destructive takeover and garbage must never do that.
     */
-  private def readLease(): Option[(String, Long, Long)] = {
+  private def readLease(scope: Option[String]): Option[(String, Long, Long)] = {
     def once(): Option[(String, Long, Long)] =
-      if (!fs.exists(leasePath)) None
+      if (!fs.exists(leasePath(scope))) None
       else {
-        val in = fs.open(leasePath)
+        val in = fs.open(leasePath(scope))
         try {
           val n = om.readTree(in)
           Some((n.get("writer").asText(), n.get("token").asLong(),
@@ -185,26 +203,32 @@ class BucketCatalog(spark: SparkSession, root: String,
         catch {
           case NonFatal(e) =>
             throw new IllegalStateException(
-              s"unreadable writer lease on $root (${e.getMessage}); " +
-                "refusing to mutate — repair or remove " +
-                s"$WriterLeaseFile manually if it is corrupt", e)
+              s"unreadable writer lease at ${leasePath(scope)} " +
+                s"(${e.getMessage}); refusing to mutate — repair or " +
+                s"remove $WriterLeaseFile manually if it is corrupt", e)
         }
     }
   }
 
   /** overwrite = true for renewals and for a takeover confirmed by a
     * won CLAIM (we own the slot); exclusive create only for the
-    * lease-absent bootstrap.
+    * lease-absent bootstrap. `release` stamps ts = 0 — an explicit
+    * hand-back (always-expired, token preserved) so the next acquirer
+    * takes over immediately with a bump instead of waiting out the
+    * expiry; used when a root-scoped mutation finishes.
     */
-  private def writeLease(token: Long, overwrite: Boolean): Unit = {
+  private def writeLease(scope: Option[String], token: Long,
+      overwrite: Boolean, release: Boolean = false): Unit = {
+    val ts = if (release) 0L else System.currentTimeMillis()
     val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
-      s""""token": $token, "ts": ${System.currentTimeMillis()}}"""
-    val out = fs.create(leasePath, overwrite)
+      s""""token": $token, "ts": $ts}"""
+    val out = fs.create(leasePath(scope), overwrite)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def claimPath(token: Long) = new Path(root, s"$WriterLeaseFile.claim.$token")
+  private def claimPath(scope: Option[String], token: Long) =
+    new Path(scopeDir(scope), s"$WriterLeaseFile.claim.$token")
 
   /** Atomic takeover of an expired/absent lease: CLAIM the bumped
     * fencing token by exclusive create of a token-named file. The
@@ -250,7 +274,7 @@ class BucketCatalog(spark: SparkSession, root: String,
     }
   }
 
-  private[graft] def claimTakeover(expiredToken: Long): Long = {
+  private[graft] def claimTakeover(scope: Option[String], expiredToken: Long): Long = {
     // per-ATTEMPT nonce, not just the writer id: contenders must be
     // distinguishable even inside one process, and the read-back
     // below re-checks authorship as a second fence behind the
@@ -259,18 +283,33 @@ class BucketCatalog(spark: SparkSession, root: String,
     val body = s"""{"writer": "${BucketCatalog.processWriterId}", """ +
       s""""nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
     def lost(t: Long) = throw new IllegalStateException(
-      s"lost a writer-lease takeover race on $root: token $t already claimed")
+      s"lost a writer-lease takeover race on ${leasePath(scope)}: " +
+        s"token $t already claimed")
+    fs.mkdirs(scopeDir(scope))
+    // SPENT claims (token <= the lease's) are swept on ENTRY, never by
+    // their winner: a winner that deleted its own claim right after
+    // the lease rewrite would recycle the token — a contender that
+    // read the same expired state but arrived a few ms late could
+    // exclusive-create the SAME claim name again and fence at the
+    // winner's token. Takeovers always scan from the lease token + 1,
+    // so a spent claim never blocks anyone; it just waits here for the
+    // next takeover (whose expiredToken is >= it) to collect it. The
+    // 16-slot window matches the scan budget below.
+    math.max(1L, expiredToken - 16).to(expiredToken).foreach(s =>
+      try fs.delete(claimPath(scope, s), false) catch { case NonFatal(_) => () })
     var t = expiredToken + 1
     while (t <= expiredToken + 16) {
-      if (createExclusive(claimPath(t), body)) {
+      if (createExclusive(claimPath(scope, t), body)) {
         // read-back arbitration: our nonce must be what the slot holds
         val ok =
-          try { val in = fs.open(claimPath(t)); try om.readTree(in).get("nonce").asText() == nonce finally in.close() }
+          try { val in = fs.open(claimPath(scope, t)); try om.readTree(in).get("nonce").asText() == nonce finally in.close() }
           catch { case NonFatal(_) => false }
         if (!ok) lost(t)
-        // spent/stale claims at or below ours are ours to clean
+        // stale claims we advanced past (creators died pre-rewrite)
+        // are ours to clean; our OWN claim stays until the next
+        // takeover's entry sweep (see above)
         (expiredToken + 1).to(t - 1).foreach(s =>
-          try fs.delete(claimPath(s), false) catch { case NonFatal(_) => () })
+          try fs.delete(claimPath(scope, s), false) catch { case NonFatal(_) => () })
         return t
       } else {
         // claim exists: fresh -> lost the race; stale (creator died
@@ -278,22 +317,26 @@ class BucketCatalog(spark: SparkSession, root: String,
         // An unreadable claim falls back to file mtime so garbage
         // refuses while fresh but cannot wedge the slot forever.
         val ts =
-          try { val in = fs.open(claimPath(t)); try om.readTree(in).get("ts").asLong() finally in.close() }
+          try { val in = fs.open(claimPath(scope, t)); try om.readTree(in).get("ts").asLong() finally in.close() }
           catch { case NonFatal(_) =>
-            try fs.getFileStatus(claimPath(t)).getModificationTime
+            try fs.getFileStatus(claimPath(scope, t)).getModificationTime
             catch { case NonFatal(_) => System.currentTimeMillis() } }
         if (System.currentTimeMillis() - ts < leaseExpiryMs) lost(t)
       }
       t += 1
     }
     throw new IllegalStateException(
-      s"writer-lease takeover on $root found ${t - expiredToken - 1} stale " +
-        s"claim slots — repair or remove $WriterLeaseFile.claim.* manually")
+      s"writer-lease takeover on ${leasePath(scope)} found " +
+        s"${t - expiredToken - 1} stale claim slots — repair or remove " +
+        s"$WriterLeaseFile.claim.* manually")
   }
 
-  /** Acquire or renew this process's writer lease on `root` —
-    * the single-writer contract ENFORCED (or at least loud) on
-    * filesystems without byte-range locks. Rules:
+  /** Acquire or renew this process's writer lease for `scope` —
+    * Some(attGroup) for ordinary mutations (one lease PER GROUP, so
+    * ingest of different tables parallelizes across processes), None
+    * for root-scoped mutations (orphan sweep). The single-writer
+    * contract is ENFORCED (or at least loud) per scope on filesystems
+    * without byte-range locks. Rules:
     *  - our own lease renews (fresh `ts`, token unchanged); renewal
     *    I/O is skipped while the last renewal is younger than a
     *    quarter of the expiry, and a daemon HEARTBEAT re-renews every
@@ -302,82 +345,113 @@ class BucketCatalog(spark: SparkSession, root: String,
     *    merge commit is routine at 16k symbols) stays live instead of
     *    presenting as expired and getting superseded mid-commit;
     *  - a foreign lease younger than `leaseExpiryMs` REFUSES the
-    *    mutation (another live writer owns the root);
+    *    mutation (another live writer owns the scope);
     *  - an absent or expired lease is taken over with a BUMPED
     *    fencing token won atomically via [[claimTakeover]] (exclusive
     *    create of a token-named claim file — exactly one of N
     *    concurrent contenders wins, tokens are globally unique), then
     *    read back; the commit-time [[fenceWriterLease]] still guards
     *    the publish instant (storage-side CAS remains the
-    *    zero-window hook there).
+    *    zero-window hook there). A group-lease takeover additionally
+    *    refuses while a live foreign ROOT lease exists: the root
+    *    lease means a root-scoped mutation (or a pre-split root-wide
+    *    writer) owns everything under it.
     * Clock caveat: expiry compares wall clocks across writers, so the
     * contract assumes skew well under the expiry — the standard lease
     * assumption (e.g. Chubby §2.1's bounded clock drift).
     */
-  private def ensureWriterLease(): Unit =
-    writeLock(root, "__writer_lease").synchronized {
+  private def ensureWriterLease(scope: Option[String]): Unit =
+    leaseLock(scope).synchronized {
       val renewNanos = leaseExpiryMs * 1000000L / 4
-      val cached = BucketCatalog.leases.get(leaseKey)
+      val cached = BucketCatalog.leases.get(leaseKey(scope))
       if (cached != null && System.nanoTime() - cached._2 < renewNanos) ()
       else {
         val now = System.currentTimeMillis()
-        readLease() match {
+        readLease(scope) match {
           case Some((w, t, _)) if w == BucketCatalog.processWriterId =>
-            writeLease(t, overwrite = true)
-            BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
-            startHeartbeat()
+            writeLease(scope, t, overwrite = true)
+            BucketCatalog.leases.put(leaseKey(scope), (t, System.nanoTime()))
+            startHeartbeat(scope)
           case Some((w, _, ts)) if now - ts < leaseExpiryMs =>
             throw new IllegalStateException(
-              s"another writer ($w) holds a live lease on $root " +
-                s"(age ${now - ts} ms < expiry $leaseExpiryMs ms); the " +
-                "catalog contract is a single writer per root — point " +
-                "this writer at its own root or wait for the lease to expire")
+              s"another writer ($w) holds a live lease on " +
+                s"${leasePath(scope)} (age ${now - ts} ms < expiry " +
+                s"$leaseExpiryMs ms); the catalog contract is a single " +
+                "writer per attribute group — point this writer at its " +
+                "own group or wait for the lease to expire")
           case other =>
+            // acquiring a GROUP lease defers to a live foreign ROOT
+            // lease: a root-scoped mutation (the destructive orphan
+            // sweep) — or a root written by the pre-split root-wide
+            // protocol — owns every group until it expires or is
+            // released (ts = 0). One small read, only on the takeover
+            // path, never on renewals.
+            if (scope.isDefined) readLease(None) match {
+              case Some((w, _, ts))
+                if w != BucketCatalog.processWriterId && now - ts < leaseExpiryMs =>
+                throw new IllegalStateException(
+                  s"another writer ($w) holds a live ROOT lease on $root " +
+                    s"(age ${now - ts} ms < expiry $leaseExpiryMs ms); a " +
+                    "root-scoped mutation owns all groups — wait for it " +
+                    "to finish or for the lease to expire")
+              case _ => ()
+            }
             // atomic takeover (r9): win the bumped token by exclusive
             // create of a claim file — the lease file is never
             // deleted, so exactly one of N contenders racing the same
             // expired state proceeds and a loser can never clobber
             // the winner's fresh lease (the old delete→create window).
-            val t = claimTakeover(other.map(_._2).getOrElse(0L))
-            try writeLease(t, overwrite = other.isDefined)
+            val t = claimTakeover(scope, other.map(_._2).getOrElse(0L))
+            // belt to the claim's braces (r10): re-read the lease
+            // right before rewriting it — if it changed since the
+            // expired read (the old holder's late heartbeat revived
+            // it), abort instead of clobbering a live writer.
+            if (readLease(scope) != other)
+              throw new IllegalStateException(
+                s"lost a writer-lease takeover race on ${leasePath(scope)}: " +
+                  "the lease changed between the expired read and the claim")
+            try writeLease(scope, t, overwrite = other.isDefined)
             catch {
               case NonFatal(e) => throw new IllegalStateException(
-                s"writer-lease takeover on $root won claim $t but could " +
-                  s"not rewrite the lease: ${e.getMessage}", e)
+                s"writer-lease takeover on ${leasePath(scope)} won claim " +
+                  s"$t but could not rewrite the lease: ${e.getMessage}", e)
             }
-            // the won claim is spent once the lease carries its token
-            try fs.delete(claimPath(t), false) catch { case NonFatal(_) => () }
-            readLease() match {
+            // NOTE: the won claim file is NOT deleted here — deleting
+            // it would recycle the token for a contender arriving a
+            // few ms late (same expired read, same claim name). The
+            // next takeover's entry sweep collects it once the lease
+            // token has moved past it.
+            readLease(scope) match {
               case Some((w2, t2, _))
                 if w2 == BucketCatalog.processWriterId && t2 == t =>
-                BucketCatalog.leases.put(leaseKey, (t, System.nanoTime()))
-                startHeartbeat()
+                BucketCatalog.leases.put(leaseKey(scope), (t, System.nanoTime()))
+                startHeartbeat(scope)
               case got =>
                 throw new IllegalStateException(
-                  s"lost a writer-lease takeover race on $root: $got")
+                  s"lost a writer-lease takeover race on ${leasePath(scope)}: $got")
             }
         }
       }
     }
 
-  /** Register this root's daemon lease renewer (once per process and
-    * root): every quarter-expiry, while the leases map says we hold
+  /** Register this scope's daemon lease renewer (once per process and
+    * scope): every quarter-expiry, while the leases map says we hold
     * the lease, rewrite it with a fresh `ts` — unless the file shows a
     * foreign writer (we were superseded while idle: stop renewing and
     * drop the held entry so the next mutation refuses/fences cleanly).
     * Never throws into the scheduler.
     */
-  private def startHeartbeat(): Unit = {
-    val key = leaseKey
+  private def startHeartbeat(scope: Option[String]): Unit = {
+    val key = leaseKey(scope)
     BucketCatalog.leaseHeartbeats.computeIfAbsent(key, _ =>
       BucketCatalog.leaseScheduler.scheduleWithFixedDelay(
-        () => writeLock(root, "__writer_lease").synchronized {
+        () => leaseLock(scope).synchronized {
           try {
             Option(BucketCatalog.leases.get(key)).foreach { case (t, _) =>
-              readLease() match {
+              readLease(scope) match {
                 case Some((w, t2, _))
                   if w == BucketCatalog.processWriterId && t2 == t =>
-                  writeLease(t, overwrite = true)
+                  writeLease(scope, t, overwrite = true)
                   BucketCatalog.leases.put(key, (t, System.nanoTime()))
                 case _ => BucketCatalog.leases.remove(key)
               }
@@ -388,6 +462,29 @@ class BucketCatalog(spark: SparkSession, root: String,
         java.util.concurrent.TimeUnit.MILLISECONDS))
     ()
   }
+
+  /** Hand the scope's lease back (root-scoped mutations release on
+    * completion so group writers don't wait out a full expiry): stop
+    * the heartbeat, drop the held entry, and stamp the lease file
+    * ts = 0 — always-expired with the token PRESERVED, so the next
+    * acquirer takes over monotonically (bump via claim) instead of
+    * bootstrapping. No-op if we don't hold it.
+    */
+  private def releaseWriterLease(scope: Option[String]): Unit =
+    leaseLock(scope).synchronized {
+      val key = leaseKey(scope)
+      Option(BucketCatalog.leaseHeartbeats.remove(key)).foreach(_.cancel(false))
+      val held = Option(BucketCatalog.leases.remove(key)).map(_._1)
+      held.foreach { t =>
+        readLease(scope) match {
+          case Some((w, t2, _))
+            if w == BucketCatalog.processWriterId && t2 == t =>
+            try writeLease(scope, t, overwrite = true, release = true)
+            catch { case NonFatal(_) => () } // expiry still unblocks
+          case _ => () // superseded while idle — nothing ours to release
+        }
+      }
+    }
 
   /** Commit-time fence (non-local roots): re-read the lease just
     * before the manifest flip and refuse to publish if this process
@@ -403,16 +500,16 @@ class BucketCatalog(spark: SparkSession, root: String,
     * writers live, entering this window at all requires a writer
     * stalled for a full expiry that wakes in exactly that instant.
     */
-  private def fenceWriterLease(): Unit = {
-    val held = Option(BucketCatalog.leases.get(leaseKey)).map(_._1)
-    readLease() match {
+  private def fenceWriterLease(scope: Option[String]): Unit = {
+    val held = Option(BucketCatalog.leases.get(leaseKey(scope))).map(_._1)
+    readLease(scope) match {
       case Some((w, t, _))
         if w == BucketCatalog.processWriterId && held.contains(t) => ()
       case got =>
         throw new IllegalStateException(
-          s"writer lease on $root lost before manifest publish " +
-            s"(held token $held, found $got); commit fenced — another " +
-            "writer superseded this process")
+          s"writer lease on ${leasePath(scope)} lost before manifest " +
+            s"publish (held token $held, found $got); commit fenced — " +
+            "another writer superseded this process")
     }
   }
 
@@ -859,11 +956,24 @@ class BucketCatalog(spark: SparkSession, root: String,
       attGroup: String, v: Long, map: java.util.LinkedHashMap[String, Any]): Unit = {
     val dir = manifestDirPath(attGroup)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp_${manifestName(v)}")
+    // tmp is unique PER ATTEMPT (writer id + nonce), never a shared
+    // deterministic name: with a shared `.tmp_<v>` a zombie writer
+    // racing the live one could overwrite tmp after the live writer
+    // wrote it but before its move, and the slot winner would then
+    // atomically publish the LOSER's bytes — the CAS would guarantee
+    // slot exclusivity without content integrity. Each contender
+    // moves only bytes it wrote itself.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir, s".tmp_${attempt}_${manifestName(v)}")
     val out = fs.create(tmp, true)
     out.write(om.writeValueAsBytes(map))
     out.close()
     val dst = new Path(dir, manifestName(v))
+    def dropTmp(): Unit = {
+      try fs.delete(tmp, false) catch { case NonFatal(_) => () }
+      try fs.delete(new Path(dir, s".${tmp.getName}.crc"), false)
+      catch { case NonFatal(_) => () }
+    }
     val renamed = fs match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem |
            _: org.apache.hadoop.fs.ChecksumFileSystem =>
@@ -883,13 +993,32 @@ class BucketCatalog(spark: SparkSession, root: String,
             } catch { case NonFatal(_) => () }
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ => !fs.exists(dst) && fs.rename(tmp, dst)
+      case _ =>
+        // HDFS rename refuses an existing destination (the CAS); the
+        // exists probes around it are only to DIAGNOSE a false rename
+        // — stores whose rename overwrites (some object-store
+        // connectors) must be fronted by a rename-no-overwrite layer
+        // for the slot guarantee to hold, and a rename failing with
+        // NO destination present is an infrastructure error, not a
+        // concurrency fence, and must not masquerade as one.
+        if (fs.exists(dst)) false
+        else if (fs.rename(tmp, dst)) true
+        else if (fs.exists(dst)) false // lost the race inside the rename
+        else {
+          dropTmp()
+          throw new java.io.IOException(
+            s"rename $tmp -> $dst failed but the destination does not " +
+              "exist — storage error (permissions/transient IO), not a " +
+              "version-slot conflict; commit NOT published")
+        }
     }
-    if (!renamed)
+    if (!renamed) {
+      dropTmp() // the loser's bytes must not linger as a publishable tmp
       throw new IllegalStateException(
         s"could not publish manifest v$v for $attGroup — version slot " +
           "already occupied (a concurrent writer committed it); this " +
           "commit is fenced")
+    }
   }
 
   private def rangesMap(ranges: Map[String, Long]): java.util.LinkedHashMap[String, Any] = {
@@ -948,7 +1077,7 @@ class BucketCatalog(spark: SparkSession, root: String,
     // the manifest flip is the commit point: on lease-guarded roots a
     // superseded writer must be stopped HERE, before its staged files
     // can become visible
-    if (!rootIsLocalFs) fenceWriterLease()
+    if (!rootIsLocalFs) fenceWriterLease(Some(attGroup))
     // bootstrap a pre-manifest root from its directory listing —
     // minus the files this very commit just moved in
     val added = addedFiles.toSet
@@ -1298,41 +1427,86 @@ class BucketCatalog(spark: SparkSession, root: String,
     * (a crash between the file moves and the manifest flip leaves
     * such unreferenced files; they were never part of any snapshot).
     * Safe ONLY at writer startup under the catalog's cross-process
-    * single-writer contract (the reference has the same: one server
-    * process owns the store and replays/cleans its WAL on startup,
-    * executor/wal.go:29-45). Returns the number of staging
-    * directories removed.
+    * writer guard (the reference has the same: one server process
+    * owns the store and replays/cleans its WAL on startup,
+    * executor/wal.go:29-45). Under the per-group lease protocol the
+    * sweep is scoped: each group is swept under ITS lease, and a
+    * group whose lease a live foreign writer holds is SKIPPED — its
+    * staging is that writer's in-flight commit, not an orphan.
+    * Returns the number of staging directories removed.
     */
   def recoverOrphanedStaging(): Int = {
     // destructive sweep — MUST hold the cross-process writer guard: a
     // startup sweep racing another process's mid-commit moves would
     // delete files whose manifest flip hasn't landed yet. Same guard
-    // pair as mutate: OS lock on local roots, writer LEASE elsewhere —
-    // a sweep that skipped the lease would be exactly the second
-    // writer the lease exists to refuse. Unlike ordinary mutations,
-    // the lease check here must NOT be satisfied from the renewal
-    // cache: a writer stalled past its expiry and superseded could
-    // wake with a fresh-looking cache entry and sweep the NEW writer's
-    // mid-commit staging — so fence against the lease FILE, exactly as
-    // commits do, before deleting anything.
+    // pair as mutate: OS lock on local roots (root-wide, so the whole
+    // sweep is covered), writer LEASE elsewhere — a sweep that
+    // skipped the lease would be exactly the second writer the lease
+    // exists to refuse. Unlike ordinary mutations, the lease check
+    // here must NOT be satisfied from the renewal cache: a writer
+    // stalled past its expiry and superseded could wake with a
+    // fresh-looking cache entry and sweep the NEW writer's mid-commit
+    // staging — so fence against the lease FILE, exactly as commits
+    // do, before deleting anything. The ROOT lease held for the
+    // sweep's duration also blocks NEW group-lease acquisitions
+    // (takeovers defer to it), and is released — not expiry-waited —
+    // on the way out.
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
-    else { ensureWriterLease(); fenceWriterLease() }
-    val p = new Path(root)
-    if (!fs.exists(p)) return 0
-    val orphans = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
-    orphans.foreach(s => fs.delete(s.getPath, true))
-    listAttGroups().foreach { ag =>
-      referencedFiles(ag).foreach { referenced =>
-        listDataFilesOnDisk(ag).filterNot(referenced).foreach { rel =>
-          try fs.delete(new Path(agPath(ag), rel), false)
-          catch { case NonFatal(e) =>
-            log.warn(s"orphan sweep of $ag/$rel failed: ${e.getMessage}")
+    else { ensureWriterLease(None); fenceWriterLease(None) }
+    try {
+      val p = new Path(root)
+      if (!fs.exists(p)) return 0
+      val ags = listAttGroups()
+      // per-group sweep under each group's OWN lease; a group owned by
+      // a live foreign writer is skipped wholesale
+      val held = scala.collection.mutable.Set[String]()
+      val acquiredForSweep = scala.collection.mutable.Set[String]()
+      ags.foreach { ag =>
+        val hadBefore = rootIsLocalFs ||
+          BucketCatalog.leases.containsKey(leaseKey(Some(ag)))
+        val owned = rootIsLocalFs ||
+          (try { ensureWriterLease(Some(ag)); fenceWriterLease(Some(ag)); true }
+           catch { case _: IllegalStateException => false })
+        if (owned) {
+          held += ag
+          if (!hadBefore) acquiredForSweep += ag
+          referencedFiles(ag).foreach { referenced =>
+            listDataFilesOnDisk(ag).filterNot(referenced).foreach { rel =>
+              try fs.delete(new Path(agPath(ag), rel), false)
+              catch { case NonFatal(e) =>
+                log.warn(s"orphan sweep of $ag/$rel failed: ${e.getMessage}")
+              }
+            }
           }
+        } else log.warn(
+          s"orphan sweep skipping $ag — a live foreign writer holds its lease")
+      }
+      // group leases taken only FOR the sweep are handed back (ts = 0)
+      // so other processes' writers aren't locked out of groups this
+      // process swept once and may never write
+      def releaseSweepLeases(): Unit =
+        acquiredForSweep.foreach(ag => releaseWriterLease(Some(ag)))
+      // root staging dirs (named .staging_<ag>_<nanos>): owner = the
+      // longest listed group whose name prefixes the dir (group names
+      // may themselves contain '_'); swept only when that group's
+      // lease is held. A dir matching NO live group (group destroyed,
+      // or a crash before create) is swept once older than the lease
+      // expiry — the age floor keeps a brand-new group's first commit,
+      // racing this sweep, intact.
+      val orphans = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
+      val swept = orphans.filter { s =>
+        val name = s.getPath.getName.stripPrefix(StagingPrefix)
+        ags.filter(ag => name.startsWith(ag + "_")).sortBy(-_.length).headOption match {
+          case Some(ag) => rootIsLocalFs || held(ag)
+          case None => rootIsLocalFs ||
+            System.currentTimeMillis() - s.getModificationTime > leaseExpiryMs
         }
       }
-    }
-    orphans.size
+      swept.foreach(s => fs.delete(s.getPath, true))
+      if (!rootIsLocalFs) releaseSweepLeases()
+      swept.size
+    } finally if (!rootIsLocalFs) releaseWriterLease(None)
   }
 
   // --------------------------------------------------------------- reads

@@ -469,24 +469,31 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read(tbk).count() == 2)
   }
 
-  test("non-local roots: lease refuses a live foreign writer, takes over expired with a bumped token, fences a superseded commit") {
+  // per-GROUP lease path helpers shared by the lease tests (r10: the
+  // writer lease is scoped to the attribute group, not the root)
+  private def agLease(root: String, ag: String): java.nio.file.Path = {
+    Files.createDirectories(java.nio.file.Paths.get(root, ag))
+    java.nio.file.Paths.get(root, ag, BucketCatalog.WriterLeaseFile)
+  }
+  private def plantLease(root: String, ag: String, writer: String,
+      token: Long, ts: Long): Unit =
+    Files.writeString(agLease(root, ag),
+      s"""{"writer": "$writer", "token": $token, "ts": $ts}""")
+  private def readAgLease(root: String, ag: String): (String, Long) = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(agLease(root, ag)))
+    (n.get("writer").asText(), n.get("token").asLong())
+  }
+
+  test("non-local roots: per-group lease refuses a live foreign writer, takes over expired with a bumped token, fences a superseded commit") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
-    def writeLease(root: String, writer: String, token: Long, ts: Long): Unit =
-      Files.writeString(
-        java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile),
-        s"""{"writer": "$writer", "token": $token, "ts": $ts}""")
-    def readLease(root: String): (String, Long) = {
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-        Files.readString(
-          java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile)))
-      (n.get("writer").asText(), n.get("token").asLong())
-    }
     val batch = Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close")
-    // (1) a LIVE foreign lease refuses the mutation — the no-lock root
-    // is no longer writable by convention-trusting second writers
+    // (1) a LIVE foreign lease on the GROUP refuses the mutation — the
+    // no-lock root is no longer writable by convention-trusting
+    // second writers
     val root1 = freshRoot()
-    writeLease(root1, "foreign-writer", 3L, System.currentTimeMillis())
+    plantLease(root1, "LSE", "foreign-writer", 3L, System.currentTimeMillis())
     val cat1 = new BucketCatalog(spark, "nolock:" + root1)
     val e1 = intercept[IllegalStateException] {
       cat1.write(TimeBucketKey.parse("AAPL/1Min/LSE"), batch)
@@ -495,55 +502,130 @@ class CatalogSpec extends SparkSpec {
     // (2) an EXPIRED foreign lease is taken over with a bumped fencing
     // token, and writes proceed
     val root2 = freshRoot()
-    writeLease(root2, "foreign-writer", 5L, System.currentTimeMillis() - 120000L)
+    plantLease(root2, "LSE", "foreign-writer", 5L, System.currentTimeMillis() - 120000L)
     val cat2 = new BucketCatalog(spark, "nolock:" + root2)
     val tbk2 = TimeBucketKey.parse("AAPL/1Min/LSE")
     cat2.create(tbk2, ohlcv, isVariable = false)
     cat2.write(tbk2, batch)
     assert(cat2.read(tbk2).count() == 1)
-    val (w2, t2) = readLease(root2)
+    val (w2, t2) = readAgLease(root2, "LSE")
     assert(w2 != "foreign-writer" && t2 == 6L, s"takeover: $w2 token $t2")
+    // the won claim file is NOT deleted after the lease rewrite: a
+    // deleted claim would recycle token 6 for a contender that read
+    // the same expired state a few ms late (see (2b))
+    val wonClaim = java.nio.file.Paths.get(
+      root2, "LSE", BucketCatalog.WriterLeaseFile + ".claim.6")
+    assert(Files.exists(wonClaim),
+      "the winner's claim must persist until the next takeover sweeps it")
+    // (2b) the late racer: a contender that read the SAME expired
+    // state (token 5) but reaches the claim after the winner finished
+    // must LOSE — before r10 the winner deleted claim.6 on completion,
+    // letting this racer re-win token 6 and clobber the fresh lease
+    val late = new BucketCatalog(spark, "nolock:" + root2)
+    val eLate = intercept[IllegalStateException] {
+      late.claimTakeover(Some("LSE"), 5L)
+    }
+    assert(eLate.getMessage.contains("takeover race"), eLate.getMessage)
+    val (w2b, t2b) = readAgLease(root2, "LSE")
+    assert(w2b == w2 && t2b == 6L, "the live lease must survive the late racer")
     // (3) a writer SUPERSEDED between renewal and commit is fenced at
-    // the manifest flip: steal the lease out from under cat2 (its
-    // in-memory renewal is fresh, so only the commit-time fence sees
-    // the theft) — the commit must refuse, and the acknowledged data
-    // must still be exactly the pre-theft row
-    writeLease(root2, "usurper", 7L, System.currentTimeMillis())
+    // the manifest flip: steal the group lease out from under cat2
+    // (its in-memory renewal is fresh, so only the commit-time fence
+    // sees the theft) — the commit must refuse, and the acknowledged
+    // data must still be exactly the pre-theft row
+    plantLease(root2, "LSE", "usurper", 7L, System.currentTimeMillis())
     val e3 = intercept[IllegalStateException] {
       cat2.write(tbk2, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
     }
     assert(e3.getMessage.contains("fenced"), e3.getMessage)
     assert(cat2.read(tbk2).count() == 1, "fenced commit must not publish")
-    // (4) the superseded writer's DESTRUCTIVE startup sweep is fenced
-    // the same way: recoverOrphanedStaging must refuse against the
-    // lease FILE before deleting the new writer's mid-commit staging
-    // (the in-process renewal cache still looks fresh, so only a
-    // file-level fence can catch the supersession)
+    // (4) the superseded writer's DESTRUCTIVE startup sweep must not
+    // touch the new writer's group: the sweep takes each group's OWN
+    // lease and SKIPS a group whose lease a live foreign writer holds
+    // — the usurper's mid-commit staging survives, no exception
     val usurperStaging = java.nio.file.Paths.get(
-      root2, BucketCatalog.StagingPrefix + "usurper_mid_commit")
+      root2, BucketCatalog.StagingPrefix + "LSE_mid_commit")
     Files.createDirectory(usurperStaging)
-    val e4 = intercept[IllegalStateException] { cat2.recoverOrphanedStaging() }
-    // "fenced" when the renewal cache is still warm (the dangerous
-    // path); "live lease" if the heartbeat already noticed the theft —
-    // both refuse before the delete
-    assert(e4.getMessage.contains("fenced") || e4.getMessage.contains("live lease"),
-      e4.getMessage)
+    assert(cat2.recoverOrphanedStaging() == 0,
+      "a group held by a live foreign writer must be skipped, not swept")
     assert(Files.exists(usurperStaging),
-      "fenced sweep must not delete the new writer's staging")
+      "the sweep must not delete the new writer's staging")
+    // a staging dir matching NO live group is age-gated: younger than
+    // the lease expiry survives (it may be a brand-new group's first
+    // commit racing this sweep)
+    val unmatched = java.nio.file.Paths.get(
+      root2, BucketCatalog.StagingPrefix + "GONE_mid_commit")
+    Files.createDirectory(unmatched)
+    assert(cat2.recoverOrphanedStaging() == 0)
+    assert(Files.exists(unmatched), "fresh unmatched staging must survive")
   }
 
-  test("lease takeover: exactly one of 8 concurrent contenders wins the claim; stale claims recovered") {
+  test("per-group leases: writers on different groups of one root proceed in parallel; a root lease blocks group takeovers") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    val batch = Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close")
+    // a live foreign writer on NYSE must NOT serialize LSE ingest —
+    // the r9 root-wide lease refused the whole root here
+    val root = freshRoot()
+    plantLease(root, "NYSE", "foreign-writer", 3L, System.currentTimeMillis())
+    val cat = new BucketCatalog(spark, "nolock:" + root)
+    val lse = TimeBucketKey.parse("AAPL/1Min/LSE")
+    cat.create(lse, ohlcv, isVariable = false)
+    cat.write(lse, batch)
+    assert(cat.read(lse).count() == 1,
+      "a foreign writer on another group must not block this group")
+    val e = intercept[IllegalStateException] {
+      cat.write(TimeBucketKey.parse("AAPL/1Min/NYSE"), batch)
+    }
+    assert(e.getMessage.contains("live lease"), e.getMessage)
+    // a live foreign ROOT lease (a root-scoped mutation in flight, or
+    // a root written by the pre-split protocol) blocks NEW group
+    // acquisitions...
+    val root2 = freshRoot()
+    Files.writeString(
+      java.nio.file.Paths.get(root2, BucketCatalog.WriterLeaseFile),
+      s"""{"writer": "sweeper", "token": 2, "ts": ${System.currentTimeMillis()}}""")
+    val cat2 = new BucketCatalog(spark, "nolock:" + root2)
+    val e2 = intercept[IllegalStateException] {
+      cat2.write(TimeBucketKey.parse("AAPL/1Min/LSE"), batch)
+    }
+    assert(e2.getMessage.contains("ROOT lease"), e2.getMessage)
+    // ...and a RELEASED root lease (ts = 0 — what the sweep writes on
+    // completion) unblocks them immediately, no expiry wait
+    Files.writeString(
+      java.nio.file.Paths.get(root2, BucketCatalog.WriterLeaseFile),
+      s"""{"writer": "sweeper", "token": 2, "ts": 0}""")
+    val lse2 = TimeBucketKey.parse("AAPL/1Min/LSE")
+    cat2.create(lse2, ohlcv, isVariable = false)
+    cat2.write(lse2, batch)
+    assert(cat2.read(lse2).count() == 1)
+    // the sweep itself releases its root lease on the way out: run one
+    // and check the file is handed back (ts = 0, token preserved)
+    val root3 = freshRoot()
+    val cat3 = new BucketCatalog(spark, "nolock:" + root3)
+    val lse3 = TimeBucketKey.parse("AAPL/1Min/LSE")
+    cat3.create(lse3, ohlcv, isVariable = false)
+    cat3.write(lse3, batch)
+    cat3.recoverOrphanedStaging()
+    val n3 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(
+        java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile)))
+    assert(n3.get("ts").asLong() == 0L,
+      "the sweep must hand back its root lease (ts = 0)")
+  }
+
+  test("lease takeover: exactly one of 8 concurrent contenders wins the claim (per-group scope); stale claims recovered") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
     val root = freshRoot()
-    Files.writeString(
-      java.nio.file.Paths.get(root, BucketCatalog.WriterLeaseFile),
-      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
-    // 8 contenders race the SAME expired state through the atomic
-    // claim primitive (each with its own catalog instance; a barrier
-    // releases them together). Exactly one must win token 6; the
-    // other 7 must throw the takeover-race refusal — never silently
-    // overwrite each other (the old delete->create window).
+    val expired = System.currentTimeMillis() - 120000L
+    plantLease(root, "NYSE", "dead-writer", 5L, expired)
+    // 8 contenders race the SAME expired state of one GROUP's lease
+    // through the atomic claim primitive (each with its own catalog
+    // instance; a barrier releases them together). Exactly one must
+    // win token 6; the other 7 must throw the takeover-race refusal —
+    // never silently overwrite each other (the old delete->create
+    // window).
     val n = 8
     val barrier = new java.util.concurrent.CyclicBarrier(n)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]()
@@ -551,7 +633,7 @@ class CatalogSpec extends SparkSpec {
       val cat = new BucketCatalog(spark, "nolock:" + root)
       new Thread(() => {
         barrier.await()
-        try results.add(Right(cat.claimTakeover(5L)))
+        try results.add(Right(cat.claimTakeover(Some("NYSE"), 5L)))
         catch { case e: IllegalStateException => results.add(Left(e.getMessage)) }
       })
     }
@@ -567,36 +649,42 @@ class CatalogSpec extends SparkSpec {
     // rewriting the lease must not wedge the slot — the next
     // contender advances past it and cleans it up
     val root2 = freshRoot()
-    Files.writeString(
-      java.nio.file.Paths.get(root2, BucketCatalog.WriterLeaseFile),
-      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
+    plantLease(root2, "NYSE", "dead-writer", 5L, expired)
     val staleClaim = java.nio.file.Paths.get(
-      root2, BucketCatalog.WriterLeaseFile + ".claim.6")
+      root2, "NYSE", BucketCatalog.WriterLeaseFile + ".claim.6")
     Files.writeString(staleClaim,
-      s"""{"writer": "crashed-claimant", "ts": ${System.currentTimeMillis() - 120000L}}""")
+      s"""{"writer": "crashed-claimant", "ts": $expired}""")
     val cat2 = new BucketCatalog(spark, "nolock:" + root2)
-    assert(cat2.claimTakeover(5L) == 7L, "stale claim slot must be skipped")
+    assert(cat2.claimTakeover(Some("NYSE"), 5L) == 7L,
+      "stale claim slot must be skipped")
     assert(!Files.exists(staleClaim), "stale claim must be swept by the winner")
+    // SPENT claims (token <= the lease's) are collected by the NEXT
+    // takeover's entry sweep — never by their winner (deleting the
+    // won claim would recycle the token, see the late-racer test)
+    val spentClaim = java.nio.file.Paths.get(
+      root2, "NYSE", BucketCatalog.WriterLeaseFile + ".claim.4")
+    Files.writeString(spentClaim,
+      s"""{"writer": "long-gone", "ts": $expired}""")
+    assert(cat2.claimTakeover(Some("NYSE"), 7L) == 8L)
+    assert(!Files.exists(spentClaim),
+      "spent claims below the lease token must be swept on takeover entry")
     // ... but a FRESH claim (live contender mid-takeover) refuses
     val root3 = freshRoot()
+    plantLease(root3, "NYSE", "dead-writer", 5L, expired)
     Files.writeString(
-      java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile),
-      s"""{"writer": "dead-writer", "token": 5, "ts": ${System.currentTimeMillis() - 120000L}}""")
-    Files.writeString(
-      java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile + ".claim.6"),
+      java.nio.file.Paths.get(root3, "NYSE",
+        BucketCatalog.WriterLeaseFile + ".claim.6"),
       s"""{"writer": "live-claimant", "ts": ${System.currentTimeMillis()}}""")
     val e = intercept[IllegalStateException] {
-      new BucketCatalog(spark, "nolock:" + root3).claimTakeover(5L)
+      new BucketCatalog(spark, "nolock:" + root3).claimTakeover(Some("NYSE"), 5L)
     }
     assert(e.getMessage.contains("takeover race"), e.getMessage)
     // end-to-end: a real mutation through the winning path still works
     // on the stress root (the lease file was never deleted mid-race,
     // so the takeover proceeds from a consistent state). The raced
     // primitive above stopped short of the lease rewrite, so its won
-    // claim is still live and correctly blocks other takeovers —
-    // clear it as the winner's completion would have
-    Files.deleteIfExists(java.nio.file.Paths.get(
-      root, BucketCatalog.WriterLeaseFile + ".claim.6"))
+    // claim is still live and correctly blocks takeovers of NYSE —
+    // but a DIFFERENT group on the same root is unaffected
     val tbk = TimeBucketKey.parse("AAPL/1Min/RACE")
     val cat = new BucketCatalog(spark, "nolock:" + root)
     cat.create(tbk, ohlcv, isVariable = false)
@@ -614,7 +702,8 @@ class CatalogSpec extends SparkSpec {
     }
     // checksummed local fs (the default catalog path)
     for (scheme <- Seq("", "nolock:")) {
-      val cat = new BucketCatalog(spark, scheme + freshRoot())
+      val bare = freshRoot()
+      val cat = new BucketCatalog(spark, scheme + bare)
       cat.publishManifest("SLOT", 1L, minimalDelta(1L))
       val e = intercept[IllegalStateException] {
         cat.publishManifest("SLOT", 1L, minimalDelta(1L))
@@ -622,6 +711,14 @@ class CatalogSpec extends SparkSpec {
       assert(e.getMessage.contains("version slot"), s"[$scheme] ${e.getMessage}")
       // the loser must not have clobbered the winner's manifest
       assert(cat.manifestVersions("SLOT") == Seq(1L), s"[$scheme]")
+      // ... and the loser's tmp bytes must not linger (tmp is unique
+      // per attempt, r10: a shared tmp name would let a zombie's bytes
+      // be published by the slot winner; a lingering tmp is the smell)
+      import scala.jdk.CollectionConverters._
+      val mdir = java.nio.file.Paths.get(bare, "SLOT", BucketCatalog.ManifestDir)
+      val tmps = Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".tmp_")).toSeq
+      assert(tmps.isEmpty, s"[$scheme] loser tmp left behind: $tmps")
       cat.publishManifest("SLOT", 2L, minimalDelta(2L)) // next slot free
     }
   }
