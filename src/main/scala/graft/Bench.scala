@@ -159,7 +159,15 @@ object Bench {
     val q = emb.filter(col("vec_id") < 5)
     val exactCos = Similarity.bruteForceTopK(emb, q, 10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rIvf = overlap(Similarity.ivfTopK(emb, q, 10, nCells = 16, nProbe = 8), exactCos)
+    // recall-targeted probe depth (r10): nProbe is DERIVED from the
+    // 0.85 candidate-recall contract on a bounded calibration sample
+    // (ivfProbeForRecall) instead of the hand-picked 8/16 — same
+    // quantizer as the serve, so calibration and serving agree
+    val centsIvf = Similarity.sampledCentroids(emb, 16)
+    val probeIvf = Similarity.ivfProbeForRecall(
+      emb, q, 10, centsIvf, recallFloor = 0.85, nCal = 64)
+    val rIvf = overlap(Similarity.ivfTopK(emb, q, 10, nCells = 16,
+      nProbe = probeIvf, centroids = Some(centsIvf)), exactCos)
     // recall-targeted banding (r9): derived from the isotropic
     // retrieval contract (targetSim 0.4, floor 0.9) instead of the
     // near-dup default — same parameters as the q_knn_lsh entry

@@ -1300,7 +1300,15 @@ object SparkEntry {
     }),
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nCells = 16, nProbe = 8)
+      val q = emb.filter(col("vec_id") < 5)
+      // probe depth DERIVED from a 0.85 candidate-recall contract on a
+      // bounded calibration sample (r10) — the last approximate tier
+      // whose bench parameter was hand-picked rather than derived
+      val cents = Similarity.sampledCentroids(emb, 16)
+      val nProbe = Similarity.ivfProbeForRecall(
+        emb, q, 10, cents, recallFloor = 0.85, nCal = 64)
+      Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = nProbe,
+          centroids = Some(cents))
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
@@ -1308,7 +1316,7 @@ object SparkEntry {
     // every query exactly once, so it equals exhaustive top-k by
     // construction — the cell assignment, probe ordering and re-rank
     // machinery all sit under the brute-force oracle; q_knn_ivf above
-    // keeps the pruned nProbe=8 configuration for the bench
+    // keeps the pruned recall-calibrated configuration for the bench
     "q_knn_ivf_full" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nCells = 16, nProbe = 16)

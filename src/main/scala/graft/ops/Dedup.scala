@@ -324,7 +324,10 @@ object Dedup {
       val pr = math.pow(targetJaccard, r)
       val b = math.ceil(need / math.log1p(-pr)).toInt
       if (b * r <= maxK) Some((b * r, b)) else None
-    }.next()
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"no minhash banding within $maxK hashes reaches recall " +
+        s"$recallFloor at Jaccard $targetJaccard — lower the floor, lower " +
+        "the target similarity, or raise maxK"))
   }
 
   /** MinHash + LSH banding: candidates share ≥1 of `bands` band

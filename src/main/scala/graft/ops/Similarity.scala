@@ -498,7 +498,10 @@ object Similarity {
         val b = math.ceil(need / math.log1p(-pr)).toInt
         if (b <= maxBands) Some((b, r)) else None
       }
-    }.next()
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"no hyperplane banding within $maxBands bands reaches recall " +
+        s"$recallFloor at similarity $targetSim — lower the floor, lower " +
+        "the target similarity, or raise maxBands"))
   }
 
   /** [[lshTopK]] with the banding DERIVED from a recall contract via
@@ -579,6 +582,52 @@ object Similarity {
       if (trainIters <= 0) sampledCentroids(corpus, nCells, id, emb)
       else trainedCentroids(corpus, nCells, trainIters, id, emb))
     ivfTopKIndexed(ivfIndex(corpus, cents, id, emb), queries, k, cents, nProbe, id, emb)
+  }
+
+  /** Smallest IVF probe depth meeting a recall contract — the probe
+    * analog of [[lshParamsForRecall]], closing the last hand-picked
+    * approximate tier. No closed form exists (cell mass depends on
+    * the data's cluster structure), so the depth is CALIBRATED on a
+    * bounded sample: take `nCal` deterministic queries, compute their
+    * exact top-k once (one blocked ranking pass over the corpus for
+    * ≤ nCal queries — the calibration budget, amortized over every
+    * serve at the returned depth), find the probe rank of each true
+    * neighbor's home cell in its query's cell ordering, and return
+    * the smallest depth whose cumulative hit fraction clears
+    * `recallFloor`. Candidate recall (true neighbor lands in a probed
+    * cell) is exactly what probe depth controls, so the calibrated
+    * depth transfers to the full query set up to sampling noise.
+    * Always satisfiable: depth = nCells probes every cell (exact).
+    * Driver-side state is ≤ nCal·k rank rows — bounded by contract.
+    */
+  def ivfProbeForRecall(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Seq[Float]], recallFloor: Double,
+      nCal: Int = 64,
+      id: String = "vec_id", emb: String = "embedding"): Int = {
+    require(recallFloor > 0 && recallFloor <= 1,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val nCells = centroids.length
+    if (nCells <= 1) return math.max(1, nCells)
+    val cal = queries.select(col(id), col(emb))
+      .orderBy(xxhash64(col(id)), col(id)).limit(nCal)
+    val truth = bruteForceTopK(corpus, cal, k, id, emb)
+    // probe rank (1-based) of each true neighbor's home cell in its
+    // query's best-cell-first ordering; one corpus pass assigns home
+    // cells, the ≤ nCal·k truth rows broadcast into it
+    val ranks = corpus
+      .select(col(id).as("vec_id"),
+        array_max(cellScores(col(emb), centroids)).getField("cell").as("__home"))
+      .join(broadcast(truth.select(col("query_id"), col("vec_id"))), "vec_id")
+      .join(broadcast(cal.select(col(id).as("query_id"),
+        transform(reverse(array_sort(cellScores(col(emb), centroids))),
+          s => s.getField("cell")).as("__order"))), "query_id")
+      .select(array_position(col("__order"), col("__home")).as("__rank"))
+      .collect().map(_.getLong(0))
+    if (ranks.isEmpty) return 1
+    val total = ranks.length.toDouble
+    (1 to nCells).find(p => ranks.count(_ <= p) / total >= recallFloor)
+      .getOrElse(nCells)
   }
 
   /** Persistable IVF index rows for `corpus` under a FROZEN quantizer:

@@ -276,8 +276,22 @@ class RpcServer(
           spark.read.parquet(confinedOpsPath(str(opts, "centroids").getOrElse(
             throw new IllegalArgumentException("ops: options.centroids required")))))
         val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
-        val nProbe = math.min(cents.length.toLong,
-          math.max(1L, lng(opts, "n_probe").getOrElse(cents.length.toLong))).toInt
+        // probe depth: explicit n_probe wins; else a probe_recall
+        // contract (0,1] derives the smallest depth meeting it on a
+        // bounded calibration sample against the index itself (the
+        // index rows carry the full vectors, so the exact calibration
+        // truth never needs the base corpus); else full probe (exact
+        // under any quantizer)
+        val nProbe = lng(opts, "n_probe") match {
+          case Some(p) => math.min(cents.length.toLong, math.max(1L, p)).toInt
+          case None => dbl(opts, "probe_recall") match {
+            case Some(r) =>
+              graft.ops.Similarity.ivfProbeForRecall(
+                index.select(col("vec_id"), col("embedding")), df, k, cents,
+                recallFloor = math.min(1.0, math.max(0.01, r)), nCal = 64)
+            case None => cents.length
+          }
+        }
         graft.ops.Similarity.ivfTopKIndexed(index, df, k, cents, nProbe)
           .orderBy("query_id", "vec_id")
       case "dedup_minhash_delta" =>

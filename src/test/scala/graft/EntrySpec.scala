@@ -11,6 +11,17 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+    // the reverse direction is CLOSED by an explicit allowlist: the
+    // only entries allowed to ship without a DuckDB oracle are the
+    // approximate-by-design four, each of which has an oracled exact
+    // sibling and a per-run recall number in Bench. A new entry
+    // missing an oracle fails HERE, not in the driver's JSON.
+    val approximateByDesign = Set(
+      "q_dedup_simhash", "q_knn_ivf", "q_knn_lsh", "q_knn_pq")
+    assert(q.diff(o) == approximateByDesign,
+      s"queries without oracles beyond the documented approximate set: " +
+        s"${q.diff(o).diff(approximateByDesign)} (missing from queries: " +
+        s"${approximateByDesign.diff(q.diff(o))})")
   }
 
   test("all queries run on sf0.001 and produce rows") {

@@ -2067,8 +2067,44 @@ class OpsSpec extends SparkSpec {
     // 4×16 banding is pigeonhole-LOSSLESS at maxDist 3 → exactly 1.
     val r = Bench.recalls(spark, sf)
     assert(r("q_dedup_simhash") == 1.0, s"lossless simhash banding must be exact: $r")
-    assert(r("q_knn_ivf") >= 0.4, s"ivf nProbe=8/16 recall floor: $r")
+    // r10: nProbe is derived from a 0.85 candidate-recall contract on
+    // the calibration sample, and the bench queries sit inside that
+    // sample — so measured top-k overlap is >= the contract minus
+    // rank-tie noise (was 0.4 with the hand-picked nProbe=8)
+    assert(r("q_knn_ivf") >= 0.8, s"recall-calibrated ivf floor: $r")
     assert(r("q_knn_lsh") >= 0.5, s"recall-targeted lsh floor: $r")
     assert(r("q_knn_pq") >= 0.35, s"recall-targeted pq (2 bits/dim) floor: $r")
+  }
+
+  test("ivfProbeForRecall: smallest depth meeting the floor on a planted cell structure") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // 4 orthogonal cells; the query's true top-2 split across its two
+    // best cells BY CONSTRUCTION, fillers parked in the far cells —
+    // so the calibrated depth is known exactly: one probed cell
+    // captures half the truth, two capture all of it
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.14f, 0f, 0f)), // cell 0 — true neighbor #1
+      (2L, Seq(0.14f, 0.99f, 0f, 0f)), // cell 1 — true neighbor #2
+      (3L, Seq(0f, 0f, 1f, 0f)),       // cell 2 — filler
+      (4L, Seq(0f, 0f, 0f, 1f))        // cell 3 — filler
+    ).toDF("vec_id", "embedding")
+    // query leans to cell 0, second-best cell 1; id outside the corpus
+    val q = Seq((100L, Seq(0.9f, 0.44f, 0f, 0f))).toDF("vec_id", "embedding")
+    // minimality at each floor: depth 1 covers exactly half the true
+    // top-2, so floors <= 0.5 derive 1 and anything above derives 2
+    assert(Similarity.ivfProbeForRecall(corpus, q, 2, cents, 0.5) == 1)
+    assert(Similarity.ivfProbeForRecall(corpus, q, 2, cents, 0.51) == 2)
+    assert(Similarity.ivfProbeForRecall(corpus, q, 2, cents, 1.0) == 2)
+    // monotone in the floor, capped at nCells (full probe = exact)
+    assert(Similarity.ivfProbeForRecall(corpus, q, 4, cents, 1.0) <= 4)
+    // the derived depth actually DELIVERS the contract when served
+    val served = Similarity.ivfTopK(corpus, q, 2, nCells = 4,
+      nProbe = Similarity.ivfProbeForRecall(corpus, q, 2, cents, 1.0),
+      centroids = Some(cents))
+    assert(served.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 }
