@@ -141,7 +141,10 @@ object Bench {
     *    approximates the dot product);
     *  - q_dedup_simhash (4×16 banding) vs exhaustive Hamming≤3 pairs
     *    anchored at a bounded doc sample (the banding is
-    *    pigeonhole-lossless, so this one must be exactly 1.0).
+    *    pigeonhole-lossless, so this one must be exactly 1.0);
+    *  - q_dedup_minhash (derived banding) vs the exhaustive
+    *    exact-Jaccard operator at τ=0.9 — the banding proposal
+    *    stage's recall, since verification is exact (r10).
     */
   def recalls(spark: SparkSession, sfDir: String): Map[String, Double] = {
     import org.apache.spark.sql.expressions.Window
@@ -210,7 +213,26 @@ object Bench {
         .join(gt, Seq("id1", "id2"), "left_semi").count().toDouble / denomS
     gt.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
+    // minhash BANDING recall vs the exhaustive exact-Jaccard operator
+    // at the q_dedup_minhash contract (τ=0.9, n=3): the verified
+    // operator's misses are exactly the banding's (verification is
+    // exact), so |verified ∩ truth| / |truth| isolates the proposal
+    // stage a banding regression would degrade. Parameters come from
+    // the SAME derivation the near-dup contract names
+    // (minhashParamsForRecall(0.8, 0.999)), so this number guards the
+    // derivation end-to-end, not a hand-picked geometry.
+    val (kMh, bandsMh) = Dedup.minhashParamsForRecall(0.8, 0.999)
+    val truthJ = Dedup.jaccardPairs(docs, threshold = 0.9, n = 3)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denomJ = truthJ.count()
+    val rMh =
+      if (denomJ == 0) 1.0
+      else Dedup.minhashPairsVerified(docs, threshold = 0.9, k = kMh, bands = bandsMh)
+        .select(col("id1"), col("id2"))
+        .join(truthJ, Seq("id1", "id2"), "left_semi").count().toDouble / denomJ
+    truthJ.unpersist(blocking = false)
     Map("q_knn_ivf" -> rIvf, "q_knn_lsh" -> rLsh, "q_knn_pq" -> rPq,
-      "q_dedup_simhash" -> rSim)
+      "q_dedup_simhash" -> rSim, "q_dedup_minhash" -> rMh)
   }
 }

@@ -92,16 +92,21 @@ import scala.util.control.NonFatal
   * (root, attributeGroup) by an in-process lock — concurrent writers
   * through one JVM (e.g. the RPC front's request pool) cannot lose
   * acknowledged rows to a read-merge-swap race. Across PROCESSES the
-  * contract remains single writer per root, same as the reference
-  * (one server process owns the store and its WAL) — ENFORCED, not
-  * conventional: local roots take an exclusive OS lock on
-  * `_graft_writer.lock`; non-local roots (no byte-range locks) hold
-  * a heartbeat lease in `_graft_writer.lease` with expiry-based
-  * takeover, a monotonic fencing token, and a commit-time fence that
-  * stops a superseded writer before its manifest flip. Readers are
-  * unlimited in both dimensions. Commits leave a record in the commit
-  * log; [[recoverOrphanedStaging]] cleans up after a crashed writer;
-  * [[ReplicaSync]] builds read replicas from the commit log.
+  * contract is single writer per ATTRIBUTE GROUP (r10; the reference
+  * is single-writer-per-root only because one server process owns the
+  * store and its WAL — on a cluster, ingest of different tables must
+  * parallelize) — ENFORCED, not conventional: local roots take an
+  * exclusive OS lock on `_graft_writer.lock` (root-wide; a local disk
+  * is one node anyway); non-local roots hold a heartbeat lease PER
+  * GROUP in `<ag>/_graft_writer.lease` with expiry-based takeover, a
+  * monotonic fencing token won by exclusive-create claim files, and a
+  * commit-time fence that stops a superseded writer before its
+  * manifest flip. A root-level lease remains for root-scoped
+  * mutations only (the startup orphan sweep), and group takeovers
+  * defer to it. Readers are unlimited in both dimensions. Commits
+  * leave a record in the commit log; [[recoverOrphanedStaging]]
+  * cleans up after a crashed writer; [[ReplicaSync]] builds read
+  * replicas from the commit log.
   */
 class BucketCatalog(spark: SparkSession, root: String,
                     leaseExpiryMs: Long = BucketCatalog.DefaultLeaseExpiryMs) {

@@ -28,9 +28,15 @@ import scala.util.control.NonFatal
   * clustering also means a compacted index serves probes from
   * parquet row groups that are contiguous per cell.
   *
-  * Retraining the quantizer invalidates the index by design (as in any
-  * IVF system); rebuild by deleting `indexPath` and re-firing, or
-  * swap in a new trigger instance with fresh centroids.
+  * Retraining the quantizer no longer invalidates the index (r10):
+  * [[refreshQuantizer]] is a BLUE/GREEN reindex — train new centroids
+  * from the index's own vectors, rebuild the whole relation into the
+  * next generation UNDER the new quantizer with the quantizer
+  * persisted INSIDE that generation (`gen-N/_quantizer`), and flip
+  * atomically via the same `_COMPLETE` marker compaction uses.
+  * Readers resolve (old index, old quantizer) or (new, new), never a
+  * mix, and the spent pair is grace-retained one generation exactly
+  * like a compaction — drift repair without a serving gap.
   */
 final class IvfIndexTrigger(
     spark: SparkSession,
@@ -43,9 +49,18 @@ final class IvfIndexTrigger(
   private val fs = new Path(indexPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private var firesSinceCompact = 0
+  // the LIVE quantizer: constructor centroids until a refresh swaps in
+  // a retrained set together with its generation flip (all mutation
+  // and reads of this var synchronize on the trigger)
+  private var quantizer: Array[Seq[Float]] = centroids
+
+  /** The quantizer current batches are assigned (and queries probed)
+    * under — the constructor's until [[refreshQuantizer]] flips it.
+    */
+  def currentQuantizer: Array[Seq[Float]] = synchronized(quantizer)
 
   def fire(tbk: String, batch: DataFrame): Unit = synchronized {
-    Similarity.ivfIndex(batch.select(col(id), col(emb)), centroids, id, emb)
+    Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
       .write.mode("append").parquet(IvfIndexTrigger.resolveIndexPath(spark, indexPath))
     firesSinceCompact += 1
     if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
@@ -66,12 +81,53 @@ final class IvfIndexTrigger(
     * lands only after the generation is fully written.
     */
   def compact(): Unit = synchronized {
+    publishGeneration(index, quantizer)
+  }
+
+  /** Blue/green quantizer refresh — drift repair WITHOUT a serving
+    * gap: retrain `nCells` centroids from the index's own vectors
+    * (`trainIters` Lloyd iterations over exactly the rows being
+    * served; the index rows carry full embeddings, so the base table
+    * is never read), rebuild the whole relation into the next
+    * generation under the NEW quantizer, persist that quantizer
+    * inside the generation, and flip via the marker. Readers that
+    * resolved before the flip finish on the grace-retained old
+    * (index, quantizer) pair; everyone after gets the new pair;
+    * subsequent [[fire]]s assign under the new quantizer. The rebuild
+    * is row-identical to a fresh build over the same vectors under
+    * the same centroids (assignment under a frozen quantizer is
+    * deterministic). No-op on an empty index.
+    */
+  def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit = synchronized {
+    val corpus = index.select(col(id), col(emb))
+    if (corpus.isEmpty) return
+    val n = if (nCells > 0) nCells else quantizer.length
+    val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
+    publishGeneration(
+      Similarity.ivfIndex(corpus, fresh, id, emb), fresh)
+    quantizer = fresh
+  }
+
+  /** One definition of the generation flip, shared by [[compact]] and
+    * [[refreshQuantizer]]: write `rows` cell-clustered into gen-(N+1)
+    * with `cents` persisted at `gen-(N+1)/_quantizer` (leading
+    * underscore — parquet readers of the generation ignore it), land
+    * the `_COMPLETE` marker LAST, then retire all but the immediate
+    * predecessor. Single-writer like every mutation here; readers are
+    * generation-isolated and never see a partial rewrite or a
+    * mixed (index, quantizer) pair.
+    */
+  private def publishGeneration(
+      rows: DataFrame, cents: Array[Seq[Float]]): Unit = {
     val gens = IvfIndexTrigger.completeGens(fs, indexPath)
     val cur = gens.maxOption
     val next = cur.getOrElse(0L) + 1
-    index.repartition(math.min(centroids.length, 4096), col("cell"))
+    rows.repartition(math.min(cents.length, 4096), col("cell"))
       .sortWithinPartitions("cell", id)
       .write.mode("overwrite").parquet(s"$indexPath/gen-$next")
+    Similarity.centroidsDF(spark, cents)
+      .write.mode("overwrite")
+      .parquet(s"$indexPath/gen-$next/${IvfIndexTrigger.QuantizerDir}")
     fs.create(new Path(s"$indexPath/gen-$next/${IvfIndexTrigger.Marker}"), true).close()
     // retire everything older than the immediate predecessor (grace
     // for readers that resolved just before the marker landed):
@@ -95,14 +151,16 @@ final class IvfIndexTrigger(
     * out-of-process server (the RPC `knn_ivf` job) can answer queries
     * from the maintained index without sharing this JVM.
     */
-  def writeCentroids(path: String): Unit =
-    Similarity.centroidsDF(spark, centroids).write.mode("overwrite").parquet(path)
+  def writeCentroids(path: String): Unit = synchronized {
+    Similarity.centroidsDF(spark, quantizer).write.mode("overwrite").parquet(path)
+  }
 
   /** ANN top-k served from the maintained index (cell-pruned scan;
-    * nProbe = centroids.length degenerates to exact search).
+    * nProbe = nCells degenerates to exact search) under the LIVE
+    * quantizer.
     */
   def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
-    Similarity.ivfTopKIndexed(index, queries, k, centroids, nProbe, id, emb)
+    Similarity.ivfTopKIndexed(index, queries, k, currentQuantizer, nProbe, id, emb)
 
   /** Continuous serving: a STREAM of query vectors answered per
     * micro-batch from the maintained index (stream-side foreachBatch —
@@ -123,6 +181,7 @@ final class IvfIndexTrigger(
 
 object IvfIndexTrigger {
   private[streaming] val Marker = "_COMPLETE"
+  private[graft] val QuantizerDir = "_quantizer"
 
   private def completeGens(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {
@@ -144,5 +203,20 @@ object IvfIndexTrigger {
   def resolveIndexPath(spark: SparkSession, path: String): String = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     completeGens(fs, path).maxOption.map(g => s"$path/gen-$g").getOrElse(path)
+  }
+
+  /** The quantizer PAIRED with the resolved generation, if that
+    * generation carries one (`gen-N/_quantizer`, written by compact
+    * and refreshQuantizer since r10). Serving consumers (the RPC
+    * `knn_ivf` job) prefer this over an external centroids path: a
+    * blue/green quantizer refresh flips index and quantizer in one
+    * marker, so reading the pair from one resolved generation can
+    * never mix an old index with new centroids or vice versa.
+    */
+  def resolveQuantizerPath(spark: SparkSession, path: String): Option[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = resolveIndexPath(spark, path)
+    val q = s"$resolved/$QuantizerDir"
+    if (fs.exists(new Path(q))) Some(q) else None
   }
 }

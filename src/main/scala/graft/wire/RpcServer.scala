@@ -215,6 +215,11 @@ class RpcServer(
     resolved
   }
 
+  private def fsExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def runOpEndpoint(params: Map[Any, Any]): Map[String, Any] = {
     requireQueryable()
     val op = str(params, "op").getOrElse(
@@ -263,18 +268,30 @@ class RpcServer(
         // quantizer) — the base corpus is never touched; `input`/`tbk`
         // is the QUERY relation. nProbe defaults to full probe (exact
         // under any quantizer); clients trade recall for cells probed.
-        val index = (str(opts, "index_tbk"), str(opts, "index")) match {
+        // generation-aware: a compacted trigger index resolves to its
+        // highest complete generation, a flat one to itself. Resolved
+        // ONCE and reused for the quantizer below, so a blue/green
+        // flip landing mid-request can never pair an old index with
+        // new centroids or vice versa.
+        val resolvedIdx = str(opts, "index").map(p =>
+          graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, confinedOpsPath(p)))
+        val index = (str(opts, "index_tbk"), resolvedIdx) match {
           case (Some(t), _) => catalog.read(TimeBucketKey.parse(t))
-          case (None, Some(p)) => spark.read.parquet(
-            // generation-aware: a compacted trigger index resolves to
-            // its highest complete generation, a flat one to itself
-            graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, confinedOpsPath(p)))
+          case (None, Some(p)) => spark.read.parquet(p)
           case _ => throw new IllegalArgumentException(
             "ops: options.index (parquet path) or options.index_tbk required")
         }
-        val cents = graft.ops.Similarity.loadCentroids(
-          spark.read.parquet(confinedOpsPath(str(opts, "centroids").getOrElse(
-            throw new IllegalArgumentException("ops: options.centroids required")))))
+        // quantizer: an explicit options.centroids path wins; otherwise
+        // the resolved generation's own quantizer (gen-N/_quantizer,
+        // written by compaction and blue/green refresh)
+        val genQuantizer = resolvedIdx
+          .map(p => s"$p/${graft.streaming.IvfIndexTrigger.QuantizerDir}")
+          .filter(p => fsExists(p))
+        val cents = graft.ops.Similarity.loadCentroids(spark.read.parquet(
+          str(opts, "centroids").map(confinedOpsPath)
+            .orElse(genQuantizer)
+            .getOrElse(throw new IllegalArgumentException(
+              "ops: options.centroids required (no generation quantizer found beside the index)"))))
         val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
         // probe depth: explicit n_probe wins; else a probe_recall
         // contract (0,1] derives the smallest depth meeting it on a

@@ -2074,6 +2074,11 @@ class OpsSpec extends SparkSpec {
     assert(r("q_knn_ivf") >= 0.8, s"recall-calibrated ivf floor: $r")
     assert(r("q_knn_lsh") >= 0.5, s"recall-targeted lsh floor: $r")
     assert(r("q_knn_pq") >= 0.35, s"recall-targeted pq (2 bits/dim) floor: $r")
+    // r10: the Jaccard banding tier gets a per-run number too — at the
+    // derived near-dup banding the S-curve puts τ=0.9 pairs at
+    // ≈1-3e-7 proposal probability, so anything below ~1 is a
+    // banding/shingle regression, not noise
+    assert(r("q_dedup_minhash") >= 0.95, s"derived minhash banding floor: $r")
   }
 
   test("ivfProbeForRecall: smallest depth meeting the floor on a planted cell structure") {

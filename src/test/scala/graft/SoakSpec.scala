@@ -129,7 +129,12 @@ class SoakSpec extends SparkSpec {
     }.toDF("Epoch", "vec_id", "embedding")
     val cents = graft.ops.Similarity.sampledCentroids(
       embBatch(0).select("vec_id", "embedding"), 4)
-    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, s"$root/_ann_idx")
+    // compactEvery = 10 (r10): a long-lived serving deployment runs
+    // generation compactions DURING ingest, so the soak does too —
+    // the end-state equivalences below must hold across ~10 in-flight
+    // compactions, and the file count stays bounded at the end
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, s"$root/_ann_idx",
+      compactEvery = 10)
     val registry = new graft.streaming.TriggerRegistry
     registry.register("*/1Sec/EMB", trig)
     val pipe = new graft.streaming.IngestPipeline(cat, registry)
@@ -177,6 +182,24 @@ class SoakSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSeq
     assert(gotIdx == wantIdx,
       s"index diverged from rebuild after $commits commits: sizes ${gotIdx.size}/${wantIdx.size}")
+    // the interleaved compactions actually ran and bounded the
+    // serving file count: the index resolves to a generation, at most
+    // one spent generation is grace-retained, and the current
+    // generation holds the compacted file set plus at most
+    // compactEvery appended file sets
+    val idxFs = new org.apache.hadoop.fs.Path(s"$root/_ann_idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolvedIdx = graft.streaming.IvfIndexTrigger.resolveIndexPath(
+      spark, s"$root/_ann_idx")
+    assert(resolvedIdx.contains("gen-"),
+      s"compaction never ran under the soak: $resolvedIdx")
+    val genDirs = idxFs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_ann_idx"))
+      .toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+    assert(genDirs.size <= 2, s"grace retention leak: ${genDirs.map(_.getPath.getName)}")
+    val curParts = idxFs.listStatus(new org.apache.hadoop.fs.Path(resolvedIdx))
+      .toSeq.count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    assert(curParts <= 4 + 10 * 32,
+      s"serving file count unbounded under interleaved compaction: $curParts")
     // per-commit cost must not grow with history (both triggers are
     // O(batch)): late-quartile median vs early-quartile median
     val early = times.slice(10, 40).sorted.apply(15)

@@ -147,4 +147,65 @@ class TriggerSpec extends SparkSpec {
     assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all8, cents)),
       "append after compaction lost or duplicated rows")
   }
+
+  test("blue/green quantizer refresh: rebuild == fresh build under the new quantizer; no serving gap; appends follow the new quantizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-bg").toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = (0 until 25).map { i =>
+      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
+        * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"))).toSet
+    (0 until 3).foreach(b => trig.fire("V/1Sec/EMB", batch(b * 1000)))
+    val all = (0 until 3).map(b => batch(b * 1000)).reduce(_ unionByName _)
+    val genBefore = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    // refresh: retrain from the index's own vectors, rebuild, flip
+    trig.refreshQuantizer(trainIters = 2)
+    val fresh = trig.currentQuantizer
+    assert(!(fresh.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq),
+      "retraining on this corpus should move the centroids")
+    // rebuild under the new quantizer == a fresh build over the same
+    // vectors under the same centroids
+    assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+      "refreshed index diverged from a fresh build under the new quantizer")
+    // the flip is a new generation; the spent pair is grace-retained
+    // so a reader that resolved pre-flip finishes on a complete OLD
+    // (index, quantizer) pair — old or new, never mixed
+    val genAfter = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    assert(genAfter != genBefore, "refresh must flip to a new generation")
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (genBefore != idxPath) // flat pre-gen roots have no marker dir
+      assert(fs.exists(new org.apache.hadoop.fs.Path(genBefore)),
+        "the spent generation must be grace-retained")
+    assert(rowsOf(spark.read.parquet(genAfter)) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)))
+    // the new generation carries ITS OWN quantizer artifact — the
+    // serving pair flips in one marker
+    val qPath = graft.streaming.IvfIndexTrigger.resolveQuantizerPath(spark, idxPath)
+    assert(qPath.exists(_.startsWith(genAfter)), s"quantizer not in the generation: $qPath")
+    val loaded = graft.ops.Similarity.loadCentroids(spark.read.parquet(qPath.get))
+    assert(loaded.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "persisted generation quantizer != the live one")
+    // serving continuity at full probe: exact before and after
+    val q = all.filter(col("vec_id") < 3)
+    val served = trig.topK(q, k = 5, nProbe = fresh.length)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = graft.ops.Similarity.bruteForceTopK(all, q, 5)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == brute, "serving across the flip diverged from exhaustive")
+    // post-refresh appends are assigned under the NEW quantizer
+    trig.fire("V/1Sec/EMB", batch(9000))
+    val all4 = all.unionByName(batch(9000))
+    assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all4, fresh)),
+      "append after refresh must assign under the new quantizer")
+  }
 }

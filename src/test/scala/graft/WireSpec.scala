@@ -513,6 +513,26 @@ class WireSpec extends SparkSpec {
         Map("op" -> "knn_ivf", "input" -> "queries",
           "options" -> Map("index" -> "/etc", "centroids" -> "cents")))
       assert(esc.contains("error"), esc.toString)
+      // blue/green refresh (r10): retrain + rebuild flips the index
+      // AND its quantizer in one generation marker; a request with NO
+      // centroids option serves from the generation's own quantizer —
+      // full probe stays exact across the flip, so the pre-flip
+      // expectation still holds verbatim
+      trig.refreshQuantizer(trainIters = 2)
+      val flipped = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "idx", "k" -> 2L)))
+      val flippedRows = flipped("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(flippedRows == expect, s"across the flip: $flippedRows expected $expect")
+      // probe_recall derives the depth server-side when n_probe is
+      // absent — a contract, not a geometry, crosses the wire
+      val contracted = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "idx", "k" -> 2L, "probe_recall" -> 1.0)))
+      val contractedRows = contracted("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(contractedRows == expect, s"probe_recall=1.0 must stay exact: $contractedRows")
     } finally srv.stop()
   }
 
