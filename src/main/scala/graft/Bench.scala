@@ -136,7 +136,8 @@ object Bench {
   /** Recall@k of each approximate-by-design entry against its exact
     * comparator on the same corpus and queries — the quantitative
     * guard for the four `no_oracle` rows (OpsSpec asserts floors):
-    *  - q_knn_ivf (nProbe 8/16) and q_knn_lsh vs exact cosine top-10;
+    *  - q_knn_ivf (probe depth DERIVED from a 0.85 recall contract,
+    *    r10) and q_knn_lsh vs exact cosine top-10;
     *  - q_knn_pq (trained codebooks) vs exact DOT top-10 (ADC
     *    approximates the dot product);
     *  - q_dedup_simhash (4×16 banding) vs exhaustive Hamming≤3 pairs
@@ -217,18 +218,20 @@ object Bench {
     // at the q_dedup_minhash contract (τ=0.9, n=3): the verified
     // operator's misses are exactly the banding's (verification is
     // exact), so |verified ∩ truth| / |truth| isolates the proposal
-    // stage a banding regression would degrade. Parameters come from
-    // the SAME derivation the near-dup contract names
-    // (minhashParamsForRecall(0.8, 0.999)), so this number guards the
-    // derivation end-to-end, not a hand-picked geometry.
-    val (kMh, bandsMh) = Dedup.minhashParamsForRecall(0.8, 0.999)
+    // stage a banding regression would degrade. SAME parameters as
+    // the entry (the default 64/16 banding, like every other recall
+    // row measures its entry's real geometry — a defaults regression
+    // must trip this number); the derivation itself
+    // (minhashParamsForRecall) is guarded by its own OpsSpec
+    // minimality/floor unit test, and the shipped default sits in its
+    // near-dup regime (s=0.8, floor≈0.999 derives 14×4 vs 16×4).
     val truthJ = Dedup.jaccardPairs(docs, threshold = 0.9, n = 3)
       .select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val denomJ = truthJ.count()
     val rMh =
       if (denomJ == 0) 1.0
-      else Dedup.minhashPairsVerified(docs, threshold = 0.9, k = kMh, bands = bandsMh)
+      else Dedup.minhashPairsVerified(docs, threshold = 0.9)
         .select(col("id1"), col("id2"))
         .join(truthJ, Seq("id1", "id2"), "left_semi").count().toDouble / denomJ
     truthJ.unpersist(blocking = false)

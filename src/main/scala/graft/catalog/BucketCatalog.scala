@@ -373,7 +373,14 @@ class BucketCatalog(spark: SparkSession, root: String,
       else {
         val now = System.currentTimeMillis()
         readLease(scope) match {
-          case Some((w, t, _)) if w == BucketCatalog.processWriterId =>
+          // ts == 0 is an explicit RELEASE — an invitation for anyone
+          // to take over. Our own released lease must NOT resurrect
+          // via plain renewal (a foreign contender may be mid-takeover
+          // on it right now, claim won, rewrite pending — renewal
+          // would put two writers at adjacent tokens); fall through to
+          // the takeover path, whose claim + belt re-read arbitrate.
+          case Some((w, t, ts))
+            if w == BucketCatalog.processWriterId && ts != 0L =>
             writeLease(scope, t, overwrite = true)
             BucketCatalog.leases.put(leaseKey(scope), (t, System.nanoTime()))
             startHeartbeat(scope)
@@ -1458,6 +1465,12 @@ class BucketCatalog(spark: SparkSession, root: String,
     // on the way out.
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     else { ensureWriterLease(None); fenceWriterLease(None) }
+    // group leases taken only FOR the sweep are handed back (ts = 0)
+    // in the finally — ON EVERY EXIT PATH: a sweep that threw
+    // mid-pass must not leave heartbeats renewing leases on groups
+    // this process may never write, or every other process is locked
+    // out of them until this JVM dies
+    val acquiredForSweep = scala.collection.mutable.Set[String]()
     try {
       val p = new Path(root)
       if (!fs.exists(p)) return 0
@@ -1465,7 +1478,6 @@ class BucketCatalog(spark: SparkSession, root: String,
       // per-group sweep under each group's OWN lease; a group owned by
       // a live foreign writer is skipped wholesale
       val held = scala.collection.mutable.Set[String]()
-      val acquiredForSweep = scala.collection.mutable.Set[String]()
       ags.foreach { ag =>
         val hadBefore = rootIsLocalFs ||
           BucketCatalog.leases.containsKey(leaseKey(Some(ag)))
@@ -1486,11 +1498,6 @@ class BucketCatalog(spark: SparkSession, root: String,
         } else log.warn(
           s"orphan sweep skipping $ag — a live foreign writer holds its lease")
       }
-      // group leases taken only FOR the sweep are handed back (ts = 0)
-      // so other processes' writers aren't locked out of groups this
-      // process swept once and may never write
-      def releaseSweepLeases(): Unit =
-        acquiredForSweep.foreach(ag => releaseWriterLease(Some(ag)))
       // root staging dirs (named .staging_<ag>_<nanos>): owner = the
       // longest listed group whose name prefixes the dir (group names
       // may themselves contain '_'); swept only when that group's
@@ -1509,9 +1516,12 @@ class BucketCatalog(spark: SparkSession, root: String,
         }
       }
       swept.foreach(s => fs.delete(s.getPath, true))
-      if (!rootIsLocalFs) releaseSweepLeases()
       swept.size
-    } finally if (!rootIsLocalFs) releaseWriterLease(None)
+    } finally if (!rootIsLocalFs) {
+      acquiredForSweep.foreach(ag =>
+        try releaseWriterLease(Some(ag)) catch { case NonFatal(_) => () })
+      releaseWriterLease(None)
+    }
   }
 
   // --------------------------------------------------------------- reads

@@ -326,8 +326,9 @@ object Dedup {
       if (b * r <= maxK) Some((b * r, b)) else None
     }.nextOption().getOrElse(throw new IllegalArgumentException(
       s"no minhash banding within $maxK hashes reaches recall " +
-        s"$recallFloor at Jaccard $targetJaccard — lower the floor, lower " +
-        "the target similarity, or raise maxK"))
+        s"$recallFloor at Jaccard $targetJaccard — lower the floor, raise " +
+        "the target Jaccard (higher-similarity pairs collide more, so the " +
+        "contract gets cheaper), or raise maxK"))
   }
 
   /** MinHash + LSH banding: candidates share ≥1 of `bands` band

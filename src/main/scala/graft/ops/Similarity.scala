@@ -500,8 +500,9 @@ object Similarity {
       }
     }.nextOption().getOrElse(throw new IllegalArgumentException(
       s"no hyperplane banding within $maxBands bands reaches recall " +
-        s"$recallFloor at similarity $targetSim — lower the floor, lower " +
-        "the target similarity, or raise maxBands"))
+        s"$recallFloor at similarity $targetSim — lower the floor, raise " +
+        "the target similarity (higher-similarity pairs collide more, so " +
+        "the contract gets cheaper), or raise maxBands"))
   }
 
   /** [[lshTopK]] with the banding DERIVED from a recall contract via

@@ -49,10 +49,17 @@ final class IvfIndexTrigger(
   private val fs = new Path(indexPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private var firesSinceCompact = 0
-  // the LIVE quantizer: constructor centroids until a refresh swaps in
-  // a retrained set together with its generation flip (all mutation
-  // and reads of this var synchronize on the trigger)
-  private var quantizer: Array[Seq[Float]] = centroids
+  // the LIVE quantizer (all mutation and reads of this var
+  // synchronize on the trigger): the resolved generation's PERSISTED
+  // quantizer when one exists — a trigger reconstructed after a
+  // blue/green refresh (process restart) must keep assigning under
+  // the retrained set the index was built with, or appends would mix
+  // two quantizers inside one generation; constructor centroids only
+  // for a fresh/pre-refresh index
+  private var quantizer: Array[Seq[Float]] =
+    IvfIndexTrigger.resolveQuantizerPath(spark, indexPath)
+      .map(p => Similarity.loadCentroids(spark.read.parquet(p)))
+      .getOrElse(centroids)
 
   /** The quantizer current batches are assigned (and queries probed)
     * under — the constructor's until [[refreshQuantizer]] flips it.
@@ -81,6 +88,7 @@ final class IvfIndexTrigger(
     * lands only after the generation is fully written.
     */
   def compact(): Unit = synchronized {
+    if (!fs.exists(new Path(indexPath))) return // nothing fired yet
     publishGeneration(index, quantizer)
   }
 
@@ -99,6 +107,7 @@ final class IvfIndexTrigger(
     * deterministic). No-op on an empty index.
     */
   def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit = synchronized {
+    if (!fs.exists(new Path(indexPath))) return // nothing fired yet
     val corpus = index.select(col(id), col(emb))
     if (corpus.isEmpty) return
     val n = if (nCells > 0) nCells else quantizer.length

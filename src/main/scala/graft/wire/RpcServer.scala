@@ -283,8 +283,12 @@ class RpcServer(
         }
         // quantizer: an explicit options.centroids path wins; otherwise
         // the resolved generation's own quantizer (gen-N/_quantizer,
-        // written by compaction and blue/green refresh)
+        // written by compaction and blue/green refresh) — but ONLY
+        // when the rows actually came from that path: with index_tbk
+        // the catalog supplied the rows, and pairing them with an
+        // unrelated path's quantizer would silently mis-probe
         val genQuantizer = resolvedIdx
+          .filter(_ => str(opts, "index_tbk").isEmpty)
           .map(p => s"$p/${graft.streaming.IvfIndexTrigger.QuantizerDir}")
           .filter(p => fsExists(p))
         val cents = graft.ops.Similarity.loadCentroids(spark.read.parquet(

@@ -612,6 +612,16 @@ class CatalogSpec extends SparkSpec {
         java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile)))
     assert(n3.get("ts").asLong() == 0L,
       "the sweep must hand back its root lease (ts = 0)")
+    // our OWN released lease must not resurrect via plain renewal — a
+    // foreign contender may legitimately be mid-takeover on it; the
+    // re-acquire goes through the claim path and BUMPS the token
+    val tok3 = n3.get("token").asLong()
+    cat3.recoverOrphanedStaging()
+    val n3b = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(
+        java.nio.file.Paths.get(root3, BucketCatalog.WriterLeaseFile)))
+    assert(n3b.get("token").asLong() == tok3 + 1 && n3b.get("ts").asLong() == 0L,
+      s"re-acquiring a released lease must bump the fencing token: $n3b")
   }
 
   test("lease takeover: exactly one of 8 concurrent contenders wins the claim (per-group scope); stale claims recovered") {

@@ -207,5 +207,24 @@ class TriggerSpec extends SparkSpec {
     val all4 = all.unionByName(batch(9000))
     assert(rowsOf(trig.index) == rowsOf(graft.ops.Similarity.ivfIndex(all4, fresh)),
       "append after refresh must assign under the new quantizer")
+    // a trigger RECONSTRUCTED over the same path (process restart,
+    // still configured with the ORIGINAL centroids) must adopt the
+    // generation's persisted quantizer — assigning restart appends
+    // under the stale constructor set would mix two quantizers
+    // inside one generation and silently strand rows from probing
+    val trig2 = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    assert(trig2.currentQuantizer.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "reconstructed trigger must restore the generation quantizer")
+    trig2.fire("V/1Sec/EMB", batch(17000))
+    val all5 = all4.unionByName(batch(17000))
+    assert(rowsOf(trig2.index) == rowsOf(graft.ops.Similarity.ivfIndex(all5, fresh)),
+      "restart append must assign under the restored quantizer")
+    // refresh/compact on a never-fired trigger are documented no-ops,
+    // not Path-does-not-exist crashes (a periodic maintenance job may
+    // outrun the first ingest batch)
+    val virgin = new graft.streaming.IvfIndexTrigger(spark, cents,
+      java.nio.file.Files.createTempDirectory("graft-ivf-virgin").toString + "/idx")
+    virgin.refreshQuantizer()
+    virgin.compact()
   }
 }
