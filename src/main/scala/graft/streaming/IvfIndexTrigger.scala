@@ -171,6 +171,21 @@ final class IvfIndexTrigger(
   def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
     Similarity.ivfTopKIndexed(index, queries, k, currentQuantizer, nProbe, id, emb)
 
+  /** [[topK]] with the probe depth DERIVED from a recall contract
+    * against this trigger's own index
+    * ([[graft.ops.Similarity.ivfProbeForRecall]] — the index rows
+    * carry full vectors, so the calibration truth never needs the
+    * base table): the serving call a user should reach for when they
+    * know the recall they need rather than a probe geometry.
+    */
+  def topKAtRecall(queries: DataFrame, k: Int,
+      recallFloor: Double = 0.85, nCal: Int = 64): DataFrame = {
+    val cents = currentQuantizer
+    val nProbe = Similarity.ivfProbeForRecall(
+      index.select(col(id), col(emb)), queries, k, cents, recallFloor, nCal, id, emb)
+    Similarity.ivfTopKIndexed(index, queries, k, cents, nProbe, id, emb)
+  }
+
   /** Continuous serving: a STREAM of query vectors answered per
     * micro-batch from the maintained index (stream-side foreachBatch —
     * each batch of queries runs the same cell-pruned plan as [[topK]],
@@ -212,6 +227,38 @@ object IvfIndexTrigger {
   def resolveIndexPath(spark: SparkSession, path: String): String = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     completeGens(fs, path).maxOption.map(g => s"$path/gen-$g").getOrElse(path)
+  }
+
+  /** Blue/green refresh of an index PATH without a live trigger
+    * instance — the serving-ops entry point (the RPC
+    * `knn_ivf_refresh` job): adopt the resolved generation's
+    * persisted quantizer (a flat pre-generation index seeds from a
+    * deterministic sample of its own rows instead), retrain from the
+    * index's vectors, rebuild into the next generation and flip. The
+    * whole body is [[IvfIndexTrigger.refreshQuantizer]] on a
+    * throwaway instance, so embedded and over-the-wire refreshes can
+    * never diverge. Returns the retrained cell count, or None for a
+    * missing or empty index.
+    */
+  def refreshPath(spark: SparkSession, indexPath: String,
+      nCells: Int = 0, trainIters: Int = 3,
+      id: String = "vec_id", emb: String = "embedding"): Option[Int] = {
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexPath))) return None
+    val rows = spark.read.parquet(resolveIndexPath(spark, indexPath))
+    if (rows.isEmpty) return None
+    // seed centroids only matter for a flat index with no persisted
+    // quantizer (the constructor adopts gen-N/_quantizer otherwise,
+    // and refresh retrains regardless); cell count defaults to the
+    // index's own
+    val seedN =
+      if (nCells > 0) nCells
+      else math.max(1, rows.select("cell").distinct().count().toInt)
+    val seed = Similarity.sampledCentroids(rows, seedN, id, emb)
+    val trig = new IvfIndexTrigger(spark, seed, indexPath, id, emb)
+    trig.refreshQuantizer(nCells, trainIters)
+    Some(trig.currentQuantizer.length)
   }
 
   /** The quantizer PAIRED with the resolved generation, if that

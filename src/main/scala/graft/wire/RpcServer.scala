@@ -229,8 +229,10 @@ class RpcServer(
     // input is either a lake parquet path (confined under the ops
     // root) or a catalog bucket by TBK — the corpus ops run over
     // catalog-stored tables with no export step, and the TBK path is
-    // catalog-confined by construction (no opsRoot needed)
-    val df = (str(params, "tbk"), str(params, "input")) match {
+    // catalog-confined by construction (no opsRoot needed). Lazy:
+    // maintenance ops (knn_ivf_refresh) interpret `input` themselves
+    // (a generation-structured index root is not a flat parquet dir).
+    lazy val df = (str(params, "tbk"), str(params, "input")) match {
       case (Some(t), _) => catalog.read(TimeBucketKey.parse(t))
       case (None, Some(p)) => spark.read.parquet(confinedOpsPath(p))
       case _ => throw new IllegalArgumentException(
@@ -315,6 +317,26 @@ class RpcServer(
         }
         graft.ops.Similarity.ivfTopKIndexed(index, df, k, cents, nProbe)
           .orderBy("query_id", "vec_id")
+      case "knn_ivf_refresh" =>
+        // blue/green reindex ON DEMAND over the wire — drift repair
+        // for a served index without a serving gap: retrain from the
+        // index's own vectors, rebuild into gen-(N+1) with its
+        // quantizer inside, flip via the marker (see
+        // IvfIndexTrigger.refreshPath; readers and the knn_ivf job
+        // resolve old or new, never mixed). `input` is the index
+        // ROOT (generation-structured, so this op interprets it
+        // itself rather than reading it as flat parquet).
+        val p = confinedOpsPath(str(params, "input").getOrElse(
+          throw new IllegalArgumentException("ops: input (index root path) required")))
+        val n = graft.streaming.IvfIndexTrigger.refreshPath(spark, p,
+            nCells = math.min(65536L, math.max(0L, lng(opts, "n_cells").getOrElse(0L))).toInt,
+            trainIters = math.min(10L, math.max(1L, lng(opts, "train_iters").getOrElse(3L))).toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ops: no index rows at ${str(params, "input").get}"))
+        val gen = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, p)
+        import spark.implicits._
+        Seq((gen.substring(gen.lastIndexOf('/') + 1), n))
+          .toDF("generation", "n_cells")
       case "dedup_minhash_delta" =>
         val corpus = spark.read.parquet(confinedOpsPath(str(opts, "corpus").getOrElse(
           throw new IllegalArgumentException("ops: options.corpus required"))))

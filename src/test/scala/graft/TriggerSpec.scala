@@ -226,5 +226,25 @@ class TriggerSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft-ivf-virgin").toString + "/idx")
     virgin.refreshQuantizer()
     virgin.compact()
+    // topKAtRecall: a 1.0 contract calibrates to full probe on this
+    // corpus and therefore answers exactly — the serving call carries
+    // the recall contract end-to-end
+    val servedAt = trig2.topKAtRecall(q, 5, recallFloor = 1.0)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bruteAt = graft.ops.Similarity.bruteForceTopK(all5, q, 5)
+      .orderBy("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedAt == bruteAt, "topKAtRecall(1.0) must answer exactly")
+    // path-level refresh (the wire job's body) on the SAME index:
+    // another flip, still equivalent to a fresh build under the
+    // now-current quantizer
+    val nAfter = graft.streaming.IvfIndexTrigger.refreshPath(spark, idxPath,
+      trainIters = 1)
+    assert(nAfter.contains(4), s"refreshPath cells: $nAfter")
+    val trig3 = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    assert(rowsOf(trig3.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all5, trig3.currentQuantizer)),
+      "refreshPath result must equal a fresh build under its quantizer")
   }
 }

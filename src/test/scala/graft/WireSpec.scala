@@ -533,6 +533,21 @@ class WireSpec extends SparkSpec {
       val contractedRows = contracted("rows").asInstanceOf[Seq[Seq[Any]]]
         .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
       assert(contractedRows == expect, s"probe_recall=1.0 must stay exact: $contractedRows")
+      // knn_ivf_refresh: blue/green reindex ON DEMAND over the wire —
+      // a second retrain flips another generation, and serving (still
+      // no centroids option) keeps answering exactly at full probe
+      val refreshed = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf_refresh", "input" -> "idx",
+          "options" -> Map("train_iters" -> 1L)))
+      val refRow = refreshed("rows").asInstanceOf[Seq[Seq[Any]]].head
+      assert(refRow.head.toString.startsWith("gen-") && refRow(1).toString.toLong > 0,
+        s"refresh must report the flipped generation: $refreshed")
+      val afterRef = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_ivf", "input" -> "queries",
+          "options" -> Map("index" -> "idx", "k" -> 2L)))
+      val afterRefRows = afterRef("rows").asInstanceOf[Seq[Seq[Any]]]
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      assert(afterRefRows == expect, s"serve after wire refresh: $afterRefRows")
     } finally srv.stop()
   }
 
