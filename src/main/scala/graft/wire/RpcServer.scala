@@ -39,6 +39,12 @@ class RpcServer(
   private val sqlService = new SqlService(spark, Some(catalog))
   private val json = new ObjectMapper()
   private val startNanos = System.nanoTime()
+  // (resolved generation path, k, recall floor) → calibrated probe
+  // depth; see the knn_ivf probe_recall branch. Bounded: one entry
+  // per live generation × (k, floor) pair a client actually uses,
+  // and generations are retired by compaction/refresh.
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), Integer]()
   /** frontend/utilities.go:14 `Queryable` — flipped off during bulk
     * maintenance (the reference starts false until WAL replay
     * finishes); read endpoints refuse while unset.
@@ -304,14 +310,34 @@ class RpcServer(
         // bounded calibration sample against the index itself (the
         // index rows carry the full vectors, so the exact calibration
         // truth never needs the base corpus); else full probe (exact
-        // under any quantizer)
+        // under any quantizer). Calibrations are CACHED per resolved
+        // generation — a serving endpoint must not pay the exact
+        // calibration pass per request; the key includes the resolved
+        // gen path, so a compaction or blue/green flip naturally
+        // invalidates (new path, new entry), and the index under one
+        // generation only ever grows by appends assigned under the
+        // SAME quantizer, which leaves cell geometry (and therefore
+        // the calibrated depth) stable.
         val nProbe = lng(opts, "n_probe") match {
           case Some(p) => math.min(cents.length.toLong, math.max(1L, p)).toInt
           case None => dbl(opts, "probe_recall") match {
             case Some(r) =>
-              graft.ops.Similarity.ivfProbeForRecall(
+              val floor = math.min(1.0, math.max(0.01, r))
+              def calibrate(): Int = graft.ops.Similarity.ivfProbeForRecall(
                 index.select(col("vec_id"), col("embedding")), df, k, cents,
-                recallFloor = math.min(1.0, math.max(0.01, r)), nCal = 64)
+                recallFloor = floor, nCal = 64)
+              resolvedIdx match {
+                // cached per (generation, k, floor): the calibrated
+                // depth also assumes a stationary query distribution
+                // across requests — the standard ANN serving
+                // assumption; clients that shift distribution can
+                // pass n_probe explicitly
+                case Some(gp) => probeCache.computeIfAbsent(
+                  (gp, k, floor), _ => calibrate()).intValue()
+                // TBK-backed indexes mutate in place under catalog
+                // writes — no stable cache key, calibrate per request
+                case None => calibrate()
+              }
             case None => cents.length
           }
         }
