@@ -1392,6 +1392,46 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // blue/green quantizer refresh in the serving path (r10): build
+    // under a sampled quantizer, REFRESH (retrain + rebuild into the
+    // next generation, quantizer persisted inside it), append a
+    // post-refresh delta, then serve through a RECONSTRUCTED trigger
+    // (the restart path, which must adopt the generation quantizer,
+    // not its stale constructor centroids) at full probe — exact
+    // under ANY quantizer, so the entire flip sits under the same
+    // exhaustive oracle as the other ivf serving entries
+    "q_knn_ivf_refresh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val cents = Similarity.sampledCentroids(base, 16)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivfbg")
+        .toString + "/idx"
+      val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
+      trig.fire("V/1Sec/EMB", base)
+      trig.refreshQuantizer(trainIters = 1)
+      trig.fire("V/1Sec/EMB", emb.filter(col("vec_id") % 3 === 0))
+      val served = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
+      served.topK(emb.filter(col("vec_id") < 5), k = 10, nProbe = 16)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
+    // probe depth from a recall CONTRACT (r10): at floor 1.0 the
+    // calibration (whose nCal=64 sample contains all five bench
+    // queries) derives a depth whose probed cells provably hold every
+    // true top-10 neighbor of these queries, and both paths rank by
+    // the same (score desc, id asc) — so the derived-depth serve
+    // equals exhaustive search and the DERIVATION ITSELF sits under
+    // the hash oracle, not just a recall floor
+    "q_knn_ivf_atrecall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val cents = Similarity.sampledCentroids(emb, 16)
+      val nProbe = Similarity.ivfProbeForRecall(emb, q, 10, cents, recallFloor = 1.0)
+      Similarity.ivfTopK(emb, q, k = 10, nCells = 16, nProbe = nProbe,
+          centroids = Some(cents))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // PRUNED probe (nProbe=1 of 2 cells) under a full brute-force
     // oracle, via a planted-cluster construction where pruning is
     // PROVABLY exhaustive: vectors become elementwise |x| (even ids)
@@ -3198,6 +3238,33 @@ object SparkEntry {
     // trigger-maintained persisted index at full probe == exhaustive —
     // same oracle as q_knn_ivf_full
     "q_knn_ivf_trigger" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // refreshed-quantizer index served through a reconstructed
+    // trigger at full probe == exhaustive — same oracle as
+    // q_knn_ivf_trigger (full probe is exact under ANY quantizer)
+    "q_knn_ivf_refresh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // recall-contract-derived probe depth at floor 1.0 == exhaustive
+    // on the calibrated queries — same oracle again
+    "q_knn_ivf_atrecall" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          scored AS (SELECT q.query_id, e.vec_id,
               list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS s
