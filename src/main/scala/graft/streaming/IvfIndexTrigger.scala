@@ -60,15 +60,43 @@ final class IvfIndexTrigger(
     IvfIndexTrigger.resolveQuantizerPath(spark, indexPath)
       .map(p => Similarity.loadCentroids(spark.read.parquet(p)))
       .getOrElse(centroids)
+  // the generation this instance last observed; every mutating or
+  // serving entry point re-checks it via [[syncGeneration]] so an
+  // OUT-OF-BAND flip (another process's `knn_ivf_refresh` wire job or
+  // compaction on the same path) is adopted instead of appending or
+  // probing under a stale quantizer — the live-instance counterpart
+  // of the constructor's restart adoption
+  private var knownResolved: String =
+    IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+
+  /** Re-resolve the current generation and adopt its persisted
+    * quantizer if the generation moved since this instance last
+    * looked (one directory listing; called under the instance lock by
+    * every mutating/serving entry point). Returns the resolved path.
+    */
+  private def syncGeneration(): String = {
+    val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+    if (resolved != knownResolved) {
+      val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
+      if (fs.exists(q))
+        quantizer = Similarity.loadCentroids(spark.read.parquet(q.toString))
+      knownResolved = resolved
+    }
+    resolved
+  }
 
   /** The quantizer current batches are assigned (and queries probed)
-    * under — the constructor's until [[refreshQuantizer]] flips it.
+    * under — the constructor's until a refresh (this instance's or an
+    * out-of-band one) flips it.
     */
-  def currentQuantizer: Array[Seq[Float]] = synchronized(quantizer)
+  def currentQuantizer: Array[Seq[Float]] = synchronized {
+    syncGeneration(); quantizer
+  }
 
   def fire(tbk: String, batch: DataFrame): Unit = synchronized {
+    val resolved = syncGeneration()
     Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
-      .write.mode("append").parquet(IvfIndexTrigger.resolveIndexPath(spark, indexPath))
+      .write.mode("append").parquet(resolved)
     firesSinceCompact += 1
     if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
   }
@@ -89,7 +117,13 @@ final class IvfIndexTrigger(
     */
   def compact(): Unit = synchronized {
     if (!fs.exists(new Path(indexPath))) return // nothing fired yet
+    syncGeneration()
+    // losing the slot race means a concurrent publisher (another
+    // process's refresh/compaction) just rewrote the relation — its
+    // generation already bounds the file count, which is all a
+    // compaction is for; the next entry-point call adopts it
     publishGeneration(index, quantizer)
+    ()
   }
 
   /** Blue/green quantizer refresh — drift repair WITHOUT a serving
@@ -108,36 +142,69 @@ final class IvfIndexTrigger(
     */
   def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit = synchronized {
     if (!fs.exists(new Path(indexPath))) return // nothing fired yet
+    syncGeneration()
     val corpus = index.select(col(id), col(emb))
     if (corpus.isEmpty) return
     val n = if (nCells > 0) nCells else quantizer.length
     val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
-    publishGeneration(
-      Similarity.ivfIndex(corpus, fresh, id, emb), fresh)
+    if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb), fresh))
+      // unlike compaction, a lost refresh means THIS retrain never
+      // became the serving state — surface it so the caller retries
+      // instead of believing its drift repair landed
+      throw new IllegalStateException(
+        s"concurrent generation publish on $indexPath — this refresh " +
+          "lost the slot race; re-run it against the new generation")
     quantizer = fresh
   }
 
   /** One definition of the generation flip, shared by [[compact]] and
-    * [[refreshQuantizer]]: write `rows` cell-clustered into gen-(N+1)
-    * with `cents` persisted at `gen-(N+1)/_quantizer` (leading
-    * underscore — parquet readers of the generation ignore it), land
-    * the `_COMPLETE` marker LAST, then retire all but the immediate
-    * predecessor. Single-writer like every mutation here; readers are
-    * generation-isolated and never see a partial rewrite or a
-    * mixed (index, quantizer) pair.
+    * [[refreshQuantizer]]: write `rows` cell-clustered — with `cents`
+    * at `_quantizer` (leading underscore — parquet readers of the
+    * generation ignore it) and the `_COMPLETE` marker already inside
+    * — into a UNIQUE tmp directory, then claim the gen-(N+1) slot by
+    * atomic no-overwrite rename (the manifest version-slot CAS
+    * applied to generations): concurrent publishers from other
+    * processes (the `knn_ivf_refresh` wire job) target the same slot
+    * and exactly one wins; the loser's bytes are dropped, never
+    * half-merged into a marked generation. Returns whether THIS
+    * publish won. The winner retires all but the immediate
+    * predecessor (grace for readers that resolved just before the
+    * flip). Readers are generation-isolated either way — the rename
+    * makes a complete (index, quantizer, marker) trio appear in one
+    * metadata operation.
     */
   private def publishGeneration(
-      rows: DataFrame, cents: Array[Seq[Float]]): Unit = {
+      rows: DataFrame, cents: Array[Seq[Float]]): Boolean = {
     val gens = IvfIndexTrigger.completeGens(fs, indexPath)
     val cur = gens.maxOption
     val next = cur.getOrElse(0L) + 1
+    val tmp = s"$indexPath/.gen_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     rows.repartition(math.min(cents.length, 4096), col("cell"))
       .sortWithinPartitions("cell", id)
-      .write.mode("overwrite").parquet(s"$indexPath/gen-$next")
+      .write.mode("overwrite").parquet(tmp)
     Similarity.centroidsDF(spark, cents)
       .write.mode("overwrite")
-      .parquet(s"$indexPath/gen-$next/${IvfIndexTrigger.QuantizerDir}")
-    fs.create(new Path(s"$indexPath/gen-$next/${IvfIndexTrigger.Marker}"), true).close()
+      .parquet(s"$tmp/${IvfIndexTrigger.QuantizerDir}")
+    fs.create(new Path(s"$tmp/${IvfIndexTrigger.Marker}"), true).close()
+    val dst = new Path(s"$indexPath/gen-$next")
+    val won = fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.ChecksumFileSystem =>
+        try {
+          java.nio.file.Files.move( // atomic; throws if the slot is taken
+            java.nio.file.Paths.get(new Path(tmp).toUri.getPath),
+            java.nio.file.Paths.get(dst.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.DirectoryNotEmptyException => false
+        }
+      case _ => !fs.exists(dst) && fs.rename(new Path(tmp), dst)
+    }
+    if (!won) {
+      try fs.delete(new Path(tmp), true) catch { case NonFatal(_) => () }
+      return false
+    }
     // retire everything older than the immediate predecessor (grace
     // for readers that resolved just before the marker landed):
     // earlier generations, and — once the first generation has itself
@@ -152,7 +219,9 @@ final class IvfIndexTrigger(
         .foreach(s => fs.delete(s.getPath, false))
       catch { case NonFatal(_) => () }
     }
+    knownResolved = s"$indexPath/gen-$next"
     firesSinceCompact = 0
+    true
   }
 
   /** Persist the frozen quantizer beside the index: (index parquet,
@@ -166,24 +235,41 @@ final class IvfIndexTrigger(
 
   /** ANN top-k served from the maintained index (cell-pruned scan;
     * nProbe = nCells degenerates to exact search) under the LIVE
-    * quantizer.
+    * quantizer. The generation is resolved ONCE and its quantizer
+    * snapshotted with it, so a concurrent flip can never pair a new
+    * index with old centroids.
     */
-  def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
-    Similarity.ivfTopKIndexed(index, queries, k, currentQuantizer, nProbe, id, emb)
+  def topK(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val (idxDf, cents) = pinServingPair()
+    Similarity.ivfTopKIndexed(idxDf, queries, k, cents, nProbe, id, emb)
+  }
 
   /** [[topK]] with the probe depth DERIVED from a recall contract
     * against this trigger's own index
     * ([[graft.ops.Similarity.ivfProbeForRecall]] — the index rows
     * carry full vectors, so the calibration truth never needs the
     * base table): the serving call a user should reach for when they
-    * know the recall they need rather than a probe geometry.
+    * know the recall they need rather than a probe geometry. The
+    * calibration and the serve share ONE pinned (index, quantizer)
+    * pair — a flip landing during the calibration job cannot make
+    * the serve probe a new generation with the calibrated-against
+    * centroids.
     */
   def topKAtRecall(queries: DataFrame, k: Int,
       recallFloor: Double = 0.85, nCal: Int = 64): DataFrame = {
-    val cents = currentQuantizer
+    val (idxDf, cents) = pinServingPair()
     val nProbe = Similarity.ivfProbeForRecall(
-      index.select(col(id), col(emb)), queries, k, cents, recallFloor, nCal, id, emb)
-    Similarity.ivfTopKIndexed(index, queries, k, cents, nProbe, id, emb)
+      idxDf.select(col(id), col(emb)), queries, k, cents, recallFloor, nCal, id, emb)
+    Similarity.ivfTopKIndexed(idxDf, queries, k, cents, nProbe, id, emb)
+  }
+
+  /** One consistent (index DataFrame, quantizer) snapshot: resolved
+    * under the lock, the DataFrame pinned to the resolved generation
+    * path (grace retention keeps it readable one flip further).
+    */
+  private def pinServingPair(): (DataFrame, Array[Seq[Float]]) = synchronized {
+    val resolved = syncGeneration()
+    (spark.read.parquet(resolved), quantizer)
   }
 
   /** Continuous serving: a STREAM of query vectors answered per
@@ -248,14 +334,16 @@ object IvfIndexTrigger {
     if (!fs.exists(new Path(indexPath))) return None
     val rows = spark.read.parquet(resolveIndexPath(spark, indexPath))
     if (rows.isEmpty) return None
-    // seed centroids only matter for a flat index with no persisted
-    // quantizer (the constructor adopts gen-N/_quantizer otherwise,
-    // and refresh retrains regardless); cell count defaults to the
-    // index's own
-    val seedN =
-      if (nCells > 0) nCells
-      else math.max(1, rows.select("cell").distinct().count().toInt)
-    val seed = Similarity.sampledCentroids(rows, seedN, id, emb)
+    // seed centroids only matter for a FLAT index with no persisted
+    // quantizer — the constructor adopts gen-N/_quantizer otherwise
+    // and refresh retrains regardless, so don't pay the two seed jobs
+    // (distinct-cell count + hash-sample sort) in the common
+    // already-refreshed case; cell count defaults to the index's own
+    val seed =
+      if (resolveQuantizerPath(spark, indexPath).isDefined) Array.empty[Seq[Float]]
+      else Similarity.sampledCentroids(rows,
+        if (nCells > 0) nCells
+        else math.max(1, rows.select("cell").distinct().count().toInt), id, emb)
     val trig = new IvfIndexTrigger(spark, seed, indexPath, id, emb)
     trig.refreshQuantizer(nCells, trainIters)
     Some(trig.currentQuantizer.length)

@@ -226,6 +226,17 @@ class RpcServer(
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Cheap change signature of a directory (file count + newest
+    * mtime, one listing) — the probe-calibration cache's append
+    * detector.
+    */
+  private def dirSignature(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp).filter(_.isFile)
+    s"${files.length}:${files.map(_.getModificationTime).maxOption.getOrElse(0L)}"
+  }
+
   private def runOpEndpoint(params: Map[Any, Any]): Map[String, Any] = {
     requireQueryable()
     val op = str(params, "op").getOrElse(
@@ -326,16 +337,34 @@ class RpcServer(
               def calibrate(): Int = graft.ops.Similarity.ivfProbeForRecall(
                 index.select(col("vec_id"), col("embedding")), df, k, cents,
                 recallFloor = floor, nCal = 64)
-              resolvedIdx match {
-                // cached per (generation, k, floor): the calibrated
-                // depth also assumes a stationary query distribution
-                // across requests — the standard ANN serving
-                // assumption; clients that shift distribution can
-                // pass n_probe explicitly
-                case Some(gp) => probeCache.computeIfAbsent(
-                  (gp, k, floor), _ => calibrate()).intValue()
-                // TBK-backed indexes mutate in place under catalog
-                // writes — no stable cache key, calibrate per request
+              // cacheable ONLY in the pure-path case: rows from the
+              // resolved generation AND its own quantizer. index_tbk
+              // rows or explicit foreign centroids would poison the
+              // path-keyed entry with a different geometry. The key
+              // carries the generation's file signature (count +
+              // newest mtime) so an append into the SAME generation
+              // re-calibrates — new vectors can displace true
+              // neighbors even under an unchanged quantizer. The
+              // calibrated depth still assumes a stationary query
+              // distribution across requests (the standard ANN
+              // serving assumption); clients that shift distribution
+              // pass n_probe explicitly.
+              val cacheable = resolvedIdx.filter(_ =>
+                str(opts, "index_tbk").isEmpty && str(opts, "centroids").isEmpty)
+              cacheable match {
+                case Some(gp) =>
+                  val key = (s"$gp#${dirSignature(gp)}", k, floor)
+                  Option(probeCache.get(key)).map(_.intValue()).getOrElse {
+                    // compute OUTSIDE the map (a calibration is a
+                    // multi-job Spark pass — never hold a CHM bin
+                    // lock across it); bound the map crudely: retired
+                    // generations and superseded signatures otherwise
+                    // accrete one entry each for a server's lifetime
+                    val d = calibrate()
+                    if (probeCache.size > 512) probeCache.clear()
+                    probeCache.putIfAbsent(key, d)
+                    d
+                  }
                 case None => calibrate()
               }
             case None => cents.length
@@ -409,8 +438,8 @@ class RpcServer(
       case other =>
         throw new IllegalArgumentException(s"ops: unknown op '$other' " +
           "(supported: dedup_exact, dedup_semantic, knn, knn_sq8, knn_ivf, " +
-          "report_card, dedup_minhash_delta, dedup_minhash_index, " +
-          "text_decontaminate)")
+          "knn_ivf_refresh, report_card, dedup_minhash_delta, " +
+          "dedup_minhash_index, text_decontaminate)")
     }
     str(params, "output") match {
       case Some(dest0) =>

@@ -246,5 +246,18 @@ class TriggerSpec extends SparkSpec {
     assert(rowsOf(trig3.index) ==
       rowsOf(graft.ops.Similarity.ivfIndex(all5, trig3.currentQuantizer)),
       "refreshPath result must equal a fresh build under its quantizer")
+    // OUT-OF-BAND flip adoption by a LIVE instance (the wire job's
+    // refreshPath running beside a registered trigger in another
+    // process): after the external flip, the live trigger's next
+    // fire must assign under the NEW generation's quantizer, not its
+    // stale in-memory one — otherwise one generation would mix rows
+    // assigned under two quantizers and probing would strand them
+    val live = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    graft.streaming.IvfIndexTrigger.refreshPath(spark, idxPath, trainIters = 2)
+    live.fire("V/1Sec/EMB", batch(23000))
+    val qLive = live.currentQuantizer
+    val all6 = all5.unionByName(batch(23000))
+    assert(rowsOf(live.index) == rowsOf(graft.ops.Similarity.ivfIndex(all6, qLive)),
+      "a live instance must adopt an out-of-band flip before appending")
   }
 }
