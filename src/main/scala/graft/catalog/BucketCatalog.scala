@@ -163,7 +163,17 @@ class BucketCatalog(spark: SparkSession, root: String,
     //    (the startup orphan sweep).
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     else ensureWriterLease(Some(attGroup))
-    writeLock(root, attGroup).synchronized(body)
+    writeLock(root, attGroup).synchronized {
+      // in-flight/last-mutation bookkeeping for the heartbeat's IDLE
+      // RELEASE (r11): a group mutated once must not stay fenced to
+      // this process for its whole lifetime — but a long-running
+      // commit must never look idle mid-flight, so idleness is
+      // "no mutation ACTIVE and none ENDED recently", not time since
+      // the last lease renewal
+      if (!rootIsLocalFs) BucketCatalog.noteMutationStart(leaseKey(Some(attGroup)))
+      try body
+      finally if (!rootIsLocalFs) BucketCatalog.noteMutationEnd(leaseKey(Some(attGroup)))
+    }
   }
 
   // ---- writer lease (non-local roots) --------------------------------
@@ -367,6 +377,12 @@ class BucketCatalog(spark: SparkSession, root: String,
     */
   private def ensureWriterLease(scope: Option[String]): Unit =
     leaseLock(scope).synchronized {
+      // a mutation is arriving: stamp under the lease lock BEFORE the
+      // fast path, so a heartbeat racing this acquisition (both
+      // synchronize here) can never idle-release the lease between
+      // this return and mutate()'s in-flight bookkeeping — that
+      // release would fail the commit at the fence for no reason
+      BucketCatalog.leaseLastMutation.put(leaseKey(scope), System.nanoTime())
       val renewNanos = leaseExpiryMs * 1000000L / 4
       val cached = BucketCatalog.leases.get(leaseKey(scope))
       if (cached != null && System.nanoTime() - cached._2 < renewNanos) ()
@@ -451,7 +467,19 @@ class BucketCatalog(spark: SparkSession, root: String,
     * the lease, rewrite it with a fresh `ts` — unless the file shows a
     * foreign writer (we were superseded while idle: stop renewing and
     * drop the held entry so the next mutation refuses/fences cleanly).
-    * Never throws into the scheduler.
+    *
+    * IDLE RELEASE (r11): a writer that touched a group once would
+    * otherwise heartbeat it until process death, blocking foreign
+    * writers on that group for its whole lifetime. A scope with no
+    * mutation IN FLIGHT and none ended within
+    * [[BucketCatalog.IdleReleaseQuarters]] quarter-expiries is handed
+    * back instead of renewed (the explicit ts = 0 release, so a
+    * foreign acquirer takes over immediately with a token bump rather
+    * than waiting out an expiry); this process's next mutation on the
+    * group re-acquires through the same takeover path. Idleness is
+    * measured from mutation bookkeeping ([[mutate]]), never from
+    * renewal times — a multi-minute commit keeps its lease however
+    * long its Spark jobs run. Never throws into the scheduler.
     */
   private def startHeartbeat(scope: Option[String]): Unit = {
     val key = leaseKey(scope)
@@ -460,7 +488,10 @@ class BucketCatalog(spark: SparkSession, root: String,
         () => leaseLock(scope).synchronized {
           try {
             Option(BucketCatalog.leases.get(key)).foreach { case (t, _) =>
-              readLease(scope) match {
+              if (BucketCatalog.idleBeyond(key,
+                  leaseExpiryMs / 4 * BucketCatalog.IdleReleaseQuarters))
+                releaseWriterLease(scope)
+              else readLease(scope) match {
                 case Some((w, t2, _))
                   if w == BucketCatalog.processWriterId && t2 == t =>
                   writeLease(scope, t, overwrite = true)
@@ -986,43 +1017,23 @@ class BucketCatalog(spark: SparkSession, root: String,
       try fs.delete(new Path(dir, s".${tmp.getName}.crc"), false)
       catch { case NonFatal(_) => () }
     }
-    val renamed = fs match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem |
-           _: org.apache.hadoop.fs.ChecksumFileSystem =>
+    // the slot CAS itself is the shared no-overwrite rename (see
+    // FsOps.renameNoOverwrite for the per-FileSystem requirements); a
+    // storage error with no destination present throws from there —
+    // drop the loser tmp before letting it propagate
+    val renamed =
+      try graft.core.FsOps.renameNoOverwrite(fs, tmp, dst)
+      catch { case e: java.io.IOException => dropTmp(); throw e }
+    if (renamed) {
+      // a checksummed fs wrote a .crc twin for tmp: carry it to the
+      // destination name (advisory; readers tolerate its absence)
+      if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
         try {
-          java.nio.file.Files.move( // atomic, throws if dst exists
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(dst.toUri.getPath))
-          // a checksummed fs wrote a .crc twin for tmp: carry it to the
-          // destination name (advisory; readers tolerate its absence)
-          val tc = new Path(dir, s".${tmp.getName}.crc")
-          if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
-            try {
-              java.nio.file.Files.move(
-                java.nio.file.Paths.get(tc.toUri.getPath),
-                java.nio.file.Paths.get(new Path(dir, s".${dst.getName}.crc").toUri.getPath),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            } catch { case NonFatal(_) => () }
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
-        // HDFS rename refuses an existing destination (the CAS); the
-        // exists probes around it are only to DIAGNOSE a false rename
-        // — stores whose rename overwrites (some object-store
-        // connectors) must be fronted by a rename-no-overwrite layer
-        // for the slot guarantee to hold, and a rename failing with
-        // NO destination present is an infrastructure error, not a
-        // concurrency fence, and must not masquerade as one.
-        if (fs.exists(dst)) false
-        else if (fs.rename(tmp, dst)) true
-        else if (fs.exists(dst)) false // lost the race inside the rename
-        else {
-          dropTmp()
-          throw new java.io.IOException(
-            s"rename $tmp -> $dst failed but the destination does not " +
-              "exist — storage error (permissions/transient IO), not a " +
-              "version-slot conflict; commit NOT published")
-        }
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(new Path(dir, s".${tmp.getName}.crc").toUri.getPath),
+            java.nio.file.Paths.get(new Path(dir, s".${dst.getName}.crc").toUri.getPath),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case NonFatal(_) => () }
     }
     if (!renamed) {
       dropTmp() // the loser's bytes must not linger as a publishable tmp
@@ -1351,16 +1362,47 @@ class BucketCatalog(spark: SparkSession, root: String,
       // Written to a dotfile then renamed so readers NEVER see a torn
       // record (rename is the atomicity primitive here, same as the
       // manifest flips).
+      //
+      // Multi-writer-safe naming (r11): the per-process counter seeds
+      // ONCE per (process, root) — two processes ingesting DIFFERENT
+      // attribute groups of one root (legal under the per-group
+      // lease) seed from the same directory max and then generate
+      // COLLIDING sequence numbers. A collided name is the one
+      // failure ReplicaSync cannot see: a reused sequence leaves no
+      // gap, so the lost record would silently never reach replicas.
+      // The publish rename is therefore the ALLOCATOR: the tmp name
+      // is unique per attempt, the no-overwrite rename into the
+      // sequence-named slot either wins the number or proves it is
+      // taken, and on a loss the counter re-seeds from the directory
+      // and the next free number is tried.
       val dir = new Path(root, CommitLog)
       fs.mkdirs(dir)
-      val name = f"${nextCommitSeq(dir)}%015d.json"
-      val tmp = new Path(dir, s".tmp_$name")
-      val out = fs.create(tmp, false)
-      out.write(om.writeValueAsBytes(map))
-      out.close()
-      if (!fs.rename(tmp, new Path(dir, name)))
-        log.warn(s"commit record $name for $attGroup could not be published — " +
-          "replicas tailing the commit log will miss this commit")
+      var attempt = 0
+      var published: Option[String] = None
+      while (published.isEmpty && attempt < 32) {
+        val name = f"${nextCommitSeq(dir)}%015d.json"
+        val tmp = new Path(dir,
+          s".tmp_${java.util.UUID.randomUUID().toString.take(8)}_$name")
+        val out = fs.create(tmp, false)
+        out.write(om.writeValueAsBytes(map))
+        out.close()
+        if (graft.core.FsOps.renameNoOverwrite(fs, tmp, new Path(dir, name)))
+          published = Some(name)
+        else {
+          // a foreign group writer took this number first — clean the
+          // loser bytes (and a checksummed fs's .crc twin), re-seed
+          // from the directory, try the next free slot
+          try fs.delete(tmp, false) catch { case NonFatal(_) => () }
+          try fs.delete(new Path(dir, s".${tmp.getName}.crc"), false)
+          catch { case NonFatal(_) => () }
+          reseedCommitSeq(dir)
+          attempt += 1
+        }
+      }
+      if (published.isEmpty)
+        log.warn(s"commit record for $attGroup could not be published after " +
+          s"$attempt sequence-slot collisions — replicas tailing the commit " +
+          "log will miss this commit")
       // keep the log bounded (the reference trims its WAL the same
       // way); the listing this costs is O(retention), not O(history)
       pruneCommitLog()
@@ -1370,16 +1412,31 @@ class BucketCatalog(spark: SparkSession, root: String,
           "replicas tailing the commit log will miss this commit")
     }
 
+  private def maxCommitSeqOnDisk(dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
+      .map(_.toLong).maxOption.getOrElse(0L)
+
   private def nextCommitSeq(dir: Path): Long =
-    commitSeqs.computeIfAbsent(dir.toString, _ => {
-      val max =
-        if (!fs.exists(dir)) 0L
-        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filterNot(_.startsWith("."))
-          .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty)
-          .map(_.toLong).maxOption.getOrElse(0L)
-      new java.util.concurrent.atomic.AtomicLong(max)
-    }).incrementAndGet()
+    commitSeqs.computeIfAbsent(dir.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong(maxCommitSeqOnDisk(dir)))
+      .incrementAndGet()
+
+  /** After a name collision (a foreign group writer published a record
+    * at our number), advance the counter to at least the directory's
+    * true max — the colliding record proves a number >= ours exists on
+    * disk, so the next incrementAndGet lands on a free slot (or
+    * collides again against a still-faster foreign writer and retries).
+    * Monotonic update only: never move the counter backwards past
+    * numbers this process already claimed.
+    */
+  private def reseedCommitSeq(dir: Path): Unit = {
+    val onDisk = maxCommitSeqOnDisk(dir)
+    Option(commitSeqs.get(dir.toString))
+      .foreach(_.updateAndGet(cur => math.max(cur, onDisk)))
+  }
 
   /** Commit records, oldest first (empty if no swaps committed).
     * Bounded by [[BucketCatalog.CommitLogRetention]]: older applied
@@ -1465,19 +1522,25 @@ class BucketCatalog(spark: SparkSession, root: String,
     // on the way out.
     if (rootIsLocalFs) BucketCatalog.acquireProcessLock(root, rootIsLocalFs)
     else { ensureWriterLease(None); fenceWriterLease(None) }
+    // the sweep is a MUTATION for the heartbeat's idle-release
+    // bookkeeping: without the in-flight mark, a sweep outlasting
+    // IdleReleaseQuarters quiet quarters would have its root (and
+    // swept-group) leases handed back MID-SWEEP — exactly the foreign
+    //-writer window the destructive pass must exclude
+    if (!rootIsLocalFs) BucketCatalog.noteMutationStart(leaseKey(None))
     // group leases taken only FOR the sweep are handed back (ts = 0)
     // in the finally — ON EVERY EXIT PATH: a sweep that threw
     // mid-pass must not leave heartbeats renewing leases on groups
     // this process may never write, or every other process is locked
     // out of them until this JVM dies
     val acquiredForSweep = scala.collection.mutable.Set[String]()
+    val held = scala.collection.mutable.Set[String]()
     try {
       val p = new Path(root)
       if (!fs.exists(p)) return 0
       val ags = listAttGroups()
       // per-group sweep under each group's OWN lease; a group owned by
       // a live foreign writer is skipped wholesale
-      val held = scala.collection.mutable.Set[String]()
       ags.foreach { ag =>
         val hadBefore = rootIsLocalFs ||
           BucketCatalog.leases.containsKey(leaseKey(Some(ag)))
@@ -1486,6 +1549,10 @@ class BucketCatalog(spark: SparkSession, root: String,
            catch { case _: IllegalStateException => false })
         if (owned) {
           held += ag
+          // in-flight mark per held group: the staging-dir pass at the
+          // end still relies on this lease, and a multi-minute sweep
+          // must not have it idle-released out from under it
+          if (!rootIsLocalFs) BucketCatalog.noteMutationStart(leaseKey(Some(ag)))
           if (!hadBefore) acquiredForSweep += ag
           referencedFiles(ag).foreach { referenced =>
             listDataFilesOnDisk(ag).filterNot(referenced).foreach { rel =>
@@ -1518,6 +1585,8 @@ class BucketCatalog(spark: SparkSession, root: String,
       swept.foreach(s => fs.delete(s.getPath, true))
       swept.size
     } finally if (!rootIsLocalFs) {
+      held.foreach(ag => BucketCatalog.noteMutationEnd(leaseKey(Some(ag))))
+      BucketCatalog.noteMutationEnd(leaseKey(None))
       acquiredForSweep.foreach(ag =>
         try releaseWriterLease(Some(ag)) catch { case NonFatal(_) => () })
       releaseWriterLease(None)
@@ -2048,6 +2117,48 @@ object BucketCatalog {
   }
   private val leaseHeartbeats = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ScheduledFuture[_]]()
+
+  /** Quarter-expiries a held group lease survives with no mutation
+    * before the heartbeat hands it back (ts = 0) instead of renewing:
+    * 8 quarters = two full expiries of quiet — long enough that a
+    * bursty ingest cadence never thrashes release/re-acquire, short
+    * enough that a one-shot writer stops fencing the group for its
+    * process lifetime.
+    */
+  val IdleReleaseQuarters = 8L
+
+  // per-lease-key mutation bookkeeping for the heartbeat's idle
+  // release: how many mutations are IN FLIGHT (a long Spark commit
+  // must never present as idle), and nanoTime of the last mutation
+  // start/end
+  private val leaseActiveMutations = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  private val leaseLastMutation =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[catalog] def noteMutationStart(key: String): Unit = {
+    leaseLastMutation.put(key, System.nanoTime())
+    leaseActiveMutations
+      .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicInteger)
+      .incrementAndGet()
+    ()
+  }
+
+  private[catalog] def noteMutationEnd(key: String): Unit = {
+    leaseLastMutation.put(key, System.nanoTime())
+    Option(leaseActiveMutations.get(key)).foreach(_.decrementAndGet())
+  }
+
+  /** True iff the key has no mutation in flight and the last one ended
+    * more than `idleMs` ago. A key with NO bookkeeping (a lease
+    * acquired outside [[BucketCatalog.mutate]] — the root-scoped sweep,
+    * which releases explicitly) is never idle-released.
+    */
+  private[catalog] def idleBeyond(key: String, idleMs: Long): Boolean = {
+    val active = Option(leaseActiveMutations.get(key)).exists(_.get > 0)
+    !active && Option(leaseLastMutation.get(key)).exists(l =>
+      System.nanoTime() - l > idleMs * 1000000L)
+  }
 
   // per-canonical-lock-path acquired state: the FileLock (held for
   // the JVM's life). A FAILED acquisition stores nothing, so the next

@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared filesystem commit primitive for every slot publisher in the
+  * engine — the catalog's manifest version slots
+  * ([[graft.catalog.BucketCatalog]]), the IVF index's generation slots
+  * ([[graft.streaming.IvfIndexTrigger]]), and the commit-log record
+  * names. One definition so the no-overwrite requirement is stated
+  * (and audited) in exactly one place.
+  */
+object FsOps {
+
+  /** Atomic NO-OVERWRITE rename — the slot CAS every publisher builds
+    * on. Returns true iff this call moved `src` into a
+    * previously-empty `dst`; false when the destination already
+    * existed (the caller lost the slot; its bytes at `src` are left
+    * untouched for the caller to clean up).
+    *
+    * Hadoop's LOCAL filesystems implement rename as POSIX renameTo,
+    * which silently OVERWRITES an existing destination — local paths
+    * therefore go through nio's Files.move WITHOUT REPLACE_EXISTING
+    * (atomic, refuses an occupied slot). Everything else relies on the
+    * FileSystem's rename refusing an existing destination, which HDFS
+    * guarantees; object-store connectors whose rename overwrites must
+    * be fronted by a rename-no-overwrite layer for the slot guarantee
+    * to hold — the exists probes around the rename only narrow that
+    * window, they cannot close it.
+    *
+    * A rename that fails with NO destination present is an
+    * infrastructure error (permissions, transient IO), not a slot
+    * conflict, and throws rather than masquerading as a lost race —
+    * a caller treating it as "lost" would silently drop a commit.
+    */
+  def renameNoOverwrite(fs: FileSystem, src: Path, dst: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem |
+         _: org.apache.hadoop.fs.ChecksumFileSystem =>
+      try {
+        java.nio.file.Files.move( // atomic; throws if the slot is taken
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // a DIRECTORY move onto an occupied slot surfaces as
+        // DirectoryNotEmpty on some platforms instead
+        case _: java.nio.file.DirectoryNotEmptyException => false
+      }
+    case _ =>
+      if (fs.exists(dst)) false
+      else if (fs.rename(src, dst)) true
+      else if (fs.exists(dst)) false // lost the race inside the rename
+      else throw new java.io.IOException(
+        s"rename $src -> $dst failed but the destination does not " +
+          "exist — storage error (permissions/transient IO), not a " +
+          "slot conflict; the commit was NOT published")
+  }
+}

@@ -624,6 +624,52 @@ class CatalogSpec extends SparkSpec {
       s"re-acquiring a released lease must bump the fencing token: $n3b")
   }
 
+  test("idle group lease is handed back by the heartbeat; re-acquire goes through the takeover path with a bumped token") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    val root = freshRoot()
+    // short expiry: quarter = 125 ms, idle threshold = 8 quarters = 1 s
+    val cat = new BucketCatalog(spark, "nolock:" + root, leaseExpiryMs = 500L)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/IDLE")
+    cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    // raw reads can land in the heartbeat's create-truncate window
+    // (the production readLease retries the same way): retry torn
+    // reads here too
+    def leaseState(): (String, Long) = {
+      var last: Throwable = null
+      for (_ <- 1 to 20) {
+        try return readAgLease(root, "IDLE")
+        catch { case scala.util.control.NonFatal(e) => last = e; Thread.sleep(25) }
+      }
+      throw last
+    }
+    def leaseTs(): Long =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(agLease(root, "IDLE"))).get("ts").asLong()
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val (w0, t0) = leaseState()
+    assert(leaseTs() != 0L, "the lease is live right after a mutation")
+    // IdleReleaseQuarters quiet quarter-expiries later the heartbeat
+    // must RELEASE (ts = 0, token preserved) instead of renewing until
+    // process death — a foreign writer then takes over IMMEDIATELY
+    // (ts = 0 is always-expired), never waiting out a full expiry
+    val deadline = System.currentTimeMillis() + 20000L
+    while (leaseTs() != 0L && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(leaseTs() == 0L, "an idle group lease must be handed back (ts = 0)")
+    val (_, tRel) = leaseState()
+    assert(tRel == t0, "release preserves the fencing token")
+    // this process's next mutation re-acquires through the SAME
+    // takeover path a foreign writer would use (a released lease never
+    // resurrects via plain renewal): immediate, with a bumped token
+    cat.write(tbk, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    val (w2, t2) = leaseState()
+    assert(w2 == w0 && t2 > t0,
+      s"re-acquire after idle release must bump the token: $t0 -> $t2")
+    assert(cat.read(tbk).count() == 2)
+    assert(leaseTs() != 0L, "the re-acquired lease is live again")
+  }
+
   test("lease takeover: exactly one of 8 concurrent contenders wins the claim (per-group scope); stale claims recovered") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
@@ -731,6 +777,37 @@ class CatalogSpec extends SparkSpec {
       assert(tmps.isEmpty, s"[$scheme] loser tmp left behind: $tmps")
       cat.publishManifest("SLOT", 2L, minimalDelta(2L)) // next slot free
     }
+  }
+
+  test("commit-record naming survives a foreign writer's sequence collision (parallel-group commit log)") {
+    val root = freshRoot()
+    val cat = new BucketCatalog(spark, root)
+    val tbk = TimeBucketKey.parse("AAPL/1Min/SEQ")
+    cat.write(tbk, Seq((60L, 1.0, 1.5)).toDF("Epoch", "Open", "Close"))
+    val before = cat.commitHistory()
+    assert(before.size == 1, s"one commit -> one record, got $before")
+    // a FOREIGN process ingesting ANOTHER group of this root (legal
+    // under the per-group lease) seeds its own commit counter from the
+    // same directory max — simulate its next commit landing FIRST by
+    // publishing a record at exactly the number this process's cached
+    // counter will produce next. Pre-r11 the collision either dropped
+    // our record (warn-and-swallow) or clobbered the foreign one
+    // (POSIX rename overwrites) — and a reused number leaves NO gap,
+    // so ReplicaSync could never detect the loss.
+    val dir = java.nio.file.Paths.get(root, BucketCatalog.CommitLog)
+    Files.writeString(dir.resolve(f"${2L}%015d.json"),
+      """{"ts": 1, "attGroup": "FOREIGN_GROUP", "partitions": []}""")
+    cat.write(tbk, Seq((120L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+    val recs = cat.commitHistory()
+    assert(recs.size == 3, s"no record may be lost or clobbered: $recs")
+    assert(recs.count(_.contains("FOREIGN_GROUP")) == 1,
+      s"the foreign writer's record must survive intact: $recs")
+    assert(recs.count(_.contains("\"SEQ\"")) == 2,
+      s"both of this writer's commits must be published: $recs")
+    // the retry re-seeded PAST the collision: the counter stays
+    // monotonic for subsequent commits (no second collision cascade)
+    cat.write(tbk, Seq((180L, 3.0, 3.5)).toDF("Epoch", "Open", "Close"))
+    assert(cat.commitHistory().size == 4)
   }
 
   test("forward ingest appends without rewriting; late data merges; file count stays bounded") {
