@@ -269,25 +269,8 @@ class BucketCatalog(spark: SparkSession, root: String,
     * test roots) go through nio's O_EXCL createFile instead. Returns
     * false when the path already exists (the caller lost the slot).
     */
-  private def createExclusive(p: Path, body: String): Boolean = {
-    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    fs match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem |
-           _: org.apache.hadoop.fs.ChecksumFileSystem =>
-        val local = java.nio.file.Paths.get(p.toUri.getPath)
-        try {
-          java.nio.file.Files.createFile(local) // O_EXCL — atomic on POSIX
-          java.nio.file.Files.write(local, bytes)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
-        try {
-          val out = fs.create(p, false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case NonFatal(_) => false }
-    }
-  }
+  private def createExclusive(p: Path, body: String): Boolean =
+    graft.core.FsOps.createExclusive(fs, p, body)
 
   private[graft] def claimTakeover(scope: Option[String], expiredToken: Long): Long = {
     // per-ATTEMPT nonce, not just the writer id: contenders must be

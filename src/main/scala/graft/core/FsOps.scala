@@ -55,4 +55,31 @@ object FsOps {
           "exist — storage error (permissions/transient IO), not a " +
           "slot conflict; the commit was NOT published")
   }
+
+  /** Atomic create-if-absent with the strongest primitive the
+    * FileSystem offers: HDFS/object-store creates with
+    * overwrite=false are exclusive server-side; Hadoop's LOCAL
+    * filesystems implement them as a check-then-act pair, so local
+    * paths go through nio's O_EXCL createFile instead. Returns false
+    * when the path already exists (the caller lost the slot).
+    */
+  def createExclusive(fs: FileSystem, p: Path, body: String): Boolean = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.ChecksumFileSystem =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(local) // O_EXCL — atomic on POSIX
+          java.nio.file.Files.write(local, bytes)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
 }

@@ -37,6 +37,18 @@ import scala.util.control.NonFatal
   * Readers resolve (old index, old quantizer) or (new, new), never a
   * mix, and the spent pair is grace-retained one generation exactly
   * like a compaction — drift repair without a serving gap.
+  *
+  * Cross-process appends and publishers are serialized by a
+  * SEAL/TICKET protocol (r11) — the moral equivalent of the
+  * reference serializing all trigger writes behind one WAL writer
+  * (executor/wal.go:29-45), scoped to the publish window instead of
+  * the whole ingest: appenders drop a dot-prefixed ticket into the
+  * generation before writing ([[fire]]); a publisher (compaction or
+  * refresh, embedded or via the `knn_ivf_refresh` wire job) seals the
+  * generation, drains live tickets, and only then snapshots — so a
+  * batch acknowledged into gen-N is either inside gen-(N+1)'s rebuild
+  * or written into gen-(N+1) directly by the backed-off appender,
+  * never stranded in the retiring grace generation.
   */
 final class IvfIndexTrigger(
     spark: SparkSession,
@@ -93,12 +105,143 @@ final class IvfIndexTrigger(
     syncGeneration(); quantizer
   }
 
+  /** Append one batch to the live generation, fenced against a
+    * CROSS-PROCESS publisher (another process's `knn_ivf_refresh` wire
+    * job or compaction) by the seal/ticket protocol:
+    *
+    *  1. resolve the generation and drop a TICKET file into it
+    *     (dot-prefixed — invisible to parquet readers);
+    *  2. with the ticket visible, re-check the world: if the
+    *     generation is still the resolved one and carries no live
+    *     SEAL, append — any publisher sealing after this point must
+    *     drain our ticket before taking its corpus snapshot, so the
+    *     batch is provably inside the snapshot or still exclusively
+    *     in the (still-live) generation;
+    *  3. a live seal, or a resolution that moved under us, means a
+    *     publisher owns the relation: back off and retry — the flip
+    *     lands within the publisher's runtime and the retry appends
+    *     into the NEW generation under its quantizer (adopted by
+    *     [[syncGeneration]]).
+    *
+    * Liveness: a seal whose publisher died is broken after
+    * [[IvfIndexTrigger.SealExpiryMs]]; an appender must finish a
+    * batch within [[IvfIndexTrigger.TicketExpiryMs]] or a publisher
+    * may presume it dead (the standard lease clock assumption). This
+    * closes the r10 race where a batch acknowledged into gen-N between
+    * an out-of-band refresh's snapshot and its flip was stranded in
+    * the grace generation and deleted one flip later.
+    */
   def fire(tbk: String, batch: DataFrame): Unit = synchronized {
-    val resolved = syncGeneration()
-    Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
-      .write.mode("append").parquet(resolved)
+    var appended = false
+    while (!appended) {
+      val resolved = syncGeneration()
+      fs.mkdirs(new Path(resolved)) // first-ever fire creates the root
+      val ticket = new Path(resolved,
+        IvfIndexTrigger.TicketPrefix + java.util.UUID.randomUUID().toString.take(8))
+      fs.create(ticket, false).close()
+      val stillCurrent =
+        IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved
+      if (stillCurrent && !sealBlocks(resolved)) {
+        try Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
+          .write.mode("append").parquet(resolved)
+        finally {
+          try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+        }
+        appended = true
+      } else {
+        try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+        IvfIndexTrigger.sealWaits.incrementAndGet()
+        Thread.sleep(50)
+      }
+    }
     firesSinceCompact += 1
     if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
+  }
+
+  /** True iff a LIVE publisher seal guards `resolved` (the appender
+    * must back off). An EXPIRED seal — its publisher died between
+    * sealing and flipping — is broken here so a crashed refresh never
+    * parks ingest forever; the publisher's pre-flip nonce verify keeps
+    * a zombie whose seal was broken from publishing anyway. A torn
+    * read errs toward WAITING (the safe direction).
+    */
+  private def sealBlocks(resolved: String): Boolean = {
+    val p = new Path(resolved, IvfIndexTrigger.SealFile)
+    if (!fs.exists(p)) return false
+    readSeal(p) match {
+      case Some((_, ts))
+        if System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs =>
+        try fs.delete(p, false) catch { case NonFatal(_) => () }
+        false
+      case _ => true
+    }
+  }
+
+  private def readSeal(p: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        Some((n.get("nonce").asText(), n.get("ts").asLong()))
+      } finally in.close()
+    } catch { case NonFatal(_) => None }
+
+  /** Exclusive-create the publisher seal on the resolved generation
+    * (breaking an expired one first). Some(nonce) = this caller owns
+    * the publish; None = a live concurrent publisher does.
+    */
+  private def acquireSeal(resolved: String): Option[String] = {
+    val p = new Path(resolved, IvfIndexTrigger.SealFile)
+    readSeal(p).foreach { case (_, ts) =>
+      if (System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs)
+        try fs.delete(p, false) catch { case NonFatal(_) => () }
+    }
+    val nonce = java.util.UUID.randomUUID().toString
+    val body = s"""{"nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
+    if (graft.core.FsOps.createExclusive(fs, p, body)) Some(nonce) else None
+  }
+
+  private def removeSeal(resolved: String, nonce: String): Unit = {
+    val p = new Path(resolved, IvfIndexTrigger.SealFile)
+    // only our own seal: after an expiry-break a successor publisher
+    // may legitimately hold a NEW seal on this generation
+    if (readSeal(p).exists(_._1 == nonce))
+      try fs.delete(p, false) catch { case NonFatal(_) => () }
+  }
+
+  /** Wait for in-flight appenders of the sealed generation to finish:
+    * tickets younger than [[IvfIndexTrigger.TicketExpiryMs]] are live
+    * writes the corpus snapshot must include; older ones are crashed
+    * appenders (their uncommitted task files sit under `_temporary`,
+    * invisible to readers) and are ignored once the wait budget is
+    * spent. New appenders see the seal after creating their ticket and
+    * back off, so the set drains.
+    */
+  private def drainTickets(resolved: String): Unit = {
+    val dir = new Path(resolved)
+    val deadline = System.currentTimeMillis() + IvfIndexTrigger.TicketExpiryMs + 10000L
+    while (System.currentTimeMillis() < deadline) {
+      val live =
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq.filter(s => s.isFile &&
+          s.getPath.getName.startsWith(IvfIndexTrigger.TicketPrefix) &&
+          System.currentTimeMillis() - s.getModificationTime <=
+            IvfIndexTrigger.TicketExpiryMs)
+      if (live.isEmpty) return
+      Thread.sleep(50)
+    }
+  }
+
+  /** Any visible parquet data in the generation? (A sealed dir may
+    * hold only protocol files — seal/tickets/marker — before the
+    * first append lands.)
+    */
+  private def hasDataFiles(resolved: String): Boolean = {
+    val dir = new Path(resolved)
+    fs.exists(dir) && fs.listStatus(dir).exists(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
   }
 
   /** The maintained (cell, id, embedding) index relation — the highest
@@ -117,13 +260,23 @@ final class IvfIndexTrigger(
     */
   def compact(): Unit = synchronized {
     if (!fs.exists(new Path(indexPath))) return // nothing fired yet
-    syncGeneration()
-    // losing the slot race means a concurrent publisher (another
-    // process's refresh/compaction) just rewrote the relation — its
-    // generation already bounds the file count, which is all a
-    // compaction is for; the next entry-point call adopts it
-    publishGeneration(index, quantizer)
-    ()
+    val resolved = syncGeneration()
+    // losing the seal means a concurrent publisher (another process's
+    // refresh/compaction) owns the relation — its generation already
+    // bounds the file count, which is all a compaction is for; the
+    // next entry-point call adopts it
+    acquireSeal(resolved) match {
+      case None => ()
+      case Some(nonce) =>
+        try {
+          drainTickets(resolved)
+          if (hasDataFiles(resolved)) {
+            publishGeneration(
+              spark.read.parquet(resolved), quantizer, resolved, nonce)
+            ()
+          }
+        } finally removeSeal(resolved, nonce)
+    }
   }
 
   /** Blue/green quantizer refresh — drift repair WITHOUT a serving
@@ -142,19 +295,35 @@ final class IvfIndexTrigger(
     */
   def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit = synchronized {
     if (!fs.exists(new Path(indexPath))) return // nothing fired yet
-    syncGeneration()
-    val corpus = index.select(col(id), col(emb))
-    if (corpus.isEmpty) return
-    val n = if (nCells > 0) nCells else quantizer.length
-    val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
-    if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb), fresh))
-      // unlike compaction, a lost refresh means THIS retrain never
-      // became the serving state — surface it so the caller retries
-      // instead of believing its drift repair landed
-      throw new IllegalStateException(
-        s"concurrent generation publish on $indexPath — this refresh " +
-          "lost the slot race; re-run it against the new generation")
-    quantizer = fresh
+    val resolved = syncGeneration()
+    // SEAL before the corpus snapshot (r11): the snapshot's file
+    // listing happens at the read below, and any append landing after
+    // it but before the flip would be stranded in the grace generation
+    // and deleted one flip later. With the seal held, every appender
+    // either finished before the drain (its files are in the
+    // snapshot) or backs off until the flip and writes into the NEW
+    // generation — no batch can fall between snapshot and flip.
+    val nonce = acquireSeal(resolved).getOrElse(throw new IllegalStateException(
+      s"concurrent generation publish on $indexPath — another publisher " +
+        "holds the seal; re-run this refresh against its generation"))
+    try {
+      drainTickets(resolved)
+      if (!hasDataFiles(resolved)) return
+      val corpus = spark.read.parquet(resolved).select(col(id), col(emb))
+      if (corpus.isEmpty) return
+      val n = if (nCells > 0) nCells else quantizer.length
+      val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
+      IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
+      if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
+          fresh, resolved, nonce))
+        // unlike compaction, a lost refresh means THIS retrain never
+        // became the serving state — surface it so the caller retries
+        // instead of believing its drift repair landed
+        throw new IllegalStateException(
+          s"concurrent generation publish on $indexPath — this refresh " +
+            "lost the slot race; re-run it against the new generation")
+      quantizer = fresh
+    } finally removeSeal(resolved, nonce)
   }
 
   /** One definition of the generation flip, shared by [[compact]] and
@@ -174,7 +343,8 @@ final class IvfIndexTrigger(
     * metadata operation.
     */
   private def publishGeneration(
-      rows: DataFrame, cents: Array[Seq[Float]]): Boolean = {
+      rows: DataFrame, cents: Array[Seq[Float]],
+      sourceResolved: String, sealNonce: String): Boolean = {
     val gens = IvfIndexTrigger.completeGens(fs, indexPath)
     val cur = gens.maxOption
     val next = cur.getOrElse(0L) + 1
@@ -186,21 +356,20 @@ final class IvfIndexTrigger(
       .write.mode("overwrite")
       .parquet(s"$tmp/${IvfIndexTrigger.QuantizerDir}")
     fs.create(new Path(s"$tmp/${IvfIndexTrigger.Marker}"), true).close()
-    val dst = new Path(s"$indexPath/gen-$next")
-    val won = fs match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem |
-           _: org.apache.hadoop.fs.ChecksumFileSystem =>
-        try {
-          java.nio.file.Files.move( // atomic; throws if the slot is taken
-            java.nio.file.Paths.get(new Path(tmp).toUri.getPath),
-            java.nio.file.Paths.get(dst.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.nio.file.DirectoryNotEmptyException => false
-        }
-      case _ => !fs.exists(dst) && fs.rename(new Path(tmp), dst)
+    // pre-flip fence: the seal must still be OURS. If the build
+    // outlived SealExpiryMs an appender broke the seal (possibly a
+    // successor publisher re-sealed) — appends may have landed outside
+    // our snapshot, so publishing it would strand them: abort instead.
+    if (!readSeal(new Path(sourceResolved, IvfIndexTrigger.SealFile))
+        .exists(_._1 == sealNonce)) {
+      try fs.delete(new Path(tmp), true) catch { case NonFatal(_) => () }
+      return false
     }
+    // the slot CAS is the shared no-overwrite rename (FsOps holds the
+    // object-store rename-semantics requirement, stated once for the
+    // manifest version slots and these generation slots alike)
+    val dst = new Path(s"$indexPath/gen-$next")
+    val won = graft.core.FsOps.renameNoOverwrite(fs, new Path(tmp), dst)
     if (!won) {
       try fs.delete(new Path(tmp), true) catch { case NonFatal(_) => () }
       return false
@@ -292,6 +461,44 @@ final class IvfIndexTrigger(
 object IvfIndexTrigger {
   private[streaming] val Marker = "_COMPLETE"
   private[graft] val QuantizerDir = "_quantizer"
+
+  /** Publisher seal: present in a generation while a compaction or
+    * blue/green refresh is snapshotting/rebuilding it (underscore
+    * prefix — parquet readers ignore it). Appenders seeing a live
+    * seal back off until the flip.
+    */
+  private[graft] val SealFile = "_SEALING"
+
+  /** Appender ticket prefix (dot prefix — invisible to readers): one
+    * short-lived file per in-flight [[IvfIndexTrigger.fire]] append;
+    * publishers drain these before snapshotting.
+    */
+  private[graft] val TicketPrefix = ".ticket_"
+
+  /** A seal older than this is a crashed publisher and is broken by
+    * the next appender/publisher; a publisher must flip within it or
+    * its pre-flip nonce verify aborts the publish. Wall-clock lease
+    * semantics — same bounded-skew assumption as the catalog's writer
+    * lease.
+    */
+  @volatile private[graft] var SealExpiryMs: Long = 600000L
+
+  /** An appender must finish one batch within this or a draining
+    * publisher may presume it dead (its uncommitted task files sit in
+    * `_temporary`, invisible to readers either way).
+    */
+  @volatile private[graft] var TicketExpiryMs: Long = 900000L
+
+  /** Observability for tests: how many times an appender backed off on
+    * a live seal or a moved generation.
+    */
+  private[graft] val sealWaits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test-only interleaving hook, invoked inside [[refreshQuantizer]]
+    * after the seal + drain + corpus snapshot, before the publish —
+    * the exact window the r10 race lost appends in.
+    */
+  @volatile private[graft] var testHookMidRefresh: Option[() => Unit] = None
 
   private def completeGens(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {

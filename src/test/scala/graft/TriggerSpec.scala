@@ -260,4 +260,86 @@ class TriggerSpec extends SparkSpec {
     assert(rowsOf(live.index) == rowsOf(graft.ops.Similarity.ivfIndex(all6, qLive)),
       "a live instance must adopt an out-of-band flip before appending")
   }
+
+  test("cross-process refresh vs append: a fire landing mid-refresh survives the flip (seal/ticket fence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-race")
+      .toString + "/idx"
+    // "process A" = the live ingest trigger; "process B" = the
+    // out-of-band refresher (the knn_ivf_refresh wire job). Separate
+    // instances: the JVM instance lock does NOT span them — exactly
+    // like two processes — so the only fence is the on-disk
+    // seal/ticket protocol.
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = (0 until 25).map { i =>
+      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
+        * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("vec_id", "embedding")
+    // dup-sensitive row view (a Set would hide a double-counted batch)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
+        .sortBy(identity).toSeq
+    trigA.fire("V/1Sec/EMB", batch(0))
+    val waitsBefore = graft.streaming.IvfIndexTrigger.sealWaits.get()
+    val fireDone = new java.util.concurrent.CountDownLatch(1)
+    val fireErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // the hook runs inside refreshQuantizer AFTER the seal + ticket
+    // drain + corpus snapshot and BEFORE the flip — the exact window
+    // where the pre-r11 race stranded acknowledged batches in the
+    // grace generation (deleted one flip later)
+    graft.streaming.IvfIndexTrigger.testHookMidRefresh = Some(() => {
+      val t = new Thread(() => {
+        try trigA.fire("V/1Sec/EMB", batch(1000))
+        catch { case e: Throwable => fireErr.set(e) }
+        finally fireDone.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+      // the appender must OBSERVE the seal and back off — it may not
+      // slip its batch into the sealed (already-snapshotted) generation
+      val deadline = System.currentTimeMillis() + 30000L
+      while (graft.streaming.IvfIndexTrigger.sealWaits.get() == waitsBefore &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(graft.streaming.IvfIndexTrigger.sealWaits.get() > waitsBefore,
+        "the mid-refresh appender never hit the seal")
+    })
+    try trigB.refreshQuantizer(trainIters = 1)
+    finally graft.streaming.IvfIndexTrigger.testHookMidRefresh = None
+    assert(fireDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "the mid-refresh fire never completed after the flip")
+    assert(fireErr.get() == null, s"mid-refresh fire failed: ${fireErr.get()}")
+    // the late batch landed in the NEW generation under the NEW
+    // quantizer: index == full rebuild over ALL batches, no loss, no
+    // double count
+    val fresh = trigB.currentQuantizer
+    val all = batch(0).unionByName(batch(1000))
+    assert(rowsOf(trigA.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+      "mid-refresh append lost or duplicated rows across the flip")
+    // ... and it SURVIVES subsequent flips: pre-r11 the stranded batch
+    // sat in the grace generation and was deleted when that retired
+    trigB.compact()
+    trigB.compact()
+    assert(rowsOf(trigA.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+      "the mid-refresh batch must survive generation retirement")
+    // protocol hygiene: no seal or tickets left behind anywhere
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def protocolFiles(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n == graft.streaming.IvfIndexTrigger.SealFile ||
+          n.startsWith(graft.streaming.IvfIndexTrigger.TicketPrefix))
+    val leftovers = (Seq(idxPath) ++ fs.listStatus(
+        new org.apache.hadoop.fs.Path(idxPath)).toSeq
+        .filter(_.isDirectory).map(_.getPath.toString))
+      .flatMap(d => protocolFiles(d).map(f => s"$d/$f"))
+    assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
+  }
 }
