@@ -139,7 +139,10 @@ object Bench {
     *  - q_knn_ivf (probe depth DERIVED from a 0.85 recall contract,
     *    r10) and q_knn_lsh vs exact cosine top-10;
     *  - q_knn_pq (trained codebooks) vs exact DOT top-10 (ADC
-    *    approximates the dot product);
+    *    approximates the dot product), and q_knn_pq_rerank — the
+    *    SERVING composite (same trained codebooks, ADC proposes 50,
+    *    exact dot re-ranks) whose oracle entry runs lossless; this
+    *    number is its recall under REAL (lossy) codebooks;
     *  - q_dedup_simhash (4×16 banding) vs exhaustive Hamming≤3 pairs
     *    anchored at a bounded doc sample (the banding is
     *    pigeonhole-lossless, so this one must be exactly 1.0);
@@ -190,9 +193,19 @@ object Bench {
     // 32×16 = 2 bits/dim (vs the old 8×16 = 0.5) — the coding rate
     // the isotropic 64-d fixture needs for ≥0.5 recall@10 (measured
     // 0.6 at sf0.1; 0.18 at the old rate); same parameters as the
-    // q_knn_pq entry
+    // q_knn_pq entry. Codebooks trained ONCE and injected into both
+    // the bare tier and the rerank composite so the two numbers
+    // measure the same quantizer.
+    val cbTrained = Similarity.trainedPqCodebooks(emb, m = 32, ksub = 16, iters = 2)
     val rPq = overlap(
-      Similarity.pqTopK(emb, q, 10, m = 32, ksub = 16, trainIters = 2), exactDot)
+      Similarity.pqTopK(emb, q, 10, m = 32, ksub = 16,
+        codebooks = Some(cbTrained)), exactDot)
+    // the composite SERVING tier (r11): the same ADC pass proposes 50
+    // candidates, exact dot re-ranks only those — the recall lift the
+    // bare 0.6 tier buys when composed the way sq8RerankTopK is
+    val rPqRerank = overlap(
+      Similarity.pqRerankTopK(emb, q, 10, kCand = 50, m = 32, ksub = 16,
+        codebooks = Some(cbTrained)), exactDot)
     // simhash: ground truth = ALL pairs at Hamming<=3 whose smaller id
     // is in a bounded anchor sample (|sample|×N comparisons — linear
     // in corpus size, not quadratic)
@@ -236,6 +249,7 @@ object Bench {
         .join(truthJ, Seq("id1", "id2"), "left_semi").count().toDouble / denomJ
     truthJ.unpersist(blocking = false)
     Map("q_knn_ivf" -> rIvf, "q_knn_lsh" -> rLsh, "q_knn_pq" -> rPq,
+      "q_knn_pq_rerank" -> rPqRerank,
       "q_dedup_simhash" -> rSim, "q_dedup_minhash" -> rMh)
   }
 }

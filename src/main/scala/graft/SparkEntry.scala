@@ -1520,6 +1520,22 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     }),
+    // PQ candidates + exact re-rank (r11) — the sq8_rerank composition
+    // applied to the PQ tier, under the SAME planted-codeword
+    // exhaustive oracle: encoding is lossless so ADC == dot exactly,
+    // the 50-candidate tier provably contains the true dot top-10,
+    // and the exact-dot re-rank reproduces the exhaustive ranking row
+    // for row. What this pins is the HANDOFF (candidate cut →
+    // raw-vector rejoin → re-rank); the composite's recall under
+    // trained (lossy) codebooks is the bench recall.q_knn_pq_rerank
+    // number (OpsSpec floors it at 0.9 — vs 0.6 for the bare PQ tier)
+    "q_knn_pq_rerank" -> ((s, dir) => {
+      val (planted, cb) = Similarity.plantedPqCorpus(Tables.embeddings(s, dir))
+      Similarity.pqRerankTopK(planted, planted.filter(col("vec_id") < 5),
+          k = 10, kCand = 50, m = 8, ksub = 16, codebooks = Some(cb))
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    }),
     // IVF-PQ (coarse cells routing + per-cell ADC over m-byte codes)
     // under the same planted-codeword oracle: raw (non-residual)
     // encoding is lossless, and probing EVERY cell scores every
@@ -3316,6 +3332,28 @@ object SparkEntry {
     // selection is pure integer arithmetic) and rank by exact dot —
     // lossless encoding makes ADC == dot, see the queries-side note
     "q_knn_pq_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         donors AS (SELECT vec_id AS k, embedding FROM e WHERE vec_id < 16),
+         corpus AS (
+           SELECT v.vec_id, flatten(list(d.embedding[t.j*8+1 : t.j*8+8] ORDER BY t.j)) AS emb
+           FROM e v CROSS JOIN range(0, 8) t(j)
+           JOIN donors d ON d.k = (((v.vec_id * 2654435761) % 4294967296) >> (4*t.j)) & 15
+           GROUP BY v.vec_id),
+         q AS (SELECT vec_id AS query_id, emb AS qe FROM corpus WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, c.vec_id,
+             list_dot_product(c.emb::DOUBLE[], q.qe::DOUBLE[]) AS s
+           FROM corpus c, q WHERE c.vec_id != q.query_id),
+         ranked AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(s, 6) AS score FROM ranked WHERE rk <= 10
+         ORDER BY query_id, vec_id""",
+
+    // PQ candidates + exact-dot re-rank on the lossless planted corpus
+    // == exhaustive dot top-k (candidate metric == re-rank metric and
+    // the lossless 50-cut provably contains the top-10) — identical
+    // oracle to q_knn_pq_exact
+    "q_knn_pq_rerank" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
          donors AS (SELECT vec_id AS k, embedding FROM e WHERE vec_id < 16),
          corpus AS (

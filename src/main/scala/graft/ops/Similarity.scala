@@ -102,11 +102,55 @@ object Similarity {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
     val cand = sq8TopK(sq8Encode(corpus, emb), queries, kCand, id, emb)
       .select(col("query_id"), col(id))
+    exactRerank(cand, corpus, queries, k, id, emb, VectorFunctions.cosineSim)
+  }
+
+  /** PQ candidates + exact re-rank — the [[sq8RerankTopK]] composition
+    * applied to the PQ tier, lifting its serving recall without paying
+    * the raw scan: ADC over the m-byte codes proposes `kCand`
+    * candidates per query (the only corpus-wide pass, over a relation
+    * carrying 4·d/m× less data than the raw vectors), then ONLY those
+    * ≤ queries·kCand rows rejoin the raw vectors for an exact
+    * DOT-product top-k. The re-rank metric is deliberately the one ADC
+    * approximates — candidate and final scores are directly
+    * comparable, and on unit-normalized corpora dot ≅ cosine — so the
+    * output is row-identical to the exhaustive dot top-k whenever the
+    * candidate tier contains the true top-k. With a LOSSLESS codebook
+    * (the planted-codeword construction) that containment is certain,
+    * which puts the whole composite under the exhaustive DuckDB oracle
+    * (`q_knn_pq_rerank`); with trained codebooks kCand/k is the recall
+    * knob (bench measures the composite's recall, OpsSpec floors it).
+    */
+  def pqRerankTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, kCand: Int,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 0,
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = pqTopK(corpus, queries, kCand, m, ksub, trainIters, codebooks,
+        id, emb)
+      .select(col("query_id"), col("vec_id").as(id))
+    exactRerank(cand, corpus, queries, k, id, emb, VectorFunctions.dotF)
+  }
+
+  /** Exact re-rank tail shared by the compressed candidate tiers
+    * ([[sq8RerankTopK]], [[pqRerankTopK]]): ONLY the ≤ queries·kCand
+    * candidate rows rejoin the raw corpus vectors (an equi-join on id
+    * — at 100 TB this reads full-precision vectors for a bounded row
+    * set instead of riding the scan), queries broadcast, and the
+    * exact score ranks top-k under the same (score desc, id asc)
+    * order every exact operator uses. Self-hits were already excluded
+    * by the candidate tier.
+    */
+  private def exactRerank(
+      cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String, emb: String,
+      exact: (Column, Column) => Column): DataFrame = {
     val scored = cand
       .join(corpus.select(col(id), col(emb).as("__cv")), id)
       .join(broadcast(queries.select(col(id).as("query_id"), col(emb).as("__qv"))),
         "query_id")
-      .withColumn("score", VectorFunctions.cosineSim(col("__cv"), col("__qv")))
+      .withColumn("score", exact(col("__cv"), col("__qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(id).asc)
     scored.withColumn("__rank", row_number().over(w))

@@ -1181,6 +1181,25 @@ class OpsSpec extends SparkSpec {
       s"lossless PQ diverged from exhaustive dot top-k")
   }
 
+  test("pqRerankTopK on the planted corpus equals exhaustive dot top-k") {
+    // lossless codebook => ADC == dot, so the 50-candidate tier
+    // provably contains the true top-10 and the exact-dot re-rank is
+    // row-identical to the exhaustive operator — the handoff
+    // (candidate cut -> raw-vector rejoin -> re-rank) is what's pinned
+    val (planted, cb) = plantedPqCorpus
+    val q = planted.filter(col("vec_id") < 5)
+    val out = Similarity.pqRerankTopK(planted, q, k = 10, kCand = 50,
+        m = 8, ksub = 16, codebooks = Some(cb))
+      .orderBy("query_id", "vec_id").select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.nonEmpty && out == bruteDotTop(planted, 10),
+      "PQ+rerank composite diverged from exhaustive dot top-k")
+    // kCand < k refused
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(planted, q, k = 10, kCand = 5)
+    }
+  }
+
   test("ivf-pq full probe on the planted corpus equals exhaustive dot top-k") {
     // raw (non-residual) encoding is lossless on the planted corpus
     // and full probing scores every candidate once whatever the
@@ -2074,6 +2093,11 @@ class OpsSpec extends SparkSpec {
     assert(r("q_knn_ivf") >= 0.8, s"recall-calibrated ivf floor: $r")
     assert(r("q_knn_lsh") >= 0.5, s"recall-targeted lsh floor: $r")
     assert(r("q_knn_pq") >= 0.35, s"recall-targeted pq (2 bits/dim) floor: $r")
+    // r11: the PQ->exact-rerank composite must lift the bare tier to a
+    // servable number — the 50-candidate ADC cut only has to CONTAIN
+    // the true top-10, not order it (measured 0.98 at sf0.001 and
+    // 0.92 at sf0.1, vs 0.68/0.6 for the bare tier)
+    assert(r("q_knn_pq_rerank") >= 0.9, s"pq+exact-rerank composite floor: $r")
     // r10: the Jaccard banding tier gets a per-run number too — at the
     // derived near-dup banding the S-curve puts τ=0.9 pairs at
     // ≈1-3e-7 proposal probability, so anything below ~1 is a
