@@ -63,9 +63,16 @@ object Bench {
       line
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      lines.mkString("", "\n", "\n"))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // ... and an IN-REPO copy: the driver's BENCH_rN.json records a
+    // truncated tail of stdout (~half the per-entry dict lost), so
+    // round-over-round comparison needs the full timing dict committed
+    // alongside the code. Best-effort — cwd may not be the repo.
+    val repoCopy = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full_latest.json")
+    for (p <- Seq(out, repoCopy))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        lines.mkString("", "\n", "\n"))
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

@@ -67,9 +67,31 @@ object SparkEntry {
   private val SampleRates = Map(
     "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1)
 
-  // current q_io_jsonl_roundtrip output dir (one per process; each new
-  // invocation reclaims the previous one's copy)
-  private val jsonlRtDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+  // Previous-invocation temp dirs for entries that materialize an
+  // on-disk artifact (the IVF trigger/compact/refresh index copies,
+  // the JSONL round-trip corpus): each new invocation reclaims the
+  // SAME entry's previous dir — this process has moved past its lazy
+  // reads of it — so repeated Verify/Bench iterations in one process
+  // hold at most ONE artifact copy per entry (plus one shutdown hook
+  // each for the final copy) instead of accumulating one per
+  // iteration. A fixed path instead would race concurrent
+  // Bench/Verify PROCESSES: one's overwrite deletes part files under
+  // the other's lazy read.
+  private val entryTmpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def freshEntryDir(entry: String, prefix: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    entryTmpDirs.put(entry, out) match {
+      case null => sys.addShutdownHook {
+        Option(entryTmpDirs.get(entry)).foreach(d => rm(new java.io.File(d)))
+      }
+      case prev => rm(new java.io.File(prev))
+    }
+    out
+  }
 
   // q_sql_tbk_catalog's backing catalogs, one temp root per INPUT DIR
   // per process: a multi-scale bench run re-invokes the entry with
@@ -1365,8 +1387,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 3 =!= 0)
       val cents = Similarity.sampledCentroids(base, 16)
-      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivftrig")
-        .toString + "/idx"
+      val idxPath = freshEntryDir("q_knn_ivf_trigger", "graft-ivftrig") + "/idx"
       val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
       trig.fire("V/1Sec/EMB", base)
       trig.fire("V/1Sec/EMB", emb.filter(col("vec_id") % 3 === 0))
@@ -1382,8 +1403,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 3 =!= 0)
       val cents = Similarity.sampledCentroids(base, 16)
-      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivfcpt")
-        .toString + "/idx"
+      val idxPath = freshEntryDir("q_knn_ivf_compact", "graft-ivfcpt") + "/idx"
       val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
       trig.fire("V/1Sec/EMB", base)
       trig.compact()
@@ -1404,8 +1424,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 3 =!= 0)
       val cents = Similarity.sampledCentroids(base, 16)
-      val idxPath = java.nio.file.Files.createTempDirectory("graft-ivfbg")
-        .toString + "/idx"
+      val idxPath = freshEntryDir("q_knn_ivf_refresh", "graft-ivfbg") + "/idx"
       val trig = new graft.streaming.IvfIndexTrigger(s, cents, idxPath)
       trig.fire("V/1Sec/EMB", base)
       trig.refreshQuantizer(trainIters = 1)
@@ -1733,22 +1752,9 @@ object SparkEntry {
     // original: quotes, escapes, nulls, and numeric widths all have
     // to survive)
     "q_io_jsonl_roundtrip" -> ((s, dir) => {
-      // per-invocation unique dir (a fixed path races concurrent
-      // Bench/Verify processes: one's overwrite deletes part files
-      // under the other's lazy read). The PREVIOUS invocation's dir is
-      // reclaimed eagerly here — this process has moved past its lazy
-      // read — so repeated bench/verify iterations hold at most one
-      // corpus copy (and one shutdown hook for the last one) instead
-      // of accumulating one per iteration.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_rt").toString
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      jsonlRtDir.getAndSet(out) match {
-        case null => sys.addShutdownHook { rm(new java.io.File(jsonlRtDir.get)) }
-        case prev => rm(new java.io.File(prev))
-      }
+      // per-invocation unique dir with previous-copy reclaim — see
+      // freshEntryDir
+      val out = freshEntryDir("q_io_jsonl_roundtrip", "graft_jsonl_rt")
       Tables.documents(s, dir).write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .json(out)

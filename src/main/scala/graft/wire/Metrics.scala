@@ -20,6 +20,14 @@ final class Metrics {
 
   val startupSeconds = new Gauge
   val wsConnections = new Gauge
+  /** Exact probe-depth calibrations run by the `knn_ivf` job's
+    * `probe_recall` path (engine-specific superset metric): each one
+    * is a bounded exact pass over the index, so the ratio of this to
+    * knn_ivf requests is the calibration cache's miss rate — and a
+    * test/operator can observe that an append or flip actually
+    * re-calibrated rather than serving a stale depth.
+    */
+  val probeCalibrations = new Gauge
   /** All requests, success or error (RPCTotalRequestDuration). */
   val rpcTotal = new Histogram(DefaultBuckets)
   /** Successful requests partitioned by method (label "method"). */
@@ -41,6 +49,9 @@ final class Metrics {
     gauge(s"${Ns}_startup_seconds", "Seconds taken by the startup", startupSeconds)
     gauge(s"${Ns}_ws_connections",
       "Current number of ws connections established", wsConnections)
+    gauge(s"${Ns}_ops_probe_calibrations_total",
+      "Exact probe-depth calibrations run for knn_ivf probe_recall requests",
+      probeCalibrations)
     histogram(sb, s"${Ns}_rpc_total_request_duration_seconds",
       "RPC request processing time for every request", Seq("" -> rpcTotal))
     val byMethod = {

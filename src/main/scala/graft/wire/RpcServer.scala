@@ -334,9 +334,12 @@ class RpcServer(
           case None => dbl(opts, "probe_recall") match {
             case Some(r) =>
               val floor = math.min(1.0, math.max(0.01, r))
-              def calibrate(): Int = graft.ops.Similarity.ivfProbeForRecall(
-                index.select(col("vec_id"), col("embedding")), df, k, cents,
-                recallFloor = floor, nCal = 64)
+              def calibrate(): Int = {
+                metrics.probeCalibrations.inc()
+                graft.ops.Similarity.ivfProbeForRecall(
+                  index.select(col("vec_id"), col("embedding")), df, k, cents,
+                  recallFloor = floor, nCal = 64)
+              }
               // cacheable ONLY in the pure-path case: rows from the
               // resolved generation AND its own quantizer. index_tbk
               // rows or explicit foreign centroids would poison the
@@ -353,7 +356,28 @@ class RpcServer(
                 str(opts, "index_tbk").isEmpty && str(opts, "centroids").isEmpty)
               cacheable match {
                 case Some(gp) =>
-                  val key = (s"$gp#${dirSignature(gp)}", k, floor)
+                  // the calibrated depth is only as good as the query
+                  // distribution it was derived on: the key carries a
+                  // QUERY-SOURCE fingerprint too, so a second client
+                  // with the same (k, floor) but a different query set
+                  // gets its own calibration instead of silently
+                  // inheriting the first client's depth (whose floor
+                  // its distribution may not meet). Within one source
+                  // the fingerprint re-keys on change — parquet paths
+                  // by directory signature, catalog buckets by the
+                  // group's manifest version — leaving only
+                  // same-source stationarity assumed (the standard ANN
+                  // serving contract; shifting clients pass n_probe).
+                  val querySrc = (str(params, "tbk"), str(params, "input")) match {
+                    case (Some(t), _) =>
+                      val ag = TimeBucketKey.parse(t).attGroup
+                      s"tbk:$t@v${catalog.manifestVersions(ag).lastOption.getOrElse(0L)}"
+                    case (None, Some(p)) =>
+                      val cp = confinedOpsPath(p)
+                      s"path:$cp#${dirSignature(cp)}"
+                    case _ => "none"
+                  }
+                  val key = (s"$gp#${dirSignature(gp)}#$querySrc", k, floor)
                   Option(probeCache.get(key)).map(_.intValue()).getOrElse {
                     // compute OUTSIDE the map (a calibration is a
                     // multi-job Spark pass — never hold a CHM bin

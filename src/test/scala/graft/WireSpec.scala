@@ -551,6 +551,75 @@ class WireSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("probe-recall calibration cache: hit on repeat, re-key on append and on a new query source, contract held") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops-cal").toString
+    val corpus0 = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)), (12L, Seq(0.95f, 0.05f)),
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f)),
+      (30L, Seq(-1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.Similarity.sampledCentroids(corpus0, 4)
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, s"$dir/idx")
+    trig.fire("V/1Sec/EMB", corpus0)
+    // compact so the index is generation-resolved with its own
+    // persisted quantizer — the pure-path case the cache serves (an
+    // explicit centroids option is deliberately uncacheable)
+    trig.compact()
+    val q1 = corpus0.filter(col("vec_id") === 10L || col("vec_id") === 20L)
+    q1.write.parquet(s"$dir/queries")
+    val cat = new BucketCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-wire-cal").toString)
+    val srv = new RpcServer(spark, cat, port = 0, opsRoot = Some(dir))
+    srv.start()
+    try {
+      val port = srv.boundPort
+      def serve(input: String): Seq[(Long, Long)] =
+        rpc(port, "OpsService.Run",
+          Map("op" -> "knn_ivf", "input" -> input,
+            "options" -> Map("index" -> "idx", "k" -> 2L, "probe_recall" -> 1.0)))(
+          "rows").asInstanceOf[Seq[Seq[Any]]]
+          .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      def brute(c: org.apache.spark.sql.DataFrame,
+          q: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        graft.ops.Similarity.bruteForceTopK(c, q, 2)
+          .orderBy("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      def cals: Double = srv.metrics.probeCalibrations.get
+      val c0 = cals
+      // first request calibrates (observable at /metrics) and, at
+      // floor 1.0 with the queries inside the calibration sample,
+      // answers exactly
+      assert(serve("queries") == brute(corpus0, q1))
+      assert(cals == c0 + 1, s"first request must calibrate: $c0 -> $cals")
+      // identical request -> cache hit: no second exact pass
+      assert(serve("queries") == brute(corpus0, q1))
+      assert(cals == c0 + 1, s"repeat request must hit the cache: $cals")
+      // an append into the SAME generation (no flip) changes the
+      // directory signature: the cached depth may no longer cover the
+      // new vectors, so the server must RE-calibrate — and the new
+      // neighbors must displace the old ones in the answer
+      val delta = Seq((13L, Seq(0.98f, 0.02f)), (22L, Seq(0.05f, 0.95f)))
+        .toDF("vec_id", "embedding")
+      trig.fire("V/1Sec/EMB", delta)
+      val corpus1 = corpus0.unionByName(delta)
+      assert(serve("queries") == brute(corpus1, q1),
+        "post-append serve must reflect the appended neighbors exactly")
+      assert(cals == c0 + 2, s"append must force a re-calibration: $cals")
+      // a DIFFERENT query source with the same (k, floor) gets its own
+      // calibration — the first client's depth is not silently reused
+      // for a query distribution it was never derived on
+      val q2 = corpus1.filter(col("vec_id") === 30L)
+      q2.write.parquet(s"$dir/queries2")
+      assert(serve("queries2") == brute(corpus1, q2))
+      assert(cals == c0 + 3, s"a new query source must calibrate: $cals")
+      // ... and repeating it hits ITS cache entry
+      assert(serve("queries2") == brute(corpus1, q2))
+      assert(cals == c0 + 3)
+    } finally srv.stop()
+  }
+
   test("OpsService.Run: client paths are confined to the ops root; no root disables ops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ops-confine").toString
