@@ -1369,9 +1369,19 @@ class BucketCatalog(spark: SparkSession, root: String,
         val out = fs.create(tmp, false)
         out.write(om.writeValueAsBytes(map))
         out.close()
-        if (graft.core.FsOps.renameNoOverwrite(fs, tmp, new Path(dir, name)))
+        if (graft.core.FsOps.renameNoOverwrite(fs, tmp, new Path(dir, name))) {
           published = Some(name)
-        else {
+          // a checksummed fs wrote a .crc twin for tmp which the nio
+          // move does not carry: move it to the destination name
+          // (advisory — readers tolerate its absence) so commits don't
+          // each leak one orphaned dotfile pruning never collects
+          if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
+            try java.nio.file.Files.move(
+              java.nio.file.Paths.get(new Path(dir, s".${tmp.getName}.crc").toUri.getPath),
+              java.nio.file.Paths.get(new Path(dir, s".$name.crc").toUri.getPath),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch { case NonFatal(_) => () }
+        } else {
           // a foreign group writer took this number first — clean the
           // loser bytes (and a checksummed fs's .crc twin), re-seed
           // from the directory, try the next free slot

@@ -61,6 +61,9 @@ final class IvfIndexTrigger(
   private val fs = new Path(indexPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private var firesSinceCompact = 0
+  // lazily ensure the index root exists once per instance — not one
+  // mkdirs RPC per batch on the hot append path
+  private var rootEnsured = false
   // the LIVE quantizer (all mutation and reads of this var
   // synchronize on the trigger): the resolved generation's PERSISTED
   // quantizer when one exists — a trigger reconstructed after a
@@ -112,11 +115,12 @@ final class IvfIndexTrigger(
     *  1. resolve the generation and drop a TICKET file into it
     *     (dot-prefixed — invisible to parquet readers);
     *  2. with the ticket visible, re-check the world: if the
-    *     generation is still the resolved one and carries no live
-    *     SEAL, append — any publisher sealing after this point must
-    *     drain our ticket before taking its corpus snapshot, so the
-    *     batch is provably inside the snapshot or still exclusively
-    *     in the (still-live) generation;
+    *     generation carries no live SEAL and is still the resolved
+    *     one (in that order — see [[tryAppendOnce]] for why it is
+    *     load-bearing), append — any publisher sealing after this
+    *     point must drain our ticket before taking its corpus
+    *     snapshot, so the batch is provably inside the snapshot or
+    *     still exclusively in the (still-live) generation;
     *  3. a live seal, or a resolution that moved under us, means a
     *     publisher owns the relation: back off and retry — the flip
     *     lands within the publisher's runtime and the retry appends
@@ -131,31 +135,53 @@ final class IvfIndexTrigger(
     * an out-of-band refresh's snapshot and its flip was stranded in
     * the grace generation and deleted one flip later.
     */
-  def fire(tbk: String, batch: DataFrame): Unit = synchronized {
-    var appended = false
-    while (!appended) {
-      val resolved = syncGeneration()
-      fs.mkdirs(new Path(resolved)) // first-ever fire creates the root
-      val ticket = new Path(resolved,
-        IvfIndexTrigger.TicketPrefix + java.util.UUID.randomUUID().toString.take(8))
-      fs.create(ticket, false).close()
-      val stillCurrent =
-        IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved
-      if (stillCurrent && !sealBlocks(resolved)) {
-        try Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
-          .write.mode("append").parquet(resolved)
-        finally {
-          try fs.delete(ticket, false) catch { case NonFatal(_) => () }
-        }
-        appended = true
-      } else {
-        try fs.delete(ticket, false) catch { case NonFatal(_) => () }
-        IvfIndexTrigger.sealWaits.incrementAndGet()
-        Thread.sleep(50)
-      }
+  def fire(tbk: String, batch: DataFrame): Unit = {
+    // the backoff sleep sits OUTSIDE the instance monitor: a foreign
+    // publisher's runtime must delay this APPEND, never this
+    // instance's serving reads (topK/pinServingPair share the monitor
+    // and a perfectly readable generation is on disk throughout)
+    while (!tryAppendOnce(batch)) {
+      IvfIndexTrigger.sealWaits.incrementAndGet()
+      Thread.sleep(50)
     }
-    firesSinceCompact += 1
-    if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
+    synchronized {
+      firesSinceCompact += 1
+      if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
+    }
+  }
+
+  /** One fenced append attempt; false = a publisher owns the relation
+    * (or the generation moved) — the caller backs off and retries.
+    * Check ORDER is load-bearing: ticket first, then seal, then
+    * resolution-currency.
+    *  - seal absent at the check ⇒ either no publisher is mid-flight
+    *    (one sealing later must drain our already-visible ticket
+    *    before snapshotting) or a publisher already FLIPPED and
+    *    unsealed — and then the resolution check, made AFTER the seal
+    *    check, sees the moved generation and backs off. Checking
+    *    resolution before the seal would leave a window where
+    *    flip+unseal land between the two checks and the append goes
+    *    into the retired generation (lost on its grace expiry).
+    */
+  private def tryAppendOnce(batch: DataFrame): Boolean = synchronized {
+    val resolved = syncGeneration()
+    if (!rootEnsured) { fs.mkdirs(new Path(indexPath)); rootEnsured = true }
+    val ticket = new Path(resolved,
+      IvfIndexTrigger.TicketPrefix + java.util.UUID.randomUUID().toString.take(8))
+    fs.create(ticket, false).close()
+    val clear = !sealBlocks(resolved) &&
+      IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved
+    if (clear) {
+      try Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
+        .write.mode("append").parquet(resolved)
+      finally {
+        try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+      }
+      true
+    } else {
+      try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+      false
+    }
   }
 
   /** True iff a LIVE publisher seal guards `resolved` (the appender
@@ -187,8 +213,9 @@ final class IvfIndexTrigger(
     } catch { case NonFatal(_) => None }
 
   /** Exclusive-create the publisher seal on the resolved generation
-    * (breaking an expired one first). Some(nonce) = this caller owns
-    * the publish; None = a live concurrent publisher does.
+    * (breaking an expired one first) and register its heartbeat
+    * renewal. Some(nonce) = this caller owns the publish; None = a
+    * live concurrent publisher does.
     */
   private def acquireSeal(resolved: String): Option[String] = {
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
@@ -197,16 +224,46 @@ final class IvfIndexTrigger(
         try fs.delete(p, false) catch { case NonFatal(_) => () }
     }
     val nonce = java.util.UUID.randomUUID().toString
-    val body = s"""{"nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
-    if (graft.core.FsOps.createExclusive(fs, p, body)) Some(nonce) else None
+    def body() = s"""{"nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
+    if (!graft.core.FsOps.createExclusive(fs, p, body())) return None
+    // renew every quarter-expiry while held: a long drain/retrain/
+    // rebuild never presents as expired (an appender would break the
+    // seal and the pre-flip nonce fence would waste the whole build),
+    // while a CRASHED publisher stops renewing and is broken within
+    // one expiry. Renewal and removal order through the per-path
+    // monitor; a renewal must re-verify the nonce (an expiry-broken
+    // seal may since belong to a successor).
+    val key = p.toString
+    IvfIndexTrigger.sealHeartbeats.computeIfAbsent(key, _ =>
+      IvfIndexTrigger.sealScheduler.scheduleWithFixedDelay(
+        () => IvfIndexTrigger.sealLock(key).synchronized {
+          try {
+            if (IvfIndexTrigger.sealHeartbeats.containsKey(key) &&
+                readSeal(p).exists(_._1 == nonce)) {
+              val out = fs.create(p, true)
+              try out.write(body().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
+          } catch { case NonFatal(_) => () }
+        },
+        IvfIndexTrigger.SealExpiryMs / 4, IvfIndexTrigger.SealExpiryMs / 4,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    Some(nonce)
   }
 
   private def removeSeal(resolved: String, nonce: String): Unit = {
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
-    // only our own seal: after an expiry-break a successor publisher
-    // may legitimately hold a NEW seal on this generation
-    if (readSeal(p).exists(_._1 == nonce))
-      try fs.delete(p, false) catch { case NonFatal(_) => () }
+    IvfIndexTrigger.sealLock(p.toString).synchronized {
+      // unregister the heartbeat FIRST (inside the monitor): a renewal
+      // observing the removed entry no-ops, so a just-deleted seal can
+      // never be resurrected by a late rewrite
+      Option(IvfIndexTrigger.sealHeartbeats.remove(p.toString))
+        .foreach(_.cancel(false))
+      // only our own seal: after an expiry-break a successor publisher
+      // may legitimately hold a NEW seal on this generation
+      if (readSeal(p).exists(_._1 == nonce))
+        try fs.delete(p, false) catch { case NonFatal(_) => () }
+    }
   }
 
   /** Wait for in-flight appenders of the sealed generation to finish:
@@ -476,18 +533,43 @@ object IvfIndexTrigger {
   private[graft] val TicketPrefix = ".ticket_"
 
   /** A seal older than this is a crashed publisher and is broken by
-    * the next appender/publisher; a publisher must flip within it or
-    * its pre-flip nonce verify aborts the publish. Wall-clock lease
-    * semantics — same bounded-skew assumption as the catalog's writer
-    * lease.
+    * the next appender/publisher. A LIVE publisher renews its seal
+    * every quarter-expiry from a daemon heartbeat for as long as it
+    * holds it (registered by acquireSeal, cancelled by removeSeal) —
+    * so the expiry can stay SHORT (a crashed publisher parks ingest
+    * for at most this long) without bounding how long a legitimate
+    * drain + retrain + rebuild may take. Wall-clock lease semantics —
+    * same bounded-skew assumption as the catalog's writer lease.
     */
-  @volatile private[graft] var SealExpiryMs: Long = 600000L
+  @volatile private[graft] var SealExpiryMs: Long = 60000L
 
   /** An appender must finish one batch within this or a draining
     * publisher may presume it dead (its uncommitted task files sit in
-    * `_temporary`, invisible to readers either way).
+    * `_temporary`, invisible to readers either way). Unlike the seal,
+    * a ticket cannot be heartbeat-renewed — its owner is blocked
+    * inside the parquet write — so this is the one duration bound an
+    * appender must actually meet; a crashed appender symmetrically
+    * parks publishers' drains for at most this long.
     */
-  @volatile private[graft] var TicketExpiryMs: Long = 900000L
+  @volatile private[graft] var TicketExpiryMs: Long = 600000L
+
+  // seal renewal: one daemon thread for every held seal in the
+  // process (the catalog lease heartbeat pattern); per-path monitors
+  // order renewals against removal so a cancelled heartbeat can never
+  // resurrect a seal removeSeal just deleted
+  private val sealScheduler = {
+    val s = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ivf-seal-heartbeat"); t.setDaemon(true); t
+      })
+    s
+  }
+  private val sealHeartbeats = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ScheduledFuture[_]]()
+  private val sealLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[streaming] def sealLock(path: String): Object =
+    sealLocks.computeIfAbsent(path, _ => new Object)
 
   /** Observability for tests: how many times an appender backed off on
     * a live seal or a moved generation.

@@ -49,7 +49,10 @@ final class Metrics {
     gauge(s"${Ns}_startup_seconds", "Seconds taken by the startup", startupSeconds)
     gauge(s"${Ns}_ws_connections",
       "Current number of ws connections established", wsConnections)
-    gauge(s"${Ns}_ops_probe_calibrations_total",
+    // monotonic in practice but exported as a gauge — so the name must
+    // NOT carry the counter-reserved `_total` suffix (OpenMetrics
+    // parsers reject a gauge named `_total`)
+    gauge(s"${Ns}_ops_probe_calibrations",
       "Exact probe-depth calibrations run for knn_ivf probe_recall requests",
       probeCalibrations)
     histogram(sb, s"${Ns}_rpc_total_request_duration_seconds",

@@ -262,7 +262,7 @@ class RpcServer(
             text = str(opts, "text").getOrElse("text"))
           .select(explode(col("ids")).as("doc_id"), col("canonical_id"))
           .orderBy("doc_id")
-      case "knn" | "knn_sq8" =>
+      case "knn" | "knn_sq8" | "knn_pq" =>
         val k = math.min(1000L, math.max(1L, lng(opts, "k").getOrElse(10L))).toInt
         val queries = str(opts, "queries") match {
           case Some(qPath) => spark.read.parquet(confinedOpsPath(qPath))
@@ -273,9 +273,23 @@ class RpcServer(
               math.max(1L, lng(opts, "n_queries").getOrElse(5L))).toInt
             df.orderBy(col("vec_id")).limit(n)
         }
-        val hits = if (op == "knn_sq8")
-          graft.ops.Similarity.sq8TopK(graft.ops.Similarity.sq8Encode(df), queries, k)
-        else graft.ops.Similarity.bruteForceTopK(df, queries, k)
+        val hits = op match {
+          case "knn_sq8" =>
+            graft.ops.Similarity.sq8TopK(graft.ops.Similarity.sq8Encode(df), queries, k)
+          case "knn_pq" =>
+            // the r11 serving composite: ADC candidates + exact-dot
+            // re-rank (scores are DOT products — the metric ADC
+            // approximates; ≅ cosine on unit-normalized corpora).
+            // Codebooks train per job (a batch surface, like the dedup
+            // jobs); kCand/k is the client's recall knob.
+            val kCand = math.min(100000L,
+              math.max(k.toLong, lng(opts, "k_cand").getOrElse(5L * k))).toInt
+            graft.ops.Similarity.pqRerankTopK(df, queries, k, kCand,
+              m = math.min(256L, math.max(1L, lng(opts, "m").getOrElse(32L))).toInt,
+              ksub = math.min(256L, math.max(2L, lng(opts, "ksub").getOrElse(16L))).toInt,
+              trainIters = math.min(10L, math.max(0L, lng(opts, "train_iters").getOrElse(2L))).toInt)
+          case _ => graft.ops.Similarity.bruteForceTopK(df, queries, k)
+        }
         hits.orderBy("query_id", "vec_id")
       case "report_card" =>
         graft.ops.TextAnalysis.sourceReport(df,

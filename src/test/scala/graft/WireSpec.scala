@@ -415,6 +415,17 @@ class WireSpec extends SparkSpec {
       val hits8 = knn8("rows").asInstanceOf[Seq[Seq[Any]]]
         .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
       assert(hits8 == Seq(11L, 12L), s"knn_sq8 rows: ${knn8("rows")}")
+      // knn_pq (r11): ADC candidates + exact-dot re-rank as a server
+      // job — with k_cand covering the whole corpus the composite
+      // answers the exhaustive dot ranking whatever the codebook
+      // quality (scores are dots: 11 -> 0.9, 12 -> 0.0, 13 -> -1.0)
+      val knnPq = rpc(port, "OpsService.Run",
+        Map("op" -> "knn_pq", "input" -> s"$dir/emb",
+          "options" -> Map("k" -> 2L, "n_queries" -> 1L, "k_cand" -> 3L,
+            "m" -> 2L, "ksub" -> 4L, "train_iters" -> 0L)))
+      val hitsPq = knnPq("rows").asInstanceOf[Seq[Seq[Any]]]
+        .filter(_.head == 10L).map(r => r(1).asInstanceOf[Long])
+      assert(hitsPq == Seq(11L, 12L), s"knn_pq rows: ${knnPq("rows")}")
       // report card: per-source health table
       val rep = rpc(port, "OpsService.Run",
         Map("op" -> "report_card", "input" -> s"$dir/docs"))
