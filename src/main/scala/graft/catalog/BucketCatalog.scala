@@ -1004,20 +1004,11 @@ class BucketCatalog(spark: SparkSession, root: String,
     // FsOps.renameNoOverwrite for the per-FileSystem requirements); a
     // storage error with no destination present throws from there —
     // drop the loser tmp before letting it propagate
+    // the slot CAS (and the checksummed-fs .crc-twin carry on a win)
+    // is the shared no-overwrite rename
     val renamed =
       try graft.core.FsOps.renameNoOverwrite(fs, tmp, dst)
       catch { case e: java.io.IOException => dropTmp(); throw e }
-    if (renamed) {
-      // a checksummed fs wrote a .crc twin for tmp: carry it to the
-      // destination name (advisory; readers tolerate its absence)
-      if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(new Path(dir, s".${tmp.getName}.crc").toUri.getPath),
-            java.nio.file.Paths.get(new Path(dir, s".${dst.getName}.crc").toUri.getPath),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } catch { case NonFatal(_) => () }
-    }
     if (!renamed) {
       dropTmp() // the loser's bytes must not linger as a publishable tmp
       throw new IllegalStateException(
@@ -1369,19 +1360,11 @@ class BucketCatalog(spark: SparkSession, root: String,
         val out = fs.create(tmp, false)
         out.write(om.writeValueAsBytes(map))
         out.close()
-        if (graft.core.FsOps.renameNoOverwrite(fs, tmp, new Path(dir, name))) {
+        if (graft.core.FsOps.renameNoOverwrite(fs, tmp, new Path(dir, name)))
+          // the shared rename carries the checksummed-fs .crc twin, so
+          // commits don't each leak an orphan pruning never collects
           published = Some(name)
-          // a checksummed fs wrote a .crc twin for tmp which the nio
-          // move does not carry: move it to the destination name
-          // (advisory — readers tolerate its absence) so commits don't
-          // each leak one orphaned dotfile pruning never collects
-          if (fs match { case _: org.apache.hadoop.fs.ChecksumFileSystem => true; case _ => false })
-            try java.nio.file.Files.move(
-              java.nio.file.Paths.get(new Path(dir, s".${tmp.getName}.crc").toUri.getPath),
-              java.nio.file.Paths.get(new Path(dir, s".$name.crc").toUri.getPath),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            catch { case NonFatal(_) => () }
-        } else {
+        else {
           // a foreign group writer took this number first — clean the
           // loser bytes (and a checksummed fs's .crc twin), re-seed
           // from the directory, try the next free slot

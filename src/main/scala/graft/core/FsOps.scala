@@ -39,6 +39,20 @@ object FsOps {
         java.nio.file.Files.move( // atomic; throws if the slot is taken
           java.nio.file.Paths.get(src.toUri.getPath),
           java.nio.file.Paths.get(dst.toUri.getPath))
+        // a ChecksumFileSystem shadowed src with a `.name.crc` twin
+        // the nio move does not carry: bring it to the destination
+        // name here, in the ONE shared helper, so no slot publisher
+        // leaks an orphaned dotfile per commit (advisory — readers
+        // tolerate its absence; directory moves have no twin and the
+        // inner move just no-ops on NoSuchFile)
+        if (fs.isInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem])
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(
+              new Path(src.getParent, s".${src.getName}.crc").toUri.getPath),
+            java.nio.file.Paths.get(
+              new Path(dst.getParent, s".${dst.getName}.crc").toUri.getPath),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case scala.util.control.NonFatal(_) => () }
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false

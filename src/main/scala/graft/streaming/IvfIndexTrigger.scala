@@ -64,6 +64,10 @@ final class IvfIndexTrigger(
   // lazily ensure the index root exists once per instance — not one
   // mkdirs RPC per batch on the hot append path
   private var rootEnsured = false
+  // serializes this instance's APPENDS against each other (shared
+  // committer staging) without routing them through the instance
+  // monitor serving reads use — see fire()
+  private val appendLock = new Object
   // the LIVE quantizer (all mutation and reads of this var
   // synchronize on the trigger): the resolved generation's PERSISTED
   // quantizer when one exists — a trigger reconstructed after a
@@ -136,13 +140,19 @@ final class IvfIndexTrigger(
     * the grace generation and deleted one flip later.
     */
   def fire(tbk: String, batch: DataFrame): Unit = {
-    // the backoff sleep sits OUTSIDE the instance monitor: a foreign
-    // publisher's runtime must delay this APPEND, never this
-    // instance's serving reads (topK/pinServingPair share the monitor
-    // and a perfectly readable generation is on disk throughout)
-    while (!tryAppendOnce(batch)) {
-      IvfIndexTrigger.sealWaits.incrementAndGet()
-      Thread.sleep(50)
+    // appends serialize against EACH OTHER in-process (concurrent
+    // parquet-append jobs into one directory would share the output
+    // committer's `_temporary` staging) on their OWN lock — never
+    // against serving reads: the instance monitor is held only for
+    // the resolve/ticket/check phase and the counters, not across
+    // the Spark write or the backoff sleep, so topK/pinServingPair
+    // read throughout a foreign publisher's runtime AND this
+    // instance's own batch writes
+    appendLock.synchronized {
+      while (!tryAppendOnce(batch)) {
+        IvfIndexTrigger.sealWaits.incrementAndGet()
+        Thread.sleep(50)
+      }
     }
     synchronized {
       firesSinceCompact += 1
@@ -162,17 +172,23 @@ final class IvfIndexTrigger(
     *    resolution before the seal would leave a window where
     *    flip+unseal land between the two checks and the append goes
     *    into the retired generation (lost on its grace expiry).
+    * Only the resolve + ticket-drop phase holds the instance monitor;
+    * the (generation, quantizer) pair is captured there so the write
+    * outside it can never mix a new generation with stale centroids.
     */
-  private def tryAppendOnce(batch: DataFrame): Boolean = synchronized {
-    val resolved = syncGeneration()
-    if (!rootEnsured) { fs.mkdirs(new Path(indexPath)); rootEnsured = true }
-    val ticket = new Path(resolved,
-      IvfIndexTrigger.TicketPrefix + java.util.UUID.randomUUID().toString.take(8))
-    fs.create(ticket, false).close()
+  private def tryAppendOnce(batch: DataFrame): Boolean = {
+    val (resolved, q, ticket) = synchronized {
+      val r = syncGeneration()
+      if (!rootEnsured) { fs.mkdirs(new Path(indexPath)); rootEnsured = true }
+      val t = new Path(r,
+        IvfIndexTrigger.TicketPrefix + java.util.UUID.randomUUID().toString.take(8))
+      fs.create(t, false).close()
+      (r, quantizer, t)
+    }
     val clear = !sealBlocks(resolved) &&
       IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved
     if (clear) {
-      try Similarity.ivfIndex(batch.select(col(id), col(emb)), quantizer, id, emb)
+      try Similarity.ivfIndex(batch.select(col(id), col(emb)), q, id, emb)
         .write.mode("append").parquet(resolved)
       finally {
         try fs.delete(ticket, false) catch { case NonFatal(_) => () }
@@ -197,8 +213,14 @@ final class IvfIndexTrigger(
     readSeal(p) match {
       case Some((_, ts))
         if System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs =>
-        try fs.delete(p, false) catch { case NonFatal(_) => () }
-        false
+        // the break must actually SUCCEED before an append may
+        // proceed: a zombie publisher whose expired seal we merely
+        // FAILED to remove would still pass its nonce fence and flip
+        // over a batch outside its snapshot — so a failed delete
+        // keeps blocking (the next attempt retries the break)
+        val broken =
+          try fs.delete(p, false) catch { case NonFatal(_) => false }
+        !broken
       case _ => true
     }
   }
@@ -230,30 +252,62 @@ final class IvfIndexTrigger(
     // rebuild never presents as expired (an appender would break the
     // seal and the pre-flip nonce fence would waste the whole build),
     // while a CRASHED publisher stops renewing and is broken within
-    // one expiry. Renewal and removal order through the per-path
-    // monitor; a renewal must re-verify the nonce (an expiry-broken
-    // seal may since belong to a successor).
+    // one expiry. Renewal, the pre-flip fence and removal all order
+    // through ONE per-index monitor (keyed by the index root, so the
+    // map stays bounded by live indexes, not generations ever sealed).
     val key = p.toString
-    IvfIndexTrigger.sealHeartbeats.computeIfAbsent(key, _ =>
-      IvfIndexTrigger.sealScheduler.scheduleWithFixedDelay(
-        () => IvfIndexTrigger.sealLock(key).synchronized {
-          try {
-            if (IvfIndexTrigger.sealHeartbeats.containsKey(key) &&
-                readSeal(p).exists(_._1 == nonce)) {
-              val out = fs.create(p, true)
-              try out.write(body().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
+    IvfIndexTrigger.sealLock(indexPath).synchronized {
+      // REPLACE any surviving registration for this path — we just
+      // exclusively created the seal, so an existing entry belongs to
+      // a predecessor whose expiry-broken seal was never removed; its
+      // closure carries the OLD nonce and would no-op forever, leaving
+      // OUR seal unrenewed and broken mid-rebuild
+      Option(IvfIndexTrigger.sealHeartbeats.remove(key)).foreach(_.cancel(false))
+      IvfIndexTrigger.sealHeartbeats.put(key,
+        IvfIndexTrigger.sealScheduler.scheduleWithFixedDelay(
+          () => IvfIndexTrigger.sealLock(indexPath).synchronized {
+            try {
+              if (IvfIndexTrigger.sealHeartbeats.containsKey(key))
+                readSeal(p) match {
+                  // renew ONLY a seal that is ours AND still live: an
+                  // already-expired one may have been broken and
+                  // re-acquired since our read, and resurrecting it
+                  // would let this zombie pass the nonce fence over
+                  // appends outside its snapshot (the lease rule that
+                  // a released lease never resurrects via renewal).
+                  // Residual window — a scheduler stall between this
+                  // check and the rewrite spanning the seal's
+                  // remaining life — is the standard bounded-stall
+                  // lease assumption, shared with the catalog lease.
+                  case Some((n2, ts)) if n2 == nonce &&
+                      System.currentTimeMillis() - ts < IvfIndexTrigger.SealExpiryMs =>
+                    val out = fs.create(p, true)
+                    try out.write(body().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    finally out.close()
+                  case _ => ()
+                }
+            } catch {
+              case NonFatal(e) =>
+                // never throw into the scheduler, but don't fail
+                // SILENTLY either: repeated renewal failures degrade
+                // the seal to a one-expiry lease an appender will
+                // break mid-rebuild — that needs a diagnostic trail
+                IvfIndexTrigger.log.warn(
+                  s"seal renewal failed for $p: ${e.getMessage} — if this " +
+                    "persists, an appender will break the seal and the " +
+                    "publish will abort at the nonce fence")
             }
-          } catch { case NonFatal(_) => () }
-        },
-        IvfIndexTrigger.SealExpiryMs / 4, IvfIndexTrigger.SealExpiryMs / 4,
-        java.util.concurrent.TimeUnit.MILLISECONDS))
+          },
+          IvfIndexTrigger.SealExpiryMs / 4, IvfIndexTrigger.SealExpiryMs / 4,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      ()
+    }
     Some(nonce)
   }
 
   private def removeSeal(resolved: String, nonce: String): Unit = {
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
-    IvfIndexTrigger.sealLock(p.toString).synchronized {
+    IvfIndexTrigger.sealLock(indexPath).synchronized {
       // unregister the heartbeat FIRST (inside the monitor): a renewal
       // observing the removed entry no-ops, so a just-deleted seal can
       // never be resurrected by a late rewrite
@@ -417,8 +471,14 @@ final class IvfIndexTrigger(
     // outlived SealExpiryMs an appender broke the seal (possibly a
     // successor publisher re-sealed) — appends may have landed outside
     // our snapshot, so publishing it would strand them: abort instead.
-    if (!readSeal(new Path(sourceResolved, IvfIndexTrigger.SealFile))
-        .exists(_._1 == sealNonce)) {
+    // Read under the per-index monitor so the fence can never land in
+    // our OWN heartbeat's truncate-then-write window and falsely abort
+    // a finished build as "concurrent".
+    val sealOk = IvfIndexTrigger.sealLock(indexPath).synchronized {
+      readSeal(new Path(sourceResolved, IvfIndexTrigger.SealFile))
+        .exists(_._1 == sealNonce)
+    }
+    if (!sealOk) {
       try fs.delete(new Path(tmp), true) catch { case NonFatal(_) => () }
       return false
     }
@@ -566,10 +626,16 @@ object IvfIndexTrigger {
   }
   private val sealHeartbeats = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ScheduledFuture[_]]()
+  // keyed by the INDEX ROOT, not the generation path, so the map is
+  // bounded by live indexes (generation numbers grow without bound on
+  // a long-lived trigger) and renewal/fence/removal across a flip all
+  // order through one monitor
   private val sealLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[streaming] def sealLock(path: String): Object =
-    sealLocks.computeIfAbsent(path, _ => new Object)
+  private[streaming] def sealLock(indexRoot: String): Object =
+    sealLocks.computeIfAbsent(indexRoot, _ => new Object)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[IvfIndexTrigger])
 
   /** Observability for tests: how many times an appender backed off on
     * a live seal or a moved generation.
