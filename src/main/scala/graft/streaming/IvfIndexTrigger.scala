@@ -68,6 +68,12 @@ final class IvfIndexTrigger(
   // committer staging) without routing them through the instance
   // monitor serving reads use — see fire()
   private val appendLock = new Object
+  // serializes this instance's PUBLISHERS (compact/refresh) the same
+  // way: the multi-second rebuild runs outside the instance monitor,
+  // so serving reads (topK/pinServingPair) stay answerable throughout
+  // a compaction or blue/green retrain. Lock order is always
+  // publishLock -> instance monitor, never the reverse.
+  private val publishLock = new Object
   // the LIVE quantizer (all mutation and reads of this var
   // synchronize on the trigger): the resolved generation's PERSISTED
   // quantizer when one exists — a trigger reconstructed after a
@@ -154,10 +160,14 @@ final class IvfIndexTrigger(
         Thread.sleep(50)
       }
     }
-    synchronized {
+    // decide under the monitor, compact OUTSIDE it: compact takes
+    // publishLock then the monitor, so calling it with the monitor
+    // held would invert the lock order against a concurrent refresh
+    val doCompact = synchronized {
       firesSinceCompact += 1
-      if (compactEvery > 0 && firesSinceCompact >= compactEvery) compact()
+      compactEvery > 0 && firesSinceCompact >= compactEvery
     }
+    if (doCompact) compact()
   }
 
   /** One fenced append attempt; false = a publisher owns the relation
@@ -369,9 +379,12 @@ final class IvfIndexTrigger(
     * generation-isolated and never see a partial rewrite — the marker
     * lands only after the generation is fully written.
     */
-  def compact(): Unit = synchronized {
+  def compact(): Unit = publishLock.synchronized {
     if (!fs.exists(new Path(indexPath))) return // nothing fired yet
-    val resolved = syncGeneration()
+    // the instance monitor is held only to snapshot (generation,
+    // quantizer); the rewrite itself runs outside it so serving reads
+    // are never parked behind a compaction
+    val (resolved, q) = synchronized { (syncGeneration(), quantizer) }
     // losing the seal means a concurrent publisher (another process's
     // refresh/compaction) owns the relation — its generation already
     // bounds the file count, which is all a compaction is for; the
@@ -383,7 +396,7 @@ final class IvfIndexTrigger(
           drainTickets(resolved)
           if (hasDataFiles(resolved)) {
             publishGeneration(
-              spark.read.parquet(resolved), quantizer, resolved, nonce)
+              spark.read.parquet(resolved), q, resolved, nonce)
             ()
           }
         } finally removeSeal(resolved, nonce)
@@ -404,38 +417,43 @@ final class IvfIndexTrigger(
     * the same centroids (assignment under a frozen quantizer is
     * deterministic). No-op on an empty index.
     */
-  def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit = synchronized {
-    if (!fs.exists(new Path(indexPath))) return // nothing fired yet
-    val resolved = syncGeneration()
-    // SEAL before the corpus snapshot (r11): the snapshot's file
-    // listing happens at the read below, and any append landing after
-    // it but before the flip would be stranded in the grace generation
-    // and deleted one flip later. With the seal held, every appender
-    // either finished before the drain (its files are in the
-    // snapshot) or backs off until the flip and writes into the NEW
-    // generation — no batch can fall between snapshot and flip.
-    val nonce = acquireSeal(resolved).getOrElse(throw new IllegalStateException(
-      s"concurrent generation publish on $indexPath — another publisher " +
-        "holds the seal; re-run this refresh against its generation"))
-    try {
-      drainTickets(resolved)
-      if (!hasDataFiles(resolved)) return
-      val corpus = spark.read.parquet(resolved).select(col(id), col(emb))
-      if (corpus.isEmpty) return
-      val n = if (nCells > 0) nCells else quantizer.length
-      val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
-      IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
-      if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
-          fresh, resolved, nonce))
-        // unlike compaction, a lost refresh means THIS retrain never
-        // became the serving state — surface it so the caller retries
-        // instead of believing its drift repair landed
-        throw new IllegalStateException(
-          s"concurrent generation publish on $indexPath — this refresh " +
-            "lost the slot race; re-run it against the new generation")
-      quantizer = fresh
-    } finally removeSeal(resolved, nonce)
-  }
+  def refreshQuantizer(nCells: Int = 0, trainIters: Int = 3): Unit =
+    publishLock.synchronized {
+      if (!fs.exists(new Path(indexPath))) return // nothing fired yet
+      // the monitor is held only to snapshot (generation, cell count);
+      // the retrain + rebuild run outside it so serving reads are
+      // never parked behind a refresh (the flip itself updates the
+      // live (generation, quantizer) pair atomically under the
+      // monitor inside publishGeneration)
+      val (resolved, nSeed) = synchronized { (syncGeneration(), quantizer.length) }
+      // SEAL before the corpus snapshot (r11): the snapshot's file
+      // listing happens at the read below, and any append landing after
+      // it but before the flip would be stranded in the grace generation
+      // and deleted one flip later. With the seal held, every appender
+      // either finished before the drain (its files are in the
+      // snapshot) or backs off until the flip and writes into the NEW
+      // generation — no batch can fall between snapshot and flip.
+      val nonce = acquireSeal(resolved).getOrElse(throw new IllegalStateException(
+        s"concurrent generation publish on $indexPath — another publisher " +
+          "holds the seal; re-run this refresh against its generation"))
+      try {
+        drainTickets(resolved)
+        if (!hasDataFiles(resolved)) return
+        val corpus = spark.read.parquet(resolved).select(col(id), col(emb))
+        if (corpus.isEmpty) return
+        val n = if (nCells > 0) nCells else nSeed
+        val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
+        IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
+        if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
+            fresh, resolved, nonce))
+          // unlike compaction, a lost refresh means THIS retrain never
+          // became the serving state — surface it so the caller retries
+          // instead of believing its drift repair landed
+          throw new IllegalStateException(
+            s"concurrent generation publish on $indexPath — this refresh " +
+              "lost the slot race; re-run it against the new generation")
+      } finally removeSeal(resolved, nonce)
+    }
 
   /** One definition of the generation flip, shared by [[compact]] and
     * [[refreshQuantizer]]: write `rows` cell-clustered — with `cents`
@@ -505,8 +523,17 @@ final class IvfIndexTrigger(
         .foreach(s => fs.delete(s.getPath, false))
       catch { case NonFatal(_) => () }
     }
-    knownResolved = s"$indexPath/gen-$next"
-    firesSinceCompact = 0
+    // the live serving state flips ATOMICALLY under the instance
+    // monitor — generation AND quantizer together, so a fire or
+    // serving read between the marker landing and this update can
+    // never pair the new generation with stale centroids (it either
+    // sees the old consistent pair or, via syncGeneration's own
+    // resolve, adopts the new generation's persisted quantizer)
+    synchronized {
+      knownResolved = s"$indexPath/gen-$next"
+      quantizer = cents
+      firesSinceCompact = 0
+    }
     true
   }
 

@@ -307,6 +307,19 @@ class TriggerSpec extends SparkSpec {
              System.currentTimeMillis() < deadline) Thread.sleep(20)
       assert(graft.streaming.IvfIndexTrigger.sealWaits.get() > waitsBefore,
         "the mid-refresh appender never hit the seal")
+      // ... and the REFRESHING instance keeps SERVING while its own
+      // rebuild is in flight: the publisher runs outside the instance
+      // monitor, so a read from another thread must complete now, not
+      // after the flip (pre-r11b this deadlocked until the refresh
+      // finished)
+      val served = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val reader = new Thread(() => served.set(
+        trigB.topK(batch(0).filter(col("vec_id") < 2), k = 3, nProbe = 4).collect().length))
+      reader.setDaemon(true)
+      reader.start()
+      reader.join(60000)
+      assert(!reader.isAlive && served.get() == 6,
+        s"serving must not park behind an in-flight refresh (got ${served.get()})")
     })
     try trigB.refreshQuantizer(trainIters = 1)
     finally graft.streaming.IvfIndexTrigger.testHookMidRefresh = None
