@@ -76,6 +76,13 @@ object FsOps {
     * filesystems implement them as a check-then-act pair, so local
     * paths go through nio's O_EXCL createFile instead. Returns false
     * when the path already exists (the caller lost the slot).
+    *
+    * Only an ALREADY-EXISTS failure is a lost slot. Any other error
+    * (permissions, transient IO, a write failure after the create)
+    * propagates — the same discipline as [[renameNoOverwrite]]: a
+    * caller treating an infrastructure error as "lost the race" would
+    * silently no-op a compaction or misdiagnose a refresh abort as
+    * "another publisher holds the seal".
     */
   def createExclusive(fs: FileSystem, p: Path, body: String): Boolean = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -89,11 +96,18 @@ object FsOps {
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       case _ =>
-        try {
-          val out = fs.create(p, false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case scala.util.control.NonFatal(_) => false }
+        val out =
+          try fs.create(p, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException => return false
+            // some connectors surface occupied-slot as a bare
+            // IOException; only map it to "lost" when the slot is
+            // demonstrably taken — everything else is a storage error
+            case _: java.io.IOException if fs.exists(p) => return false
+          }
+        try out.write(bytes) finally out.close()
+        true
     }
   }
 }

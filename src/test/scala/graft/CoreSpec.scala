@@ -67,4 +67,49 @@ class CoreSpec extends SparkSpec {
     val m = fc.argMap(Seq("CandlePrice"))
     assert(m("CandlePrice") == Seq("Bid", "Ask"))
   }
+
+  test("FsOps.createExclusive: storage errors surface; only already-exists is a lost slot") {
+    import org.apache.hadoop.fs.{FilterFileSystem, Path, RawLocalFileSystem}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def rawFs = {
+      val f = new RawLocalFileSystem()
+      f.initialize(java.net.URI.create("file:///"), conf)
+      f
+    }
+    // FilterFileSystem shape dodges FsOps's local-path nio branch, so
+    // these exercise the generic (HDFS/object-store) create path
+    class Failing(e: java.io.IOException) extends FilterFileSystem(rawFs) {
+      override def create(
+          f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = throw e
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsops").toString
+    val p = new Path(s"$dir/slot")
+    // a transient storage error must THROW, not masquerade as a lost
+    // race (a caller would no-op a compaction or misdiagnose a refresh
+    // abort as "another publisher holds the seal")
+    val err = intercept[java.io.IOException] {
+      graft.core.FsOps.createExclusive(
+        new Failing(new java.io.IOException("disk on fire")), p, "x")
+    }
+    assert(err.getMessage == "disk on fire")
+    // the FS's documented already-exists failure IS a lost slot
+    assert(!graft.core.FsOps.createExclusive(
+      new Failing(new org.apache.hadoop.fs.FileAlreadyExistsException("taken")), p, "x"))
+    // a bare IOException with the slot demonstrably occupied: lost slot,
+    // and the winner's bytes stay untouched
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/slot"), "winner")
+    assert(!graft.core.FsOps.createExclusive(
+      new Failing(new java.io.IOException("exists")), p, "x"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/slot")) == "winner")
+    // happy path through the generic branch: first create wins, second
+    // loses cleanly on the FS's own already-exists refusal
+    val p2 = new Path(s"$dir/slot2")
+    val plain = new FilterFileSystem(rawFs)
+    assert(graft.core.FsOps.createExclusive(plain, p2, "body"))
+    assert(!graft.core.FsOps.createExclusive(plain, p2, "other"))
+  }
 }
