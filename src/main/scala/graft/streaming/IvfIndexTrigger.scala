@@ -138,9 +138,10 @@ final class IvfIndexTrigger(
     *     [[syncGeneration]]).
     *
     * Liveness: a seal whose publisher died is broken after
-    * [[IvfIndexTrigger.SealExpiryMs]]; an appender must finish a
-    * batch within [[IvfIndexTrigger.TicketExpiryMs]] or a publisher
-    * may presume it dead (the standard lease clock assumption). This
+    * [[IvfIndexTrigger.SealExpiryMs]]; an appender heartbeat-renews
+    * its ticket while the write runs, so only an appender whose
+    * renewal stops for [[IvfIndexTrigger.TicketExpiryMs]] is presumed
+    * dead (the standard lease clock assumption). This
     * closes the r10 race where a batch acknowledged into gen-N between
     * an out-of-band refresh's snapshot and its flip was stranded in
     * the grace generation and deleted one flip later.
@@ -198,9 +199,54 @@ final class IvfIndexTrigger(
     val clear = !sealBlocks(resolved) &&
       IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved
     if (clear) {
-      try Similarity.ivfIndex(batch.select(col(id), col(emb)), q, id, emb)
-        .write.mode("append").parquet(resolved)
-      finally {
+      // heartbeat-renew the ticket while the write runs (r12): only
+      // the writing THREAD is blocked inside the parquet commit — a
+      // daemon touch of the ticket's mtime keeps a legitimately long
+      // batch (plausible at 100 TB batch sizes) visibly LIVE, so a
+      // draining publisher waits for it instead of presuming it
+      // crashed at TicketExpiryMs and snapshotting without it. A
+      // crashed appender stops renewing and ages out exactly as
+      // before.
+      val lastTouch =
+        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+      val gapSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val period = math.max(1L, IvfIndexTrigger.TicketExpiryMs / 4)
+      val hb = IvfIndexTrigger.sealScheduler.scheduleWithFixedDelay(
+        () => try {
+          val now = System.currentTimeMillis()
+          if (now - lastTouch.get() > IvfIndexTrigger.TicketExpiryMs)
+            gapSeen.set(true)
+          fs.setTimes(ticket, now, -1)
+          lastTouch.set(now)
+          // a failed touch leaves lastTouch stale — the gap accrues
+          // and the ack fence below judges it
+        } catch { case NonFatal(_) => () },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try {
+        IvfIndexTrigger.testHookDuringAppend.foreach(_.apply())
+        Similarity.ivfIndex(batch.select(col(id), col(emb)), q, id, emb)
+          .write.mode("append").parquet(resolved)
+        // ack fence: if renewal ever lapsed past the expiry, a
+        // draining publisher may have presumed this appender dead and
+        // snapshotted WITHOUT the batch — acknowledging would then
+        // silently lose it when the stale generation retires. The
+        // lapse is only ambiguous when a publisher is (or was)
+        // actually in flight: with no seal and an unmoved generation,
+        // the just-committed files are durable in the live generation
+        // and any LATER publisher must snapshot them.
+        val lapsed = gapSeen.get() ||
+          System.currentTimeMillis() - lastTouch.get() >
+            IvfIndexTrigger.TicketExpiryMs
+        if (lapsed &&
+            (fs.exists(new Path(resolved, IvfIndexTrigger.SealFile)) ||
+              IvfIndexTrigger.resolveIndexPath(spark, indexPath) != resolved))
+          throw new IllegalStateException(
+            s"append to $resolved outlived its ticket renewal under a " +
+              "concurrent publisher — the batch may be outside that " +
+              "publisher's snapshot; verify presence in the current " +
+              "generation before re-firing")
+      } finally {
+        hb.cancel(false)
         try fs.delete(ticket, false) catch { case NonFatal(_) => () }
       }
       true
@@ -221,16 +267,27 @@ final class IvfIndexTrigger(
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
     if (!fs.exists(p)) return false
     readSeal(p) match {
-      case Some((_, ts))
+      case Some((n0, ts))
         if System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs =>
-        // the break must actually SUCCEED before an append may
-        // proceed: a zombie publisher whose expired seal we merely
-        // FAILED to remove would still pass its nonce fence and flip
-        // over a batch outside its snapshot — so a failed delete
-        // keeps blocking (the next attempt retries the break)
-        val broken =
-          try fs.delete(p, false) catch { case NonFatal(_) => false }
-        !broken
+        // re-read IMMEDIATELY before the break: between the first read
+        // and the delete a successor publisher may have broken this
+        // expired seal and created a fresh LIVE one — deleting that
+        // would waste its entire rebuild at the nonce fence. Only the
+        // still-expired nonce is ours to break (a live renewal never
+        // rewrites an expired seal, so same nonce ⇒ same dead seal).
+        readSeal(p) match {
+          case Some((n2, _)) if n2 == n0 =>
+            // the break must actually SUCCEED before an append may
+            // proceed: a zombie publisher whose expired seal we merely
+            // FAILED to remove would still pass its nonce fence and
+            // flip over a batch outside its snapshot — so a failed
+            // delete keeps blocking (the next attempt retries)
+            val broken =
+              try fs.delete(p, false) catch { case NonFatal(_) => false }
+            !broken
+          case Some(_) => true // replaced by a successor — treat as live
+          case None => false   // already broken; a later sealer must drain our ticket
+        }
       case _ => true
     }
   }
@@ -251,9 +308,17 @@ final class IvfIndexTrigger(
     */
   private def acquireSeal(resolved: String): Option[String] = {
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
-    readSeal(p).foreach { case (_, ts) =>
+    readSeal(p).foreach { case (n0, ts) =>
       if (System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs)
-        try fs.delete(p, false) catch { case NonFatal(_) => () }
+        // same narrowed break as sealBlocks: re-read right before the
+        // delete and only remove the SAME expired nonce — a successor
+        // may have broken it and sealed afresh in between, and
+        // removing that live seal would abort its whole build
+        readSeal(p) match {
+          case Some((n2, _)) if n2 == n0 =>
+            try fs.delete(p, false) catch { case NonFatal(_) => () }
+          case _ => ()
+        }
     }
     val nonce = java.util.UUID.randomUUID().toString
     def body() = s"""{"nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
@@ -331,17 +396,24 @@ final class IvfIndexTrigger(
   }
 
   /** Wait for in-flight appenders of the sealed generation to finish:
-    * tickets younger than [[IvfIndexTrigger.TicketExpiryMs]] are live
-    * writes the corpus snapshot must include; older ones are crashed
-    * appenders (their uncommitted task files sit under `_temporary`,
-    * invisible to readers) and are ignored once the wait budget is
-    * spent. New appenders see the seal after creating their ticket and
-    * back off, so the set drains.
+    * a ticket whose mtime is within [[IvfIndexTrigger.TicketExpiryMs]]
+    * is a LIVE write the corpus snapshot must include — appenders
+    * heartbeat-renew their ticket for as long as the write runs
+    * (r12), so a legitimately long batch parks the drain instead of
+    * being presumed dead at a fixed budget. A ticket that stops
+    * renewing is a crashed appender (its uncommitted task files sit
+    * under `_temporary`, invisible to readers) and drops out of the
+    * live set one expiry later. New appenders see the seal after
+    * creating their ticket and back off, so the set only drains; the
+    * publisher's own seal heartbeat keeps its seal live however long
+    * this takes. An appender that renews but never finishes parks the
+    * publisher indefinitely — the standard bounded-progress lease
+    * assumption, now on the renewal rather than on one batch's
+    * wall-clock.
     */
   private def drainTickets(resolved: String): Unit = {
     val dir = new Path(resolved)
-    val deadline = System.currentTimeMillis() + IvfIndexTrigger.TicketExpiryMs + 10000L
-    while (System.currentTimeMillis() < deadline) {
+    while (true) {
       val live =
         if (!fs.exists(dir)) Nil
         else fs.listStatus(dir).toSeq.filter(s => s.isFile &&
@@ -385,6 +457,7 @@ final class IvfIndexTrigger(
     // quantizer); the rewrite itself runs outside it so serving reads
     // are never parked behind a compaction
     val (resolved, q) = synchronized { (syncGeneration(), quantizer) }
+    IvfIndexTrigger.testHookPreSeal.foreach(_.apply())
     // losing the seal means a concurrent publisher (another process's
     // refresh/compaction) owns the relation — its generation already
     // bounds the file count, which is all a compaction is for; the
@@ -393,11 +466,23 @@ final class IvfIndexTrigger(
       case None => ()
       case Some(nonce) =>
         try {
-          drainTickets(resolved)
-          if (hasDataFiles(resolved)) {
-            publishGeneration(
-              spark.read.parquet(resolved), q, resolved, nonce)
-            ()
+          // the monitor snapshot and the seal are two steps: a foreign
+          // flip landing BETWEEN them retires `resolved`, and the
+          // exclusive-create then succeeds on the RETIRED generation
+          // (the foreign publisher unsealed after flipping). Rebuilding
+          // that stale snapshot as the next generation would silently
+          // drop every row appended into the foreign generation — so
+          // re-check resolution AFTER winning the seal (fire()'s
+          // ticket→seal→resolution order applied to the publisher) and
+          // simply return on a move: the foreign generation already
+          // bounds the file count, which is all a compaction is for.
+          if (IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved) {
+            drainTickets(resolved)
+            if (hasDataFiles(resolved)) {
+              publishGeneration(
+                spark.read.parquet(resolved), q, resolved, nonce)
+              ()
+            }
           }
         } finally removeSeal(resolved, nonce)
     }
@@ -425,34 +510,56 @@ final class IvfIndexTrigger(
       // never parked behind a refresh (the flip itself updates the
       // live (generation, quantizer) pair atomically under the
       // monitor inside publishGeneration)
-      val (resolved, nSeed) = synchronized { (syncGeneration(), quantizer.length) }
-      // SEAL before the corpus snapshot (r11): the snapshot's file
-      // listing happens at the read below, and any append landing after
-      // it but before the flip would be stranded in the grace generation
-      // and deleted one flip later. With the seal held, every appender
-      // either finished before the drain (its files are in the
-      // snapshot) or backs off until the flip and writes into the NEW
-      // generation — no batch can fall between snapshot and flip.
-      val nonce = acquireSeal(resolved).getOrElse(throw new IllegalStateException(
-        s"concurrent generation publish on $indexPath — another publisher " +
-          "holds the seal; re-run this refresh against its generation"))
-      try {
-        drainTickets(resolved)
-        if (!hasDataFiles(resolved)) return
-        val corpus = spark.read.parquet(resolved).select(col(id), col(emb))
-        if (corpus.isEmpty) return
-        val n = if (nCells > 0) nCells else nSeed
-        val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
-        IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
-        if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
-            fresh, resolved, nonce))
-          // unlike compaction, a lost refresh means THIS retrain never
-          // became the serving state — surface it so the caller retries
-          // instead of believing its drift repair landed
-          throw new IllegalStateException(
-            s"concurrent generation publish on $indexPath — this refresh " +
-              "lost the slot race; re-run it against the new generation")
-      } finally removeSeal(resolved, nonce)
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val (resolved, nSeed) = synchronized { (syncGeneration(), quantizer.length) }
+        IvfIndexTrigger.testHookPreSeal.foreach(_.apply())
+        // SEAL before the corpus snapshot (r11): the snapshot's file
+        // listing happens at the read below, and any append landing after
+        // it but before the flip would be stranded in the grace generation
+        // and deleted one flip later. With the seal held, every appender
+        // either finished before the drain (its files are in the
+        // snapshot) or backs off until the flip and writes into the NEW
+        // generation — no batch can fall between snapshot and flip.
+        val nonce = acquireSeal(resolved).getOrElse(throw new IllegalStateException(
+          s"concurrent generation publish on $indexPath — another publisher " +
+            "holds the seal; re-run this refresh against its generation"))
+        try {
+          // re-check currency AFTER winning the seal (r12 — fire()'s
+          // ticket→seal→resolution order applied to the publisher): a
+          // foreign flip landing between the monitor snapshot and the
+          // exclusive-create means this seal sits on a RETIRED
+          // generation (the foreign publisher unsealed after flipping);
+          // retraining from it would publish a stale corpus as the next
+          // generation and silently drop every row appended into the
+          // foreign one. Release and retry against the new generation.
+          if (IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved) {
+            drainTickets(resolved)
+            if (!hasDataFiles(resolved)) return
+            val corpus = spark.read.parquet(resolved).select(col(id), col(emb))
+            if (corpus.isEmpty) return
+            val n = if (nCells > 0) nCells else nSeed
+            val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
+            IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
+            if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
+                fresh, resolved, nonce))
+              // unlike compaction, a lost refresh means THIS retrain never
+              // became the serving state — surface it so the caller retries
+              // instead of believing its drift repair landed
+              throw new IllegalStateException(
+                s"concurrent generation publish on $indexPath — this refresh " +
+                  "lost the slot race; re-run it against the new generation")
+            return
+          }
+        } finally removeSeal(resolved, nonce)
+        // each retry requires a whole foreign publish to have landed
+        // inside the microsecond snapshot→seal window — more than a
+        // handful means something is flipping pathologically fast
+        if (attempts >= 5) throw new IllegalStateException(
+          s"refresh on $indexPath lost the generation race $attempts times — " +
+            "concurrent publishers are flipping faster than this retrain; re-run")
+      }
     }
 
   /** One definition of the generation flip, shared by [[compact]] and
@@ -630,13 +737,19 @@ object IvfIndexTrigger {
     */
   @volatile private[graft] var SealExpiryMs: Long = 60000L
 
-  /** An appender must finish one batch within this or a draining
-    * publisher may presume it dead (its uncommitted task files sit in
-    * `_temporary`, invisible to readers either way). Unlike the seal,
-    * a ticket cannot be heartbeat-renewed — its owner is blocked
-    * inside the parquet write — so this is the one duration bound an
-    * appender must actually meet; a crashed appender symmetrically
-    * parks publishers' drains for at most this long.
+  /** A ticket whose mtime is older than this is a CRASHED appender. A
+    * live appender heartbeat-renews its ticket every quarter-expiry
+    * for as long as the parquet write runs (r12 — only the writing
+    * THREAD is blocked in the commit, not the process), so this is no
+    * longer a ceiling on one batch's duration: a legitimately long
+    * write (plausible at 100 TB batch sizes) stays visibly live and a
+    * draining publisher waits for it. A crashed appender
+    * symmetrically parks publishers' drains for at most this long
+    * (its uncommitted task files sit in `_temporary`, invisible to
+    * readers). Should renewal itself lapse past the expiry under a
+    * concurrent publisher, the appender refuses to acknowledge the
+    * batch (the ack fence in tryAppendOnce) instead of risking a
+    * silent exclusion from that publisher's snapshot.
     */
   @volatile private[graft] var TicketExpiryMs: Long = 600000L
 
@@ -674,6 +787,21 @@ object IvfIndexTrigger {
     * the exact window the r10 race lost appends in.
     */
   @volatile private[graft] var testHookMidRefresh: Option[() => Unit] = None
+
+  /** Test-only interleaving hook, invoked inside [[compact]] and
+    * [[refreshQuantizer]] after the monitor snapshot of the resolved
+    * generation, BEFORE acquiring the seal — the window where a
+    * foreign flip would let a publisher seal a retired generation
+    * (the r12 publisher-side check-order fix).
+    */
+  @volatile private[graft] var testHookPreSeal: Option[() => Unit] = None
+
+  /** Test-only hook, invoked inside a CLEAR append attempt after the
+    * ticket is visible and the seal/resolution checks passed, before
+    * the parquet write — stalls the write window so tests can drive a
+    * draining publisher against a live, renewing ticket.
+    */
+  @volatile private[graft] var testHookDuringAppend: Option[() => Unit] = None
 
   private def completeGens(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {

@@ -355,4 +355,162 @@ class TriggerSpec extends SparkSpec {
       .flatMap(d => protocolFiles(d).map(f => s"$d/$f"))
     assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
   }
+
+  test("publisher snapshot-vs-seal window: a foreign flip between the monitor snapshot and the seal re-targets the refresh and no-ops the compaction — never a stale publish") {
+    import spark.implicits._
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-preseal")
+      .toString + "/idx"
+    // "process A" = live ingest + foreign publisher; "process R" = the
+    // racing refresher. Separate instances — only the on-disk protocol
+    // spans them.
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val trigR = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = (0 until 25).map { i =>
+      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
+        * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
+        .sortBy(identity).toSeq
+    trigA.fire("V/1Sec/EMB", batch(0))
+    // the hook fires inside trigR.refreshQuantizer AFTER it snapshots
+    // the resolved generation, BEFORE it seals — land a whole foreign
+    // publish (flip) plus a post-flip append in exactly that window.
+    // Pre-fix, trigR would seal the RETIRED generation (the foreign
+    // publisher unsealed it after flipping), rebuild only batch(0),
+    // and publish that stale corpus as the next generation — silently
+    // dropping batch(1000).
+    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(() => {
+      graft.streaming.IvfIndexTrigger.testHookPreSeal = None // one-shot
+      trigA.compact()                   // foreign flip retires `resolved`
+      trigA.fire("V/1Sec/EMB", batch(1000)) // rows only the NEW generation has
+    })
+    try trigR.refreshQuantizer(trainIters = 1)
+    finally graft.streaming.IvfIndexTrigger.testHookPreSeal = None
+    val fresh = trigR.currentQuantizer
+    val all = batch(0).unionByName(batch(1000))
+    assert(rowsOf(trigR.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+      "refresh racing a foreign flip published a stale snapshot (lost the post-flip batch)")
+    // ... and it survives retirement (a stale publish would strand the
+    // post-flip batch in the grace generation, deleted one flip later)
+    trigA.compact()
+    trigA.compact()
+    assert(rowsOf(trigR.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, trigR.currentQuantizer)),
+      "the post-flip batch must survive generation retirement")
+
+    // same window for COMPACT: the racer must no-op (the foreign
+    // generation already bounds the file count), never publish stale
+    val genBefore = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(() => {
+      graft.streaming.IvfIndexTrigger.testHookPreSeal = None // one-shot
+      trigA.refreshQuantizer(trainIters = 1) // foreign flip
+      trigA.fire("V/1Sec/EMB", batch(2000))
+    })
+    try trigR.compact()
+    finally graft.streaming.IvfIndexTrigger.testHookPreSeal = None
+    val genAfter = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+    assert(genAfter != genBefore, "the foreign refresh must have flipped")
+    val all3 = all.unionByName(batch(2000))
+    assert(rowsOf(trigR.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all3, trigR.currentQuantizer)),
+      "compact racing a foreign flip must no-op, not publish a stale snapshot")
+    // no seal or tickets left behind anywhere
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = (Seq(idxPath) ++ fs.listStatus(
+        new org.apache.hadoop.fs.Path(idxPath)).toSeq
+        .filter(_.isDirectory).map(_.getPath.toString))
+      .flatMap(d => fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n == graft.streaming.IvfIndexTrigger.SealFile ||
+          n.startsWith(graft.streaming.IvfIndexTrigger.TicketPrefix))
+        .map(f => s"$d/$f"))
+    assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
+  }
+
+  test("ticket heartbeat renewal: an append outliving TicketExpiryMs under a draining publisher is still included; a crashed appender's stale ticket does not park the drain") {
+    import spark.implicits._
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-ticket")
+      .toString + "/idx"
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = (0 until 25).map { i =>
+      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
+        * (if (d % 2 == 0) 1f else -1f)))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
+        .sortBy(identity).toSeq
+    trigA.fire("V/1Sec/EMB", batch(0))
+    val expiry0 = graft.streaming.IvfIndexTrigger.TicketExpiryMs
+    graft.streaming.IvfIndexTrigger.TicketExpiryMs = 2000L
+    val refreshErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val refresher = new Thread(() =>
+      try trigB.refreshQuantizer(trainIters = 1)
+      catch { case e: Throwable => refreshErr.set(e) })
+    refresher.setDaemon(true)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the hook runs inside a CLEAR append attempt — ticket visible,
+      // checks passed, write not yet started. Start the publisher NOW
+      // (it seals, then drains) and stall the write 3× past the ticket
+      // expiry: pre-r12 the drain presumed this appender dead at one
+      // expiry, snapshotted WITHOUT the batch, and the flip stranded
+      // it; with renewal the ticket stays visibly live and the drain
+      // waits out the whole write.
+      graft.streaming.IvfIndexTrigger.testHookDuringAppend = Some(() => {
+        graft.streaming.IvfIndexTrigger.testHookDuringAppend = None // one-shot
+        val sealPath = new org.apache.hadoop.fs.Path(
+          graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath),
+          graft.streaming.IvfIndexTrigger.SealFile)
+        refresher.start()
+        val deadline = System.currentTimeMillis() + 30000L
+        while (!fs.exists(sealPath) && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(fs.exists(sealPath), "the publisher never sealed")
+        // publisher is now draining our live ticket; outlive the expiry
+        Thread.sleep(3 * graft.streaming.IvfIndexTrigger.TicketExpiryMs)
+        assert(refresher.isAlive && refreshErr.get() == null,
+          s"refresh finished or failed while a live ticket was renewing: ${refreshErr.get()}")
+      })
+      // must neither throw (the ack fence sees continuous renewal) nor
+      // lose the batch across the concurrent publish
+      trigA.fire("V/1Sec/EMB", batch(1000))
+      refresher.join(120000)
+      assert(!refresher.isAlive, "refresh never completed")
+      assert(refreshErr.get() == null, s"refresh failed: ${refreshErr.get()}")
+      val fresh = trigB.currentQuantizer
+      val all = batch(0).unionByName(batch(1000))
+      assert(rowsOf(trigA.index) ==
+        rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+        "an append outliving TicketExpiryMs was snapshotted over (lost or duplicated rows)")
+      // drain-liveness unchanged: a ticket that STOPS renewing is a
+      // crashed appender and the publisher proceeds one expiry later
+      val resolved = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+      val stale = new org.apache.hadoop.fs.Path(resolved,
+        graft.streaming.IvfIndexTrigger.TicketPrefix + "crashed")
+      fs.create(stale, false).close()
+      fs.setTimes(stale,
+        System.currentTimeMillis() - 3 * graft.streaming.IvfIndexTrigger.TicketExpiryMs, -1)
+      val t0 = System.currentTimeMillis()
+      trigB.compact() // drains: the stale ticket must not park it
+      assert(System.currentTimeMillis() - t0 < 60000L)
+      try fs.delete(stale, false) catch { case _: Throwable => () }
+      assert(rowsOf(trigA.index) ==
+        rowsOf(graft.ops.Similarity.ivfIndex(all, trigB.currentQuantizer)),
+        "compaction after the crashed-appender drain changed the relation")
+    } finally {
+      graft.streaming.IvfIndexTrigger.TicketExpiryMs = expiry0
+      graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
+    }
+  }
 }
