@@ -255,6 +255,9 @@ class RpcServer(
       case _ => throw new IllegalArgumentException(
         "ops: input (parquet path) or tbk (catalog bucket) required")
     }
+    // op-specific response metadata (the knn_ivf probe contract) —
+    // merged into the reply beside rows/rows_written
+    var opMeta: Map[String, Any] = Map.empty
     val out = op match {
       case "dedup_exact" =>
         graft.ops.Dedup.exactGroups(df,
@@ -343,11 +346,23 @@ class RpcServer(
         // generation only ever grows by appends assigned under the
         // SAME quantizer, which leaves cell geometry (and therefore
         // the calibrated depth) stable.
+        // every resolution path also reports HOW the depth was chosen
+        // (r12): the response carries n_probe, the source of the depth
+        // and — for calibrated serving — the recall floor, the exact
+        // cache fingerprint and the contract's one remaining
+        // assumption, so a client can detect a stale or inherited
+        // calibration itself instead of trusting an invisible cache
         val nProbe = lng(opts, "n_probe") match {
-          case Some(p) => math.min(cents.length.toLong, math.max(1L, p)).toInt
+          case Some(p) =>
+            opMeta = Map("probe_source" -> "explicit")
+            math.min(cents.length.toLong, math.max(1L, p)).toInt
           case None => dbl(opts, "probe_recall") match {
             case Some(r) =>
               val floor = math.min(1.0, math.max(0.01, r))
+              opMeta = Map("probe_source" -> "calibrated",
+                "recall_floor" -> floor,
+                "calibration_assumes" ->
+                  "same-source stationary query distribution; shifting clients pass n_probe")
               def calibrate(): Int = {
                 metrics.probeCalibrations.inc()
                 graft.ops.Similarity.ivfProbeForRecall(
@@ -391,7 +406,9 @@ class RpcServer(
                       s"path:$cp#${dirSignature(cp)}"
                     case _ => "none"
                   }
-                  val key = (s"$gp#${dirSignature(gp)}#$querySrc", k, floor)
+                  val fingerprint = s"$gp#${dirSignature(gp)}#$querySrc"
+                  opMeta += ("calibration_fingerprint" -> fingerprint)
+                  val key = (fingerprint, k, floor)
                   Option(probeCache.get(key)).map(_.intValue()).getOrElse {
                     // compute OUTSIDE the map (a calibration is a
                     // multi-job Spark pass — never hold a CHM bin
@@ -403,11 +420,18 @@ class RpcServer(
                     probeCache.putIfAbsent(key, d)
                     d
                   }
-                case None => calibrate()
+                case None =>
+                  // index_tbk rows or foreign centroids: calibrated
+                  // per-request, never cached — no fingerprint exists
+                  opMeta += ("calibration_fingerprint" -> "uncached")
+                  calibrate()
               }
-            case None => cents.length
+            case None =>
+              opMeta = Map("probe_source" -> "full")
+              cents.length
           }
         }
+        opMeta += ("n_probe" -> nProbe)
         graft.ops.Similarity.ivfTopKIndexed(index, df, k, cents, nProbe)
           .orderBy("query_id", "vec_id")
       case "knn_ivf_refresh" =>
@@ -489,7 +513,7 @@ class RpcServer(
         val obs = org.apache.spark.sql.Observation()
         out.observe(obs, count(lit(1)).as("rows"))
           .write.mode(mode).parquet(dest)
-        Map("rows_written" -> obs.get("rows").asInstanceOf[Long],
+        opMeta ++ Map("rows_written" -> obs.get("rows").asInstanceOf[Long],
           "path" -> dest, "version" -> ServerInfo.Version)
       case None =>
         // clamped: a client long past Int range must cap, not wrap
@@ -498,7 +522,7 @@ class RpcServer(
           math.max(1L, lng(params, "limit").getOrElse(10000L))).toInt
         val rows = out.limit(limit + 1).collect()
         val kept = rows.take(limit)
-        Map(
+        opMeta ++ Map(
           "columns" -> out.columns.toVector,
           "rows" -> kept.toVector.map(r =>
             (0 until r.length).toVector.map(r.get)),

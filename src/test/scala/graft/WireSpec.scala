@@ -481,6 +481,10 @@ class WireSpec extends SparkSpec {
         Map("op" -> "knn_ivf", "input" -> "queries",
           "options" -> Map("index" -> "idx", "centroids" -> "cents", "k" -> 2L)))
       assert(got("columns") == Vector("query_id", "vec_id", "score"), got("columns").toString)
+      // the probe contract is ON the response (r12): no n_probe and no
+      // probe_recall option → full probe, depth = cell count
+      assert(got("probe_source") == "full" && got("n_probe").toString.toLong == 4L,
+        s"full-probe contract fields: ${got.filterKeys(k => k.toString.contains("probe"))}")
       val rows = got("rows").asInstanceOf[Seq[Seq[Any]]]
         .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
       val expect = graft.ops.Similarity.bruteForceTopK(
@@ -502,6 +506,9 @@ class WireSpec extends SparkSpec {
             "k" -> 2L, "n_probe" -> 1L)))
       val prunedRows = pruned("rows").asInstanceOf[Seq[Seq[Any]]]
       assert(prunedRows.nonEmpty)
+      // an explicit depth is echoed back as such
+      assert(pruned("probe_source") == "explicit" &&
+        pruned("n_probe").toString.toLong == 1L, pruned.toString)
       // dedup_semantic job: 4 pairs clear threshold 0.8 (3 in the
       // x-cluster, 1 in the y-cluster); cap=1 with one cell keeps
       // exactly the highest-cosine pair (10,12)
@@ -544,6 +551,15 @@ class WireSpec extends SparkSpec {
       val contractedRows = contracted("rows").asInstanceOf[Seq[Seq[Any]]]
         .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
       assert(contractedRows == expect, s"probe_recall=1.0 must stay exact: $contractedRows")
+      // a calibrated serve reports the floor, the derived depth, the
+      // cache fingerprint, and the contract's one remaining assumption
+      // — so a client can detect a stale or inherited calibration
+      assert(contracted("probe_source") == "calibrated" &&
+        contracted("recall_floor").toString.toDouble == 1.0 &&
+        contracted("n_probe").toString.toLong >= 1L &&
+        contracted("calibration_fingerprint").toString.contains("#path:") &&
+        contracted("calibration_assumes").toString.contains("stationary"),
+        s"calibrated contract fields: ${contracted.filterKeys(_.toString.startsWith("calib")).toMap} ${contracted.get("probe_source")} ${contracted.get("recall_floor")}")
       // knn_ivf_refresh: blue/green reindex ON DEMAND over the wire —
       // a second retrain flips another generation, and serving (still
       // no centroids option) keeps answering exactly at full probe
@@ -586,12 +602,15 @@ class WireSpec extends SparkSpec {
     srv.start()
     try {
       val port = srv.boundPort
-      def serve(input: String): Seq[(Long, Long)] =
-        rpc(port, "OpsService.Run",
+      var lastResp: Map[Any, Any] = Map.empty
+      def serve(input: String): Seq[(Long, Long)] = {
+        lastResp = rpc(port, "OpsService.Run",
           Map("op" -> "knn_ivf", "input" -> input,
-            "options" -> Map("index" -> "idx", "k" -> 2L, "probe_recall" -> 1.0)))(
-          "rows").asInstanceOf[Seq[Seq[Any]]]
+            "options" -> Map("index" -> "idx", "k" -> 2L, "probe_recall" -> 1.0)))
+        lastResp("rows").asInstanceOf[Seq[Seq[Any]]]
           .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      }
+      def fingerprint: String = lastResp("calibration_fingerprint").toString
       def brute(c: org.apache.spark.sql.DataFrame,
           q: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
         graft.ops.Similarity.bruteForceTopK(c, q, 2)
@@ -604,9 +623,12 @@ class WireSpec extends SparkSpec {
       // answers exactly
       assert(serve("queries") == brute(corpus0, q1))
       assert(cals == c0 + 1, s"first request must calibrate: $c0 -> $cals")
-      // identical request -> cache hit: no second exact pass
+      val fp1 = fingerprint
+      // identical request -> cache hit: no second exact pass, same
+      // reported fingerprint (the client-visible staleness detector)
       assert(serve("queries") == brute(corpus0, q1))
       assert(cals == c0 + 1, s"repeat request must hit the cache: $cals")
+      assert(fingerprint == fp1, "a cache hit must echo the same fingerprint")
       // an append into the SAME generation (no flip) changes the
       // directory signature: the cached depth may no longer cover the
       // new vectors, so the server must RE-calibrate — and the new
@@ -618,6 +640,8 @@ class WireSpec extends SparkSpec {
       assert(serve("queries") == brute(corpus1, q1),
         "post-append serve must reflect the appended neighbors exactly")
       assert(cals == c0 + 2, s"append must force a re-calibration: $cals")
+      assert(fingerprint != fp1, "an append must rotate the reported fingerprint")
+      val fp2 = fingerprint
       // a DIFFERENT query source with the same (k, floor) gets its own
       // calibration — the first client's depth is not silently reused
       // for a query distribution it was never derived on
@@ -625,6 +649,7 @@ class WireSpec extends SparkSpec {
       q2.write.parquet(s"$dir/queries2")
       assert(serve("queries2") == brute(corpus1, q2))
       assert(cals == c0 + 3, s"a new query source must calibrate: $cals")
+      assert(fingerprint != fp2, "a new query source must carry its own fingerprint")
       // ... and repeating it hits ITS cache entry
       assert(serve("queries2") == brute(corpus1, q2))
       assert(cals == c0 + 3)
