@@ -90,11 +90,23 @@ object FsOps {
       case _: org.apache.hadoop.fs.RawLocalFileSystem |
            _: org.apache.hadoop.fs.ChecksumFileSystem =>
         val local = java.nio.file.Paths.get(p.toUri.getPath)
-        try {
-          java.nio.file.Files.createFile(local) // O_EXCL — atomic on POSIX
-          java.nio.file.Files.write(local, bytes)
+        val created =
+          try { java.nio.file.Files.createFile(local); true } // O_EXCL — atomic on POSIX
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        if (!created) false
+        else {
+          try java.nio.file.Files.write(local, bytes)
+          catch {
+            case e: Throwable =>
+              // don't leave a TORN (empty) slot occupying the CAS: a
+              // wedged protocol file (e.g. an unparseable seal) is
+              // strictly worse than the surfaced write failure
+              try java.nio.file.Files.deleteIfExists(local)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        }
       case _ =>
         val out =
           try fs.create(p, false)
@@ -106,7 +118,17 @@ object FsOps {
             // demonstrably taken — everything else is a storage error
             case _: java.io.IOException if fs.exists(p) => return false
           }
-        try out.write(bytes) finally out.close()
+        try { try out.write(bytes) finally out.close() }
+        catch {
+          case e: Throwable =>
+            // the create won the slot but the body never landed: clean
+            // the torn file up before surfacing, or the half-created
+            // slot wedges every later contender (they'd read an empty
+            // protocol file forever)
+            try fs.delete(p, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
         true
     }
   }

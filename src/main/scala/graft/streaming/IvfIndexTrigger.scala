@@ -56,7 +56,16 @@ final class IvfIndexTrigger(
     indexPath: String,
     id: String = "vec_id",
     emb: String = "embedding",
-    compactEvery: Int = 0) extends Trigger {
+    compactEvery: Int = 0,
+    ticketExpiryMs: Long = 0L) extends Trigger {
+
+  /** Ticket lease clock for THIS index (0 = the process-wide default,
+    * [[IvfIndexTrigger.TicketExpiryMs]]). All participants on one
+    * index root — appenders and publishers, in any process — must
+    * configure the same value, like any lease protocol.
+    */
+  private val ticketExpiry: Long =
+    if (ticketExpiryMs > 0) ticketExpiryMs else IvfIndexTrigger.TicketExpiryMs
 
   private val fs = new Path(indexPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,14 +107,29 @@ final class IvfIndexTrigger(
     * quantizer if the generation moved since this instance last
     * looked (one directory listing; called under the instance lock by
     * every mutating/serving entry point). Returns the resolved path.
+    *
+    * The adoption read races generation retirement: grace retention
+    * keeps ONE spent generation, so two foreign publishes landing
+    * back-to-back can delete the generation between our resolve and
+    * the quantizer read (observed as FileNotFound mid-load in the
+    * two-process smoke test). That only ever means a NEWER generation
+    * exists — re-resolve and adopt it instead of surfacing the torn
+    * read to an append or serving call.
     */
   private def syncGeneration(): String = {
-    val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
-    if (resolved != knownResolved) {
-      val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
-      if (fs.exists(q))
-        quantizer = Similarity.loadCentroids(spark.read.parquet(q.toString))
-      knownResolved = resolved
+    var resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+    var attempts = 0
+    while (resolved != knownResolved) {
+      attempts += 1
+      try {
+        val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
+        if (fs.exists(q))
+          quantizer = Similarity.loadCentroids(spark.read.parquet(q.toString))
+        knownResolved = resolved
+      } catch {
+        case NonFatal(_) if attempts < 5 =>
+          resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+      }
     }
     resolved
   }
@@ -168,7 +192,18 @@ final class IvfIndexTrigger(
       firesSinceCompact += 1
       compactEvery > 0 && firesSinceCompact >= compactEvery
     }
-    if (doCompact) compact()
+    // the batch is already durably appended and acknowledged above: a
+    // failure in this OPPORTUNISTIC maintenance pass must not escape
+    // fire() — a caller treating it as "append failed" would re-fire
+    // and duplicate every row. The next fire retries the compaction;
+    // an explicit compact() call still surfaces its errors.
+    if (doCompact)
+      try compact()
+      catch {
+        case NonFatal(e) => IvfIndexTrigger.log.warn(
+          s"auto-compaction after an acknowledged append to $indexPath " +
+            s"failed (will retry next fire): ${e.getMessage}")
+      }
   }
 
   /** One fenced append attempt; false = a publisher owns the relation
@@ -210,11 +245,11 @@ final class IvfIndexTrigger(
       val lastTouch =
         new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
       val gapSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val period = math.max(1L, IvfIndexTrigger.TicketExpiryMs / 4)
-      val hb = IvfIndexTrigger.sealScheduler.scheduleWithFixedDelay(
+      val period = math.max(1L, ticketExpiry / 4)
+      val hb = IvfIndexTrigger.ticketScheduler.scheduleWithFixedDelay(
         () => try {
           val now = System.currentTimeMillis()
-          if (now - lastTouch.get() > IvfIndexTrigger.TicketExpiryMs)
+          if (now - lastTouch.get() > ticketExpiry)
             gapSeen.set(true)
           fs.setTimes(ticket, now, -1)
           lastTouch.set(now)
@@ -223,7 +258,7 @@ final class IvfIndexTrigger(
         } catch { case NonFatal(_) => () },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
-        IvfIndexTrigger.testHookDuringAppend.foreach(_.apply())
+        IvfIndexTrigger.testHookDuringAppend.foreach(_.apply(indexPath))
         Similarity.ivfIndex(batch.select(col(id), col(emb)), q, id, emb)
           .write.mode("append").parquet(resolved)
         // ack fence: if renewal ever lapsed past the expiry, a
@@ -235,8 +270,7 @@ final class IvfIndexTrigger(
         // the just-committed files are durable in the live generation
         // and any LATER publisher must snapshot them.
         val lapsed = gapSeen.get() ||
-          System.currentTimeMillis() - lastTouch.get() >
-            IvfIndexTrigger.TicketExpiryMs
+          System.currentTimeMillis() - lastTouch.get() > ticketExpiry
         if (lapsed &&
             (fs.exists(new Path(resolved, IvfIndexTrigger.SealFile)) ||
               IvfIndexTrigger.resolveIndexPath(spark, indexPath) != resolved))
@@ -288,7 +322,24 @@ final class IvfIndexTrigger(
           case Some(_) => true // replaced by a successor — treat as live
           case None => false   // already broken; a later sealer must drain our ticket
         }
-      case _ => true
+      case Some(_) => true // live publisher
+      case None =>
+        // unparseable: a torn read mid-heartbeat-rewrite OR a crash
+        // that left an empty/partial seal. A LIVE publisher's renewal
+        // keeps the FILE's mtime fresh, so fall back to its age — a
+        // dead torn seal must still expire or the whole index wedges
+        // forever (no append, no compaction, no refresh could ever
+        // break a seal whose ts can't be parsed)
+        val stale =
+          try System.currentTimeMillis() - fs.getFileStatus(p)
+            .getModificationTime > IvfIndexTrigger.SealExpiryMs
+          catch { case NonFatal(_) => false } // vanished/torn — err toward waiting
+        if (!stale) true
+        else {
+          val broken =
+            try fs.delete(p, false) catch { case NonFatal(_) => false }
+          !broken
+        }
     }
   }
 
@@ -308,17 +359,28 @@ final class IvfIndexTrigger(
     */
   private def acquireSeal(resolved: String): Option[String] = {
     val p = new Path(resolved, IvfIndexTrigger.SealFile)
-    readSeal(p).foreach { case (n0, ts) =>
-      if (System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs)
-        // same narrowed break as sealBlocks: re-read right before the
-        // delete and only remove the SAME expired nonce — a successor
-        // may have broken it and sealed afresh in between, and
-        // removing that live seal would abort its whole build
-        readSeal(p) match {
-          case Some((n2, _)) if n2 == n0 =>
-            try fs.delete(p, false) catch { case NonFatal(_) => () }
-          case _ => ()
-        }
+    readSeal(p) match {
+      case Some((n0, ts)) =>
+        if (System.currentTimeMillis() - ts > IvfIndexTrigger.SealExpiryMs)
+          // same narrowed break as sealBlocks: re-read right before the
+          // delete and only remove the SAME expired nonce — a successor
+          // may have broken it and sealed afresh in between, and
+          // removing that live seal would abort its whole build
+          readSeal(p) match {
+            case Some((n2, _)) if n2 == n0 =>
+              try fs.delete(p, false) catch { case NonFatal(_) => () }
+            case _ => ()
+          }
+      case None =>
+        // unparseable seal: same mtime-fallback expiry as sealBlocks —
+        // a crashed publisher's torn seal must be breakable here too,
+        // or no publisher could ever run again on this generation
+        try {
+          if (fs.exists(p) &&
+              System.currentTimeMillis() - fs.getFileStatus(p)
+                .getModificationTime > IvfIndexTrigger.SealExpiryMs)
+            fs.delete(p, false)
+        } catch { case NonFatal(_) => () }
     }
     val nonce = java.util.UUID.randomUUID().toString
     def body() = s"""{"nonce": "$nonce", "ts": ${System.currentTimeMillis()}}"""
@@ -413,15 +475,23 @@ final class IvfIndexTrigger(
     */
   private def drainTickets(resolved: String): Unit = {
     val dir = new Path(resolved)
+    // poll fast at first (the common drain is sub-second), then back
+    // off toward the renewal period: a multi-hour legitimate write
+    // must not cost 20 directory LISTs per second for its whole
+    // duration — the ticket renewal cadence already bounds how
+    // quickly a finished (or died) appender can be detected anyway
+    var sleep = 50L
+    val maxSleep = math.max(50L, math.min(5000L, ticketExpiry / 4))
     while (true) {
       val live =
         if (!fs.exists(dir)) Nil
         else fs.listStatus(dir).toSeq.filter(s => s.isFile &&
           s.getPath.getName.startsWith(IvfIndexTrigger.TicketPrefix) &&
           System.currentTimeMillis() - s.getModificationTime <=
-            IvfIndexTrigger.TicketExpiryMs)
+            ticketExpiry)
       if (live.isEmpty) return
-      Thread.sleep(50)
+      Thread.sleep(sleep)
+      sleep = math.min(sleep * 2, maxSleep)
     }
   }
 
@@ -457,7 +527,7 @@ final class IvfIndexTrigger(
     // quantizer); the rewrite itself runs outside it so serving reads
     // are never parked behind a compaction
     val (resolved, q) = synchronized { (syncGeneration(), quantizer) }
-    IvfIndexTrigger.testHookPreSeal.foreach(_.apply())
+    IvfIndexTrigger.testHookPreSeal.foreach(_.apply(indexPath))
     // losing the seal means a concurrent publisher (another process's
     // refresh/compaction) owns the relation — its generation already
     // bounds the file count, which is all a compaction is for; the
@@ -514,7 +584,7 @@ final class IvfIndexTrigger(
       while (true) {
         attempts += 1
         val (resolved, nSeed) = synchronized { (syncGeneration(), quantizer.length) }
-        IvfIndexTrigger.testHookPreSeal.foreach(_.apply())
+        IvfIndexTrigger.testHookPreSeal.foreach(_.apply(indexPath))
         // SEAL before the corpus snapshot (r11): the snapshot's file
         // listing happens at the read below, and any append landing after
         // it but before the flip would be stranded in the grace generation
@@ -541,7 +611,7 @@ final class IvfIndexTrigger(
             if (corpus.isEmpty) return
             val n = if (nCells > 0) nCells else nSeed
             val fresh = Similarity.trainedCentroids(corpus, n, trainIters, id, emb)
-            IvfIndexTrigger.testHookMidRefresh.foreach(_.apply())
+            IvfIndexTrigger.testHookMidRefresh.foreach(_.apply(indexPath))
             if (!publishGeneration(Similarity.ivfIndex(corpus, fresh, id, emb),
                 fresh, resolved, nonce))
               // unlike compaction, a lost refresh means THIS retrain never
@@ -766,6 +836,20 @@ object IvfIndexTrigger {
   }
   private val sealHeartbeats = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ScheduledFuture[_]]()
+  // ticket touches get their OWN small pool: they are per-append
+  // blocking FS calls against a possibly-browning-out store — exactly
+  // the condition the lease protocol must survive — and sharing the
+  // single seal-renewal thread would let one hung setTimes stall every
+  // publisher's seal renewal in the process (an appender would then
+  // break the "expired" seal and abort a healthy multi-minute rebuild
+  // at the nonce fence)
+  private val ticketScheduler = {
+    val s = java.util.concurrent.Executors.newScheduledThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ivf-ticket-heartbeat"); t.setDaemon(true); t
+      })
+    s
+  }
   // keyed by the INDEX ROOT, not the generation path, so the map is
   // bounded by live indexes (generation numbers grow without bound on
   // a long-lived trigger) and renewal/fence/removal across a flip all
@@ -786,7 +870,7 @@ object IvfIndexTrigger {
     * after the seal + drain + corpus snapshot, before the publish —
     * the exact window the r10 race lost appends in.
     */
-  @volatile private[graft] var testHookMidRefresh: Option[() => Unit] = None
+  @volatile private[graft] var testHookMidRefresh: Option[String => Unit] = None
 
   /** Test-only interleaving hook, invoked inside [[compact]] and
     * [[refreshQuantizer]] after the monitor snapshot of the resolved
@@ -794,14 +878,14 @@ object IvfIndexTrigger {
     * foreign flip would let a publisher seal a retired generation
     * (the r12 publisher-side check-order fix).
     */
-  @volatile private[graft] var testHookPreSeal: Option[() => Unit] = None
+  @volatile private[graft] var testHookPreSeal: Option[String => Unit] = None
 
   /** Test-only hook, invoked inside a CLEAR append attempt after the
     * ticket is visible and the seal/resolution checks passed, before
     * the parquet write — stalls the write window so tests can drive a
     * draining publisher against a live, renewing ticket.
     */
-  @volatile private[graft] var testHookDuringAppend: Option[() => Unit] = None
+  @volatile private[graft] var testHookDuringAppend: Option[String => Unit] = None
 
   private def completeGens(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {

@@ -111,5 +111,28 @@ class CoreSpec extends SparkSpec {
     val plain = new FilterFileSystem(rawFs)
     assert(graft.core.FsOps.createExclusive(plain, p2, "body"))
     assert(!graft.core.FsOps.createExclusive(plain, p2, "other"))
+    // a write failure AFTER the create surfaces — and must not leave a
+    // torn (empty) file occupying the slot: an unparseable protocol
+    // file (e.g. an empty seal) would otherwise wedge later contenders
+    class TornWrite extends FilterFileSystem(rawFs) {
+      override def create(
+          f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        super.create(f, permission, overwrite, bufferSize, replication,
+          blockSize, progress).close() // the slot file now exists on disk
+        new org.apache.hadoop.fs.FSDataOutputStream(new java.io.OutputStream {
+          override def write(b: Int): Unit =
+            throw new java.io.IOException("torn write")
+        }, null)
+      }
+    }
+    val p3 = new Path(s"$dir/slot3")
+    val torn = intercept[java.io.IOException] {
+      graft.core.FsOps.createExclusive(new TornWrite, p3, "x")
+    }
+    assert(torn.getMessage == "torn write")
+    assert(!rawFs.exists(p3), "a failed write must not leave a torn slot file")
   }
 }

@@ -23,8 +23,8 @@ class ForkSpec extends SparkSpec {
     val ready = s"$root/ready"
     val childLog = new java.io.File(s"$root/child.log")
     val trig = new graft.streaming.IvfIndexTrigger(
-      spark, ForkedIvfAppender.cents, idxPath)
-    trig.fire("V/1Sec/EMB", ForkedIvfAppender.batch(spark, 0))
+      spark, IvfFixtures.cents, idxPath)
+    trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, 0))
 
     val childOffsets = Seq(1000, 2000, 3000, 4000, 5000)
     val javaBin = new java.io.File(
@@ -71,25 +71,12 @@ class ForkSpec extends SparkSpec {
       trig.compact()
       val fresh = trig.currentQuantizer
       val all = (0 +: childOffsets)
-        .map(o => ForkedIvfAppender.batch(spark, o)).reduce(_ unionByName _)
-      // dup-sensitive view: a double-counted batch must fail the check
-      def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
-        df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
-          .sortBy(identity).toSeq
-      assert(rowsOf(trig.index) ==
-        rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+        .map(o => IvfFixtures.batch(spark, o)).reduce(_ unionByName _)
+      assert(IvfFixtures.rowsOf(trig.index) ==
+        IvfFixtures.rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
         s"cross-process interleaving lost or duplicated rows; child log:\n${slurp(childLog)}")
       // protocol hygiene across the boundary: no seal or tickets left
-      val fs = new org.apache.hadoop.fs.Path(idxPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val leftovers = (Seq(idxPath) ++ fs.listStatus(
-          new org.apache.hadoop.fs.Path(idxPath)).toSeq
-          .filter(_.isDirectory).map(_.getPath.toString))
-        .flatMap(d => fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
-          .map(_.getPath.getName)
-          .filter(n => n == graft.streaming.IvfIndexTrigger.SealFile ||
-            n.startsWith(graft.streaming.IvfIndexTrigger.TicketPrefix))
-          .map(f => s"$d/$f"))
+      val leftovers = IvfFixtures.protocolLeftovers(spark, idxPath)
       assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
     } finally {
       proc.destroyForcibly()

@@ -9,30 +9,14 @@ import org.apache.spark.sql.SparkSession
   * accidentally doing the fencing — the seal heartbeat scheduler,
   * per-index monitors, in-process locks. Across a real fork, the only
   * thing the two sides share is the filesystem.
+  *
+  * args: indexPath, comma-separated batch offsets, ready-file path.
+  * Touches the ready file after the FIRST append so the parent can
+  * start racing publishes against a live appender, then fires the
+  * rest ([[IvfFixtures.batch]] rows, reconstructible by the parent)
+  * with short gaps and exits 0.
   */
 object ForkedIvfAppender {
-
-  /** Deterministic batch, shared by both JVMs (same shape as the
-    * TriggerSpec fixtures) so the parent can rebuild the expected
-    * relation without any channel to the child.
-    */
-  def batch(spark: SparkSession, off: Int): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    (0 until 25).map { i =>
-      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
-        * (if (d % 2 == 0) 1f else -1f)))
-    }.toDF("vec_id", "embedding")
-  }
-
-  val cents: Array[Seq[Float]] = Array(
-    Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
-    Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
-
-  /** args: indexPath, comma-separated batch offsets, ready-file path.
-    * Touches the ready file after the FIRST append so the parent can
-    * start racing publishes against a live appender, then fires the
-    * rest with short gaps and exits 0.
-    */
   def main(args: Array[String]): Unit = {
     val Array(idxPath, offsetsCsv, readyFile) = args
     val spark = SparkSession.builder()
@@ -44,10 +28,11 @@ object ForkedIvfAppender {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+      val trig = new graft.streaming.IvfIndexTrigger(
+        spark, IvfFixtures.cents, idxPath)
       offsetsCsv.split(",").map(_.trim.toInt).zipWithIndex.foreach {
         case (off, i) =>
-          trig.fire("V/1Sec/EMB", batch(spark, off))
+          trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, off))
           if (i == 0)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(readyFile), "ready")

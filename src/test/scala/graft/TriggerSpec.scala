@@ -291,8 +291,10 @@ class TriggerSpec extends SparkSpec {
     // the hook runs inside refreshQuantizer AFTER the seal + ticket
     // drain + corpus snapshot and BEFORE the flip — the exact window
     // where the pre-r11 race stranded acknowledged batches in the
-    // grace generation (deleted one flip later)
-    graft.streaming.IvfIndexTrigger.testHookMidRefresh = Some(() => {
+    // grace generation (deleted one flip later). Path-filtered: suites
+    // run in parallel in this JVM and another suite's refresh must not
+    // consume or execute this test's interleaving.
+    graft.streaming.IvfIndexTrigger.testHookMidRefresh = Some(p => if (p == idxPath) {
       val t = new Thread(() => {
         try trigA.fire("V/1Sec/EMB", batch(1000))
         catch { case e: Throwable => fireErr.set(e) }
@@ -342,25 +344,12 @@ class TriggerSpec extends SparkSpec {
       rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
       "the mid-refresh batch must survive generation retirement")
     // protocol hygiene: no seal or tickets left behind anywhere
-    val fs = new org.apache.hadoop.fs.Path(idxPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def protocolFiles(dir: String): Seq[String] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-        .map(_.getPath.getName)
-        .filter(n => n == graft.streaming.IvfIndexTrigger.SealFile ||
-          n.startsWith(graft.streaming.IvfIndexTrigger.TicketPrefix))
-    val leftovers = (Seq(idxPath) ++ fs.listStatus(
-        new org.apache.hadoop.fs.Path(idxPath)).toSeq
-        .filter(_.isDirectory).map(_.getPath.toString))
-      .flatMap(d => protocolFiles(d).map(f => s"$d/$f"))
+    val leftovers = IvfFixtures.protocolLeftovers(spark, idxPath)
     assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
   }
 
   test("publisher snapshot-vs-seal window: a foreign flip between the monitor snapshot and the seal re-targets the refresh and no-ops the compaction — never a stale publish") {
-    import spark.implicits._
-    val cents: Array[Seq[Float]] = Array(
-      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
-      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    import IvfFixtures.{cents, rowsOf}
     val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-preseal")
       .toString + "/idx"
     // "process A" = live ingest + foreign publisher; "process R" = the
@@ -368,13 +357,7 @@ class TriggerSpec extends SparkSpec {
     // spans them.
     val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
     val trigR = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
-    def batch(off: Int) = (0 until 25).map { i =>
-      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
-        * (if (d % 2 == 0) 1f else -1f)))
-    }.toDF("vec_id", "embedding")
-    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
-      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
-        .sortBy(identity).toSeq
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
     trigA.fire("V/1Sec/EMB", batch(0))
     // the hook fires inside trigR.refreshQuantizer AFTER it snapshots
     // the resolved generation, BEFORE it seals — land a whole foreign
@@ -383,7 +366,7 @@ class TriggerSpec extends SparkSpec {
     // publisher unsealed it after flipping), rebuild only batch(0),
     // and publish that stale corpus as the next generation — silently
     // dropping batch(1000).
-    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(() => {
+    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(p => if (p == idxPath) {
       graft.streaming.IvfIndexTrigger.testHookPreSeal = None // one-shot
       trigA.compact()                   // foreign flip retires `resolved`
       trigA.fire("V/1Sec/EMB", batch(1000)) // rows only the NEW generation has
@@ -406,7 +389,7 @@ class TriggerSpec extends SparkSpec {
     // same window for COMPACT: the racer must no-op (the foreign
     // generation already bounds the file count), never publish stale
     val genBefore = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
-    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(() => {
+    graft.streaming.IvfIndexTrigger.testHookPreSeal = Some(p => if (p == idxPath) {
       graft.streaming.IvfIndexTrigger.testHookPreSeal = None // one-shot
       trigA.refreshQuantizer(trainIters = 1) // foreign flip
       trigA.fire("V/1Sec/EMB", batch(2000))
@@ -420,38 +403,26 @@ class TriggerSpec extends SparkSpec {
       rowsOf(graft.ops.Similarity.ivfIndex(all3, trigR.currentQuantizer)),
       "compact racing a foreign flip must no-op, not publish a stale snapshot")
     // no seal or tickets left behind anywhere
-    val fs = new org.apache.hadoop.fs.Path(idxPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leftovers = (Seq(idxPath) ++ fs.listStatus(
-        new org.apache.hadoop.fs.Path(idxPath)).toSeq
-        .filter(_.isDirectory).map(_.getPath.toString))
-      .flatMap(d => fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
-        .map(_.getPath.getName)
-        .filter(n => n == graft.streaming.IvfIndexTrigger.SealFile ||
-          n.startsWith(graft.streaming.IvfIndexTrigger.TicketPrefix))
-        .map(f => s"$d/$f"))
+    val leftovers = IvfFixtures.protocolLeftovers(spark, idxPath)
     assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
   }
 
   test("ticket heartbeat renewal: an append outliving TicketExpiryMs under a draining publisher is still included; a crashed appender's stale ticket does not park the drain") {
-    import spark.implicits._
-    val cents: Array[Seq[Float]] = Array(
-      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
-      Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    import IvfFixtures.{cents, rowsOf}
     val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-ticket")
       .toString + "/idx"
-    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
-    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
-    def batch(off: Int) = (0 until 25).map { i =>
-      ((off + i).toLong, (0 until 8).map(d => ((off + i) * 7 + d * 3) % 11
-        * (if (d % 2 == 0) 1f else -1f)))
-    }.toDF("vec_id", "embedding")
-    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
-      df.collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id")))
-        .sortBy(identity).toSeq
+    // instance-level ticket expiry (suites run in parallel in this
+    // JVM — mutating the process-wide default would misjudge other
+    // suites' in-flight appends): generous enough that the ack fence
+    // can only trip on a REAL renewal lapse, not a loaded-box
+    // scheduling stall (renewal period = expiry/4 = 1 s)
+    val expiry = 4000L
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
     trigA.fire("V/1Sec/EMB", batch(0))
-    val expiry0 = graft.streaming.IvfIndexTrigger.TicketExpiryMs
-    graft.streaming.IvfIndexTrigger.TicketExpiryMs = 2000L
     val refreshErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val refresher = new Thread(() =>
       try trigB.refreshQuantizer(trainIters = 1)
@@ -467,7 +438,7 @@ class TriggerSpec extends SparkSpec {
       // expiry, snapshotted WITHOUT the batch, and the flip stranded
       // it; with renewal the ticket stays visibly live and the drain
       // waits out the whole write.
-      graft.streaming.IvfIndexTrigger.testHookDuringAppend = Some(() => {
+      graft.streaming.IvfIndexTrigger.testHookDuringAppend = Some(p => if (p == idxPath) {
         graft.streaming.IvfIndexTrigger.testHookDuringAppend = None // one-shot
         val sealPath = new org.apache.hadoop.fs.Path(
           graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath),
@@ -478,7 +449,7 @@ class TriggerSpec extends SparkSpec {
           Thread.sleep(20)
         assert(fs.exists(sealPath), "the publisher never sealed")
         // publisher is now draining our live ticket; outlive the expiry
-        Thread.sleep(3 * graft.streaming.IvfIndexTrigger.TicketExpiryMs)
+        Thread.sleep(3 * expiry)
         assert(refresher.isAlive && refreshErr.get() == null,
           s"refresh finished or failed while a live ticket was renewing: ${refreshErr.get()}")
       })
@@ -499,8 +470,7 @@ class TriggerSpec extends SparkSpec {
       val stale = new org.apache.hadoop.fs.Path(resolved,
         graft.streaming.IvfIndexTrigger.TicketPrefix + "crashed")
       fs.create(stale, false).close()
-      fs.setTimes(stale,
-        System.currentTimeMillis() - 3 * graft.streaming.IvfIndexTrigger.TicketExpiryMs, -1)
+      fs.setTimes(stale, System.currentTimeMillis() - 3 * expiry, -1)
       val t0 = System.currentTimeMillis()
       trigB.compact() // drains: the stale ticket must not park it
       assert(System.currentTimeMillis() - t0 < 60000L)
@@ -508,9 +478,46 @@ class TriggerSpec extends SparkSpec {
       assert(rowsOf(trigA.index) ==
         rowsOf(graft.ops.Similarity.ivfIndex(all, trigB.currentQuantizer)),
         "compaction after the crashed-appender drain changed the relation")
-    } finally {
-      graft.streaming.IvfIndexTrigger.TicketExpiryMs = expiry0
-      graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
+    } finally graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
+  }
+
+  test("a torn (unparseable) seal expires by file mtime — appends and publishers break it instead of wedging forever") {
+    import IvfFixtures.{cents, rowsOf}
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-torn")
+      .toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
+    trig.fire("V/1Sec/EMB", batch(0))
+    // no expiry shrink needed (and suites run in parallel — mutating
+    // the process-wide seal clock would break other suites' live
+    // publishers): a torn seal with an mtime far in the past is
+    // stale against the DEFAULT expiry
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publisher that crashed INSIDE the seal write leaves an empty
+    // (unparseable) _SEALING file: ts can never be parsed, so only
+    // the mtime fallback can ever expire it
+    def tornSealOn(gen: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(gen,
+        graft.streaming.IvfIndexTrigger.SealFile)
+      fs.create(p, false).close()
+      fs.setTimes(p, System.currentTimeMillis() -
+        3 * graft.streaming.IvfIndexTrigger.SealExpiryMs, -1)
+      p
     }
+    tornSealOn(graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath))
+    // an append must break the stale torn seal, not spin forever
+    trig.fire("V/1Sec/EMB", batch(1000))
+    val all = batch(0).unionByName(batch(1000))
+    assert(rowsOf(trig.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, trig.currentQuantizer)),
+      "append under a stale torn seal lost rows")
+    // ... and a publisher must be able to acquire over it too
+    tornSealOn(graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath))
+    trig.refreshQuantizer(trainIters = 1)
+    assert(rowsOf(trig.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, trig.currentQuantizer)),
+      "refresh over a stale torn seal diverged")
+    assert(IvfFixtures.protocolLeftovers(spark, idxPath).isEmpty)
   }
 }
