@@ -123,9 +123,18 @@ final class IvfIndexTrigger(
       attempts += 1
       try {
         val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
-        if (fs.exists(q))
-          quantizer = Similarity.loadCentroids(spark.read.parquet(q.toString))
-        knownResolved = resolved
+        val cents =
+          if (fs.exists(q))
+            Some(Similarity.loadCentroids(spark.read.parquet(q.toString)))
+          else None
+        // re-verify currency BEFORE adopting: a deleted generation can
+        // also present as exists->false (no exception), and adopting
+        // the retired path would pair it with a stale quantizer
+        val cur = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+        if (cur == resolved) {
+          cents.foreach(quantizer = _)
+          knownResolved = resolved
+        } else resolved = cur
       } catch {
         case NonFatal(_) if attempts < 5 =>
           resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
@@ -805,7 +814,7 @@ object IvfIndexTrigger {
     * drain + retrain + rebuild may take. Wall-clock lease semantics —
     * same bounded-skew assumption as the catalog's writer lease.
     */
-  @volatile private[graft] var SealExpiryMs: Long = 60000L
+  private[graft] val SealExpiryMs: Long = 60000L
 
   /** A ticket whose mtime is older than this is a CRASHED appender. A
     * live appender heartbeat-renews its ticket every quarter-expiry
@@ -821,7 +830,7 @@ object IvfIndexTrigger {
     * batch (the ack fence in tryAppendOnce) instead of risking a
     * silent exclusion from that publisher's snapshot.
     */
-  @volatile private[graft] var TicketExpiryMs: Long = 600000L
+  private[graft] val TicketExpiryMs: Long = 600000L
 
   // seal renewal: one daemon thread for every held seal in the
   // process (the catalog lease heartbeat pattern); per-path monitors
@@ -922,7 +931,8 @@ object IvfIndexTrigger {
     */
   def refreshPath(spark: SparkSession, indexPath: String,
       nCells: Int = 0, trainIters: Int = 3,
-      id: String = "vec_id", emb: String = "embedding"): Option[Int] = {
+      id: String = "vec_id", emb: String = "embedding",
+      ticketExpiryMs: Long = 0L): Option[Int] = {
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexPath))) return None
@@ -938,7 +948,12 @@ object IvfIndexTrigger {
       else Similarity.sampledCentroids(rows,
         if (nCells > 0) nCells
         else math.max(1, rows.select("cell").distinct().count().toInt), id, emb)
-    val trig = new IvfIndexTrigger(spark, seed, indexPath, id, emb)
+    // the drain clock must match the index's appenders (the class-doc
+    // lease rule): an operator who configured a longer ticket expiry
+    // on the ingest side passes the same value here, or the drain
+    // would presume a slow-but-renewing appender dead
+    val trig = new IvfIndexTrigger(spark, seed, indexPath, id, emb,
+      ticketExpiryMs = ticketExpiryMs)
     trig.refreshQuantizer(nCells, trainIters)
     Some(trig.currentQuantizer.length)
   }

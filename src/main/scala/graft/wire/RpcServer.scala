@@ -447,7 +447,14 @@ class RpcServer(
           throw new IllegalArgumentException("ops: input (index root path) required")))
         val n = graft.streaming.IvfIndexTrigger.refreshPath(spark, p,
             nCells = math.min(65536L, math.max(0L, lng(opts, "n_cells").getOrElse(0L))).toInt,
-            trainIters = math.min(10L, math.max(1L, lng(opts, "train_iters").getOrElse(3L))).toInt)
+            trainIters = math.min(10L, math.max(1L, lng(opts, "train_iters").getOrElse(3L))).toInt,
+            // the drain clock must match the index's appenders (the
+            // lease rule): ingest sides configured with a custom
+            // ticket expiry pass the same value, or this publisher
+            // would presume a slow-but-renewing appender dead and
+            // snapshot without its batch
+            ticketExpiryMs = math.min(86400000L,
+              math.max(0L, lng(opts, "ticket_expiry_ms").getOrElse(0L))))
           .getOrElse(throw new IllegalArgumentException(
             s"ops: no index rows at ${str(params, "input").get}"))
         val gen = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, p)
