@@ -17,19 +17,14 @@ class ForkSpec extends SparkSpec {
     if (f.exists()) new String(Files.readAllBytes(f.toPath)).takeRight(4000)
     else "<no log>"
 
-  test("cross-process appends survive concurrent refreshes and compactions from this JVM (no loss, no dup, no protocol leftovers)") {
-    val root = Files.createTempDirectory("graft-fork").toString
-    val idxPath = s"$root/idx"
-    val ready = s"$root/ready"
-    val childLog = new java.io.File(s"$root/child.log")
-    val trig = new graft.streaming.IvfIndexTrigger(
-      spark, IvfFixtures.cents, idxPath)
-    trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, 0))
-
-    val childOffsets = Seq(1000, 2000, 3000, 4000, 5000)
+  /** Fork a test-classpath main in a fresh JVM with the same module
+    * opens the build gives every forked Spark JVM; stdout+stderr to
+    * `log`.
+    */
+  private def forkMain(mainClass: String, log: java.io.File,
+      args: String*): Process = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-    // same module opens the build gives every forked Spark JVM
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -41,19 +36,35 @@ class ForkSpec extends SparkSpec {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.ForkedIvfAppender",
-      idxPath, childOffsets.mkString(","), ready)
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
-    pb.redirectOutput(childLog)
-    val proc = pb.start()
+    pb.redirectOutput(log)
+    pb.start()
+  }
+
+  private def awaitFile(path: String, proc: Process, timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!Files.exists(Paths.get(path)) && proc.isAlive &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    Files.exists(Paths.get(path))
+  }
+
+  test("cross-process appends survive concurrent refreshes and compactions from this JVM (no loss, no dup, no protocol leftovers)") {
+    val root = Files.createTempDirectory("graft-fork").toString
+    val idxPath = s"$root/idx"
+    val ready = s"$root/ready"
+    val childLog = new java.io.File(s"$root/child.log")
+    val trig = new graft.streaming.IvfIndexTrigger(
+      spark, IvfFixtures.cents, idxPath)
+    trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, 0))
+
+    val childOffsets = Seq(1000, 2000, 3000, 4000, 5000)
+    val proc = forkMain("graft.ForkedIvfAppender", childLog,
+      idxPath, childOffsets.mkString(","), ready)
     try {
       // wait out the child's Spark bootstrap: its FIRST append marks ready
-      val deadline = System.currentTimeMillis() + 180000L
-      while (!Files.exists(Paths.get(ready)) && proc.isAlive &&
-             System.currentTimeMillis() < deadline) Thread.sleep(100)
-      assert(Files.exists(Paths.get(ready)),
+      assert(awaitFile(ready, proc, 180000L),
         s"child never appended (alive=${proc.isAlive}); log:\n${slurp(childLog)}")
       // publish repeatedly from THIS process while the child appends:
       // each publish seals, drains the child's live tickets, rebuilds,
@@ -78,6 +89,58 @@ class ForkSpec extends SparkSpec {
       // protocol hygiene across the boundary: no seal or tickets left
       val leftovers = IvfFixtures.protocolLeftovers(spark, idxPath)
       assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
+    } finally {
+      proc.destroyForcibly()
+      ()
+    }
+  }
+
+  test("cross-process catalog writers: a live foreign group lease refuses this JVM's writes; other groups proceed in parallel; the foreign rows read back") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nolock.impl", classOf[NoLockFileSystem].getName)
+    val root = Files.createTempDirectory("graft-fork-cat").toString
+    val ready = s"$root.ready"
+    val childLog = new java.io.File(s"$root.child.log")
+    // the child is a REAL foreign writer on the LSE group of a shared
+    // no-lock root (object-store shape — no OS byte-range locks, the
+    // lease carries the single-writer contract): its writer id, lease
+    // heartbeats and claim files live in another JVM
+    val n = 8
+    val proc = forkMain("graft.ForkedGroupWriter", childLog,
+      "nolock:" + root, "AAPL/1Min/LSE", n.toString, ready)
+    try {
+      assert(awaitFile(ready, proc, 180000L),
+        s"child never wrote (alive=${proc.isAlive}); log:\n${slurp(childLog)}")
+      val cat = new graft.catalog.BucketCatalog(spark, "nolock:" + root)
+      // (1) the child holds a LIVE lease on LSE: this JVM's write to
+      // that group must refuse rather than split-brain the group
+      assert(proc.isAlive, s"child finished too early; log:\n${slurp(childLog)}")
+      val e = intercept[IllegalStateException] {
+        cat.write(graft.core.TimeBucketKey.parse("MSFT/1Min/LSE"),
+          Seq((60L, 9.0, 9.5)).toDF("Epoch", "Open", "Close"))
+      }
+      assert(e.getMessage.contains("live lease"), e.getMessage)
+      // (2) a DIFFERENT group of the same root proceeds in parallel
+      // while the foreign writer is live — per-group leases, not a
+      // root-wide writer
+      val nyse = graft.core.TimeBucketKey.parse("IBM/1Min/NYSE")
+      cat.create(nyse, ForkedGroupWriter.ohlcv, isVariable = false)
+      cat.write(nyse, Seq((60L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
+      assert(proc.isAlive,
+        "the NYSE write should have completed while the LSE writer was still live")
+      assert(cat.read(nyse).count() == 1)
+      // (3) the foreign writer's commits read back exactly from this
+      // process once it exits — manifest resolution is process-agnostic
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"child did not exit; log:\n${slurp(childLog)}")
+      assert(proc.exitValue() == 0,
+        s"child exited ${proc.exitValue()}; log:\n${slurp(childLog)}")
+      val got = cat.read(graft.core.TimeBucketKey.parse("AAPL/1Min/LSE"))
+        .orderBy("Epoch").collect()
+        .map(r => (r.getAs[Long]("Epoch"), r.getAs[Double]("Open"))).toSeq
+      assert(got == (0 until n).map(i => (60L * (i + 1), 1.0 + i)),
+        s"foreign rows did not read back: $got")
     } finally {
       proc.destroyForcibly()
       ()
