@@ -100,7 +100,10 @@ object Bench {
     "q_queryservice_lastn", "q_quality_classifier",
     "q_rsi", "q_rsi_wilder",
     "q_roundtrip_trim", "q_roundtrip_csv", "q_roundtrip_coerce",
-    "q_roundtrip_delete")
+    "q_roundtrip_delete",
+    // shuffle-heavy twin-planted mining: drew 5x in-suite at 50x in
+    // r12 while three solo draws sat at 1.7-3.3x (BENCH_NOTES r12)
+    "q_pipeline_contrastive")
 
   private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
     var failed = List.empty[(String, String)]

@@ -777,14 +777,35 @@ final class IvfIndexTrigger(
     * so a batch and a stream answer identically; the index is re-read
     * per batch and therefore sees concurrent [[fire]] appends). The
     * results of each micro-batch go to `sink`.
+    *
+    * A micro-batch pins one generation for its whole plan; grace
+    * retention keeps ONE spent generation, so two publishes landing
+    * back-to-back can retire the pinned one mid-read. That transient
+    * is retried against a freshly-resolved pair instead of killing
+    * the long-lived streaming query — consistent with foreachBatch's
+    * own contract that sinks are idempotent per batch (Spark itself
+    * re-runs batches on failure).
     */
   def attachQueries(
       queryStream: DataFrame, k: Int, nProbe: Int, checkpointDir: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink(topK(batch, k, nProbe)))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            try { sink(topK(batch, k, nProbe)); done = true }
+            catch {
+              case NonFatal(e)
+                  if attempts < 3 && IvfIndexTrigger.isStaleGenerationRead(e) =>
+                () // re-pin: topK re-resolves the current generation
+            }
+          }
+        }
+      }
       .start()
 }
 
@@ -869,6 +890,28 @@ object IvfIndexTrigger {
     sealLocks.computeIfAbsent(indexRoot, _ => new Object)
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IvfIndexTrigger])
+
+  /** A read that failed because its pinned generation was retired
+    * under it (two publishes outran the one-generation grace window):
+    * a FileNotFound anywhere in the cause chain, or Spark's
+    * FAILED_READ_FILE.FILE_NOT_EXIST wrapper around one. Only this
+    * shape is retried by serving paths — everything else propagates.
+    */
+  private[streaming] def isStaleGenerationRead(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case s if Option(s.getMessage).exists(_.contains("FILE_NOT_EXIST")) =>
+          return true
+        case _ => ()
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Observability for tests: how many times an appender backed off on
     * a live seal or a moved generation.

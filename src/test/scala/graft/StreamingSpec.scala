@@ -840,4 +840,59 @@ class StreamingSpec extends SparkSpec {
     assert(results.toSet == want,
       s"streamed answers diverge: extra=${results.toSet -- want} missing=${want -- results.toSet}")
   }
+
+  test("streaming ANN serving survives a pinned generation retiring mid-batch: the micro-batch re-pins and answers instead of killing the query") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val idxPath = Files.createTempDirectory("graft-sknn-stale").toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq(((i * 7) % 11).toFloat, ((i * 5) % 7).toFloat,
+        ((i * 3) % 5).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    trig.fire("V/1Sec/EMB", corpus)
+    val queries = MemoryStream[QueryVec]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = Files.createTempDirectory("graft-sknn-stale-ckpt").toString
+    // the first sink invocation simulates the double-flip transient:
+    // its read surfaces Spark's FAILED_READ_FILE wrapper around a
+    // FileNotFound (the pinned generation was retired under the plan).
+    // attachQueries must re-pin and re-run the batch — not fail the
+    // streaming query — per foreachBatch's idempotent-sink contract.
+    val q = trig.attachQueries(queries.toDF, k = 3, nProbe = cents.length, ckpt) { hits =>
+      if (sinkCalls.incrementAndGet() == 1)
+        throw new org.apache.spark.SparkException(
+          "[FAILED_READ_FILE.FILE_NOT_EXIST] simulated retired-generation read",
+          new java.io.FileNotFoundException(s"$idxPath/gen-0/part-0.parquet"))
+      results ++= hits.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      queries.addData(QueryVec(1000L, Seq(1f, 2f, 3f, 1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sinkCalls.get() == 2, s"expected one retry, saw ${sinkCalls.get()} calls")
+    val want = graft.ops.Similarity.bruteForceTopK(corpus,
+        Seq((1000L, Seq(1f, 2f, 3f, 1f))).toDF("vec_id", "embedding"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results.toSet == want, s"retried batch must answer exactly: $results")
+    // a non-stale sink failure still propagates (and fails the query)
+    val queries2 = MemoryStream[QueryVec]
+    val ckpt2 = Files.createTempDirectory("graft-sknn-stale-ckpt2").toString
+    val q2 = trig.attachQueries(queries2.toDF, k = 3, nProbe = 4, ckpt2) { _ =>
+      throw new IllegalStateException("sink business error")
+    }
+    try {
+      queries2.addData(QueryVec(1001L, Seq(1f, 0f, 0f, 0f)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+      assert(chain(err).exists(m => m != null && m.contains("sink business error")),
+        "non-stale failures must propagate, not be retried into silence")
+    } finally q2.stop()
+  }
 }
