@@ -22,12 +22,24 @@ object EntryProbe {
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- names; draw <- 1 to 3) {
+    val (known, unknown) = names.partition(SparkEntry.queries.contains)
+    unknown.foreach(n => println(
+      s"[probe] SKIP unknown entry '$n' (valid names: SparkEntry.queries keys, " +
+        s"e.g. ${SparkEntry.queries.keys.toSeq.sorted.take(5).mkString(", ")}, ...)"))
+    // one failing draw must not abort the sweep — the partial evidence
+    // (which entries/draws failed, which held) IS the attribution
+    for (name <- known; draw <- 1 to 3) {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[probe] draw $name #$draw ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+      try {
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[probe] draw $name #$draw ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+      } catch {
+        case e: Throwable => println(
+          f"[probe] draw $name #$draw FAILED after ${(System.nanoTime() - t0) / 1e9}%8.2f s: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
+      }
     }
     spark.stop()
   }

@@ -799,9 +799,17 @@ final class IvfIndexTrigger(
             attempts += 1
             try { sink(topK(batch, k, nProbe)); done = true }
             catch {
-              case NonFatal(e)
-                  if attempts < 3 && IvfIndexTrigger.isStaleGenerationRead(e) =>
-                () // re-pin: topK re-resolves the current generation
+              case NonFatal(e) if attempts < 3 &&
+                  IvfIndexTrigger.isStaleGenerationRead(e, indexPath) =>
+                // re-pin: topK re-resolves the current generation.
+                // Logged + counted — repeated retries mean publishes
+                // are outrunning the one-generation grace window and
+                // the publish cadence needs tuning
+                IvfIndexTrigger.staleServeRetries.incrementAndGet()
+                IvfIndexTrigger.log.warn(
+                  s"serving micro-batch re-pinned $indexPath after its " +
+                    s"generation retired mid-read (attempt $attempts): " +
+                    e.getMessage)
             }
           }
         }
@@ -893,25 +901,34 @@ object IvfIndexTrigger {
 
   /** A read that failed because its pinned generation was retired
     * under it (two publishes outran the one-generation grace window):
-    * a FileNotFound anywhere in the cause chain, or Spark's
-    * FAILED_READ_FILE.FILE_NOT_EXIST wrapper around one. Only this
-    * shape is retried by serving paths — everything else propagates.
+    * a FileNotFound — or Spark's FAILED_READ_FILE.FILE_NOT_EXIST
+    * wrapper — anywhere in the cause chain whose message names a path
+    * UNDER this index root. Only this shape is retried by serving
+    * paths; a sink's own missing-file failure (an external target or
+    * source) names a foreign path and propagates.
     */
-  private[streaming] def isStaleGenerationRead(e: Throwable): Boolean = {
+  private[streaming] def isStaleGenerationRead(
+      e: Throwable, indexRoot: String): Boolean = {
     var cur: Throwable = e
     var depth = 0
     while (cur != null && depth < 10) {
-      cur match {
-        case _: java.io.FileNotFoundException => return true
-        case s if Option(s.getMessage).exists(_.contains("FILE_NOT_EXIST")) =>
-          return true
-        case _ => ()
-      }
+      val missingFileShape = cur.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(cur.getMessage).exists(_.contains("FILE_NOT_EXIST"))
+      if (missingFileShape &&
+          Option(cur.getMessage).exists(_.contains(indexRoot)))
+        return true
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
     }
     false
   }
+
+  /** Observability: serving micro-batches re-pinned after their
+    * generation retired mid-read. A climbing counter means publishes
+    * are outrunning grace retention.
+    */
+  private[graft] val staleServeRetries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Observability for tests: how many times an appender backed off on
     * a live seal or a moved generation.

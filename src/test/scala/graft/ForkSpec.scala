@@ -113,9 +113,10 @@ class ForkSpec extends SparkSpec {
       assert(awaitFile(ready, proc, 180000L),
         s"child never wrote (alive=${proc.isAlive}); log:\n${slurp(childLog)}")
       val cat = new graft.catalog.BucketCatalog(spark, "nolock:" + root)
-      // (1) the child holds a LIVE lease on LSE: this JVM's write to
-      // that group must refuse rather than split-brain the group
-      assert(proc.isAlive, s"child finished too early; log:\n${slurp(childLog)}")
+      // (1) the child's lease on LSE is LIVE (its ts stays fresh for a
+      // full expiry even if the child finishes early — no isAlive
+      // race on a loaded box): this JVM's write to that group must
+      // refuse rather than split-brain the group
       val e = intercept[IllegalStateException] {
         cat.write(graft.core.TimeBucketKey.parse("MSFT/1Min/LSE"),
           Seq((60L, 9.0, 9.5)).toDF("Epoch", "Open", "Close"))
@@ -127,8 +128,6 @@ class ForkSpec extends SparkSpec {
       val nyse = graft.core.TimeBucketKey.parse("IBM/1Min/NYSE")
       cat.create(nyse, ForkedGroupWriter.ohlcv, isVariable = false)
       cat.write(nyse, Seq((60L, 2.0, 2.5)).toDF("Epoch", "Open", "Close"))
-      assert(proc.isAlive,
-        "the NYSE write should have completed while the LSE writer was still live")
       assert(cat.read(nyse).count() == 1)
       // (3) the foreign writer's commits read back exactly from this
       // process once it exits — manifest resolution is process-agnostic
