@@ -55,6 +55,23 @@ final class Metrics {
     gauge(s"${Ns}_ops_probe_calibrations",
       "Exact probe-depth calibrations run for knn_ivf probe_recall requests",
       probeCalibrations)
+    // IVF seal/ticket protocol counters (engine-specific superset
+    // metrics, process-local like every gauge here): sampled live from
+    // the trigger at render time. Climbing seal_waits = appends are
+    // backing off on publisher seals; climbing serve_repins = publishes
+    // are outrunning the one-generation grace window and retiring
+    // generations under serving micro-batches — both are the cadence
+    // signals an operator tunes compactEvery / refresh frequency by.
+    def raw(name: String, help: String, v: Double): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      sb.append(s"$name ${fmt(v)}\n")
+    }
+    raw(s"${Ns}_ops_ivf_seal_waits",
+      "IVF appender backoffs on a live publisher seal in this process",
+      graft.streaming.IvfIndexTrigger.sealWaits.get.toDouble)
+    raw(s"${Ns}_ops_ivf_serve_repins",
+      "IVF serving micro-batches re-pinned after their generation retired mid-read in this process",
+      graft.streaming.IvfIndexTrigger.staleServeRetries.get.toDouble)
     histogram(sb, s"${Ns}_rpc_total_request_duration_seconds",
       "RPC request processing time for every request", Seq("" -> rpcTotal))
     val byMethod = {
