@@ -115,8 +115,14 @@ object FsOps {
                  _: java.nio.file.FileAlreadyExistsException => return false
             // some connectors surface occupied-slot as a bare
             // IOException; only map it to "lost" when the slot is
-            // demonstrably taken — everything else is a storage error
-            case _: java.io.IOException if fs.exists(p) => return false
+            // demonstrably taken — everything else is a storage error.
+            // The probe itself runs against a store that just failed:
+            // wrap it so a second failure inside the match guard can't
+            // replace the original create error with an unrelated
+            // exists-probe error (a thrown guard propagates)
+            case _: java.io.IOException
+                if scala.util.Try(fs.exists(p)).getOrElse(false) =>
+              return false
           }
         try { try out.write(bytes) finally out.close() }
         catch {

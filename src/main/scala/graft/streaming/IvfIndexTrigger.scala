@@ -119,9 +119,23 @@ final class IvfIndexTrigger(
   private def syncGeneration(): String = {
     var resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
     var attempts = 0
+    var lastErr: Throwable = null
     while (resolved != knownResolved) {
       attempts += 1
+      // bound TOTAL iterations, not just the exception arm: the
+      // non-throwing `cur != resolved` path can loop as long as
+      // foreign publishes keep landing between the quantizer read and
+      // the currency re-check — each extra pass requires a whole
+      // foreign publish inside that microsecond window, so more than
+      // a handful means something is flipping pathologically fast
+      // (refreshQuantizer caps its identical retry shape the same way)
+      if (attempts > 5) throw new IllegalStateException(
+        s"generation adoption on $indexPath lost the currency race " +
+          s"${attempts - 1} times — concurrent publishers are flipping " +
+          "faster than this reader can adopt; retry the operation",
+        lastErr)
       try {
+        IvfIndexTrigger.testHookMidSync.foreach(_.apply(indexPath))
         val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
         val cents =
           if (fs.exists(q))
@@ -136,7 +150,8 @@ final class IvfIndexTrigger(
           knownResolved = resolved
         } else resolved = cur
       } catch {
-        case NonFatal(_) if attempts < 5 =>
+        case NonFatal(e) =>
+          lastErr = e
           resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
       }
     }
@@ -189,10 +204,41 @@ final class IvfIndexTrigger(
     // read throughout a foreign publisher's runtime AND this
     // instance's own batch writes
     appendLock.synchronized {
-      while (!tryAppendOnce(batch)) {
-        IvfIndexTrigger.sealWaits.incrementAndGet()
-        Thread.sleep(50)
+      var pending = batch
+      var persisted: List[DataFrame] = Nil
+      var done = false
+      while (!done) tryAppendOnce(pending) match {
+        case IvfIndexTrigger.Appended => done = true
+        case IvfIndexTrigger.SealBackoff =>
+          IvfIndexTrigger.sealWaits.incrementAndGet()
+          Thread.sleep(50)
+        case IvfIndexTrigger.AckUncertain =>
+          // the ack fence tripped: the batch's files are durably
+          // committed into the (possibly retiring) generation, but a
+          // draining publisher may have presumed this appender dead
+          // and snapshotted WITHOUT them. Resolve the ambiguity here
+          // instead of throwing a verify-by-hand instruction (r13):
+          // wait the publisher out, then diff the batch against the
+          // live relation by id and re-append exactly the rows its
+          // snapshot excluded — fire() returns only once the batch is
+          // provably in the serving relation, with no loss and no dup.
+          IvfIndexTrigger.ackFenceRecoveries.incrementAndGet()
+          IvfIndexTrigger.log.warn(
+            s"ack fence tripped on $indexPath — ticket renewal lapsed " +
+              "under a concurrent publisher; recovering by re-appending " +
+              "the rows its snapshot excluded")
+          awaitPublisherQuiesce()
+          val miss = missingRows(pending)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted ::= miss
+          // materialize NOW: the anti-join must be evaluated against
+          // the relation as diffed, not lazily after our own re-append
+          // starts changing it
+          done = miss.count() == 0L
+          pending = miss
       }
+      persisted.foreach(df =>
+        try df.unpersist() catch { case NonFatal(_) => () })
     }
     // decide under the monitor, compact OUTSIDE it: compact takes
     // publishLock then the monitor, so calling it with the monitor
@@ -215,8 +261,12 @@ final class IvfIndexTrigger(
       }
   }
 
-  /** One fenced append attempt; false = a publisher owns the relation
-    * (or the generation moved) — the caller backs off and retries.
+  /** One fenced append attempt; [[IvfIndexTrigger.SealBackoff]] = a
+    * publisher owns the relation (or the generation moved) — the
+    * caller backs off and retries; [[IvfIndexTrigger.AckUncertain]] =
+    * the write committed but its ticket renewal lapsed under a
+    * concurrent publisher, so the batch may be outside that
+    * publisher's snapshot — the caller recovers by diffing (fire()).
     * Check ORDER is load-bearing: ticket first, then seal, then
     * resolution-currency.
     *  - seal absent at the check ⇒ either no publisher is mid-flight
@@ -231,7 +281,7 @@ final class IvfIndexTrigger(
     * the (generation, quantizer) pair is captured there so the write
     * outside it can never mix a new generation with stale centroids.
     */
-  private def tryAppendOnce(batch: DataFrame): Boolean = {
+  private def tryAppendOnce(batch: DataFrame): IvfIndexTrigger.AppendOutcome = {
     val (resolved, q, ticket) = synchronized {
       val r = syncGeneration()
       if (!rootEnsured) { fs.mkdirs(new Path(indexPath)); rootEnsured = true }
@@ -255,16 +305,54 @@ final class IvfIndexTrigger(
         new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
       val gapSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
       val period = math.max(1L, ticketExpiry / 4)
+      // the last mtime a successful renewal observed: a non-throwing
+      // setTimes is NOT proof of renewal (several object-store
+      // connectors implement it as a silent no-op), and an unmoved
+      // mtime looks CRASHED to a draining publisher — it would
+      // snapshot without this batch while lastTouch here stayed
+      // fresh, so the ack fence would never trip and the batch would
+      // be silently lost at grace retirement (r13). Renewal therefore
+      // VERIFIES the mtime moved, falling back to rewriting the
+      // ticket (a fresh write carries a fresh mtime on every store).
+      val lastMtime =
+        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+      // orders renewal ticks against the finally's delete: the rewrite
+      // fallback below could otherwise RESURRECT a ticket the finally
+      // just removed (the setTimes-only r12 shape couldn't — a touch
+      // of a deleted file throws), leaving a leftover that parks every
+      // later publisher's drain for one expiry
+      val hbLock = new Object
+      val hbActive = new java.util.concurrent.atomic.AtomicBoolean(true)
       val hb = IvfIndexTrigger.ticketScheduler.scheduleWithFixedDelay(
-        () => try {
+        () => hbLock.synchronized { if (hbActive.get()) try {
           val now = System.currentTimeMillis()
           if (now - lastTouch.get() > ticketExpiry)
             gapSeen.set(true)
-          fs.setTimes(ticket, now, -1)
-          lastTouch.set(now)
-          // a failed touch leaves lastTouch stale — the gap accrues
-          // and the ack fence below judges it
-        } catch { case NonFatal(_) => () },
+          try fs.setTimes(ticket, now, -1) catch { case NonFatal(_) => () }
+          // a renewal took: the mtime moved past the last one we saw,
+          // or is fresh to within one period (coarse second-granular
+          // mtime clocks can stamp two renewals inside one tick)
+          def moved: Boolean = {
+            val m = fs.getFileStatus(ticket).getModificationTime
+            val ok = m > lastMtime.get() || now - m <= period
+            if (ok) lastMtime.set(math.max(m, lastMtime.get()))
+            ok
+          }
+          val renewed = moved || { fs.create(ticket, true).close(); moved }
+          if (renewed) lastTouch.set(now)
+          else {
+            // leave lastTouch stale — the gap accrues and the ack
+            // fence below judges it; count it so a renewal brown-out
+            // is visible on /metrics before it refuses acks
+            IvfIndexTrigger.ticketRenewalFailures.incrementAndGet()
+            IvfIndexTrigger.log.warn(
+              s"ticket renewal on $ticket did not move its mtime — " +
+                "treating as a failed touch (the ack fence judges the gap)")
+          }
+        } catch {
+          case NonFatal(_) =>
+            IvfIndexTrigger.ticketRenewalFailures.incrementAndGet()
+        } },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
         IvfIndexTrigger.testHookDuringAppend.foreach(_.apply(indexPath))
@@ -283,20 +371,70 @@ final class IvfIndexTrigger(
         if (lapsed &&
             (fs.exists(new Path(resolved, IvfIndexTrigger.SealFile)) ||
               IvfIndexTrigger.resolveIndexPath(spark, indexPath) != resolved))
-          throw new IllegalStateException(
-            s"append to $resolved outlived its ticket renewal under a " +
-              "concurrent publisher — the batch may be outside that " +
-              "publisher's snapshot; verify presence in the current " +
-              "generation before re-firing")
+          IvfIndexTrigger.AckUncertain
+        else IvfIndexTrigger.Appended
       } finally {
         hb.cancel(false)
-        try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+        // under hbLock and with the active flag down, so an in-flight
+        // tick finishes first and no later one can rewrite the ticket
+        // back into existence after this delete
+        hbLock.synchronized {
+          hbActive.set(false)
+          try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+        }
       }
-      true
     } else {
       try fs.delete(ticket, false) catch { case NonFatal(_) => () }
-      false
+      IvfIndexTrigger.SealBackoff
     }
+  }
+
+  /** Wait until no live publisher seal guards the current generation —
+    * the recovery path's precondition for diffing the batch against a
+    * SETTLED relation. Same bounded-progress lease assumption as
+    * [[drainTickets]]: a renewing publisher parks this until it
+    * finishes; a crashed one is expiry-broken by [[sealBlocks]].
+    */
+  private def awaitPublisherQuiesce(): Unit =
+    while (sealBlocks(IvfIndexTrigger.resolveIndexPath(spark, indexPath)))
+      Thread.sleep(100)
+
+  /** The rows of `batch` NOT present (by `id`) in the current serving
+    * relation. One id-column scan of the index with the batch's ids
+    * broadcast into a semi-join — the index side is never shuffled,
+    * so the diff is O(index scan) + O(batch) at any index size.
+    * Presence is keyed on `id` alone: ids are the index's primary key
+    * (duplicate ids across appends are already a data error — topK
+    * would return duplicates).
+    */
+  private def missingRows(batch: DataFrame): DataFrame = {
+    val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+    if (!hasDataFiles(resolved)) return batch
+    val present = spark.read.parquet(resolved).select(col(id))
+      .join(org.apache.spark.sql.functions.broadcast(
+        batch.select(col(id)).distinct()), Seq(id), "left_semi")
+      .distinct()
+    batch.join(present, Seq(id), "left_anti")
+  }
+
+  /** True iff every row of `batch` is present (by `id`) in the current
+    * serving relation — the mechanical "verify presence" step for a
+    * caller recovering a fire() whose PROCESS died mid-append (the
+    * in-process uncertain-ack case self-heals inside [[fire]]).
+    */
+  def verifyBatch(batch: DataFrame): Boolean = missingRows(batch).isEmpty
+
+  /** [[fire]] for at-least-once upstreams: append only the rows of
+    * `batch` whose `id` is absent from the serving relation, so a
+    * blind redelivery after a caller crash neither loses nor
+    * duplicates. Costs one id-column index scan per call (the
+    * [[missingRows]] diff) — use plain [[fire]] on exactly-once paths.
+    */
+  def fireIdempotent(tbk: String, batch: DataFrame): Unit = {
+    val miss = missingRows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { if (miss.count() > 0L) fire(tbk, miss) }
+    finally { try miss.unpersist() catch { case NonFatal(_) => () } }
   }
 
   /** True iff a LIVE publisher seal guards `resolved` (the appender
@@ -789,15 +927,31 @@ final class IvfIndexTrigger(
   def attachQueries(
       queryStream: DataFrame, k: Int, nProbe: Int, checkpointDir: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    attachQueriesKeyed(queryStream, k, nProbe, checkpointDir)(
+      (hits: DataFrame, _: Long) => sink(hits))
+
+  /** [[attachQueries]] with the foreachBatch epoch id passed through to
+    * the sink — the idempotence key foreachBatch's contract expects a
+    * sink to dedupe on: the stale-generation retry below (and Spark's
+    * own failure re-runs) re-invoke the sink for the SAME batch with
+    * the SAME id, so a parquet/Delta/exactly-once sink can recognize
+    * the re-delivery instead of double-writing it. (A distinct name,
+    * not an overload: Scala resolves curried overloads on the first
+    * parameter list alone, which is identical here.)
+    */
+  def attachQueriesKeyed(
+      queryStream: DataFrame, k: Int, nProbe: Int, checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           var attempts = 0
           var done = false
           while (!done) {
             attempts += 1
-            try { sink(topK(batch, k, nProbe)); done = true }
+            try { sink(topK(batch, k, nProbe), batchId); done = true }
             catch {
               case NonFatal(e) if attempts < 3 &&
                   IvfIndexTrigger.isStaleGenerationRead(e, indexPath) =>
@@ -855,9 +1009,11 @@ object IvfIndexTrigger {
     * symmetrically parks publishers' drains for at most this long
     * (its uncommitted task files sit in `_temporary`, invisible to
     * readers). Should renewal itself lapse past the expiry under a
-    * concurrent publisher, the appender refuses to acknowledge the
-    * batch (the ack fence in tryAppendOnce) instead of risking a
-    * silent exclusion from that publisher's snapshot.
+    * concurrent publisher, the appender's ack fence (tryAppendOnce)
+    * flags the batch as uncertain and fire() recovers it mechanically
+    * (r13): wait the publisher out, diff the batch against the live
+    * relation by id, re-append exactly the excluded rows — never a
+    * silent exclusion, never a duplicating blind retry.
     */
   private[graft] val TicketExpiryMs: Long = 600000L
 
@@ -909,13 +1065,24 @@ object IvfIndexTrigger {
     */
   private[streaming] def isStaleGenerationRead(
       e: Throwable, indexRoot: String): Boolean = {
+    // match on the scheme-NORMALIZED root: a trigger constructed with
+    // a file:/ or s3a:// qualified path must still recognize Spark's
+    // FAILED_READ_FILE message carrying the unqualified form (and
+    // vice versa — a qualified message always embeds the bare path as
+    // a substring), or the retry silently disables and the streaming
+    // query dies on a genuine stale-generation transient
+    val needle = {
+      val p = try new Path(indexRoot).toUri.getPath
+        catch { case NonFatal(_) => null }
+      if (p == null || p.isEmpty) indexRoot else p
+    }
     var cur: Throwable = e
     var depth = 0
     while (cur != null && depth < 10) {
       val missingFileShape = cur.isInstanceOf[java.io.FileNotFoundException] ||
         Option(cur.getMessage).exists(_.contains("FILE_NOT_EXIST"))
       if (missingFileShape &&
-          Option(cur.getMessage).exists(_.contains(indexRoot)))
+          Option(cur.getMessage).exists(_.contains(needle)))
         return true
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
@@ -923,11 +1090,34 @@ object IvfIndexTrigger {
     false
   }
 
+  /** Outcome of one fenced append attempt (see tryAppendOnce). */
+  private sealed trait AppendOutcome
+  private case object Appended extends AppendOutcome
+  private case object SealBackoff extends AppendOutcome
+  private case object AckUncertain extends AppendOutcome
+
   /** Observability: serving micro-batches re-pinned after their
     * generation retired mid-read. A climbing counter means publishes
     * are outrunning grace retention.
     */
   private[graft] val staleServeRetries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observability: ticket heartbeat touches that failed OR whose
+    * mtime verifiably did not move (a silently no-op setTimes store).
+    * A climbing counter is a renewal brown-out — visible here BEFORE
+    * it accrues into a lapse the ack fence has to judge.
+    */
+  private[graft] val ticketRenewalFailures =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observability: appends whose ack fence tripped (renewal lapsed
+    * under a concurrent publisher) and were recovered by the
+    * diff-and-re-append path in [[IvfIndexTrigger.fire]]. Any nonzero
+    * value means ticket renewal is lapsing — check
+    * [[ticketRenewalFailures]] and the store's setTimes behavior.
+    */
+  private[graft] val ackFenceRecoveries =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Observability for tests: how many times an appender backed off on
@@ -955,6 +1145,13 @@ object IvfIndexTrigger {
     * draining publisher against a live, renewing ticket.
     */
   @volatile private[graft] var testHookDuringAppend: Option[String => Unit] = None
+
+  /** Test-only hook, invoked at the top of each syncGeneration
+    * adoption attempt (after the stale resolve, before the currency
+    * re-check) — flips generations in exactly the window that makes
+    * the adoption loop retry, so tests can drive its bound.
+    */
+  @volatile private[graft] var testHookMidSync: Option[String => Unit] = None
 
   private def completeGens(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {

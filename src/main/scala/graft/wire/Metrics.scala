@@ -72,6 +72,15 @@ final class Metrics {
     raw(s"${Ns}_ops_ivf_serve_repins",
       "IVF serving micro-batches re-pinned after their generation retired mid-read in this process",
       graft.streaming.IvfIndexTrigger.staleServeRetries.get.toDouble)
+    // renewal brown-outs surface HERE before they accrue into a lapse
+    // the ack fence must judge; a nonzero ack_recoveries means a lapse
+    // actually happened under a publisher and fire() self-healed it
+    raw(s"${Ns}_ops_ivf_ticket_renewal_failures",
+      "IVF appender ticket heartbeat touches that failed or did not move the ticket mtime in this process",
+      graft.streaming.IvfIndexTrigger.ticketRenewalFailures.get.toDouble)
+    raw(s"${Ns}_ops_ivf_ack_recoveries",
+      "IVF appends recovered by diff-and-re-append after their ack fence tripped in this process",
+      graft.streaming.IvfIndexTrigger.ackFenceRecoveries.get.toDouble)
     histogram(sb, s"${Ns}_rpc_total_request_duration_seconds",
       "RPC request processing time for every request", Seq("" -> rpcTotal))
     val byMethod = {

@@ -134,5 +134,24 @@ class CoreSpec extends SparkSpec {
     }
     assert(torn.getMessage == "torn write")
     assert(!rawFs.exists(p3), "a failed write must not leave a torn slot file")
+    // the occupied-slot probe runs against the SAME store that just
+    // failed the create: if the probe throws too, the ORIGINAL create
+    // failure must surface — not the probe's unrelated error (a thrown
+    // match guard would otherwise replace it)
+    class Dying extends FilterFileSystem(rawFs) {
+      override def create(
+          f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("store sick: create failed")
+      override def exists(f: Path): Boolean =
+        throw new java.io.IOException("store sick: probe failed too")
+    }
+    val sick = intercept[java.io.IOException] {
+      graft.core.FsOps.createExclusive(new Dying, new Path(s"$dir/slot4"), "x")
+    }
+    assert(sick.getMessage == "store sick: create failed",
+      s"the original create failure must surface, got: ${sick.getMessage}")
   }
 }

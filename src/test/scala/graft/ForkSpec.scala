@@ -95,6 +95,68 @@ class ForkSpec extends SparkSpec {
     }
   }
 
+  test("cross-process ticket renewal + ack fence: a stalled-but-RENEWING forked appender parks this JVM's drain for the whole write and is acked through the fence — no recovery, no loss, no dup") {
+    val root = Files.createTempDirectory("graft-fork-renew").toString
+    val idxPath = s"$root/idx"
+    val ready = s"$root/ready"
+    val stalling = s"$root/stalling"
+    val childLog = new java.io.File(s"$root/child.log")
+    // the lease clock every participant on this root must share (the
+    // class-doc rule); 3x past it is the stall the r12 in-JVM heartbeat
+    // test uses — but here the renewal scheduler, the mtime clock and
+    // the ack fence all live in the CHILD JVM while the sealing,
+    // draining publisher lives in THIS one: only the filesystem spans
+    // them, so a renewal accidentally carried by JVM-global state
+    // (in-process lastTouch, shared schedulers) cannot pass this.
+    val expiry = 4000L
+    val stall = 3 * expiry
+    val trig = new graft.streaming.IvfIndexTrigger(
+      spark, IvfFixtures.cents, idxPath, ticketExpiryMs = expiry)
+    trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, 0))
+    val proc = forkMain("graft.ForkedIvfAppender", childLog,
+      idxPath, "1000,2000", ready, expiry.toString, stall.toString, stalling)
+    try {
+      assert(awaitFile(ready, proc, 180000L),
+        s"child never appended (alive=${proc.isAlive}); log:\n${slurp(childLog)}")
+      // the child is now inside its LAST append's stalled window:
+      // ticket visible and renewing, parquet write not yet started
+      assert(awaitFile(stalling, proc, 180000L),
+        s"child never reached the stall (alive=${proc.isAlive}); log:\n${slurp(childLog)}")
+      val t0 = System.currentTimeMillis()
+      // seals, then drains THROUGH the child's stalled-but-renewing
+      // write: pre-r12 semantics would presume the child dead at one
+      // expiry and snapshot without its batch
+      trig.refreshQuantizer(trainIters = 1)
+      val waited = System.currentTimeMillis() - t0
+      assert(waited >= stall - 2000L,
+        s"the drain proceeded after ${waited}ms — it did not wait out the " +
+          s"child's ${stall}ms stalled write (renewal not honored cross-process)")
+      assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"child did not exit; log:\n${slurp(childLog)}")
+      assert(proc.exitValue() == 0,
+        s"child exited ${proc.exitValue()}; log:\n${slurp(childLog)}")
+      // the child's ack fence judged a CLEAN renewal: no recovery ran
+      // (a lapse would have tripped the fence and self-healed — rows
+      // would still match, which is why the log is the discriminator)
+      assert(slurp(childLog).contains("FORKED_APPENDER_DONE recoveries=0"),
+        s"the child's ack fence tripped — renewal lapsed across the " +
+          s"process boundary; log:\n${slurp(childLog)}")
+      // one more flip so the stalled batch crosses a snapshot, then
+      // the relation must equal a full rebuild — no loss, no dup
+      trig.compact()
+      val all = Seq(0, 1000, 2000)
+        .map(o => IvfFixtures.batch(spark, o)).reduce(_ unionByName _)
+      assert(IvfFixtures.rowsOf(trig.index) ==
+        IvfFixtures.rowsOf(graft.ops.Similarity.ivfIndex(all, trig.currentQuantizer)),
+        s"the stalled cross-process batch was lost or duplicated; child log:\n${slurp(childLog)}")
+      val leftovers = IvfFixtures.protocolLeftovers(spark, idxPath)
+      assert(leftovers.isEmpty, s"seal/ticket leftovers: $leftovers")
+    } finally {
+      proc.destroyForcibly()
+      ()
+    }
+  }
+
   test("cross-process catalog writers: a live foreign group lease refuses this JVM's writes; other groups proceed in parallel; the foreign rows read back") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -895,4 +895,49 @@ class StreamingSpec extends SparkSpec {
         "non-stale failures must propagate, not be retried into silence")
     } finally q2.stop()
   }
+
+  test("attachQueriesKeyed: the sink gets a STABLE foreachBatch epoch id across the stale-generation re-pin, and a scheme-qualified index root still recognizes unqualified stale-read messages") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents: Array[Seq[Float]] = Array(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val dir = Files.createTempDirectory("graft-sknn-keyed").toString
+    // QUALIFIED root: pre-r13 isStaleGenerationRead matched the raw
+    // root string against the message, so a file:/-constructed trigger
+    // never recognized Spark's unqualified FAILED_READ_FILE path and
+    // the streaming query died on a genuine stale-generation transient
+    val idxPath = "file:" + dir + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq(((i * 7) % 11).toFloat, ((i * 5) % 7).toFloat,
+        ((i * 3) % 5).toFloat, (i % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    trig.fire("V/1Sec/EMB", corpus)
+    val queries = MemoryStream[QueryVec]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft-sknn-keyed-ckpt").toString
+    val q = trig.attachQueriesKeyed(queries.toDF, k = 3, nProbe = cents.length,
+        ckpt) { (hits, batchId) =>
+      batchIds += batchId
+      if (batchIds.size == 1)
+        // the simulated retired-generation read names the UNQUALIFIED
+        // path, as Spark's data-source message does
+        throw new org.apache.spark.SparkException(
+          "[FAILED_READ_FILE.FILE_NOT_EXIST] simulated retired-generation read",
+          new java.io.FileNotFoundException(s"$dir/idx/gen-0/part-0.parquet"))
+      results ++= hits.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      queries.addData(QueryVec(1000L, Seq(1f, 2f, 3f, 1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the retry re-invoked the sink with the SAME epoch id — the
+    // idempotence key foreachBatch's contract expects sinks to dedupe on
+    assert(batchIds.size == 2 && batchIds.distinct.size == 1,
+      s"expected one retry under a stable batch id, saw: $batchIds")
+    val want = graft.ops.Similarity.bruteForceTopK(corpus,
+        Seq((1000L, Seq(1f, 2f, 3f, 1f))).toDF("vec_id", "embedding"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results.toSet == want, s"retried batch must answer exactly: $results")
+  }
 }

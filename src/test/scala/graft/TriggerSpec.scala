@@ -481,6 +481,198 @@ class TriggerSpec extends SparkSpec {
     } finally graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
   }
 
+  test("a tripped ack fence self-heals: fire() re-appends exactly the rows the publisher's snapshot excluded — no loss, no dup, no exception") {
+    import IvfFixtures.{cents, rowsOf}
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-ackfence")
+      .toString + "/idx"
+    val expiry = 3000L
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
+    trigA.fire("V/1Sec/EMB", batch(0))
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recoveriesBefore = graft.streaming.IvfIndexTrigger.ackFenceRecoveries.get()
+    val refreshErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val refresher = new Thread(() =>
+      try trigB.refreshQuantizer(trainIters = 1)
+      catch { case e: Throwable => refreshErr.set(e) })
+    refresher.setDaemon(true)
+    // the hook runs inside a CLEAR append attempt — ticket visible,
+    // checks passed, write not yet started. DELETE the live ticket
+    // (a genuinely lapsed lease: renewal's read-back now fails and
+    // lastTouch goes stale), let the publisher drain past the vanished
+    // ticket, snapshot WITHOUT this batch and flip, and only then let
+    // the write proceed — it commits into the RETIRED generation and
+    // the ack fence must trip. Pre-r13 that was an exception telling
+    // the operator to verify by hand (and a blind re-fire duplicated
+    // every row); now fire() resolves the ambiguity itself.
+    graft.streaming.IvfIndexTrigger.testHookDuringAppend = Some(p => if (p == idxPath) {
+      graft.streaming.IvfIndexTrigger.testHookDuringAppend = None // one-shot
+      val resolved = graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+      fs.listStatus(new org.apache.hadoop.fs.Path(resolved)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(
+          graft.streaming.IvfIndexTrigger.TicketPrefix))
+        .foreach(s => fs.delete(s.getPath, false))
+      refresher.start()
+      val deadline = System.currentTimeMillis() + 60000L
+      while (graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath) == resolved &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath) != resolved,
+        "the publisher never flipped past the vanished ticket")
+      // outlive the expiry so the fence's lapse condition is real
+      Thread.sleep(expiry + expiry / 2)
+    })
+    // must NOT throw: the fence trips and fire() recovers by diffing
+    try trigA.fire("V/1Sec/EMB", batch(1000))
+    finally graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
+    refresher.join(60000)
+    assert(!refresher.isAlive && refreshErr.get() == null,
+      s"refresh failed: ${refreshErr.get()}")
+    assert(graft.streaming.IvfIndexTrigger.ackFenceRecoveries.get() > recoveriesBefore,
+      "the interleaving never tripped the ack fence — the recovery path was not exercised")
+    // index == full rebuild: the re-append restored exactly the
+    // excluded rows, no loss, no dup
+    val fresh = trigB.currentQuantizer
+    val all = batch(0).unionByName(batch(1000))
+    assert(rowsOf(trigA.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, fresh)),
+      "ack-fence recovery lost or duplicated rows")
+    // ... and survives retirement (the orphaned copy in the retired
+    // generation must never resurface)
+    trigB.compact()
+    trigB.compact()
+    assert(rowsOf(trigA.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, trigB.currentQuantizer)),
+      "the recovered batch must survive generation retirement")
+    assert(IvfFixtures.protocolLeftovers(spark, idxPath).isEmpty)
+  }
+
+  test("ticket renewal verifies the mtime moved: on a store whose setTimes silently no-ops, renewal falls back to rewriting the ticket — the drain still waits and the batch is never silently excluded") {
+    import IvfFixtures.{cents, rowsOf}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.notouch.impl", classOf[NoTouchFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-notouch").toString
+    val idxPath = "notouch:" + dir + "/idx"
+    val expiry = 4000L
+    val trigA = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    val trigB = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath,
+      ticketExpiryMs = expiry)
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
+    trigA.fire("V/1Sec/EMB", batch(0))
+    val failuresBefore = graft.streaming.IvfIndexTrigger.ticketRenewalFailures.get()
+    val recoveriesBefore = graft.streaming.IvfIndexTrigger.ackFenceRecoveries.get()
+    val refreshErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val refresher = new Thread(() =>
+      try trigB.refreshQuantizer(trainIters = 1)
+      catch { case e: Throwable => refreshErr.set(e) })
+    refresher.setDaemon(true)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // stall the write 3x past the ticket expiry under a draining
+      // publisher. Pre-r13 this was SILENT ROW LOSS on exactly this
+      // store shape: setTimes returned without moving the mtime, the
+      // drain presumed the appender crashed at one expiry and
+      // snapshotted without the batch, while the in-process lastTouch
+      // stayed fresh so the ack fence never tripped — the batch was
+      // acknowledged yet deleted at grace retirement. With read-back
+      // verification the renewal rewrites the ticket instead and the
+      // drain waits out the whole write.
+      graft.streaming.IvfIndexTrigger.testHookDuringAppend = Some(p => if (p == idxPath) {
+        graft.streaming.IvfIndexTrigger.testHookDuringAppend = None // one-shot
+        val sealPath = new org.apache.hadoop.fs.Path(
+          graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath),
+          graft.streaming.IvfIndexTrigger.SealFile)
+        refresher.start()
+        val deadline = System.currentTimeMillis() + 30000L
+        while (!fs.exists(sealPath) && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(fs.exists(sealPath), "the publisher never sealed")
+        Thread.sleep(3 * expiry)
+        assert(refresher.isAlive && refreshErr.get() == null,
+          s"the drain did not wait on the rewritten ticket: ${refreshErr.get()}")
+      })
+      trigA.fire("V/1Sec/EMB", batch(1000))
+      refresher.join(120000)
+      assert(!refresher.isAlive, "refresh never completed")
+      assert(refreshErr.get() == null, s"refresh failed: ${refreshErr.get()}")
+      // renewal held end-to-end: the ack fence never had to judge a gap
+      assert(graft.streaming.IvfIndexTrigger.ackFenceRecoveries.get() == recoveriesBefore,
+        "renewal lapsed despite the rewrite fallback")
+      assert(graft.streaming.IvfIndexTrigger.ticketRenewalFailures.get() == failuresBefore,
+        "rewrite-fallback renewals must not count as failures")
+      val all = batch(0).unionByName(batch(1000))
+      assert(rowsOf(trigA.index) ==
+        rowsOf(graft.ops.Similarity.ivfIndex(all, trigB.currentQuantizer)),
+        "a stalled append on a no-op-setTimes store was snapshotted over (silent loss)")
+      assert(IvfFixtures.protocolLeftovers(spark, idxPath).isEmpty)
+    } finally graft.streaming.IvfIndexTrigger.testHookDuringAppend = None
+  }
+
+  test("syncGeneration's adoption loop is bounded: pathological flipping surfaces a diagnostic instead of looping forever; a settling flip is adopted") {
+    import IvfFixtures.cents
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-sync")
+      .toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    trig.fire("V/1Sec/EMB", IvfFixtures.batch(spark, 0)) // knownResolved = flat root
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0
+    def flip(): Unit = { // a foreign publish, reduced to what resolution reads
+      n += 1
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idxPath/gen-$n"))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$idxPath/gen-$n/${"_COMPLETE"}"), true).close()
+    }
+    flip() // adoption begins at the next entry point
+    // settling case: two more flips land mid-adoption, then stop — the
+    // loop must converge on the final generation
+    var flips = 2
+    graft.streaming.IvfIndexTrigger.testHookMidSync =
+      Some(p => if (p == idxPath && flips > 0) { flips -= 1; flip() })
+    try assert(trig.currentQuantizer.nonEmpty)
+    finally graft.streaming.IvfIndexTrigger.testHookMidSync = None
+    assert(graft.streaming.IvfIndexTrigger.resolveIndexPath(spark, idxPath)
+      .endsWith(s"gen-$n"), "adoption must converge on the final generation")
+    // pathological case: a flip on EVERY adoption attempt — the loop
+    // must surface a bounded diagnostic, not spin forever under the
+    // instance monitor
+    flip() // move the generation so adoption re-enters the loop
+    graft.streaming.IvfIndexTrigger.testHookMidSync = Some(p => if (p == idxPath) flip())
+    try {
+      val e = intercept[IllegalStateException](trig.currentQuantizer)
+      assert(e.getMessage.contains("flipping"), e.getMessage)
+    } finally graft.streaming.IvfIndexTrigger.testHookMidSync = None
+    // ... and the instance recovers once the flipping stops
+    assert(trig.currentQuantizer.nonEmpty)
+  }
+
+  test("fireIdempotent: a blind redelivery after a caller crash neither loses nor duplicates; verifyBatch answers presence mechanically") {
+    import IvfFixtures.{cents, rowsOf}
+    import org.apache.spark.sql.functions.col
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-idem")
+      .toString + "/idx"
+    val trig = new graft.streaming.IvfIndexTrigger(spark, cents, idxPath)
+    def batch(off: Int) = IvfFixtures.batch(spark, off)
+    trig.fireIdempotent("V/1Sec/EMB", batch(0)) // fresh: appends all
+    trig.fireIdempotent("V/1Sec/EMB", batch(0)) // blind redelivery: no-op
+    // partial redelivery (an at-least-once upstream replaying a mixed
+    // buffer): only the genuinely new rows may land
+    val mixed = batch(0).filter(col("vec_id") < 10).unionByName(batch(1000))
+    trig.fireIdempotent("V/1Sec/EMB", mixed)
+    val all = batch(0).unionByName(batch(1000))
+    assert(rowsOf(trig.index) ==
+      rowsOf(graft.ops.Similarity.ivfIndex(all, cents)),
+      "idempotent redelivery lost or duplicated rows")
+    assert(trig.verifyBatch(batch(0)) && trig.verifyBatch(batch(1000)))
+    assert(!trig.verifyBatch(batch(2000)),
+      "verifyBatch must refuse a batch that never committed")
+  }
+
   test("a torn (unparseable) seal expires by file mtime — appends and publishers break it instead of wedging forever") {
     import IvfFixtures.{cents, rowsOf}
     val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-torn")

@@ -791,8 +791,10 @@ class WireSpec extends SparkSpec {
       // the IVF protocol counters are on the ops surface (sampled live
       // from the trigger; process-local like every gauge here)
       assert(before.contains("# TYPE alpaca_marketstore_ops_ivf_seal_waits gauge") &&
-        before.contains("# TYPE alpaca_marketstore_ops_ivf_serve_repins gauge"),
-        "IVF seal/serve protocol gauges must be exposed")
+        before.contains("# TYPE alpaca_marketstore_ops_ivf_serve_repins gauge") &&
+        before.contains("# TYPE alpaca_marketstore_ops_ivf_ticket_renewal_failures gauge") &&
+        before.contains("# TYPE alpaca_marketstore_ops_ivf_ack_recoveries gauge"),
+        "IVF seal/serve/renewal/ack protocol gauges must be exposed")
       val c0 = counter(before, "alpaca_marketstore_rpc_total_request_duration_seconds_count")
 
       // one write + one query move the total, per-method and write hists
