@@ -120,6 +120,7 @@ final class IvfIndexTrigger(
     var resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
     var attempts = 0
     var lastErr: Throwable = null
+    var sawFlip = false
     while (resolved != knownResolved) {
       attempts += 1
       // bound TOTAL iterations, not just the exception arm: the
@@ -128,12 +129,19 @@ final class IvfIndexTrigger(
       // the currency re-check — each extra pass requires a whole
       // foreign publish inside that microsecond window, so more than
       // a handful means something is flipping pathologically fast
-      // (refreshQuantizer caps its identical retry shape the same way)
-      if (attempts > 5) throw new IllegalStateException(
-        s"generation adoption on $indexPath lost the currency race " +
-          s"${attempts - 1} times — concurrent publishers are flipping " +
-          "faster than this reader can adopt; retry the operation",
-        lastErr)
+      // (refreshQuantizer caps its identical retry shape the same way).
+      // If NO flip was ever observed — every attempt failed on the
+      // same store error — surface that error itself: a "flipping too
+      // fast, retry" diagnostic would steer the operator away from a
+      // corrupt quantizer or a sick store that no retry can fix.
+      if (attempts > 5) {
+        if (!sawFlip && lastErr != null) throw lastErr
+        throw new IllegalStateException(
+          s"generation adoption on $indexPath lost the currency race " +
+            s"${attempts - 1} times — concurrent publishers are flipping " +
+            "faster than this reader can adopt; retry the operation",
+          lastErr)
+      }
       try {
         IvfIndexTrigger.testHookMidSync.foreach(_.apply(indexPath))
         val q = new Path(resolved, IvfIndexTrigger.QuantizerDir)
@@ -148,11 +156,13 @@ final class IvfIndexTrigger(
         if (cur == resolved) {
           cents.foreach(quantizer = _)
           knownResolved = resolved
-        } else resolved = cur
+        } else { sawFlip = true; resolved = cur }
       } catch {
         case NonFatal(e) =>
           lastErr = e
-          resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+          val re = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+          if (re != resolved) sawFlip = true
+          resolved = re
       }
     }
     resolved
@@ -206,38 +216,58 @@ final class IvfIndexTrigger(
     appendLock.synchronized {
       var pending = batch
       var persisted: List[DataFrame] = Nil
-      var done = false
-      while (!done) tryAppendOnce(pending) match {
-        case IvfIndexTrigger.Appended => done = true
-        case IvfIndexTrigger.SealBackoff =>
-          IvfIndexTrigger.sealWaits.incrementAndGet()
-          Thread.sleep(50)
-        case IvfIndexTrigger.AckUncertain =>
-          // the ack fence tripped: the batch's files are durably
-          // committed into the (possibly retiring) generation, but a
-          // draining publisher may have presumed this appender dead
-          // and snapshotted WITHOUT them. Resolve the ambiguity here
-          // instead of throwing a verify-by-hand instruction (r13):
-          // wait the publisher out, then diff the batch against the
-          // live relation by id and re-append exactly the rows its
-          // snapshot excluded — fire() returns only once the batch is
-          // provably in the serving relation, with no loss and no dup.
-          IvfIndexTrigger.ackFenceRecoveries.incrementAndGet()
-          IvfIndexTrigger.log.warn(
-            s"ack fence tripped on $indexPath — ticket renewal lapsed " +
-              "under a concurrent publisher; recovering by re-appending " +
-              "the rows its snapshot excluded")
-          awaitPublisherQuiesce()
-          val miss = missingRows(pending)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted ::= miss
-          // materialize NOW: the anti-join must be evaluated against
-          // the relation as diffed, not lazily after our own re-append
-          // starts changing it
-          done = miss.count() == 0L
-          pending = miss
-      }
-      persisted.foreach(df =>
+      try {
+        var done = false
+        while (!done) tryAppendOnce(pending) match {
+          case IvfIndexTrigger.Appended => done = true
+          case IvfIndexTrigger.SealBackoff =>
+            IvfIndexTrigger.sealWaits.incrementAndGet()
+            Thread.sleep(50)
+          case IvfIndexTrigger.AckUncertain =>
+            // the ack fence tripped: the batch's files are durably
+            // committed into the (possibly retiring) generation, but a
+            // draining publisher may have presumed this appender dead
+            // and snapshotted WITHOUT them. Resolve the ambiguity here
+            // instead of throwing a verify-by-hand instruction (r13):
+            // wait the publisher out, then diff the batch against the
+            // live relation by id and re-append exactly the rows its
+            // snapshot excluded — fire() returns only once the batch is
+            // provably in the serving relation, with no loss and no dup.
+            IvfIndexTrigger.ackFenceRecoveries.incrementAndGet()
+            IvfIndexTrigger.log.warn(
+              s"ack fence tripped on $indexPath — ticket renewal lapsed " +
+                "under a concurrent publisher; recovering by re-appending " +
+                "the rows its snapshot excluded")
+            awaitPublisherQuiesce()
+            // the diff pins a generation at resolve time and reads it
+            // at count() — two publishes in that window can retire the
+            // pinned path (grace keeps one spent generation). Letting
+            // that FileNotFound escape would tell the caller "append
+            // failed" for a batch that IS committed — a re-fire would
+            // duplicate every row — so retry the diff against a fresh
+            // resolve, like every other serving-path read
+            var diffed: Option[DataFrame] = None
+            var diffAttempts = 0
+            while (diffed.isEmpty) {
+              diffAttempts += 1
+              val miss = missingRows(pending)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              persisted ::= miss
+              // materialize NOW: the anti-join must be evaluated against
+              // the relation as diffed, not lazily after our own
+              // re-append starts changing it
+              try { done = miss.count() == 0L; diffed = Some(miss) }
+              catch {
+                case NonFatal(e) if diffAttempts < 3 &&
+                    IvfIndexTrigger.isStaleGenerationRead(e, indexPath) =>
+                  IvfIndexTrigger.log.warn(
+                    s"ack-fence recovery diff re-pinned $indexPath after " +
+                      s"its generation retired mid-read (attempt $diffAttempts)")
+              }
+            }
+            pending = diffed.get
+        }
+      } finally persisted.foreach(df =>
         try df.unpersist() catch { case NonFatal(_) => () })
     }
     // decide under the monitor, compact OUTSIDE it: compact takes
@@ -316,15 +346,21 @@ final class IvfIndexTrigger(
       // ticket (a fresh write carries a fresh mtime on every store).
       val lastMtime =
         new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
-      // orders renewal ticks against the finally's delete: the rewrite
-      // fallback below could otherwise RESURRECT a ticket the finally
-      // just removed (the setTimes-only r12 shape couldn't — a touch
-      // of a deleted file throws), leaving a leftover that parks every
-      // later publisher's drain for one expiry
-      val hbLock = new Object
+      // the rewrite fallback below could RESURRECT a ticket the
+      // finally just removed (the setTimes-only r12 shape couldn't —
+      // a touch of a deleted file throws), leaving a leftover that
+      // parks later publishers' drains one expiry. Closed WITHOUT a
+      // shared lock — blocking the finally behind an in-flight tick
+      // would couple acknowledgment of an already-committed append to
+      // a renewal RPC against a possibly-hung store. Ordering: the
+      // finally sets hbActive=false BEFORE its delete, and the tick
+      // re-checks hbActive AFTER its create — so either the finally's
+      // delete runs after the create (and removes it), or the
+      // post-create check observes false and the tick deletes its own
+      // resurrection.
       val hbActive = new java.util.concurrent.atomic.AtomicBoolean(true)
       val hb = IvfIndexTrigger.ticketScheduler.scheduleWithFixedDelay(
-        () => hbLock.synchronized { if (hbActive.get()) try {
+        () => if (hbActive.get()) try {
           val now = System.currentTimeMillis()
           if (now - lastTouch.get() > ticketExpiry)
             gapSeen.set(true)
@@ -338,9 +374,15 @@ final class IvfIndexTrigger(
             if (ok) lastMtime.set(math.max(m, lastMtime.get()))
             ok
           }
-          val renewed = moved || { fs.create(ticket, true).close(); moved }
+          val renewed = moved || {
+            fs.create(ticket, true).close()
+            if (!hbActive.get()) { // raced the shutdown: undo the rewrite
+              try fs.delete(ticket, false) catch { case NonFatal(_) => () }
+              false
+            } else moved
+          }
           if (renewed) lastTouch.set(now)
-          else {
+          else if (hbActive.get()) {
             // leave lastTouch stale — the gap accrues and the ack
             // fence below judges it; count it so a renewal brown-out
             // is visible on /metrics before it refuses acks
@@ -351,8 +393,10 @@ final class IvfIndexTrigger(
           }
         } catch {
           case NonFatal(_) =>
-            IvfIndexTrigger.ticketRenewalFailures.incrementAndGet()
-        } },
+            // a tick racing the shutdown delete is not a brown-out
+            if (hbActive.get())
+              IvfIndexTrigger.ticketRenewalFailures.incrementAndGet()
+        },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
         IvfIndexTrigger.testHookDuringAppend.foreach(_.apply(indexPath))
@@ -375,13 +419,11 @@ final class IvfIndexTrigger(
         else IvfIndexTrigger.Appended
       } finally {
         hb.cancel(false)
-        // under hbLock and with the active flag down, so an in-flight
-        // tick finishes first and no later one can rewrite the ticket
-        // back into existence after this delete
-        hbLock.synchronized {
-          hbActive.set(false)
-          try fs.delete(ticket, false) catch { case NonFatal(_) => () }
-        }
+        // flag down BEFORE the delete (see the ordering argument at
+        // the heartbeat): never blocks on an in-flight tick, and a
+        // racing rewrite is undone by the tick's own post-create check
+        hbActive.set(false)
+        try fs.delete(ticket, false) catch { case NonFatal(_) => () }
       }
     } else {
       try fs.delete(ticket, false) catch { case NonFatal(_) => () }
@@ -410,10 +452,11 @@ final class IvfIndexTrigger(
   private def missingRows(batch: DataFrame): DataFrame = {
     val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
     if (!hasDataFiles(resolved)) return batch
+    // no distinct on `present`: duplicate keys on a left_anti's right
+    // side cannot change its result
     val present = spark.read.parquet(resolved).select(col(id))
       .join(org.apache.spark.sql.functions.broadcast(
         batch.select(col(id)).distinct()), Seq(id), "left_semi")
-      .distinct()
     batch.join(present, Seq(id), "left_anti")
   }
 
@@ -430,12 +473,18 @@ final class IvfIndexTrigger(
     * duplicates. Costs one id-column index scan per call (the
     * [[missingRows]] diff) — use plain [[fire]] on exactly-once paths.
     */
-  def fireIdempotent(tbk: String, batch: DataFrame): Unit = {
-    val miss = missingRows(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try { if (miss.count() > 0L) fire(tbk, miss) }
-    finally { try miss.unpersist() catch { case NonFatal(_) => () } }
-  }
+  def fireIdempotent(tbk: String, batch: DataFrame): Unit =
+    // diff UNDER the append lock (reentrant into fire), or two
+    // concurrent redeliveries of one batch would both see its rows
+    // absent and both append them. Cross-PROCESS concurrent
+    // redelivery of the same batch stays the caller's contract
+    // (one owner per batch), as for fire itself.
+    appendLock.synchronized {
+      val miss = missingRows(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { if (miss.count() > 0L) fire(tbk, miss) }
+      finally { try miss.unpersist() catch { case NonFatal(_) => () } }
+    }
 
   /** True iff a LIVE publisher seal guards `resolved` (the appender
     * must back off). An EXPIRED seal — its publisher died between
@@ -1063,18 +1112,23 @@ object IvfIndexTrigger {
     * paths; a sink's own missing-file failure (an external target or
     * source) names a foreign path and propagates.
     */
-  private[streaming] def isStaleGenerationRead(
+  private[graft] def isStaleGenerationRead(
       e: Throwable, indexRoot: String): Boolean = {
     // match on the scheme-NORMALIZED root: a trigger constructed with
-    // a file:/ or s3a:// qualified path must still recognize Spark's
+    // a file:/ qualified path must still recognize Spark's
     // FAILED_READ_FILE message carrying the unqualified form (and
     // vice versa — a qualified message always embeds the bare path as
     // a substring), or the retry silently disables and the streaming
-    // query dies on a genuine stale-generation transient
+    // query dies on a genuine stale-generation transient. The
+    // AUTHORITY is kept when the root has one (s3a://bucket/idx →
+    // "bucket/idx"): stripping it too would make a short root path
+    // like "/idx" match missing-file failures on OTHER buckets,
+    // retrying a sink's genuinely foreign error into silence
     val needle = {
-      val p = try new Path(indexRoot).toUri.getPath
-        catch { case NonFatal(_) => null }
-      if (p == null || p.isEmpty) indexRoot else p
+      val u = try new Path(indexRoot).toUri catch { case NonFatal(_) => null }
+      val p = if (u == null) "" else Option(u.getPath).getOrElse("")
+      val a = if (u == null) "" else Option(u.getAuthority).getOrElse("")
+      if (p.isEmpty) indexRoot else a + p
     }
     var cur: Throwable = e
     var depth = 0
@@ -1082,10 +1136,31 @@ object IvfIndexTrigger {
       val missingFileShape = cur.isInstanceOf[java.io.FileNotFoundException] ||
         Option(cur.getMessage).exists(_.contains("FILE_NOT_EXIST"))
       if (missingFileShape &&
-          Option(cur.getMessage).exists(_.contains(needle)))
+          Option(cur.getMessage).exists(containsPathSegment(_, needle)))
         return true
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
+    }
+    false
+  }
+
+  /** `needle` occurs in `msg` at PATH-SEGMENT boundaries: the
+    * characters on both sides must not be filename characters, so
+    * root "bucket/idx" matches ".../bucket/idx/gen-0" but never
+    * "other-bucket/idx-out" — bare contains() would accept both.
+    */
+  private def containsPathSegment(msg: String, needle: String): Boolean = {
+    def isNameChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == '.'
+    var from = 0
+    while (from <= msg.length - needle.length) {
+      val i = msg.indexOf(needle, from)
+      if (i < 0) return false
+      val beforeOk = i == 0 || !isNameChar(msg.charAt(i - 1))
+      val j = i + needle.length
+      val afterOk = j >= msg.length || !isNameChar(msg.charAt(j))
+      if (beforeOk && afterOk) return true
+      from = i + 1
     }
     false
   }

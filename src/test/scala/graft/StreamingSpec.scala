@@ -940,4 +940,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(results.toSet == want, s"retried batch must answer exactly: $results")
   }
+
+  test("isStaleGenerationRead: qualified and unqualified roots recognize each other's messages; authority and segment boundaries keep foreign paths foreign") {
+    import graft.streaming.IvfIndexTrigger.isStaleGenerationRead
+    def fnfe(msg: String) = new java.io.FileNotFoundException(msg)
+    // scheme-qualification mismatches in BOTH directions
+    assert(isStaleGenerationRead(fnfe("/data/idx/gen-0/part-0"), "file:/data/idx"))
+    assert(isStaleGenerationRead(fnfe("file:/data/idx/gen-0/part-0"), "/data/idx"))
+    assert(isStaleGenerationRead(
+      fnfe("s3a://bucket/idx/gen-1/part-3"), "s3a://bucket/idx"))
+    // a foreign BUCKET sharing the root's path must not match (the
+    // authority is part of the identity) ...
+    assert(!isStaleGenerationRead(
+      fnfe("s3a://other/idx/gen-0/part-0"), "s3a://bucket/idx"))
+    // ... and neither may a lexically-overlapping sibling path (bare
+    // contains() would accept "other-bucket/idx-out" for "bucket/idx")
+    assert(!isStaleGenerationRead(
+      fnfe("s3a://other-bucket/idx-out/part-0"), "s3a://bucket/idx"))
+    assert(!isStaleGenerationRead(fnfe("/big/data/idx/part-0"), "/data/idx"))
+    // only the missing-file shape is retryable
+    assert(!isStaleGenerationRead(
+      new IllegalStateException("/data/idx/gen-0"), "/data/idx"))
+  }
 }
