@@ -213,63 +213,89 @@ final class IvfIndexTrigger(
     // the Spark write or the backoff sleep, so topK/pinServingPair
     // read throughout a foreign publisher's runtime AND this
     // instance's own batch writes
-    appendLock.synchronized {
-      var pending = batch
-      var persisted: List[DataFrame] = Nil
-      try {
-        var done = false
-        while (!done) tryAppendOnce(pending) match {
-          case IvfIndexTrigger.Appended => done = true
-          case IvfIndexTrigger.SealBackoff =>
-            IvfIndexTrigger.sealWaits.incrementAndGet()
-            Thread.sleep(50)
-          case IvfIndexTrigger.AckUncertain =>
-            // the ack fence tripped: the batch's files are durably
-            // committed into the (possibly retiring) generation, but a
-            // draining publisher may have presumed this appender dead
-            // and snapshotted WITHOUT them. Resolve the ambiguity here
-            // instead of throwing a verify-by-hand instruction (r13):
-            // wait the publisher out, then diff the batch against the
-            // live relation by id and re-append exactly the rows its
-            // snapshot excluded — fire() returns only once the batch is
-            // provably in the serving relation, with no loss and no dup.
-            IvfIndexTrigger.ackFenceRecoveries.incrementAndGet()
-            IvfIndexTrigger.log.warn(
-              s"ack fence tripped on $indexPath — ticket renewal lapsed " +
-                "under a concurrent publisher; recovering by re-appending " +
-                "the rows its snapshot excluded")
-            awaitPublisherQuiesce()
-            // the diff pins a generation at resolve time and reads it
-            // at count() — two publishes in that window can retire the
-            // pinned path (grace keeps one spent generation). Letting
-            // that FileNotFound escape would tell the caller "append
-            // failed" for a batch that IS committed — a re-fire would
-            // duplicate every row — so retry the diff against a fresh
-            // resolve, like every other serving-path read
-            var diffed: Option[DataFrame] = None
-            var diffAttempts = 0
-            while (diffed.isEmpty) {
-              diffAttempts += 1
-              val miss = missingRows(pending)
+    appendLock.synchronized { appendPending(batch) }
+    maybeCompact()
+  }
+
+  /** The fenced append loop of [[fire]]; the caller holds appendLock. */
+  private def appendPending(batch: DataFrame): Unit = {
+    var pending = batch
+    var persisted: List[DataFrame] = Nil
+    try {
+      var done = false
+      while (!done) tryAppendOnce(pending) match {
+        case IvfIndexTrigger.Appended => done = true
+        case IvfIndexTrigger.SealBackoff =>
+          IvfIndexTrigger.sealWaits.incrementAndGet()
+          Thread.sleep(50)
+        case IvfIndexTrigger.AckUncertain =>
+          // the ack fence tripped: the batch's files are durably
+          // committed into the (possibly retiring) generation, but a
+          // draining publisher may have presumed this appender dead
+          // and snapshotted WITHOUT them. Resolve the ambiguity here
+          // instead of throwing a verify-by-hand instruction (r13):
+          // wait the publisher out, then diff the batch against the
+          // live relation by id and re-append exactly the rows its
+          // snapshot excluded — fire() returns only once the batch is
+          // provably in the serving relation, with no loss and no dup.
+          IvfIndexTrigger.ackFenceRecoveries.incrementAndGet()
+          IvfIndexTrigger.log.warn(
+            s"ack fence tripped on $indexPath — ticket renewal lapsed " +
+              "under a concurrent publisher; recovering by re-appending " +
+              "the rows its snapshot excluded")
+          awaitPublisherQuiesce()
+          // the diff pins a generation at resolve/plan time and reads
+          // it at count() — publishes in that window can retire the
+          // pinned path (grace keeps one spent generation). Letting
+          // that missing-path error escape would tell the caller
+          // "append failed" for a batch that IS committed — a re-fire
+          // would duplicate every row — so the WHOLE diff (plan
+          // construction included: the eager parquet listing throws
+          // the same class of transient) retries against a fresh
+          // resolve, like every other serving-path read
+          var diffed: Option[DataFrame] = None
+          var diffAttempts = 0
+          while (diffed.isEmpty) {
+            diffAttempts += 1
+            var miss: DataFrame = null
+            try {
+              miss = missingRows(pending)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               persisted ::= miss
-              // materialize NOW: the anti-join must be evaluated against
-              // the relation as diffed, not lazily after our own
-              // re-append starts changing it
-              try { done = miss.count() == 0L; diffed = Some(miss) }
-              catch {
-                case NonFatal(e) if diffAttempts < 3 &&
-                    IvfIndexTrigger.isStaleGenerationRead(e, indexPath) =>
-                  IvfIndexTrigger.log.warn(
-                    s"ack-fence recovery diff re-pinned $indexPath after " +
-                      s"its generation retired mid-read (attempt $diffAttempts)")
-              }
+              // materialize NOW: the anti-join must be evaluated
+              // against the relation as diffed, not lazily after our
+              // own re-append starts changing it
+              done = miss.count() == 0L
+              diffed = Some(miss)
+            } catch {
+              case NonFatal(e) if diffAttempts < 3 &&
+                  IvfIndexTrigger.isStaleGenerationRead(e, indexPath) =>
+                // release THIS attempt's dead cache immediately (a
+                // prior attempt's frame may be the live `pending`
+                // whose cache the next diff's lineage still reads) —
+                // the re-append of a large batch should not run
+                // beside a half-materialized dead diff
+                if (miss != null) {
+                  persisted = persisted.filterNot(_ eq miss)
+                  try miss.unpersist() catch { case NonFatal(_) => () }
+                }
+                IvfIndexTrigger.log.warn(
+                  s"ack-fence recovery diff re-pinned $indexPath after " +
+                    s"its generation retired mid-read (attempt $diffAttempts)")
             }
-            pending = diffed.get
-        }
-      } finally persisted.foreach(df =>
-        try df.unpersist() catch { case NonFatal(_) => () })
-    }
+          }
+          pending = diffed.get
+      }
+    } finally persisted.foreach(df =>
+      try df.unpersist() catch { case NonFatal(_) => () })
+  }
+
+  /** [[fire]]'s opportunistic compaction pass — runs OUTSIDE
+    * appendLock (compact takes publishLock then the instance monitor;
+    * serializing appends behind a multi-second rebuild would park
+    * every concurrent producer behind maintenance).
+    */
+  private def maybeCompact(): Unit = {
     // decide under the monitor, compact OUTSIDE it: compact takes
     // publishLock then the monitor, so calling it with the monitor
     // held would invert the lock order against a concurrent refresh
@@ -450,14 +476,33 @@ final class IvfIndexTrigger(
     * would return duplicates).
     */
   private def missingRows(batch: DataFrame): DataFrame = {
-    val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
-    if (!hasDataFiles(resolved)) return batch
-    // no distinct on `present`: duplicate keys on a left_anti's right
-    // side cannot change its result
-    val present = spark.read.parquet(resolved).select(col(id))
-      .join(org.apache.spark.sql.functions.broadcast(
-        batch.select(col(id)).distinct()), Seq(id), "left_semi")
-    batch.join(present, Seq(id), "left_anti")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val resolved = IvfIndexTrigger.resolveIndexPath(spark, indexPath)
+      if (hasDataFiles(resolved)) {
+        // no distinct on `present`: duplicate keys on a left_anti's
+        // right side cannot change its result
+        val present = spark.read.parquet(resolved).select(col(id))
+          .join(org.apache.spark.sql.functions.broadcast(
+            batch.select(col(id)).distinct()), Seq(id), "left_semi")
+        return batch.join(present, Seq(id), "left_anti")
+      }
+      // empty observation: EITHER the index genuinely has no data —
+      // the whole batch is missing — OR the resolved generation was
+      // retired between the resolve and the listing (exists→false,
+      // no exception), in which case calling the batch "all missing"
+      // would re-append rows the NEW generation already holds: full
+      // silent duplication. Distinguish by re-resolving; only a
+      // CURRENT empty observation may return the batch.
+      if (IvfIndexTrigger.resolveIndexPath(spark, indexPath) == resolved)
+        return batch
+      if (attempts >= 5) throw new IllegalStateException(
+        s"presence diff on $indexPath lost the generation race $attempts " +
+          "times — concurrent publishers are flipping faster than this " +
+          "reader; retry")
+    }
+    batch // unreachable
   }
 
   /** True iff every row of `batch` is present (by `id`) in the current
@@ -473,18 +518,25 @@ final class IvfIndexTrigger(
     * duplicates. Costs one id-column index scan per call (the
     * [[missingRows]] diff) — use plain [[fire]] on exactly-once paths.
     */
-  def fireIdempotent(tbk: String, batch: DataFrame): Unit =
-    // diff UNDER the append lock (reentrant into fire), or two
-    // concurrent redeliveries of one batch would both see its rows
-    // absent and both append them. Cross-PROCESS concurrent
-    // redelivery of the same batch stays the caller's contract
-    // (one owner per batch), as for fire itself.
-    appendLock.synchronized {
+  def fireIdempotent(tbk: String, batch: DataFrame): Unit = {
+    // diff UNDER the append lock, or two concurrent redeliveries of
+    // one batch would both see its rows absent and both append them;
+    // the opportunistic compaction runs OUTSIDE it like fire()'s —
+    // serializing every append behind a multi-second rebuild would
+    // park all concurrent producers behind maintenance. Cross-PROCESS
+    // concurrent redelivery of the same batch stays the caller's
+    // contract (one owner per batch), as for fire itself.
+    val appended = appendLock.synchronized {
       val miss = missingRows(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try { if (miss.count() > 0L) fire(tbk, miss) }
-      finally { try miss.unpersist() catch { case NonFatal(_) => () } }
+      try {
+        val any = miss.count() > 0L
+        if (any) appendPending(miss)
+        any
+      } finally { try miss.unpersist() catch { case NonFatal(_) => () } }
     }
+    if (appended) maybeCompact()
+  }
 
   /** True iff a LIVE publisher seal guards `resolved` (the appender
     * must back off). An EXPIRED seal — its publisher died between
@@ -1114,29 +1166,31 @@ object IvfIndexTrigger {
     */
   private[graft] def isStaleGenerationRead(
       e: Throwable, indexRoot: String): Boolean = {
-    // match on the scheme-NORMALIZED root: a trigger constructed with
-    // a file:/ qualified path must still recognize Spark's
-    // FAILED_READ_FILE message carrying the unqualified form (and
-    // vice versa — a qualified message always embeds the bare path as
-    // a substring), or the retry silently disables and the streaming
-    // query dies on a genuine stale-generation transient. The
-    // AUTHORITY is kept when the root has one (s3a://bucket/idx →
-    // "bucket/idx"): stripping it too would make a short root path
-    // like "/idx" match missing-file failures on OTHER buckets,
-    // retrying a sink's genuinely foreign error into silence
-    val needle = {
+    // normalize the root to (authority, path): messages may carry the
+    // path qualified ("hdfs://nn:8020/data/idx/...") or bare
+    // ("/data/idx/..."), independent of how the trigger's root was
+    // written — either side may have the authority the other drops —
+    // and a miss here silently disables the retry (the streaming
+    // query dies on a genuine stale-generation transient; fire()'s
+    // recovery diff surfaces "append failed" for a committed batch).
+    // namesPathUnder() accepts both forms but pins the AUTHORITY when
+    // both sides carry one, so a foreign bucket's missing file never
+    // classifies as our stale read.
+    val (rootAuth, rootPath) = {
       val u = try new Path(indexRoot).toUri catch { case NonFatal(_) => null }
       val p = if (u == null) "" else Option(u.getPath).getOrElse("")
       val a = if (u == null) "" else Option(u.getAuthority).getOrElse("")
-      if (p.isEmpty) indexRoot else a + p
+      if (p.isEmpty) ("", indexRoot) else (a, p)
     }
     var cur: Throwable = e
     var depth = 0
     while (cur != null && depth < 10) {
+      val msg = Option(cur.getMessage)
       val missingFileShape = cur.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(cur.getMessage).exists(_.contains("FILE_NOT_EXIST"))
+        msg.exists(m => m.contains("FILE_NOT_EXIST") ||
+          m.contains("PATH_NOT_FOUND"))
       if (missingFileShape &&
-          Option(cur.getMessage).exists(containsPathSegment(_, needle)))
+          msg.exists(namesPathUnder(_, rootPath, rootAuth)))
         return true
       cur = if (cur.getCause eq cur) null else cur.getCause
       depth += 1
@@ -1144,22 +1198,40 @@ object IvfIndexTrigger {
     false
   }
 
-  /** `needle` occurs in `msg` at PATH-SEGMENT boundaries: the
-    * characters on both sides must not be filename characters, so
-    * root "bucket/idx" matches ".../bucket/idx/gen-0" but never
-    * "other-bucket/idx-out" — bare contains() would accept both.
+  /** Does `msg` name a file at or under the root (`rootAuth`,
+    * `rootPath`)? An occurrence of the path counts when it is either
+    *  - anchored at a message boundary (start, whitespace, quotes,
+    *    ':', brackets, ...) — the unqualified form — or
+    *  - the path root of a qualified URI ("scheme://authority/path"),
+    *    in which case the URI's authority must equal `rootAuth` when
+    *    the root carries one (a BARE root is the default filesystem,
+    *    which messages may qualify with any authority).
+    * The character AFTER the occurrence must be '/' or a delimiter —
+    * never another path-name character — so root "bucket/idx" matches
+    * ".../bucket/idx/gen-0" but neither "other-bucket/idx-out" nor
+    * "bucket/idx%20archive" (bare contains() accepted all three).
     */
-  private def containsPathSegment(msg: String, needle: String): Boolean = {
-    def isNameChar(c: Char): Boolean =
-      Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == '.'
+  private def namesPathUnder(
+      msg: String, rootPath: String, rootAuth: String): Boolean = {
+    def isDelim(c: Char): Boolean =
+      c.isWhitespace || "\"'`()[]{},;:=".indexOf(c.toInt) >= 0
     var from = 0
-    while (from <= msg.length - needle.length) {
-      val i = msg.indexOf(needle, from)
+    while (from <= msg.length - rootPath.length) {
+      val i = msg.indexOf(rootPath, from)
       if (i < 0) return false
-      val beforeOk = i == 0 || !isNameChar(msg.charAt(i - 1))
-      val j = i + needle.length
-      val afterOk = j >= msg.length || !isNameChar(msg.charAt(j))
-      if (beforeOk && afterOk) return true
+      val j = i + rootPath.length
+      val afterOk = j >= msg.length || msg.charAt(j) == '/' ||
+        isDelim(msg.charAt(j))
+      if (afterOk) {
+        if (i == 0 || isDelim(msg.charAt(i - 1))) return true
+        // not boundary-anchored: accept only the path root of a
+        // qualified URI whose authority we trust — the first '/'
+        // after "scheme://" is exactly this occurrence
+        val ss = msg.lastIndexOf("://", i - 1)
+        if (ss >= 0 && msg.indexOf('/', ss + 3) == i &&
+            (rootAuth.isEmpty || msg.substring(ss + 3, i) == rootAuth))
+          return true
+      }
       from = i + 1
     }
     false

@@ -958,6 +958,27 @@ class StreamingSpec extends SparkSpec {
     assert(!isStaleGenerationRead(
       fnfe("s3a://other-bucket/idx-out/part-0"), "s3a://bucket/idx"))
     assert(!isStaleGenerationRead(fnfe("/big/data/idx/part-0"), "/data/idx"))
+    // one-sided authorities: a BARE root must match the message the
+    // default filesystem qualifies (the authority's last char is a
+    // name char — bare boundary logic alone would reject it) ...
+    assert(isStaleGenerationRead(
+      fnfe("hdfs://nn:8020/data/idx/gen-3/part-0"), "/data/idx"))
+    // ... and a QUALIFIED root must match a NameNode-style message
+    // that dropped the authority
+    assert(isStaleGenerationRead(
+      fnfe("File does not exist: /data/idx/gen-3/part-0"),
+      "hdfs://nn:8020/data/idx"))
+    // legal-but-non-delimiter key characters are still segment
+    // content: "idx%20archive" is a sibling, not our root
+    assert(!isStaleGenerationRead(
+      fnfe("s3a://bucket/idx%20archive/part-0"), "s3a://bucket/idx"))
+    // Spark's AnalysisException PATH_NOT_FOUND shape (the eager
+    // listing at read-plan time) is the same retired-generation
+    // transient as FILE_NOT_EXIST
+    assert(isStaleGenerationRead(
+      new RuntimeException(
+        "[PATH_NOT_FOUND] Path does not exist: /data/idx/gen-2"),
+      "/data/idx"))
     // only the missing-file shape is retryable
     assert(!isStaleGenerationRead(
       new IllegalStateException("/data/idx/gen-0"), "/data/idx"))
