@@ -69,19 +69,45 @@ object Classifier {
         bucketCounts(df, buckets, id, text)
           .withColumn("__m", lit(1.0)).withColumn("__y", lit(y))
     // one persisted sufficient-statistics relation feeds every
-    // iteration (same cache-lifetime contract as the pair ops)
-    val counts = sideCounts(pos, 1.0).unionByName(sideCounts(neg, 0.0))
+    // iteration (same cache-lifetime contract as the pair ops).
+    // Two plan-level changes vs the naive loop (optimization guide
+    // §1.2/§2.4; arithmetic identical, oracle-checked):
+    //  - a PSEUDO-FEATURE row (__b = buckets, __c = 1) per document
+    //    rides the relation. Its weight slot is pinned to 0.0 (wExt
+    //    below), so margins are unchanged (+1·0.0), while the gradient
+    //    aggregation's `buckets` group computes Σ m·1·r — the bias
+    //    gradient — in the SAME job as the bucket gradients: one
+    //    collect per iteration instead of two, and the margin relation
+    //    is computed once per iteration instead of twice. A real
+    //    feature can never collide with the slot (md5 % buckets
+    //    ∈ [0, buckets)).
+    //  - the relation is hash-partitioned on the doc id before the
+    //    persist: the per-iteration margin aggregation (grouping keys
+    //    ⊇ id) and the gradient join's counts side then reuse the
+    //    cached partitioning instead of re-exchanging the relation
+    //    every iteration (2 exchanges × iters removed; only the tiny
+    //    per-doc margin relation still shuffles).
+    val base = sideCounts(pos, 1.0).unionByName(sideCounts(neg, 0.0))
+    val pseudo = base.groupBy(col(id), col("__y"), col("__m"))
+      .agg(count(lit(1)).as("__nf"))
+      .select(col(id), lit(buckets.toLong).as("__b"), lit(1.0).as("__c"),
+        col("__m"), col("__y"))
+    val counts = base.unionByName(pseudo)
+      .repartition(col(id))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // N = weighted doc count (one bounded agg; docs with ≥ 1 token;
-    // null-guarded so an empty/token-free training set fails the
-    // require below instead of NPE-ing in the driver)
-    val docs = counts.groupBy(col(id), col("__y"), col("__m")).agg(count(lit(1)))
+    // N = weighted doc count (one bounded agg off the pseudo rows —
+    // exactly one per document with ≥ 1 token; null-guarded so an
+    // empty/token-free training set fails the require below instead
+    // of NPE-ing in the driver)
+    val docs = counts.filter(col("__b") === buckets.toLong)
       .agg(coalesce(sum("__m"), lit(0.0))).collect()(0).getDouble(0)
     require(docs > 0, "trainQuality needs at least one document with tokens")
     var w = Array.fill(buckets)(0.0)
     var bias = 0.0
     for (_ <- 0 until iters) {
-      val wCol = typedLit(w.toSeq)
+      // wExt: the pseudo slot scores 0.0, so Σ c·w over the extended
+      // vector equals the real-feature margin exactly
+      val wCol = typedLit(w.toSeq :+ 0.0)
       val margins = counts
         .groupBy(col(id), col("__y"), col("__m"))
         .agg((lit(bias) + sum(col("__c") * element_at(wCol, (col("__b") + 1).cast("int"))))
@@ -92,9 +118,13 @@ object Classifier {
         .groupBy("__b")
         .agg(sum(col("__m") * col("__c") * col("__r")).as("__g"))
         .collect()
-      val biasGrad = margins.agg(sum(col("__m") * col("__r"))).collect()(0).getDouble(0)
       val nw = w.clone()
-      grads.foreach(r => nw(r.getLong(0).toInt) += lr * r.getDouble(1) / docs)
+      var biasGrad = 0.0
+      grads.foreach { r =>
+        val b = r.getLong(0).toInt
+        if (b == buckets) biasGrad = r.getDouble(1)
+        else nw(b) += lr * r.getDouble(1) / docs
+      }
       w = nw
       bias += lr * biasGrad / docs
     }

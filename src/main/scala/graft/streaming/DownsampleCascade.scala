@@ -50,9 +50,15 @@ class DownsampleCascade(
 
   /** Process one batch of base-TF rows (symbol, Epoch, OHLCV...). */
   def ingest(batch: DataFrame): Unit = {
-    if (batch.isEmpty) return
+    // ONE probe job decides emptiness AND yields the per-symbol spans
+    // the cascade needs (the old shape paid a separate isEmpty job per
+    // batch before the span collect — guide §1.2: don't compute things
+    // twice). Empty batch ⟺ empty span set, so the early-return
+    // semantics are unchanged.
+    val spans = collectSpans(batch.select(col("symbol"), col(Uda.EpochCol)))
+    if (spans.isEmpty) return
     catalog.writeMulti(attGroup, baseTf, batch)
-    cascade(batch.select(col("symbol"), col(Uda.EpochCol)))
+    cascade(spans, batch.sparkSession)
   }
 
   /** Recompute destination candles for the windows covering `touched`
@@ -91,16 +97,23 @@ class DownsampleCascade(
         col(Uda.EpochCol) < widest.ceil(col("__tail")))
   }
 
-  def cascade(touched: DataFrame): Unit = {
-    // one tiny driver collect — ≤ batch-symbols rows — so the base read
-    // in recomputeSlice can carry LITERAL (pushable) predicates
-    // instead of join-dependent ones
-    val spanRows = touched.groupBy("symbol")
+  /** One tiny driver collect — ≤ batch-symbols rows — so the base read
+    * in recomputeSlice can carry LITERAL (pushable) predicates instead
+    * of join-dependent ones.
+    */
+  private def collectSpans(touched: DataFrame): Seq[(String, Long, Long)] =
+    touched.groupBy("symbol")
       .agg(min(col(Uda.EpochCol)).as("__head"), max(col(Uda.EpochCol)).as("__tail"))
       .collect()
-    if (spanRows.isEmpty) return
-    val spans = spanRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val slice = recomputeSlice(touched.sparkSession, spans)
+      .toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  def cascade(touched: DataFrame): Unit =
+    cascade(collectSpans(touched), touched.sparkSession)
+
+  private def cascade(spans: Seq[(String, Long, Long)],
+                      session: org.apache.spark.sql.SparkSession): Unit = {
+    if (spans.isEmpty) return
+    val slice = recomputeSlice(session, spans)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // every destination's candles land in ONE multi-timeframe commit:
