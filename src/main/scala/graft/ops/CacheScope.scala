@@ -77,6 +77,46 @@ object CacheScope {
     p
   }
 
+  /** Re-establish parallel width ahead of a CPU-MULTIPLYING step
+    * (shingle/n-gram explodes, per-row feature transforms): when the
+    * upstream partitioning is narrower than the session's default
+    * parallelism — a single small parquet file, or a cached relation
+    * AQE coalesced by BYTES — the explode that multiplies CPU-per-byte
+    * 100×+ serializes onto a handful of cores (measured: the whole of
+    * q_text_decontaminate ran as ONE 4.7 s-CPU task at bench scale).
+    * A round-robin repartition to `defaultParallelism` re-spreads the
+    * rows; it is a NO-OP whenever the input already carries ≥ that
+    * many partitions, i.e. on any real at-scale scan, so nothing extra
+    * is ever shuffled at 100 TB (optimization guide §2.5, input
+    * parallelism). Results are unchanged: every consumer is an
+    * aggregation/join keyed downstream of the explode.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // decide from the OPTIMIZED LOGICAL plan + its size statistics —
+    // never from df.rdd, whose getNumPartitions would EXECUTE the
+    // upstream query stages under AQE. Only widen a plan that is
+    // narrow file reads all the way down (project/filter/generate over
+    // file relations): anything already shuffled, aggregated or cached
+    // carries its own width, and mis-probing it costs jobs.
+    val lp = df.queryExecution.optimizedPlan
+    val narrowOverFiles =
+      lp.collectLeaves().forall(_.isInstanceOf[LogicalRelation]) &&
+        !lp.exists {
+          case _: Aggregate | _: Join | _: Window | _: Sort |
+               _: GlobalLimit | _: RepartitionOperation => true
+          case _ => false
+        }
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // ≥ ~4 MB of input per core and the scan splits will spread on
+    // their own (maxPartitionBytes); below it the explode serializes
+    if (narrowOverFiles &&
+        lp.stats.sizeInBytes < BigInt(par.toLong) * 4L * 1024 * 1024)
+      df.repartition(par)
+    else df
+  }
+
   /** Run `body`, then unpersist every operator intermediate it
     * registered. Returns body's result (materialize it INSIDE the
     * scope).

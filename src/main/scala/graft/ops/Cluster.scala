@@ -112,6 +112,12 @@ object Cluster {
       // without the extra self-reproducing round a signature
       // comparison needs; edges are distinct, so count(*) per
       // source equals its distinct target count.
+      // NOTE (r13): fusing these two probes into one union-emptiness
+      // action measured SLOWER — AQE materializes both subtrees'
+      // exchanges before take(1), so the fused probe always pays the
+      // semi-join even on the (common) rounds where multiTarget alone
+      // already proves non-convergence. The && short-circuit is the
+      // cheaper shape.
       val multiTarget = next.groupBy("u")
         .agg(count(lit(1)).as("__d")).where(col("__d") > 1)
       converged = multiTarget.isEmpty &&

@@ -152,6 +152,9 @@ object Dedup {
   private[ops] def shingleRows(
       df: DataFrame, id: String, text: String, n: Int,
       distinct: Boolean = true): DataFrame = {
+    // (r13: a widen() here measured slower for the pair ops — their
+    // shingle streams feed aggregations whose exchanges already
+    // spread the work, and the extra round-robin stage was pure cost)
     val base = df.select(col(id), toks(col(text)).as("__ts"))
       .withColumn("__n", size(col("__ts")))
     val idx = base.withColumn("__i",
@@ -269,6 +272,12 @@ object Dedup {
   private def verifyJaccard(
       cands: DataFrame, rows: DataFrame, id: String,
       threshold: Double): DataFrame = {
+    // NOTE (r13): restricting the sets to candidate-touched docs via a
+    // semi-join (plus persisting the candidate plan) measured SLOWER
+    // at every τ tried — the extra join/exchange/cache stages cost
+    // more than the skipped collect_list buys, even at τ=0.9 where
+    // candidates are sparse. The inner verify joins already drop
+    // untouched docs' sets.
     val sets = rows.groupBy(col(id))
       .agg(collect_list(col("__h")).as("__shs"), count(lit(1)).as("__sz"))
     val setsA = sets.select(col(id).as("id1"), col("__shs").as("__A"), col("__sz").as("__szA"))
@@ -443,7 +452,14 @@ object Dedup {
     else {
       require(k % bands == 0, "bands must divide k")
       // one persisted hashed-shingle relation feeds BOTH the signature
-      // aggregation and the verify sets — the text is scanned once
+      // aggregation and the verify sets — the text is scanned once.
+      // (An r13 experiment derived signatures from the raw multiset
+      // stream to drop this relation's dedup exchange and re-shingled
+      // only candidate-touched docs for the verify; it measured 2×
+      // SLOWER — the candidate subtree then rides inside both verify
+      // set branches and the plan tree balloons. The single persisted
+      // leaf is the right shape; the verify-side reduction lives in
+      // verifyJaccard's touched-docs semi-join instead.)
       val rows = hashedShingleRows(df, id, text, n)
         .transform(graft.ops.CacheScope.scopedPersist)
       val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
@@ -791,7 +807,12 @@ object Dedup {
   private def contaminationPairsDistinct(
       train: DataFrame, evalSet: DataFrame, n: Int, minOverlap: Long,
       id: String, text: String): DataFrame = {
-    val t = train.select(col(id), explode(shingles(col(text), n)).as("gram"))
+    // widen before the gram explode: the corpus side of the broadcast
+    // join is a CPU-multiplying map over a possibly-narrow input
+    // (measured: the whole report ran as ONE 4.7 s-CPU task at bench
+    // scale); no-op at scale, and the grams still never shuffle
+    val t = CacheScope.widen(train)
+      .select(col(id), explode(shingles(col(text), n)).as("gram"))
     val eg = evalSet
       .select(col(id).as("eval_id"), explode(shingles(col(text), n)).as("gram"))
     t.join(broadcast(eg), Seq("gram"))
@@ -803,7 +824,8 @@ object Dedup {
   private def contaminationDistinct(
       train: DataFrame, evalSet: DataFrame, n: Int,
       id: String, text: String): DataFrame = {
-    val t = train
+    // widen before the gram explode — see contaminationPairsDistinct
+    val t = CacheScope.widen(train)
       .select(col(id), shingles(col(text), n).as("__g"))
       .select(col(id), size(col("__g")).cast("long").as("train_grams"),
         explode(col("__g")).as("gram"))
@@ -881,7 +903,8 @@ object Dedup {
       case other => throw new IllegalArgumentException(s"unknown hash: $other")
     }
     val ts = toks(col(text))
-    val windows = df
+    // widen before the window explode (CPU-multiplying; no-op at scale)
+    val windows = CacheScope.widen(df)
       .filter(size(ts) >= k)
       .select(col(id), col("__w"),
         explode(transform(sequence(lit(1), size(ts) - (k - 1)),

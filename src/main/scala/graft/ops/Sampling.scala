@@ -232,7 +232,8 @@ object Sampling {
                                       id: String, text: String,
                                       carry: Seq[String] = Nil): DataFrame = {
     val keep = col(id) +: carry.map(col)
-    val base = df.filter(col(text).isNotNull)
+    // widen before the feature explode (CPU-multiplying; no-op at scale)
+    val base = CacheScope.widen(df.filter(col(text).isNotNull))
       .select(keep :+ split(lower(trim(col(text))), " ").as("__ts"): _*)
       .withColumn("__n", size(col("__ts")))
     val idx = base.withColumn("__i",
