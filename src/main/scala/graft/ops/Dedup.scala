@@ -804,6 +804,29 @@ object Dedup {
     } else contaminationPairsDistinct(train, evalSet, n, minOverlap, id, text)
   }
 
+  /** (id, __g = distinct-gram array) with the array provably built
+    * ONCE per row. The naive `select(shingles(...))` gets torn apart
+    * by two optimizer rules acting together: InferFiltersFromGenerate
+    * adds `size(g) > 0 ∧ isnotnull(g)` below the explode, and
+    * predicate pushdown substitutes the alias through the projection —
+    * so the interpreted higher-order shingle transform was evaluated
+    * TWICE in a Filter below the widen exchange (single-task!) and a
+    * third time in the Project (guide §4.4's duplication, observed in
+    * the formatted plan; a bare non-deterministic side column gets
+    * column-pruned away before it can block the pushdown). The shape
+    * that holds: build the array + a non-deterministic id in one
+    * projection, then re-alias the array through a when() that
+    * references the ND column — the inferred filter lands on the
+    * aliased ATTRIBUTE above the barrier and every consumer reads the
+    * array built exactly once.
+    */
+  private def ndGuardedGrams(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    df.select(col(id), shingles(col(text), n).as("__g0"),
+        monotonically_increasing_id().as("__nd"))
+      .select(col(id),
+        when(col("__nd") >= Long.MinValue, col("__g0")).as("__g"))
+
   private def contaminationPairsDistinct(
       train: DataFrame, evalSet: DataFrame, n: Int, minOverlap: Long,
       id: String, text: String): DataFrame = {
@@ -811,8 +834,8 @@ object Dedup {
     // join is a CPU-multiplying map over a possibly-narrow input
     // (measured: the whole report ran as ONE 4.7 s-CPU task at bench
     // scale); no-op at scale, and the grams still never shuffle
-    val t = CacheScope.widen(train)
-      .select(col(id), explode(shingles(col(text), n)).as("gram"))
+    val t = ndGuardedGrams(CacheScope.widen(train), id, text, n)
+      .select(col(id), explode(col("__g")).as("gram"))
     val eg = evalSet
       .select(col(id).as("eval_id"), explode(shingles(col(text), n)).as("gram"))
     t.join(broadcast(eg), Seq("gram"))
@@ -825,8 +848,7 @@ object Dedup {
       train: DataFrame, evalSet: DataFrame, n: Int,
       id: String, text: String): DataFrame = {
     // widen before the gram explode — see contaminationPairsDistinct
-    val t = CacheScope.widen(train)
-      .select(col(id), shingles(col(text), n).as("__g"))
+    val t = ndGuardedGrams(CacheScope.widen(train), id, text, n)
       .select(col(id), size(col("__g")).cast("long").as("train_grams"),
         explode(col("__g")).as("gram"))
     val eg = evalSet.select(explode(shingles(col(text), n)).as("gram")).distinct()
