@@ -58,8 +58,13 @@ object Classifier {
                    collapseExact: Boolean = true): Model = {
     require(buckets >= 2 && iters >= 1)
     val key = lower(trim(col(text)))
-    def sideCounts(df: DataFrame, y: Double): DataFrame =
-      if (collapseExact && Dedup.cloneHeavy(df, key)) {
+    // ONE probe job for both training sides (they are probed
+    // unconditionally, so there is no short-circuit to lose)
+    val (posHeavy, negHeavy) =
+      if (collapseExact) Dedup.cloneHeavyBoth(pos, key, neg, key)
+      else (false, false)
+    def sideCounts(df: DataFrame, y: Double, heavy: Boolean): DataFrame =
+      if (collapseExact && heavy) {
         val g = Dedup.cloneGroups(df, id, text)
         bucketCounts(g.select(col("__rep").as(id), col(text)), buckets, id, text)
           .join(g.select(col("__rep").as(id),
@@ -87,7 +92,8 @@ object Classifier {
     //    cached partitioning instead of re-exchanging the relation
     //    every iteration (2 exchanges × iters removed; only the tiny
     //    per-doc margin relation still shuffles).
-    val base = sideCounts(pos, 1.0).unionByName(sideCounts(neg, 0.0))
+    val base = sideCounts(pos, 1.0, posHeavy)
+      .unionByName(sideCounts(neg, 0.0, negHeavy))
     val pseudo = base.groupBy(col(id), col("__y"), col("__m"))
       .agg(count(lit(1)).as("__nf"))
       .select(col(id), lit(buckets.toLong).as("__b"), lit(1.0).as("__c"),

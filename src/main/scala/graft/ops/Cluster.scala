@@ -112,17 +112,25 @@ object Cluster {
       // without the extra self-reproducing round a signature
       // comparison needs; edges are distinct, so count(*) per
       // source equals its distinct target count.
-      // NOTE (r13): fusing these two probes into one union-emptiness
-      // action measured SLOWER — AQE materializes both subtrees'
-      // exchanges before take(1), so the fused probe always pays the
-      // semi-join even on the (common) rounds where multiTarget alone
-      // already proves non-convergence. The && short-circuit is the
-      // cheaper shape.
-      val multiTarget = next.groupBy("u")
-        .agg(count(lit(1)).as("__d")).where(col("__d") > 1)
-      converged = multiTarget.isEmpty &&
-        next.select("u")
-          .join(next.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
+      // Both convergence conditions from ONE degree aggregation
+      // (r13, guide §1.2): a node violates the star-forest property
+      // iff its out-degree exceeds 1 (edges are distinct, so count per
+      // source = distinct targets) OR it appears as BOTH a source and
+      // a target. Tagging each endpoint occurrence and grouping by
+      // node answers both in a single job with one exchange of 2|E|
+      // tag rows — the previous shape paid a groupBy-probe job plus a
+      // separate semi-join probe job (3 exchanges) per round. (A
+      // union-of-the-two-probe-RELATIONS variant measured slower:
+      // AQE materializes both subtrees before take(1); this is one
+      // aggregation, not two fused probes.)
+      val endpoints = next
+        .select(col("u").as("__n"), lit(1L).as("__s"), lit(0L).as("__t"))
+        .unionByName(next
+          .select(col("v").as("__n"), lit(0L).as("__s"), lit(1L).as("__t")))
+      converged = endpoints.groupBy("__n")
+        .agg(sum("__s").as("__sc"), sum("__t").as("__tc"))
+        .where(col("__sc") > 1 || (col("__sc") > 0 && col("__tc") > 0))
+        .isEmpty
       e = next
       it += 1
     }

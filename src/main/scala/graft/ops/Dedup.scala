@@ -80,6 +80,27 @@ object Dedup {
   private[ops] def cloneHeavy(df: DataFrame, key: Column): Boolean =
     cloneStats(df, key)._2
 
+  /** Both sides' clone-heaviness in ONE probe job (a side-tagged union
+    * into one grouped aggregation) — for callers that unconditionally
+    * probe two relations (classifier train sides). Callers whose
+    * second probe short-circuits on the first (the delta/DSIR `||`
+    * gates) keep their sequential probes: at the clone-heavy scale
+    * points the short-circuit skips a whole corpus scan, which is
+    * worth more than the saved job.
+    */
+  private[ops] def cloneHeavyBoth(
+      a: DataFrame, keyA: Column, b: DataFrame, keyB: Column): (Boolean, Boolean) = {
+    val rows = a.select(lit(0).as("__side"), keyA.as("__k"))
+      .unionByName(b.select(lit(1).as("__side"), keyB.as("__k")))
+      .groupBy("__side")
+      .agg(count(lit(1)).as("__n"), approx_count_distinct(col("__k")).as("__d"))
+      .collect()
+    def heavy(side: Int): Boolean = rows.find(_.getInt(0) == side)
+      .exists(r => r.getLong(1) > 0 &&
+        r.getLong(2).toDouble / r.getLong(1) < CollapseDistinctRatio)
+    (heavy(0), heavy(1))
+  }
+
   /** The probe's (row count, clone-heavy) in ONE scan, for callers
     * that need the count anyway (tfidf's N) — a separate count()
     * would be a second full pass over the corpus.
