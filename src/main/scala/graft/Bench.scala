@@ -6,6 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (plus a copy
   * to SPARK_GRAFT_BENCH_OUT, default /tmp/bench.json — sbt prefixes
   * stdout with [info], which defeats machine parsing of the log).
+  * The stdout line carries per-query times rounded to 1 ms so it fits
+  * the driver's bounded stdout tail (the full-precision line is ~7.5 kB
+  * and overflowed it in r12/r13, emptying the per-query regression
+  * gate); the file copies keep full precision.
   *
   * Failures are NOT swallowed: a failing query records "err" in the
   * JSON and flips the exit code to 1 (round-1 lesson: a silent
@@ -57,9 +61,16 @@ object Bench {
         .flatMap(sys.env.get).filter(d => new java.io.File(d).isDirectory)
     var anyFailed = false
     val lines = runs.map { dir =>
-      val (line, failed) = timedRun(spark, dir)
+      val (line, compactLine, failed) = timedRun(spark, dir)
       anyFailed ||= failed
-      println(line)
+      // stdout carries the COMPACT line (times as %.3f): the driver
+      // keeps only a bounded tail of stdout and the full-precision
+      // line (~7.5 kB for 136 entries) overflowed it in r12/r13 —
+      // both rounds' per-query regression gates came up empty
+      // ("parsed": null). 1 ms resolution is far inside the box's
+      // ±30% ambient band, and the full-precision copy still lands in
+      // the JSON files below for floor records.
+      println(compactLine)
       line
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
@@ -105,7 +116,7 @@ object Bench {
     // r12 while three solo draws sat at 1.7-3.3x (BENCH_NOTES r12)
     "q_pipeline_contrastive")
 
-  private def timedRun(spark: SparkSession, sfDir: String): (String, Boolean) = {
+  private def timedRun(spark: SparkSession, sfDir: String): (String, String, Boolean) = {
     var failed = List.empty[(String, String)]
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", ".*")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -141,6 +152,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a
+    // comma decimal separator would corrupt the JSON
+    def r3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def r2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val errMap = failed.reverse.map { case (k, m) =>
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -149,12 +166,17 @@ object Bench {
     // entry vs its exact comparator on the SAME corpus, so a
     // banding/probe-parameter regression shows up as a number in the
     // bench record instead of needing an eyeball diff
-    val recallMap = (try recalls(spark, sfDir) catch { case _: Throwable => Map.empty[String, Double] })
-      .toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+    val recallPairs = (try recalls(spark, sfDir) catch { case _: Throwable => Map.empty[String, Double] })
+      .toSeq.sortBy(_._1)
+    val recallMap = recallPairs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val recallMap2 = recallPairs.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errMap,"n_failed":${failed.size},"recall":$recallMap,"sf":"$sfDir"}"""
-    (line, failed.nonEmpty)
+    val compactLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errMap,"n_failed":${failed.size},"recall":$recallMap2,"sf":"$sfDir"}"""
+    (line, compactLine, failed.nonEmpty)
   }
 
   /** Recall@k of each approximate-by-design entry against its exact

@@ -246,27 +246,47 @@ object Dedup {
       df: DataFrame, threshold: Double, n: Int,
       id: String, text: String,
       maxDocFreq: Option[Int]): DataFrame = {
-    // the shingle relation feeds 3 consumers (freq, rank, verify-sets)
-    // and Catalyst's per-branch column pruning defeats exchange reuse
-    // — persist it once (Spark's ContextCleaner drops the cache when
-    // the plan is garbage-collected, same pattern as MLlib LSH)
+    // the shingle relation feeds 2 consumers (the frequency count and
+    // the per-doc aggregation) and Catalyst's per-branch column pruning
+    // defeats exchange reuse — persist it once (Spark's ContextCleaner
+    // drops the cache when the plan is garbage-collected, same pattern
+    // as MLlib LSH)
     val rows = hashedShingleRows(df, id, text, n)
       .transform(graft.ops.CacheScope.scopedPersist)
-    val freq0 = rows.groupBy("__h").agg(count(lit(1)).as("__df"))
-    val freq = maxDocFreq.map(f => freq0.filter(col("__df") <= f)).getOrElse(freq0)
-    // one keyed window stage (single shuffle+sort on id) yields both
-    // the per-doc size and the rarity rank; rarest shingles first
-    val byRarity = Window.partitionBy(col(id)).orderBy(col("__df"), col("__h"))
-    val wholeDoc = Window.partitionBy(col(id))
-    // ⌈τ·|d|⌉ with an epsilon so float noise can't shorten the prefix
-    val ranked = rows.join(freq, "__h")
-      .withColumn("__size", count(lit(1)).over(wholeDoc))
-      .withColumn("__rn", row_number().over(byRarity))
-    val prefix = ranked
-      .filter(col("__rn") <=
-        col("__size") - ceil(col("__size") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col(id), col("__size"), col("__rn"), col("__h"))
+    val freq = rows.groupBy("__h").agg(count(lit(1)).as("__df"))
+    // ONE per-doc aggregation replaces the r13 shape's exchange + two
+    // window sorts (count-over-doc + row_number over a per-partition
+    // (id, __df, __h) sort) AND the verify path's separate
+    // collect_list relation (guide §2.4 — operations keyed the same
+    // way share one exchange): group by id once, sort each doc's
+    // (df, h) pairs in-place — rarest first, the exact order the
+    // rank window used — and derive BOTH the prefix index (posexplode
+    // of the head slice) and the exact-verify sets from this single
+    // cached relation. The per-partition sort becomes per-doc
+    // sort_array work inside the aggregation; no full-partition sort
+    // remains anywhere in the pair path.
+    val docs = rows.join(freq, "__h")
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__h")))).as("__lst"))
       .transform(graft.ops.CacheScope.scopedPersist)
+    // index-eligible shingles (df ≤ maxDocFreq) sort to the FRONT of
+    // __lst, so eligibility is a prefix and the indexed prefix of the
+    // prefix-filter is a slice; with the default (None, exact) every
+    // shingle is eligible
+    val eligible = maxDocFreq
+      .map(f => size(filter(col("__lst"), x => x("__df") <= lit(f.toLong))))
+      .getOrElse(size(col("__lst")))
+    // ⌈τ·|d|⌉ with an epsilon so float noise can't shorten the prefix;
+    // the when() guards the eligible=0 corner (all shingles over
+    // maxDocFreq ⇒ nothing indexed), where the arithmetic would slice 1
+    val prefLen = when(eligible > 0,
+      eligible - ceil(eligible * lit(threshold) - lit(1e-9)) + 1)
+      .otherwise(0).cast("int")
+    val prefix = docs
+      .select(col(id), eligible.as("__size"),
+        posexplode(slice(col("__lst"), lit(1), prefLen)))
+      .select(col(id), col("__size"), (col("pos") + 1).as("__rn"),
+        col("col.__h").as("__h"))
     val a = prefix.select(col(id).as("id1"), col("__size").as("__s1"), col("__rn").as("__p1"), col("__h"))
     val b = prefix.select(col(id).as("id2"), col("__size").as("__s2"), col("__rn").as("__p2"), col("__h"))
     val cands = a.join(b, Seq("__h"))
@@ -281,7 +301,13 @@ object Dedup {
         (col("__s1") + col("__s2")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
-    verifyJaccard(cands, rows, id, threshold)
+    // verify sets = the SAME cached per-doc relation (full arrays:
+    // maxDocFreq only restricts the index, never the exact verify —
+    // unchanged from the r13 semantics where sets came from `rows`)
+    val sets = docs.select(col(id),
+      transform(col("__lst"), x => x("__h")).as("__shs"),
+      size(col("__lst")).as("__sz"))
+    verifyJaccardSets(cands, sets, id, threshold)
   }
 
   /** Exact-Jaccard verify on candidate (id1, id2) pairs: set sizes and
@@ -299,8 +325,20 @@ object Dedup {
     // more than the skipped collect_list buys, even at τ=0.9 where
     // candidates are sparse. The inner verify joins already drop
     // untouched docs' sets.
-    val sets = rows.groupBy(col(id))
-      .agg(collect_list(col("__h")).as("__shs"), count(lit(1)).as("__sz"))
+    verifyJaccardSets(cands,
+      rows.groupBy(col(id))
+        .agg(collect_list(col("__h")).as("__shs"), count(lit(1)).as("__sz")),
+      id, threshold)
+  }
+
+  /** Same exact verify over a PREBUILT (id, __shs, __sz) set relation —
+    * callers that already aggregate per doc (the PPJoin's sorted-array
+    * relation, the fused minhash signature+set aggregation) pass their
+    * cached relation instead of paying a second full groupBy(id).
+    */
+  private def verifyJaccardSets(
+      cands: DataFrame, sets: DataFrame, id: String,
+      threshold: Double): DataFrame = {
     val setsA = sets.select(col(id).as("id1"), col("__shs").as("__A"), col("__sz").as("__szA"))
     val setsB = sets.select(col(id).as("id2"), col("__shs").as("__B"), col("__sz").as("__szB"))
     cands.join(setsA, "id1").join(setsB, "id2")
@@ -472,22 +510,27 @@ object Dedup {
           collapseExact = false))
     else {
       require(k % bands == 0, "bands must divide k")
-      // one persisted hashed-shingle relation feeds BOTH the signature
-      // aggregation and the verify sets — the text is scanned once.
+      // ONE per-doc aggregation computes the k signature minima AND
+      // the exact-verify set (collect_list + count ride the same
+      // groupBy(id) buffers) — r13 ran a SECOND full aggregation over
+      // a persisted shingle relation just for the sets; fusing them
+      // drops that relation's cache fill and the extra
+      // exchange+aggregation pass (guide §2.4 — operations keyed the
+      // same way share one exchange). The shingle stream now has a
+      // single consumer, so it no longer needs a persist at all.
       // (An r13 experiment derived signatures from the raw multiset
-      // stream to drop this relation's dedup exchange and re-shingled
-      // only candidate-touched docs for the verify; it measured 2×
-      // SLOWER — the candidate subtree then rides inside both verify
-      // set branches and the plan tree balloons. The single persisted
-      // leaf is the right shape; the verify-side reduction lives in
-      // verifyJaccard's touched-docs semi-join instead.)
+      // stream to drop the dedup exchange and re-shingled only
+      // candidate-touched docs for the verify; it measured 2× SLOWER —
+      // the candidate subtree then rides inside both verify set
+      // branches and the plan tree balloons.)
       val rows = hashedShingleRows(df, id, text, n)
-        .transform(graft.ops.CacheScope.scopedPersist)
       val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
-      // the signature relation feeds the banding (both self-join
-      // sides) and the estimate pre-filter (both pair sides) — persist
-      // or the k-min aggregation recomputes once per consumer
-      val sigs = rows.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+      val aggs = mins ++ Seq(collect_list(col("__h")).as("__shs"),
+        count(lit(1)).as("__sz"))
+      // the fused relation feeds the banding (both self-join sides),
+      // the estimate pre-filter (both pair sides) and the verify sets
+      // — persist or the aggregation recomputes once per consumer
+      val sigs = rows.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
         .transform(graft.ops.CacheScope.scopedPersist)
       val sigArr = array((0 until k).map(i => col(s"mh_$i")): _*)
       // banding ships only (id, band, bucket) — see minhashPairsDistinct
@@ -515,7 +558,8 @@ object Dedup {
         .join(sigArrOnly.select(col(id).as("id2"), col("__sig").as("__sig2")), "id2")
         .filter(matching.cast("double") / k >= lit(threshold - 0.2))
         .select("id1", "id2")
-      verifyJaccard(prefiltered, rows, id, threshold)
+      verifyJaccardSets(prefiltered,
+        sigs.select(col(id), col("__shs"), col("__sz")), id, threshold)
     }
 
   /** Incremental verified near-dup: every pair (jaccard ≥ τ) that
@@ -617,12 +661,18 @@ object Dedup {
       k: Int, bands: Int, n: Int, id: String, text: String,
       oldIndex: Option[DataFrame],
       oldIdToRep: Option[DataFrame]): DataFrame = {
-    // the batch's shingle rows feed its signatures AND its verify sets
-    val newRows = hashedShingleRows(newDf, id, text, n)
-      .transform(graft.ops.CacheScope.scopedPersist)
+    // ONE per-doc aggregation over the batch's shingles yields its
+    // signatures AND its verify sets (same fuse as
+    // minhashPairsVerified — guide §2.4); the shingle stream then has
+    // a single consumer and needs no persist, and the union-then-
+    // re-aggregate pass over the batch rows is gone
     val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh_$i"))
-    val newBanded = bandBuckets(
-      newRows.groupBy(col(id)).agg(mins.head, mins.tail: _*), k, bands, id)
+    val aggs = mins ++ Seq(collect_list(col("__h")).as("__shs"),
+      count(lit(1)).as("__sz"))
+    val newSigs = hashedShingleRows(newDf, id, text, n)
+      .groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+      .transform(graft.ops.CacheScope.scopedPersist)
+    val newBanded = bandBuckets(newSigs, k, bands, id)
     val idx = oldIndex.getOrElse(minhashBandIndex(oldDf, k, bands, n, id, text))
     val raw = newBanded
       .select(col(id).as("__nid"), col("band"), col("bucket"))
@@ -641,10 +691,18 @@ object Dedup {
       .transform(graft.ops.CacheScope.scopedPersist)
     val touchedOld = oldDf.join(
       crossCands.select(col("__oid").as(id)).dropDuplicates(id), Seq(id), "leftsemi")
-    val rows = newRows.unionByName(hashedShingleRows(touchedOld, id, text, n))
-    verifyJaccard(
+    // verify sets: the batch side reuses the fused signature relation;
+    // only the candidate-touched corpus docs pay a shingle+aggregate
+    // pass (id spaces are disjoint by contract, so the union is a
+    // partition of the docs, exactly as the unioned-rows groupBy was)
+    val oldSets = hashedShingleRows(touchedOld, id, text, n)
+      .groupBy(col(id))
+      .agg(collect_list(col("__h")).as("__shs"), count(lit(1)).as("__sz"))
+    val sets = newSigs.select(col(id), col("__shs"), col("__sz"))
+      .unionByName(oldSets)
+    verifyJaccardSets(
       crossCands.select(col("__nid").as("id1"), col("__oid").as("id2")),
-      rows, id, threshold)
+      sets, id, threshold)
   }
 
   /** 64-bit SimHash from token hashes (frequency-weighted sign sums

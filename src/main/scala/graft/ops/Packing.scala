@@ -42,8 +42,20 @@ object Packing {
     */
   private def effectiveShards(df: DataFrame, numShards: Int): Int = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val scanParts = df.rdd.getNumPartitions
-    math.max(1, math.min(numShards, math.max(par, scanParts)))
+    // Scan width DERIVED from the optimized logical plan's size stats
+    // (the CacheScope.widen pattern) — never df.rdd.getNumPartitions,
+    // which under AQE finalizes the plan and EXECUTES every upstream
+    // shuffle stage at plan time; live callers pass derived relations
+    // (q_pack_bpe: Bpe.encode output; q_pipeline_pretrain: the
+    // dedup+mix chain), so at scale the upstream plan would run twice.
+    // ~one range shard per would-be input split; `numShards` stays the
+    // ceiling, so a wildly inflated join-size estimate cannot explode
+    // the shard count.
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val statParts = (df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(maxSplit)).min(BigInt(numShards)).toInt + 1
+    math.max(1, math.min(numShards, math.max(par, statParts)))
   }
 
   /** Per-document packing manifest: (doc_id, n_tokens, start_offset,

@@ -286,6 +286,32 @@ class PlanSpec extends SparkSpec {
     assert(frac.collect().map(_.getDouble(0)).toSeq == Seq(3.0))
   }
 
+  test("decontamination evaluates the interpreted shingle transform once per corpus side") {
+    // pins the ndGuardedGrams shape (r13): without the ND guard,
+    // InferFiltersFromGenerate + pushdown re-evaluate the interpreted
+    // higher-order transform in a Filter below the Generate AND in the
+    // projection — a silent 3× re-evaluation a Spark version bump
+    // could restore. Exactly one transform per corpus side (train,
+    // eval) = 2 in the whole plan.
+    val plan = SparkEntry.queries("q_text_decontaminate")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val n = "transform\\(sequence".r.findAllIn(plan).length
+    assert(n == 2,
+      s"expected exactly one shingle transform per corpus side (2 total), got $n")
+  }
+
+  test("the exact-jaccard pair path ranks prefixes without any window sort") {
+    // pins the r14 shape: prefix ranks and verify sets both derive
+    // from ONE per-doc sorted-array aggregation — no WindowExec (and
+    // hence no per-partition sort) anywhere in the pair path
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = graft.ops.Dedup.jaccardPairs(docs, threshold = 0.4, n = 3)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"WindowExec in jaccardPairs plan:\n${windows.mkString("\n")}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no cartesian product, no empty-key window") {
       val plan = fn(spark, sf).queryExecution.sparkPlan
